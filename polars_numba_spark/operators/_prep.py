@@ -1,0 +1,53 @@
+"""Shared input preparation for fold/scan operators."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from polars_numba_spark.dtypes import spark_type_to_numpy
+
+
+def as_list(value: str | Sequence[str] | None) -> list[str]:
+    if value is None:
+        return []
+    if isinstance(value, str):
+        return [value]
+    return list(value)
+
+
+def resolve_input_columns(
+    df: DataFrame,
+    column_names: Sequence[str] | None,
+    exclude: Sequence[str] = (),
+) -> list[str]:
+    """Kernel input columns.
+
+    Default mirrors the reference's whole-frame behavior — *all* frame
+    columns, positionally, in frame order (ref `__init__.py:346-348,714-716`;
+    tested `tests/test_collect_fold.py:75-85`) — except that ordering /
+    grouping columns (which the reference does not need, Polars frames being
+    inherently ordered) are excluded from the default.
+    """
+    if column_names is not None:
+        cols = as_list(column_names)
+        if not cols:
+            raise ValueError("You must pass in at least one column name")
+        return cols
+    excluded = set(exclude)
+    return [c for c in df.columns if c not in excluded]
+
+
+def input_numpy_dtypes(df: DataFrame, cols: Sequence[str]) -> dict[str, np.dtype]:
+    """NumPy dtype per kernel input column; raises TypeError for types the
+    kernels don't support (strings/arrays/maps — same restriction as the
+    reference, `__init__.py:408-424`)."""
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    out: dict[str, np.dtype] = {}
+    for c in cols:
+        if c not in schema:
+            raise KeyError(f"column {c!r} not found in DataFrame (has {df.columns})")
+        out[c] = spark_type_to_numpy(schema[c])
+    return out

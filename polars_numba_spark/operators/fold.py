@@ -1,0 +1,202 @@
+"""Fold operators: sequential, order-dependent reduction of rows to a value.
+
+Reference semantics being reproduced
+(``/root/reference/src/polars_numba/__init__.py``):
+
+- ``collect_fold`` (`:312-355`): fold the whole frame to ONE Python value,
+  streaming in batches, accumulator threaded across batch boundaries. Rows
+  with a null in any selected column are dropped *before* folding (`:339`,
+  docstring `:332`, tested `tests/test_collect_fold.py:41-56`).
+- ``fold`` expression (`:358-405`): the same reduction usable per-group
+  inside an aggregation context (`examples_fold.py:87-97`). Here that is
+  :func:`grouped_fold` — a hash-partitioned ``applyInPandas`` with an
+  explicit intra-group sort (Polars frames are ordered; Spark DataFrames are
+  not, so order is a parameter, not an assumption).
+
+The step function need NOT be associative (the credit-card example,
+`examples_fold.py:47-75`, rejects purchases based on running state — no
+partial-aggregation plan can compute it), which dictates the physical
+strategy:
+
+- **grouped fold**: parallel across groups (shuffle on keys, Catalyst-planned),
+  sequential within each group — exactly the per-group callback structure of
+  the reference's expression fold.
+- **global fold**: logically a single ordered stream. We run it as ONE
+  executor task over Arrow batches (``mapInArrow`` on a single partition),
+  accumulator threaded across batches inside the generator — the Spark
+  analog of the reference's driver batch loop (`:341-355`) that keeps data
+  off the driver. For associative steps use
+  :func:`polars_numba_spark.operators.window.assoc_fold` instead, which
+  stays fully parallel and JVM-side.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Callable, Iterator, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from polars_numba_spark._arrow import column_to_numpy
+from polars_numba_spark.dtypes import (
+    SizedArray,
+    normalize_spark_type,
+    result_dtype_and_shape,
+)
+from polars_numba_spark.kernels import compile_step_function, get_folder
+from polars_numba_spark.operators._prep import (
+    as_list,
+    input_numpy_dtypes,
+    resolve_input_columns,
+)
+
+
+def _single_ordered_stream(df: DataFrame, order_by: list[str]) -> DataFrame:
+    """Collapse to one ordered partition.
+
+    Scale note: a non-associative global fold is inherently sequential — one
+    stream is the *correct* plan, not a missed optimization (SURVEY.md §7
+    hard-part 2). With ``order_by`` this is a single-shuffle
+    ``repartition(1).sortWithinPartitions`` (no global range partitioning
+    step); without it, ``coalesce(1)`` preserves the source's file/row-group
+    order with no shuffle at all.
+    """
+    if order_by:
+        return df.repartition(1).sortWithinPartitions(*order_by)
+    return df.coalesce(1)
+
+
+def collect_fold(
+    df: DataFrame,
+    function: Callable,
+    initial_accumulator: Any,
+    extra_args: Sequence[Any] = (),
+    column_names: Sequence[str] | None = None,
+    order_by: str | Sequence[str] | None = None,
+) -> Any:
+    """Fold the frame to a single driver-side Python value.
+
+    Parity: ref ``collect_fold`` `__init__.py:312-355`. Differences forced by
+    Spark's model: DataFrames are unordered, so ``order_by`` declares row
+    order (omit it to inherit the source's natural order — deterministic for
+    a fresh file scan); the fold itself runs on an executor, only the final
+    accumulator (pickled, one row) reaches the driver.
+
+    - Null rows (any selected column) are dropped before folding (ref `:339`).
+    - ``extra_args`` are passed positionally between the accumulator and the
+      column values (ref `:316,376-379`).
+    - ``column_names=None`` binds ALL frame columns positionally
+      (ref `:346-348`; tested `tests/test_collect_fold.py:75-85`).
+    """
+    step = compile_step_function(function)
+    order_cols = as_list(order_by)
+    cols = resolve_input_columns(df, column_names, exclude=order_cols)
+    np_dtypes = input_numpy_dtypes(df, cols)
+    folder = get_folder(len(cols))
+    extra = tuple(extra_args)
+    acc0 = initial_accumulator
+    dtype_list = [np_dtypes[c] for c in cols]
+
+    prepared = df.select(*cols, *order_cols).na.drop(subset=cols)
+    prepared = _single_ordered_stream(prepared, order_cols)
+    # Catalyst still sees select + na.drop declaratively → column pruning and
+    # IsNotNull pushdown reach the parquet scan before the stream collapses.
+
+    def fold_stream(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc = acc0
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            arrays = [
+                column_to_numpy(batch.column(i), dtype_list[i])
+                for i in range(len(cols))
+            ]
+            acc = folder(step, acc, extra, *arrays)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([pickle.dumps(acc)], type=pa.binary())], names=["acc"]
+        )
+
+    result = prepared.mapInArrow(fold_stream, schema="acc binary").collect()
+    if not result:
+        return acc0
+    return pickle.loads(bytes(result[0][0]))
+
+
+def grouped_fold(
+    df: DataFrame,
+    group_by: str | Sequence[str],
+    function: Callable,
+    initial_accumulator: Any,
+    return_dtype: Any,
+    columns: Sequence[str] | None = None,
+    order_by: str | Sequence[str] | None = None,
+    extra_args: Sequence[Any] = (),
+    result_name: str = "fold",
+) -> DataFrame:
+    """Per-group sequential fold → one row per group (keys + result).
+
+    Parity: ref expression ``fold`` `__init__.py:358-405` used inside
+    ``group_by().agg(...)`` (`examples_fold.py:87-97`). Multi-column input is
+    explicit here (``columns=[...]``) instead of the reference's
+    ``pl.struct()`` packing (`:370-372`) — inside ``applyInPandas`` the
+    columns arrive separately anyway.
+
+    - Null rows (any selected column) are dropped per group before folding
+      (ref `:391`, tested `tests/test_expr_fold.py:32-46`).
+    - The result is cast to ``return_dtype`` (ref `:400-405`); a tuple
+      accumulator with ``return_dtype=SizedArray(t, k)`` yields an
+      ``array<t>`` of length k (ref `:673-679`).
+
+    Scale notes: the shuffle is on the group keys (Catalyst hash partition);
+    each group must fit one Python worker's memory — inherent to
+    ``applyInPandas``. For skewed keys, pre-salt + two-level fold only works
+    for associative steps (see ``window.assoc_fold``); for non-associative
+    steps skew is a data-model problem, documented, not hidden.
+    """
+    step = compile_step_function(function)
+    keys = as_list(group_by)
+    if not keys:
+        raise ValueError("group_by must name at least one column")
+    order_cols = as_list(order_by)
+    cols = resolve_input_columns(df, columns, exclude=[*keys, *order_cols])
+    np_dtypes = input_numpy_dtypes(df, cols)
+    folder = get_folder(len(cols))
+    extra = tuple(extra_args)
+    acc0 = initial_accumulator
+    dtype_list = [np_dtypes[c] for c in cols]
+    res_np_dtype, res_shape = result_dtype_and_shape(return_dtype)
+
+    key_fields = [f for f in df.schema.fields if f.name in keys]
+    if isinstance(return_dtype, SizedArray):
+        res_field = T.StructField(result_name, return_dtype.spark_type())
+    else:
+        res_field = T.StructField(result_name, normalize_spark_type(return_dtype))
+    out_schema = T.StructType(key_fields + [res_field])
+
+    def fold_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if order_cols:
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf = pdf.dropna(subset=cols)
+        acc = acc0
+        if len(pdf):
+            arrays = [
+                pdf[c].to_numpy(copy=False).astype(dtype_list[i], copy=False)
+                for i, c in enumerate(cols)
+            ]
+            acc = folder(step, acc, extra, *arrays)
+        # Cast via a NumPy buffer in the declared dtype — assignment performs
+        # the same cast the reference applies when building the result Series
+        # with dtype=return_dtype (ref `:733`, test `test_collect_scan.py:75-92`).
+        buf = np.empty((1,) + res_shape, dtype=res_np_dtype)
+        buf[0] = acc
+        value = buf[0].tolist() if res_shape else buf[0].item() if res_np_dtype.kind in "biuf" else buf[0]
+        data = {k: [v] for k, v in zip(keys, key)}
+        data[result_name] = [value]
+        return pd.DataFrame(data)
+
+    prepared = df.select(*keys, *cols, *order_cols)
+    return prepared.groupBy(*keys).applyInPandas(fold_group, schema=out_schema)

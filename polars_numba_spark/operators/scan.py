@@ -1,0 +1,208 @@
+"""Scan operators: running-accumulator column (prefix fold).
+
+Reference semantics being reproduced
+(``/root/reference/src/polars_numba/__init__.py``):
+
+- ``collect_scan`` (`:682-740`): every row's post-update accumulator becomes
+  that row's output value; the accumulator flows ACROSS batch boundaries
+  (`:710,725-727`).
+- Null rule (`:441`, docstring `:697-700`, tested
+  ``tests/test_collect_scan.py:53-72``): a row with any null in the selected
+  columns produces a NULL output row, the step function is NOT called, and
+  the accumulator carries over unchanged to the next non-null row.
+  Mechanism (same as ref `:718-736`): precompute the null mask, zero-fill the
+  data (NumPy has no nulls), run the kernel writing ``result[i] = acc`` for
+  every row, then re-mask the output.
+- Output is cast to the declared ``return_dtype`` (`:733`; float accumulator
+  → Int32 truncates, `tests/test_collect_scan.py:75-92`); tuple accumulators
+  declared as ``SizedArray(t, k)`` emit one k-vector per row (`:673-679`,
+  `tests/test_collect_scan.py:190-208`).
+
+Physical strategy mirrors fold.py: grouped scans are hash-partitioned
+``applyInPandas`` (parallel across groups, `examples_scan.py:72-82`); the
+global scan is a single ordered Arrow stream (``mapInArrow``), accumulator
+threaded through the generator. Associative scans (running max/sum) should
+use :func:`polars_numba_spark.operators.window.assoc_scan` — a pure window
+frame that never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from polars_numba_spark._arrow import (
+    column_to_numpy,
+    fill_zero,
+    null_mask,
+    scan_result_to_arrow,
+)
+from polars_numba_spark.dtypes import (
+    SizedArray,
+    normalize_spark_type,
+    result_dtype_and_shape,
+)
+from polars_numba_spark.kernels import compile_step_function, get_scanner
+from polars_numba_spark.operators._prep import (
+    as_list,
+    input_numpy_dtypes,
+    resolve_input_columns,
+)
+from polars_numba_spark.operators.fold import _single_ordered_stream
+
+
+def collect_scan(
+    df: DataFrame,
+    function: Callable,
+    initial_accumulator: Any,
+    return_dtype: Any,
+    extra_args: Sequence[Any] = (),
+    column_names: Sequence[str] | None = None,
+    order_by: str | Sequence[str] | None = None,
+    result_name: str = "scan",
+) -> DataFrame:
+    """Whole-frame running scan → the input columns plus a ``result_name``
+    column, computed over one ordered stream.
+
+    Parity: ref ``collect_scan`` `__init__.py:682-740` (which returns a bare
+    Series; here the scan column rides along with its input columns so the
+    result is a composable DataFrame — select ``result_name`` for the Series
+    shape). ``order_by`` declares row order; omit to inherit source order.
+
+    Scale note: the result is NOT collected — it stays distributed (a single
+    partition, by necessity of the sequential dependency). Downstream ops may
+    ``repartition()`` to re-parallelize; Catalyst handles the rest.
+    """
+    step = compile_step_function(function)
+    order_cols = as_list(order_by)
+    cols = resolve_input_columns(df, column_names, exclude=order_cols)
+    np_dtypes = input_numpy_dtypes(df, cols)
+    scanner = get_scanner(len(cols))
+    extra = tuple(extra_args)
+    acc0 = initial_accumulator
+    dtype_list = [np_dtypes[c] for c in cols]
+    res_np_dtype, res_shape = result_dtype_and_shape(return_dtype)
+    res_spark_type = (
+        return_dtype.spark_type()
+        if isinstance(return_dtype, SizedArray)
+        else normalize_spark_type(return_dtype)
+    )
+
+    prepared = df.select(*cols, *order_cols)
+    prepared = _single_ordered_stream(prepared, order_cols)
+    out_schema = T.StructType(
+        [f for f in prepared.schema.fields] + [T.StructField(result_name, res_spark_type)]
+    )
+
+    col_idx = {c: i for i, c in enumerate(prepared.columns)}
+
+    def scan_stream(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc = acc0
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            in_arrays = [batch.column(col_idx[c]) for c in cols]
+            mask = null_mask(in_arrays)
+            np_cols = [
+                column_to_numpy(fill_zero(arr), dtype_list[i])
+                for i, arr in enumerate(in_arrays)
+            ]
+            result = np.empty((n,) + res_shape, dtype=res_np_dtype)
+            acc = scanner(step, acc, extra, result, mask, *np_cols)
+            scan_col = scan_result_to_arrow(result, mask, res_shape)
+            yield pa.RecordBatch.from_arrays(
+                [*batch.columns, scan_col],
+                names=[*batch.schema.names, result_name],
+            )
+
+    return prepared.mapInArrow(scan_stream, schema=out_schema)
+
+
+def grouped_scan(
+    df: DataFrame,
+    group_by: str | Sequence[str],
+    function: Callable,
+    initial_accumulator: Any,
+    return_dtype: Any,
+    columns: Sequence[str] | None = None,
+    order_by: str | Sequence[str] | None = None,
+    extra_args: Sequence[Any] = (),
+    result_name: str = "scan",
+) -> DataFrame:
+    """Per-group running scan → one output row per input row (all input
+    columns plus ``result_name``), parallel across groups.
+
+    Parity: ref expression ``scan`` `__init__.py:743-799` used per group
+    (`examples_scan.py:72-82`). In Polars, ``group_by().agg(scan)`` yields a
+    list column per group; the idiomatic Spark shape is flat — one row per
+    input row — and ``F.collect_list`` over the result reproduces the nested
+    shape when needed.
+
+    Null rule per reference: null input row → null output row, accumulator
+    unchanged, within each group's declared order.
+    """
+    step = compile_step_function(function)
+    keys = as_list(group_by)
+    if not keys:
+        raise ValueError("group_by must name at least one column")
+    order_cols = as_list(order_by)
+    cols = resolve_input_columns(df, columns, exclude=[*keys, *order_cols])
+    np_dtypes = input_numpy_dtypes(df, cols)
+    scanner = get_scanner(len(cols))
+    extra = tuple(extra_args)
+    acc0 = initial_accumulator
+    dtype_list = [np_dtypes[c] for c in cols]
+    res_np_dtype, res_shape = result_dtype_and_shape(return_dtype)
+    res_spark_type = (
+        return_dtype.spark_type()
+        if isinstance(return_dtype, SizedArray)
+        else normalize_spark_type(return_dtype)
+    )
+
+    prepared = df.select(*keys, *cols, *order_cols)
+    out_schema = T.StructType(
+        list(prepared.schema.fields) + [T.StructField(result_name, res_spark_type)]
+    )
+
+    _NULLABLE_PANDAS = {
+        "int8": "Int8", "int16": "Int16", "int32": "Int32", "int64": "Int64",
+        "bool": "boolean", "float32": "Float32", "float64": "Float64",
+    }
+
+    def scan_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if order_cols:
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
+        n = len(pdf)
+        mask = np.zeros(n, dtype=bool)
+        for c in cols:
+            mask |= pdf[c].isna().to_numpy()
+        np_cols = [
+            pdf[c].fillna(0).to_numpy().astype(dtype_list[i], copy=False)
+            for i, c in enumerate(cols)
+        ]
+        result = np.empty((n,) + res_shape, dtype=res_np_dtype)
+        scanner(step, acc0, extra, result, mask, *np_cols)
+        out = pdf.copy()
+        if res_shape:
+            out[result_name] = [
+                None if m else row.tolist() for m, row in zip(mask, result)
+            ]
+        else:
+            name = _NULLABLE_PANDAS.get(res_np_dtype.name)
+            if mask.any() and name:
+                out[result_name] = pd.array(result, dtype=name)
+                out.loc[mask, result_name] = pd.NA
+            else:
+                series = pd.Series(result, index=out.index)
+                if mask.any():
+                    series[mask] = None
+                out[result_name] = series
+        return out
+
+    return prepared.groupBy(*keys).applyInPandas(scan_group, schema=out_schema)

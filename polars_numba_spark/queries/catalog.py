@@ -1,0 +1,536 @@
+"""Query catalog: Spark queries + DuckDB oracle SQL.
+
+Conventions that make the driver's hash compare deterministic:
+
+- Every computed column is aliased identically on both sides.
+- Floating-point **sums** go through exact decimal accumulation and are cast
+  back to double at the end (``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)``)
+  — double addition is order-dependent, and Spark's partial aggregation order
+  differs from DuckDB's, so summing doubles directly would hash-mismatch in
+  the last ulps. Decimal sums are associative/exact, so both engines produce
+  bit-identical doubles. Products/divisions of identical doubles are IEEE
+  deterministic and need no special handling.
+- Top-k queries carry a unique tie-break column in the ORDER BY so LIMIT is
+  a total order.
+- Result timestamps are emitted as-is (both engines read this parquet as
+  microsecond timestamps).
+
+Scale notes are inline per query; the common ones: dimension joins are
+explicitly ``F.broadcast`` (region/nation/supplier/customer are tiny relative
+to fact tables at any SF), aggregations are expressed declaratively so
+Catalyst plans map-side partial aggregation, and filters are plain column
+predicates so they push into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polars_numba_spark.operators.fold import grouped_fold
+from polars_numba_spark.operators.scan import collect_scan, grouped_scan
+from polars_numba_spark.operators.window import assoc_scan
+from polars_numba_spark.sources import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_SPARK: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _SPARK[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def spark_queries() -> dict[str, QueryFn]:
+    return dict(_SPARK)
+
+
+def oracle_queries() -> dict[str, str]:
+    return dict(_ORACLE)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-ish relational surface (SURVEY.md §2.B — host-engine operators)
+# --------------------------------------------------------------------------
+
+_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_DSUM.format(x='l_quantity')} AS sum_qty,
+           {_DSUM.format(x='l_extendedprice')} AS sum_base_price,
+           {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_DSUM.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_DSUM.format(x='l_quantity')} / COUNT(*) AS avg_qty,
+           {_DSUM.format(x='l_extendedprice')} / COUNT(*) AS avg_price,
+           {_DSUM.format(x='l_discount')} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan-heavy group-aggregate. Map-side partial aggregation over
+    a pushed-down timestamp filter; 4-group cardinality → near-zero shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    dsum = lambda x, n: F.expr(f"{_DSUM.format(x=x)}").alias(n)  # noqa: E731
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price"),
+            dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge"),
+            F.expr(f"{_DSUM.format(x='l_quantity')} / COUNT(*)").alias("avg_qty"),
+            F.expr(f"{_DSUM.format(x='l_extendedprice')} / COUNT(*)").alias("avg_price"),
+            F.expr(f"{_DSUM.format(x='l_discount')} / COUNT(*)").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective dimension filter broadcast against two fact scans,
+    then top-k. customer is broadcast (tiny vs lineitem at every SF)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.expr(_DSUM.format(x="l_extendedprice * (1 - l_discount)")).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way join. All dimensions broadcast; only the
+    orders⋈lineitem join shuffles (on orderkey) — the single big exchange."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.expr(_DSUM.format(x="l_extendedprice * (1 - l_discount)")).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    oracle=f"""
+    SELECT {_DSUM.format(x='l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure pushed-down filter + single global aggregate — the
+    canonical predicate-pushdown probe (all predicates reach the scan)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.expr(_DSUM.format(x="l_extendedprice * l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: EXISTS → left-semi join (no row multiplication, Catalyst
+    picks shuffled semi or broadcast based on AQE runtime stats)."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    semi = o.join(
+        l, (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "top_customers_by_spend",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend,
+           COUNT(*) AS order_count
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 25
+    """,
+)
+def top_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + total-order top-k (unique tie-break on custkey)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.expr(_DSUM.format(x="o_totalprice")).alias("total_spend"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .orderBy(F.col("total_spend").desc(), "c_custkey")
+        .limit(25)
+        .select("c_custkey", "c_name", "total_spend", "order_count")
+    )
+
+
+@register(
+    "orders_rank_in_customer",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, rn FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def orders_rank_in_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-N per key: single hash exchange on the partition key,
+    sort within partitions, rank, filter — no self-join."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "nation_order_rollup",
+    oracle="""
+    SELECT n_name, o_orderstatus, COUNT(*) AS order_count
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderstatus)
+    """,
+)
+def nation_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface: rollup over a broadcast dimension join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "events_sessionize_stats",
+    oracle="""
+    SELECT user_id, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(MIN(ts) AS TIMESTAMP) AS first_ts,
+           CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def events_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream group stats (the batch shape of the streaming rollup)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(_DSUM.format(x="value")).alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scan/fold surface (SURVEY.md §2.A) — associative fast paths with SQL
+# oracles, generic-kernel paths with SQL oracles where exact, and
+# non-associative showcases (rows-only check).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "running_max_order_price",
+    oracle="""
+    SELECT o_orderkey,
+           MAX(o_totalprice) OVER (
+               ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_max
+    FROM orders
+    """,
+)
+def running_max_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Associative scan fast path: running max as a pure window frame
+    (ref scan example `examples_scan.py:12-25` at table scale). Exact-match
+    oracle because max involves no float arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    return assoc_scan(
+        o.select("o_orderkey", "o_totalprice"),
+        "max",
+        "o_totalprice",
+        order_by="o_orderkey",
+        result_name="running_max",
+    ).select("o_orderkey", "running_max")
+
+
+@register(
+    "user_running_event_count",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_n
+    FROM events
+    """,
+)
+def user_running_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user associative scan (count) — partitioned window, parallel
+    across users; the declarative form of the reference's grouped scan."""
+    e = _t(spark, sf_dir, "events")
+    return assoc_scan(
+        e.select("event_id", "user_id", "ts"),
+        "count",
+        "event_id",
+        order_by=["ts", "event_id"],
+        partition_by="user_id",
+        result_name="running_n",
+    ).select("event_id", "user_id", "running_n")
+
+
+@register(
+    "kernel_scan_running_max",
+    oracle="""
+    SELECT o_orderkey,
+           MAX(o_totalprice) OVER (
+               ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_max
+    FROM orders
+    """,
+)
+def kernel_scan_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME running max through the generic sequential kernel
+    (collect_scan → single ordered Arrow stream) — a kernel-vs-SQL
+    differential with an exact oracle. Use the window form for production;
+    this entry exists to prove the kernel path against Catalyst."""
+    o = _t(spark, sf_dir, "orders")
+
+    def step(acc, price):
+        return price if price > acc else acc
+
+    return collect_scan(
+        o.select("o_orderkey", "o_totalprice"),
+        step,
+        float("-inf"),
+        "double",
+        column_names=["o_totalprice"],
+        order_by="o_orderkey",
+        result_name="running_max",
+    ).select("o_orderkey", "running_max")
+
+
+@register(
+    "kernel_fold_event_cents",
+    oracle="""
+    SELECT user_id,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def kernel_fold_event_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped fold through the generic kernel with an exact integer oracle:
+    per-user sum of value-in-cents. Proves the applyInPandas fold path
+    (shuffle on user_id, ordered kernel per group) against plain SQL."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+
+    def add(acc, cents):
+        return acc + cents
+
+    return grouped_fold(
+        e,
+        "user_id",
+        add,
+        0,
+        "long",
+        columns=["cents"],
+        order_by=["ts", "event_id"],
+        result_name="total_cents",
+    ).select("user_id", "total_cents")
+
+
+@register(
+    "kernel_scan_user_balance_cents",
+    oracle="""
+    SELECT event_id, user_id,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS balance_cents
+    FROM events
+    """,
+)
+def kernel_scan_user_balance_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running balance (integer cents) through the grouped scan
+    kernel, with an exact window oracle — the grouped-scan differential."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+
+    def add(acc, cents):
+        return acc + cents
+
+    return grouped_scan(
+        e.select("event_id", "user_id", "ts", "cents"),
+        "user_id",
+        add,
+        0,
+        "long",
+        columns=["cents"],
+        order_by=["ts", "event_id"],
+        result_name="balance_cents",
+    ).select("event_id", "user_id", "balance_cents")
+
+
+@register("capped_balance_per_user")  # non-associative → no SQL oracle
+def capped_balance_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: per-user capped running balance — the reference's
+    credit-card fold (`examples_fold.py:47-97`). A purchase that would push
+    the balance over the cap (or below zero) is rejected and the accumulator
+    keeps its prior value: order-dependent, non-associative, impossible for
+    any partial-aggregation plan — exactly what the sequential kernel is for.
+    """
+    e = _t(spark, sf_dir, "events")
+
+    def cap_fold(acc, cap, value):
+        candidate = acc + value
+        if candidate > cap or candidate < 0:
+            return acc
+        return candidate
+
+    return grouped_fold(
+        e,
+        "user_id",
+        cap_fold,
+        0.0,
+        "double",
+        columns=["value"],
+        order_by=["ts", "event_id"],
+        extra_args=(10_000.0,),
+        result_name="capped_balance",
+    ).select("user_id", "capped_balance")
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entry() smoke query — see :func:`capped_balance_per_user`."""
+    return capped_balance_per_user(spark, sf_dir)

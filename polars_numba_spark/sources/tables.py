@@ -1,0 +1,67 @@
+"""Loaders for the driver's TPC-H-ish parquet tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+Scale notes: each loader is a plain ``spark.read.parquet`` so Catalyst can
+push filters into the scan and prune columns/partitions. The small dimension
+tables (region, nation, supplier, part, customer at low SF) are ideal
+broadcast-join candidates; query code marks them with ``F.broadcast``
+explicitly rather than trusting the 10 MB autoBroadcast threshold at
+cluster scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one table; path layout is ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark has no
+    native type for (SPARK-40819): we read it as raw nanos
+    (``nanosAsLong``) and floor-convert to a microsecond TimestampType —
+    the same truncation DuckDB applies when casting TIMESTAMP_NS →
+    TIMESTAMP, so oracles stay exact.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Read all tables into a dict keyed by table name."""
+    return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Read all tables and register them as temp views for ``spark.sql``."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

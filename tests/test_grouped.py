@@ -1,0 +1,173 @@
+"""Grouped fold/scan tests — mirror of the reference's expression-fold/scan
+suites (`/root/reference/tests/test_expr_fold.py`, `test_expr_scan.py`) and
+the grouped examples (`examples_fold.py:81-97`, `examples_scan.py:66-82`).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from polars_numba_spark import SizedArray, grouped_fold, grouped_scan
+
+
+def cap_step(acc, cap, amt):
+    new = acc + amt
+    if new > cap or new < 0:
+        return acc
+    return new
+
+
+@pytest.fixture()
+def user_purchases(spark):
+    """Fixture F3 — the reference's grouped credit-card data
+    (`examples_fold.py:81-86`)."""
+    data = [
+        ("alice", 50.0, 0),
+        ("alice", 900.0, 1),
+        ("alice", 70.0, 2),
+        ("alice", -400.0, 3),
+        ("alice", 60.0, 4),
+        ("bob", 17.0, 5),
+        ("bob", 0.5, 6),
+    ]
+    return spark.createDataFrame(data, "user string, amt double, ord long")
+
+
+def test_grouped_fold_golden(spark, user_purchases):
+    """Golden: alice 610.0, bob 17.5 (ref `examples_fold.py:94-97`)."""
+    out = grouped_fold(
+        user_purchases,
+        "user",
+        cap_step,
+        0.0,
+        "double",
+        columns=["amt"],
+        order_by="ord",
+        extra_args=(1000.0,),
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [("alice", 610.0), ("bob", 17.5)]
+
+
+def test_grouped_scan_golden(spark, user_purchases):
+    """Golden: alice [50,950,950,550,610], bob [17,17.5]
+    (ref `examples_scan.py:79-82`)."""
+    out = grouped_scan(
+        user_purchases,
+        "user",
+        cap_step,
+        0.0,
+        "double",
+        columns=["amt"],
+        order_by="ord",
+        extra_args=(1000.0,),
+    )
+    got = {}
+    for row in out.orderBy("user", "ord").collect():
+        got.setdefault(row["user"], []).append(row["scan"])
+    assert got == {"alice": [50.0, 950.0, 950.0, 550.0, 610.0], "bob": [17.0, 17.5]}
+
+
+def test_grouped_scan_list_shape_via_collect_list(spark, user_purchases):
+    """Polars' group_by().agg(scan) yields a list column per group; the Spark
+    idiom is flat rows + collect_list for the nested shape."""
+    out = grouped_scan(
+        user_purchases, "user", cap_step, 0.0, "double",
+        columns=["amt"], order_by="ord", extra_args=(1000.0,),
+    )
+    nested = (
+        out.groupBy("user")
+        .agg(F.sort_array(F.collect_list(F.struct("ord", "scan"))).alias("pairs"))
+        .select("user", F.col("pairs.scan").alias("scans"))
+    )
+    got = {r["user"]: r["scans"] for r in nested.collect()}
+    assert got["alice"] == [50.0, 950.0, 950.0, 550.0, 610.0]
+
+
+def test_grouped_fold_null_rows_dropped(spark):
+    """Null rule for fold inside groups (ref `test_expr_fold.py:32-46`)."""
+    df = spark.createDataFrame(
+        [("g", 1, 30, 0), ("g", 2, None, 1), ("g", None, 50, 2), ("g", 3, 100, 3)],
+        "k string, a long, b long, ord long",
+    )
+
+    def add(acc, a, b):
+        return acc + a + b
+
+    out = grouped_fold(df, "k", add, 0.5, "double", columns=["a", "b"], order_by="ord")
+    assert out.collect()[0]["fold"] == 134.5
+
+
+def test_grouped_scan_null_rows_null_out(spark):
+    """Null rule for scan inside groups (ref `test_expr_scan.py:39-59`)."""
+    df = spark.createDataFrame(
+        [("g", 1, 30, 0), ("g", 2, None, 1), ("g", None, 50, 2), ("g", 3, 100, 3)],
+        "k string, a long, b long, ord long",
+    )
+
+    def add(acc, a, b):
+        return acc + a + b
+
+    out = grouped_scan(df, "k", add, 0.5, "double", columns=["a", "b"], order_by="ord")
+    assert [r["scan"] for r in out.orderBy("ord").collect()] == [31.5, None, None, 134.5]
+
+
+def test_grouped_fold_multi_output(spark):
+    """F4: tuple accumulator (balance, units) with caps → fold (960, 23)
+    (ref `examples_fold.py:140-153`)."""
+    prices = [100.0, 800.0, 300.0, 0.0, 60.0]
+    units = [20.0, 2.0, 5.0, 0.0, 1.0]
+    df = spark.createDataFrame(
+        [("o", p, u, i) for i, (p, u) in enumerate(zip(prices, units))],
+        "k string, price double, units double, ord long",
+    )
+
+    def step(acc, max_price, max_units, price, units):
+        bal, got = acc
+        if bal + price > max_price or got + units > max_units:
+            return acc
+        return (bal + price, got + units)
+
+    out = grouped_fold(
+        df, "k", step, (0.0, 0.0), SizedArray(T.DoubleType(), 2),
+        columns=["price", "units"], order_by="ord", extra_args=(1000.0, 25.0),
+    )
+    assert out.collect()[0]["fold"] == [960.0, 23.0]
+
+
+def test_grouped_scan_multi_output(spark):
+    prices = [100.0, 800.0, 300.0, 0.0, 60.0]
+    units = [20.0, 2.0, 5.0, 0.0, 1.0]
+    df = spark.createDataFrame(
+        [("o", p, u, i) for i, (p, u) in enumerate(zip(prices, units))],
+        "k string, price double, units double, ord long",
+    )
+
+    def step(acc, max_price, max_units, price, units):
+        bal, got = acc
+        if bal + price > max_price or got + units > max_units:
+            return acc
+        return (bal + price, got + units)
+
+    out = grouped_scan(
+        df, "k", step, (0.0, 0.0), SizedArray(T.DoubleType(), 2),
+        columns=["price", "units"], order_by="ord", extra_args=(1000.0, 25.0),
+    )
+    got = [r["scan"] for r in out.orderBy("ord").collect()]
+    assert [g[0] for g in got] == [100.0, 900.0, 900.0, 900.0, 960.0]
+    assert [g[1] for g in got] == [20.0, 22.0, 22.0, 22.0, 23.0]
+
+
+def test_many_groups_parallel(spark):
+    """Grouped kernel ops shuffle on keys and run groups in parallel — check
+    correctness over enough groups to span several partitions."""
+    rows = [(g, float(i), i) for g in range(50) for i in range(20)]
+    df = spark.createDataFrame(rows, "g long, v double, ord long")
+
+    def add(acc, v):
+        return acc + v
+
+    out = grouped_fold(df, "g", add, 0.0, "double", columns=["v"], order_by="ord")
+    assert out.count() == 50
+    assert all(r["fold"] == 190.0 for r in out.collect())
