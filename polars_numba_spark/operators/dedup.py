@@ -1,0 +1,226 @@
+"""Deduplication operators for training-data pipelines.
+
+Five levels, all expressed as declarative DataFrame plans (no Python UDFs —
+everything stays in whole-stage codegen) so they scale as shuffles that AQE
+can right-size:
+
+- **exact** — hash-groupBy on a content digest (md5). One shuffle on the
+  digest; at 100 TB this is the cheapest possible dedup and the digest key
+  is uniformly distributed (no skew).
+- **fingerprint** — order-insensitive near-dup: md5 over the sorted distinct
+  token set (catches token permutations / re-orderings).
+- **minhash LSH** — Jaccard near-dup at scale: k independent min-hashes of
+  the token set via seeded ``xxhash64``, banded into b bands; docs sharing a
+  band bucket are candidates (join on the band key, NOT all-pairs), then
+  candidates are verified with exact Jaccard. Cost ≈ O(docs × k) + a join
+  whose fan-out is controlled by band width — the standard way to avoid the
+  O(n²) similarity matrix.
+- **simhash** — Hamming-distance near-dup: sign-aggregated bit vector of
+  token hashes; bucket by the top bits, verify by Hamming distance.
+- **embedding cosine** — semantic near-dup over the embeddings table;
+  see :mod:`similarity` for the kNN machinery.
+
+Exact Jaccard (the verifier) is also exposed stand-alone with a full SQL
+oracle — it anchors the approximate variants' correctness in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_numba_spark.operators.text import distinct_tokens, fingerprint
+
+
+def exact_dedup_key(col: Column | str) -> Column:
+    """Content digest for exact dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative per exact content digest."""
+    w = Window.partitionBy("__digest").orderBy(id_col)
+    return (
+        df.withColumn("__digest", exact_dedup_key(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__digest", "__rn")
+    )
+
+
+def fingerprint_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group stats per order-insensitive fingerprint (near-dup buckets)."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def minhash_signature(col: Column | str, num_hashes: int = 32) -> Column:
+    """k seeded min-hashes over the distinct token set.
+
+    ``xxhash64(token, seed)`` is a JVM builtin → the whole signature is one
+    codegen'd expression; per-doc cost O(tokens × k) with no shuffle.
+    """
+    toks = distinct_tokens(col)
+    return F.array(
+        *[
+            F.array_min(F.transform(toks, lambda t: F.xxhash64(t, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash LSH.
+
+    Rows sharing any band bucket become a candidate pair (a_id < b_id).
+    The only shuffle is the self-join on (band_idx, band_hash) — fan-out is
+    bucket-sized, never all-pairs. Skewed buckets (e.g. empty docs) are the
+    one scale hazard; AQE skew-join handles moderate cases, and callers can
+    pre-filter degenerate docs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact distinct-token Jaccard for given (a_id, b_id) candidate pairs."""
+    toks = df.select(
+        F.col(id_col).alias("id"), distinct_tokens(text_col).alias("toks")
+    )
+    a = toks.alias("ta")
+    b = toks.alias("tb")
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    union = F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
+    return (
+        pairs.join(a, pairs.a_id == F.col("ta.id"))
+        .join(b, pairs.b_id == F.col("tb.id"))
+        .select(
+            "a_id",
+            "b_id",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact-Jaccard verification."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
+    return jaccard_pairs(df, cands, text_col, id_col).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(col: Column | str, bits: int = 32) -> Column:
+    """Sign-aggregated token-hash fingerprint (Charikar simhash).
+
+    For each bit position, sum +1/-1 contributions of ``xxhash64(token)``
+    across distinct tokens; the sign of the sum is the output bit. Documents
+    within small Hamming distance are near-duplicates. Pure codegen: one
+    expression, no shuffle, no UDF.
+    """
+    toks = distinct_tokens(col)
+    bit_cols = []
+    for i in range(bits):
+        contrib = F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(
+            F.when(contrib > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return total
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two long-encoded bit vectors."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    prefix_bits: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash: bucket on the top ``prefix_bits`` (join
+    key), verify by Hamming distance within buckets."""
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig")
+    ).withColumn("bucket", F.shiftright(F.col("sig"), bits - prefix_bits))
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,214 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+- **Brute-force cosine top-k** — exact baseline. The distance arithmetic is
+  a single codegen'd expression (``zip_with`` + ``aggregate``), queries are
+  broadcast, and the candidate scan parallelizes over the corpus partitions:
+  O(|queries| × |corpus| × dim) FLOPs but zero shuffle until the final
+  per-query top-k (window over a broadcast-joined scan).
+- **LSH-bucketed (random hyperplane)** — the scale path. Sign-of-projection
+  against ``n_planes`` deterministic hyperplanes gives a bucket key; only
+  same-bucket candidates are scored. Recall is tunable via planes/rotations;
+  the candidate join is bucket-local, so cost tracks bucket sizes instead of
+  |queries| × |corpus|. This is the IVF-style pattern that survives a 100×
+  corpus scale-up.
+
+All arithmetic is done in float64 after an explicit cast from the stored
+float32 — deterministic, index-ordered accumulation (matches DuckDB's
+``list_cosine_similarity`` bit-for-bit, which the oracle queries rely on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Index-ordered dot product (left-to-right accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cosine_sim).
+
+    ``queries`` is broadcast (top-k workloads have small query sets); the
+    corpus scan parallelizes; the only shuffle is the per-query window. Ties
+    break on neighbor id for a total order.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def _plane_weights(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic Gaussian hyperplane weights (seeded, reproducible)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def hyperplane_bucket(
+    vec_col: Column | str, dim: int, n_planes: int = 8, seed: int = 42
+) -> Column:
+    """Random-hyperplane LSH bucket id (0 .. 2^n_planes - 1).
+
+    Plane weights are seeded Gaussians embedded as plan literals — fine for
+    embedding dims up to a few thousand; beyond that, ship a broadcast
+    weights table and join instead.
+    """
+    v = as_double(vec_col) if isinstance(vec_col, str) else vec_col
+    weights = _plane_weights(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        warr = F.array(*[F.lit(w) for w in weights[p]])
+        proj = F.aggregate(
+            F.zip_with(v, warr, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def _multi_table_buckets(
+    vec_col: Column | str, dim: int, n_planes: int, n_tables: int, seed: int = 42
+) -> Column:
+    """Array of (table, bucket) keys — one entry per LSH table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                hyperplane_bucket(vec_col, dim, n_planes, seed=seed + 1000 * t).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table hyperplane LSH.
+
+    A candidate is any corpus vector sharing ≥1 (table, bucket) key with the
+    query; candidates are deduped, scored, and top-k'd. Recall/cost dial:
+    more tables → higher recall, more candidates (per-table selectivity is
+    ~2^-n_planes). The join is bucket-equality — shuffle volume tracks bucket
+    sizes, never |queries| × |corpus| — which is what makes this the 100×
+    scale path. Recall is probabilistic; tests pin a floor against
+    :func:`brute_force_topk`. On clustered real-world embeddings the
+    recall/cost tradeoff is far better than on uniform-random vectors.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+        F.explode(_multi_table_buckets(vec_col, dim, n_planes, n_tables)).alias("tb"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("qv"),
+        F.explode(_multi_table_buckets(vec_col, dim, n_planes, n_tables)).alias("tb"),
+    )
+    candidates = (
+        c.join(F.broadcast(q), "tb")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-dup pairs: same LSH bucket AND cosine ≥ threshold."""
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        as_double(vec_col).alias("v"),
+        hyperplane_bucket(vec_col, dim, n_planes).alias("bucket"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,140 @@
+"""Text-analysis operators for training-data pipelines.
+
+All of these are pure ``pyspark.sql.functions`` column expressions — they
+stay inside whole-stage codegen (no Python in the hot path) and scale
+linearly with a parquet scan: the right shape for language-ID / quality /
+token statistics over billions of documents.
+
+Every operator here is deterministic and SQL-expressible, so each catalog
+query built on them carries an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and frozen: they are part of the operator's
+# contract (the oracle SQL embeds the same lists).
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "de", "y", "un", "en", "que", "por", "con"],
+    "de": ["der", "die", "das", "und", "ein", "zu", "mit", "von", "ist", "nicht"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "人"],
+}
+LANG_ORDER = ["en", "fr", "es", "de", "zh"]  # deterministic tie-break order
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: alphanumeric runs and single punctuation
+    marks, the regex approximation of a BPE pre-tokenizer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def distinct_tokens(col: Column | str) -> Column:
+    """Sorted distinct token set (basis for fingerprints and Jaccard)."""
+    return F.array_sort(F.array_distinct(tokens(col)))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token set. Two documents that are token-permutations of each other get
+    the same fingerprint — the classic shingle-free near-dup bucket key."""
+    return F.md5(F.concat_ws(" ", distinct_tokens(col)))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring features: lengths, punctuation/digit density,
+    stopword ratio, mean token length."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    toks = tokens(col)
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_digit = F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), 0))
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), F.array([F.lit(w) for w in STOPWORDS["en"]])))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": n_punct.cast("double") / n_chars,
+        "digit_ratio": n_digit.cast("double") / n_chars,
+        "stopword_hits": n_stop,
+        "mean_token_len": n_chars.cast("double") / n_tokens,
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1]-ish quality score. The exact formula is arbitrary but
+    frozen (the oracle embeds it): rewards stopword presence and moderate
+    token length, penalizes punctuation/digit density."""
+    f = quality_features(col)
+    return (
+        F.least(f["stopword_hits"].cast("double") / 5.0, F.lit(1.0)) * 0.4
+        + F.when((f["mean_token_len"] >= 3.0) & (f["mean_token_len"] <= 10.0), 0.3).otherwise(0.0)
+        + F.greatest(F.lit(0.0), F.lit(0.3) - f["punct_ratio"] * 3.0 - f["digit_ratio"] * 1.5)
+    )
+
+
+def language_scores(col: Column | str) -> dict[str, Column]:
+    """Distinct-token hit count against each language's stopword list."""
+    d = F.array_distinct(tokens(col))
+    return {
+        lang: F.size(F.array_intersect(d, F.array([F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax stopword-hit count in LANG_ORDER
+    (first max wins), 'und' when no list scores > 0."""
+    scores = language_scores(col)
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# The same heuristics as DuckDB SQL fragments, for oracle construction.
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+SQL_TOKENS = "string_split_regex(trim(lower({c})), '\\s+')"
+SQL_TOKEN_COUNT = f"length({SQL_TOKENS})"
+SQL_DISTINCT_TOKENS = f"list_sort(list_distinct({SQL_TOKENS}))"
+SQL_FINGERPRINT = f"md5(list_aggregate({SQL_DISTINCT_TOKENS}, 'string_agg', ' '))"
+
+
+def sql_lang_hits(c: str, lang: str) -> str:
+    return (
+        f"length(list_intersect(list_distinct({SQL_TOKENS.format(c=c)}), "
+        f"{_sql_list(STOPWORDS[lang])}))"
+    )
+
+
+def sql_language_id(c: str) -> str:
+    hits = {lang: sql_lang_hits(c, lang) for lang in LANG_ORDER}
+    best = "greatest(" + ", ".join(hits[lang] for lang in LANG_ORDER) + ")"
+    expr = "'und'"
+    for lang in reversed(LANG_ORDER):
+        expr = (
+            f"CASE WHEN {hits[lang]} = {best} AND {best} > 0 "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    return expr

@@ -534,3 +534,8 @@ def capped_balance_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() smoke query — see :func:`capped_balance_per_user`."""
     return capped_balance_per_user(spark, sf_dir)
+
+
+# Extension queries (dedup / similarity / text / multimodal) register on
+# import — keep last (they import register/_t from this module).
+from polars_numba_spark.queries import pipeline  # noqa: E402,F401

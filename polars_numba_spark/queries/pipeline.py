@@ -1,0 +1,286 @@
+"""Training-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal — the SURVEY.md §7 M5 surface, each with a DuckDB oracle where
+the computation is engine-portable (md5, list ops, cosine — all verified
+bit-exact between Spark and DuckDB), rows-only where it depends on Spark's
+xxhash64 (minhash/simhash).
+
+Oracle typing note: DuckDB's length()/row_number() return BIGINT where
+Spark's size()/row_number() return INT — oracles cast to INTEGER to keep
+schemas aligned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_numba_spark.operators import dedup as D
+from polars_numba_spark.operators import multimodal as M
+from polars_numba_spark.operators import similarity as S
+from polars_numba_spark.operators import text as X
+from polars_numba_spark.queries.catalog import _t, register
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({X.SQL_TOKEN_COUNT.format(c='text')} AS INTEGER) AS n_tokens,
+           CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens_bpe,
+           CAST(length(list_distinct({X.SQL_TOKENS.format(c='text')})) AS INTEGER) AS n_distinct_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_obs
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex + distinct counts — all
+    codegen'd expressions over one scan (no shuffle at all)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.bpe_ish_token_count("text").alias("n_tokens_bpe"),
+        F.size(F.array_distinct(X.tokens("text"))).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_obs"),
+    )
+
+
+@register(
+    "doc_quality_scores",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+               length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+               length(regexp_extract_all(text, '[0-9]')) AS n_digit,
+               length(list_intersect(
+                   list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+                   ['the','a','and','of','to','in','is','it','that','for']
+               )) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id,
+           least(n_stop / 5.0, 1.0) * 0.4
+           + CASE WHEN (CAST(n_chars AS DOUBLE) / n_tokens) >= 3.0
+                   AND (CAST(n_chars AS DOUBLE) / n_tokens) <= 10.0
+                  THEN 0.3 ELSE 0.0 END
+           + greatest(0.0, 0.3 - (CAST(n_punct AS DOUBLE) / n_chars) * 3.0
+                           - (CAST(n_digit AS DOUBLE) / n_chars) * 1.5)
+           AS quality
+    FROM f
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: frozen formula over length/punct/stopword features;
+    oracle replicates the identical double arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.quality_score("text").alias("quality"))
+
+
+@register(
+    "doc_language_id",
+    oracle=f"""
+    SELECT {X.sql_language_id('text')} AS lang_pred, lang AS lang_label,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-hit argmax) crossed against the
+    labeled lang column — a confusion-matrix rollup."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            X.language_id("text").alias("lang_pred"),
+            F.col("lang").alias("lang_label"),
+        )
+        .groupBy("lang_pred", "lang_label")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --- deduplication ---------------------------------------------------------
+
+
+@register(
+    "dedup_exact_digests",
+    oracle="""
+    SELECT md5(text) AS digest, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on a uniform content digest."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("digest", D.exact_dedup_key("text"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+@register(
+    "dedup_fingerprint_groups",
+    oracle=f"""
+    SELECT {X.SQL_FINGERPRINT.format(c='text')} AS fp,
+           COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive near-dup buckets (sorted-distinct-token md5)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", X.fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_sort(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
+        FROM documents
+    ), scored AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(length(list_intersect(a.t, b.t)) AS DOUBLE)
+               / (length(a.t) + length(b.t) - length(list_intersect(a.t, b.t)))
+               AS jaccard
+        FROM toks a JOIN toks b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= 0.8
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram(1) Jaccard near-dup pairs, blocked by source (the
+    blocking key stands in for LSH banding in the exact-oracle variant —
+    same join shape, deterministic)."""
+    d = _t(spark, sf_dir, "documents")
+    ids = d.select("doc_id", "source")
+    a = ids.alias("a")
+    b = ids.alias("b")
+    pairs = a.join(
+        b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    return D.jaccard_pairs(d, pairs).where(F.col("jaccard") >= 0.8)
+
+
+@register("dedup_minhash_pairs")  # Spark xxhash64 — no portable oracle
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline (shingle → minhash → band → bucket join
+    → exact-Jaccard verify). Deterministic (seeded xxhash64) but the hash is
+    Spark-specific → rows-only driver check; pinned against
+    dedup_jaccard_pairs in pytest instead."""
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(d, num_hashes=32, bands=8, threshold=0.8).orderBy(
+        "a_id", "b_id"
+    )
+
+
+@register("dedup_simhash_pairs")  # Spark xxhash64 — no portable oracle
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (sign-aggregated bit vector, prefix-bucketed,
+    Hamming-verified)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_dedup_pairs(d, bits=32, prefix_bits=6, max_hamming=3).orderBy(
+        "a_id", "b_id"
+    )
+
+
+# --- similarity search -----------------------------------------------------
+
+
+@register(
+    "embedding_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cosine_sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors over the full corpus —
+    broadcast queries, partition-parallel scoring, one window shuffle.
+    Oracle is bit-exact (index-ordered double accumulation both engines)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+@register("embedding_topk_lsh")  # approximate — verified vs brute force in tests
+def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (random-hyperplane buckets): the scale
+    path — candidate scoring restricted to same-bucket vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(e, e.where(F.col("vec_id") < 10), dim=64, k=5)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.2
+    """,
+)
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup: all-pairs cosine ≥ threshold. The oracle-checked
+    variant is all-pairs (portable); the production path is the LSH-bucketed
+    embedding_near_dup_pairs operator (same scoring, bucketed join)."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            S.cosine(
+                S.as_double(F.col("a.embedding")), S.as_double(F.col("b.embedding"))
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= 0.2)
+    )
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           'application/octet-stream' AS mime,
+           CAST(octet_length(text::BLOB) AS INTEGER) AS n_bytes,
+           CAST(64 + (octet_length(text::BLOB) % 577) AS INTEGER) AS width,
+           CAST(64 + ((octet_length(text::BLOB) * 7) % 421) AS INTEGER) AS height,
+           substr(md5(text), 1, 16) AS phash
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary payload + struct metadata →
+    Arrow-batched mapInPandas feature extraction (deterministic codec stub).
+    The oracle replicates the stub arithmetic in SQL, proving the batch
+    shape, schema contract, and payload round-trip byte-exactly."""
+    d = _t(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_payload(d))

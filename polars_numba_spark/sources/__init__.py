@@ -8,9 +8,10 @@ predicate pushdown, column pruning, and partition pruning.
 
 from polars_numba_spark.sources.tables import (
     TABLE_NAMES,
+    load_stream,
     load_table,
     load_tables,
     register_views,
 )
 
-__all__ = ["TABLE_NAMES", "load_table", "load_tables", "register_views"]
+__all__ = ["TABLE_NAMES", "load_stream", "load_table", "load_tables", "register_views"]

@@ -54,6 +54,28 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return df
 
 
+def load_stream(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one table as a Structured Streaming source (file stream over the
+    same parquet; schema taken from a batch read so the nanos→µs events
+    conversion applies identically)."""
+    batch = load_table(spark, name, sf_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    if name == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(raw_schema["ts"].dataType, T.LongType):
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    assert stream.schema == batch.schema
+    return stream
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Read all tables into a dict keyed by table name."""
     return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}

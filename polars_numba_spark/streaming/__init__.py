@@ -1,0 +1,8 @@
+"""Structured Streaming analogs of the engine's stateful operators."""
+
+from polars_numba_spark.streaming.stateful import (
+    streaming_grouped_fold,
+    windowed_rollup,
+)
+
+__all__ = ["streaming_grouped_fold", "windowed_rollup"]

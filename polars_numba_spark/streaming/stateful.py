@@ -1,0 +1,124 @@
+"""Streaming stateful operators: the fold accumulator as keyed state.
+
+The reference's fold is a batch concept; its streaming analog keeps the
+accumulator as per-key state across micro-batches
+(``applyInPandasWithState``): each micro-batch's rows for a key are sorted
+by the declared order column and folded on top of the stored accumulator —
+the exact accumulator-threading of ``collect_scan``'s batch loop
+(ref `__init__.py:710,725-727`), with micro-batches playing the role of
+Arrow batches and the state store carrying ``acc`` across them.
+
+Caveat vs batch semantics: streaming order is arrival order across
+micro-batches (late rows fold late). For time-correct results, pair with a
+watermark and tolerate reordering only within a micro-batch, or use the
+windowed rollup below for event-time-correct aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from polars_numba_spark.dtypes import normalize_spark_type
+from polars_numba_spark.kernels import compile_step_function, get_folder
+from polars_numba_spark.operators._prep import as_list, input_numpy_dtypes
+
+
+def streaming_grouped_fold(
+    df: DataFrame,
+    group_by: str | Sequence[str],
+    function: Callable,
+    initial_accumulator: Any,
+    return_dtype: Any,
+    columns: Sequence[str],
+    order_by: str | Sequence[str] | None = None,
+    extra_args: Sequence[Any] = (),
+    result_name: str = "fold",
+) -> DataFrame:
+    """Per-key running fold over a stream; emits (keys, result) each
+    micro-batch with the accumulator persisted in the state store.
+
+    Output mode: use ``update`` (each batch emits keys that changed).
+    """
+    step = compile_step_function(function)
+    keys = as_list(group_by)
+    order_cols = as_list(order_by)
+    cols = list(columns)
+    np_dtypes = input_numpy_dtypes(df, cols)
+    dtype_list = [np_dtypes[c] for c in cols]
+    folder = get_folder(len(cols))
+    extra = tuple(extra_args)
+    acc0 = initial_accumulator
+
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields + [T.StructField(result_name, normalize_spark_type(return_dtype))]
+    )
+    # State holds the accumulator as a single (possibly multi-field) row.
+    if isinstance(acc0, tuple):
+        state_schema = T.StructType(
+            [T.StructField(f"acc{i}", T.DoubleType()) for i in range(len(acc0))]
+        )
+    else:
+        state_schema = T.StructType([T.StructField("acc", T.DoubleType())])
+
+    def fold_with_state(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            stored = state.get
+            acc = tuple(stored) if isinstance(acc0, tuple) else stored[0]
+        else:
+            acc = acc0
+        for pdf in pdfs:
+            if order_cols:
+                pdf = pdf.sort_values(order_cols, kind="mergesort")
+            pdf = pdf.dropna(subset=cols)
+            if len(pdf):
+                arrays = [
+                    pdf[c].to_numpy().astype(dtype_list[i], copy=False)
+                    for i, c in enumerate(cols)
+                ]
+                acc = folder(step, acc, extra, *arrays)
+        state.update(tuple(float(a) for a in acc) if isinstance(acc0, tuple) else (float(acc),))
+        data = {k: [v] for k, v in zip(keys, key)}
+        data[result_name] = [acc]
+        yield pd.DataFrame(data)
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fold_with_state,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_rollup(
+    df: DataFrame,
+    time_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+    group_by: Sequence[str] = (),
+    aggs: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Event-time tumbling-window rollup with late-data handling.
+
+    The streaming analog of the batch group-aggregate surface: watermark
+    bounds state, tumbling windows partition event time, and the same
+    expression works identically on a batch DataFrame (Spark's unified
+    semantics) — which is how tests pin its correctness.
+    """
+    aggs = aggs or {"n_events": F.count(F.lit(1))}
+    keys = [F.window(F.col(time_col), window_duration).alias("window"), *as_list(group_by)]
+    out = df
+    if df.isStreaming:
+        out = out.withWatermark(time_col, watermark)
+    return out.groupBy(*keys).agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )

@@ -1,0 +1,191 @@
+"""Tests for the training-data-pipeline operators (dedup, similarity, text,
+multimodal) — property checks on literals plus approximate-vs-exact
+consistency on the sf0.001 tables.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_numba_spark.operators import dedup as D
+from polars_numba_spark.operators import multimodal as M
+from polars_numba_spark.operators import similarity as S
+from polars_numba_spark.operators import text as X
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs(spark):
+    from polars_numba_spark.sources import load_table
+
+    return load_table(spark, "documents", SF)
+
+
+def embeddings(spark):
+    from polars_numba_spark.sources import load_table
+
+    return load_table(spark, "embeddings", SF)
+
+
+# --- text ------------------------------------------------------------------
+
+
+def test_token_count_literals(spark):
+    df = spark.createDataFrame(
+        [("hello world",), ("  spaced   out  tokens ",), ("one",)], "t string"
+    )
+    got = [r[0] for r in df.select(X.token_count("t")).collect()]
+    assert got == [2, 3, 1]
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([("don't stop, world!",)], "t string")
+    # don + ' + t + stop + , + world + ! = 7
+    assert df.select(X.bpe_ish_token_count("t")).collect()[0][0] == 7
+
+
+def test_fingerprint_permutation_invariant(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox", 1), ("fox brown the quick", 2), ("other text", 3)],
+        "t string, i long",
+    )
+    fps = {r["i"]: r["fp"] for r in df.select("i", X.fingerprint("t").alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_language_id_known_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat in the hat and it is that", "en"),
+            ("le chat et la vie dans un jour pour les amis", "fr"),
+            ("el perro y la casa de los amigos con pan", "es"),
+            ("der hund und die katze mit ein buch von haus", "de"),
+            ("xyzzy qwerty", "und"),
+        ],
+        "t string, expected string",
+    )
+    rows = df.select("expected", X.language_id("t").alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["expected"], r
+
+
+def test_quality_score_range(spark):
+    d = docs(spark)
+    stats = d.select(X.quality_score("text").alias("q")).agg(
+        F.min("q"), F.max("q")
+    ).collect()[0]
+    assert 0.0 <= stats[0] and stats[1] <= 1.0
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def test_exact_dedup_removes_injected_duplicates(spark):
+    d = docs(spark).limit(50)
+    doubled = d.union(d.withColumn("doc_id", F.col("doc_id") + 100000))
+    kept = D.exact_dedup(doubled)
+    assert kept.count() == 50
+    # lowest id wins
+    assert kept.agg(F.max("doc_id")).collect()[0][0] < 100000
+
+
+def test_minhash_pairs_are_high_jaccard(spark):
+    """Everything the LSH+verify pipeline emits really has jaccard ≥ τ
+    (verification step), and it finds the obviously-identical pair."""
+    d = docs(spark).limit(30)
+    with_clone = d.union(
+        d.where(F.col("doc_id") == d.select(F.min("doc_id")).collect()[0][0])
+        .withColumn("doc_id", F.lit(999999).cast("long"))
+    )
+    pairs = D.minhash_dedup_pairs(with_clone, num_hashes=32, bands=8, threshold=0.8)
+    rows = pairs.collect()
+    assert all(r["jaccard"] >= 0.8 for r in rows)
+    assert any(r["b_id"] == 999999 for r in rows)  # the injected clone is found
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH candidate recall on near-identical pairs (jaccard ≥ 0.95) should
+    be high — banded minhash with 8 bands × 4 rows has ≥99.9% capture at 0.95."""
+    d = docs(spark).limit(60)
+    ids = d.select("doc_id")
+    all_pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    )
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in D.jaccard_pairs(d, all_pairs).where(F.col("jaccard") >= 0.95).collect()
+    }
+    if not exact:
+        pytest.skip("no ≥0.95 pairs in sample")
+    found = {
+        (r["a_id"], r["b_id"])
+        for r in D.minhash_dedup_pairs(d, num_hashes=32, bands=8, threshold=0.95).collect()
+    }
+    recall = len(exact & found) / len(exact)
+    assert recall >= 0.9
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    pairs = D.simhash_dedup_pairs(df, bits=32, prefix_bits=4, max_hamming=0).collect()
+    assert [(r["a_id"], r["b_id"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+
+# --- similarity ------------------------------------------------------------
+
+
+def test_cosine_self_similarity_is_one(spark):
+    e = embeddings(spark).limit(5)
+    out = e.select(
+        S.cosine(S.as_double("embedding"), S.as_double("embedding")).alias("c")
+    ).collect()
+    for r in out:
+        assert r["c"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    e = embeddings(spark)
+    q = e.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_topk(e, q, dim=64, k=5).collect()
+    }
+    # Multi-table LSH recall is probabilistic; require a useful floor
+    # (uniform-random synthetic vectors are the worst case for LSH).
+    assert len(exact & approx) / len(exact) >= 0.4
+    # and everything returned must be a real same-bucket neighbor with rank ≤ k
+    assert all(qid < 5 for qid, _ in approx)
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_multimodal_stub_is_deterministic_and_real_decode_stubbed(spark):
+    w1, h1, p1 = M.decode_image_stub(b"some payload bytes")
+    w2, h2, p2 = M.decode_image_stub(b"some payload bytes")
+    assert (w1, h1, p1) == (w2, h2, p2)
+    with pytest.raises(NotImplementedError):
+        M.decode_image_stub(b"x", fake=False)
+
+
+def test_multimodal_extract_features_roundtrip(spark):
+    d = docs(spark).limit(20)
+    out = M.extract_features(M.attach_payload(d))
+    rows = out.collect()
+    assert len(rows) == 20
+    src = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
+    for r in rows:
+        payload = src[r["doc_id"]].encode("utf-8")
+        assert r["n_bytes"] == len(payload)
+        w, h, p = M.decode_image_stub(payload)
+        assert (r["width"], r["height"], r["phash"]) == (w, h, p)

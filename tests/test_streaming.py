@@ -1,0 +1,89 @@
+"""Structured Streaming tests: the streaming fold (accumulator as keyed
+state) must agree with its batch counterpart, and the windowed rollup must
+produce identical results in batch and streaming execution (Spark's unified
+semantics).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_numba_spark.operators.fold import grouped_fold
+from polars_numba_spark.sources import load_stream, load_table
+from polars_numba_spark.streaming import streaming_grouped_fold, windowed_rollup
+
+SF = "/root/testdata/sf0.001"
+
+
+def add_cents(acc, cents):
+    return acc + cents
+
+
+def test_streaming_fold_matches_batch(spark, tmp_path):
+    """Stream the events table (availableNow) through the stateful fold and
+    compare final per-user accumulators with the batch grouped_fold."""
+    batch = load_table(spark, "events", SF).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("double")
+    )
+    expected = {
+        r["user_id"]: r["fold"]
+        for r in grouped_fold(
+            batch, "user_id", add_cents, 0.0, "double",
+            columns=["cents"], order_by=["ts", "event_id"],
+        ).collect()
+    }
+
+    stream = load_stream(spark, "events", SF).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("double")
+    )
+    out = streaming_grouped_fold(
+        stream.select("user_id", "ts", "event_id", "cents"),
+        "user_id", add_cents, 0.0, "double",
+        columns=["cents"], order_by=["ts", "event_id"],
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("fold_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    got = {
+        r["user_id"]: r["fold"]
+        for r in spark.sql(
+            "SELECT user_id, fold FROM fold_stream"
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_windowed_rollup_batch_stream_parity(spark, tmp_path):
+    batch = load_table(spark, "events", SF)
+    aggs = {
+        "n_events": F.count(F.lit(1)),
+        "total_cents": F.sum(F.round(F.col("value") * 100).cast("long")),
+    }
+    expected = {
+        (r["window"]["start"], r["n_events"], r["total_cents"])
+        for r in windowed_rollup(batch, "ts", "6 hours", "1 hour", aggs=aggs).collect()
+    }
+
+    stream = load_stream(spark, "events", SF)
+    out = windowed_rollup(stream, "ts", "6 hours", "1 hour", aggs=aggs)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("rollup_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    got = {
+        (r["window"]["start"], r["n_events"], r["total_cents"])
+        for r in spark.sql("SELECT * FROM rollup_stream").collect()
+    }
+    assert got == expected
