@@ -31,6 +31,13 @@ HEADLINE = [
     "kernel_fold_event_cents",
     "kernel_scan_user_balance_cents",
     "capped_balance_per_user",
+    "asof_last_signup_before_purchase",
+    "part_supplier_distinct",
+    "doc_token_stats",
+    "dedup_exact_digests",
+    "dedup_jaccard_pairs",
+    "embedding_topk_bruteforce",
+    "multimodal_features",
 ]
 
 

@@ -1,0 +1,84 @@
+"""As-of join: for each left row, the most recent right row at-or-before it.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do). The naive formulations are
+wrong at scale: an inequality join explodes into a range join
+(O(n × matches)), and ``applyInPandas`` + ``merge_asof`` caps each key group
+at one worker. This implementation is the classic **union + running
+last-value window**:
+
+1. tag right rows 0 / left rows 1, union on (keys, time, tag);
+2. one window per key ordered by (time, tag): ``last(value, ignorenulls)``
+   over unbounded-preceding..current carries the latest right-side value
+   forward;
+3. keep left rows.
+
+Cost: ONE shuffle + sort over |L| + |R| — the same exchange a grouped
+aggregate would pay; no row explosion, no per-group memory cap beyond
+Spark's own sort spill, fully codegen'd. Ordering right(0) before left(1)
+at equal timestamps gives the inclusive (>=, "backward") semantics of
+DuckDB's ``ASOF JOIN`` — which is exactly how the catalog query's oracle
+checks this operator.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_numba_spark.operators._prep import as_list
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | Sequence[str] = (),
+    value_cols: Sequence[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward (inclusive) as-of join.
+
+    Parameters: ``on`` — the time/order column present in both sides;
+    ``by`` — equality key(s); ``value_cols`` — right-side columns to carry
+    (default: all non-key, non-time right columns), appearing in the output
+    as ``<name><suffix>``. Left rows with no prior right row get nulls.
+    """
+    keys = as_list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in keys and c != on]
+    value_cols = list(value_cols)
+
+    r = right.select(
+        *keys,
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(  # noqa: E741
+        *keys,
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    unioned = r.unionByName(l)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__side",
+        *[F.col(f"__l_{c}") for c in left.columns],
+        *[
+            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return carried.where(F.col("__side") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col(f"{c}{suffix}") for c in value_cols],
+    )

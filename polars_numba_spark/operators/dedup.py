@@ -134,23 +134,37 @@ def jaccard_pairs(
     pairs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prune_threshold: float | None = None,
 ) -> DataFrame:
-    """Exact distinct-token Jaccard for given (a_id, b_id) candidate pairs."""
+    """Exact distinct-token Jaccard for given (a_id, b_id) candidate pairs.
+
+    ``prune_threshold=τ`` applies the size-ratio bound *before* the array
+    intersect: jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose
+    cardinalities differ by more than τ can be discarded on two cheap ints —
+    a pure optimization (never changes results for a ≥ τ filter downstream),
+    and the kind that matters when the candidate set is 10⁸ pairs.
+    """
     toks = df.select(
         F.col(id_col).alias("id"), distinct_tokens(text_col).alias("toks")
     )
     a = toks.alias("ta")
     b = toks.alias("tb")
-    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
-    union = F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
-    return (
-        pairs.join(a, pairs.a_id == F.col("ta.id"))
-        .join(b, pairs.b_id == F.col("tb.id"))
-        .select(
-            "a_id",
-            "b_id",
-            (inter.cast("double") / union).alias("jaccard"),
+    joined = pairs.join(a, pairs.a_id == F.col("ta.id")).join(
+        b, pairs.b_id == F.col("tb.id")
+    )
+    size_a = F.size(F.col("ta.toks"))
+    size_b = F.size(F.col("tb.toks"))
+    if prune_threshold is not None:
+        joined = joined.where(
+            F.least(size_a, size_b)
+            >= F.greatest(size_a, size_b) * F.lit(prune_threshold)
         )
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    union = size_a + size_b - inter
+    return joined.select(
+        "a_id",
+        "b_id",
+        (inter.cast("double") / union).alias("jaccard"),
     )
 
 

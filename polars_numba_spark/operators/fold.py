@@ -177,26 +177,73 @@ def grouped_fold(
         res_field = T.StructField(result_name, normalize_spark_type(return_dtype))
     out_schema = T.StructType(key_fields + [res_field])
 
-    def fold_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        if order_cols:
-            pdf = pdf.sort_values(order_cols, kind="mergesort")
-        pdf = pdf.dropna(subset=cols)
-        acc = acc0
-        if len(pdf):
-            arrays = [
-                pdf[c].to_numpy(copy=False).astype(dtype_list[i], copy=False)
-                for i, c in enumerate(cols)
-            ]
-            acc = folder(step, acc, extra, *arrays)
+    def cast_result(acc: Any) -> Any:
         # Cast via a NumPy buffer in the declared dtype — assignment performs
         # the same cast the reference applies when building the result Series
         # with dtype=return_dtype (ref `:733`, test `test_collect_scan.py:75-92`).
         buf = np.empty((1,) + res_shape, dtype=res_np_dtype)
         buf[0] = acc
-        value = buf[0].tolist() if res_shape else buf[0].item() if res_np_dtype.kind in "biuf" else buf[0]
-        data = {k: [v] for k, v in zip(keys, key)}
-        data[result_name] = [value]
-        return pd.DataFrame(data)
+        if res_shape:
+            return buf[0].tolist()
+        return buf[0].item() if res_np_dtype.kind in "biuf" else buf[0]
 
-    prepared = df.select(*keys, *cols, *order_cols)
-    return prepared.groupBy(*keys).applyInPandas(fold_group, schema=out_schema)
+    def fold_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Rows arrive grouped (partitioned by keys, sorted by keys+order), so
+        # groups are contiguous. Group boundaries are found with NumPy change
+        # detection on the key columns — no pandas groupby, no per-group
+        # frames; the kernel runs on array slices. Only the LAST group of a
+        # batch can continue into the next batch — its accumulator is carried
+        # instead of emitted.
+        open_key: tuple | None = None
+        open_acc: Any = None
+        for pdf in batches:
+            # fold null rule: drop rows with a null in any selected column
+            # up front (ref `:339` — batch-level, groups stay contiguous)
+            mask = None
+            for c in cols:
+                m = pdf[c].isna().to_numpy()
+                mask = m if mask is None else (mask | m)
+            if mask is not None and mask.any():
+                pdf = pdf[~mask]
+            n = len(pdf)
+            if not n:
+                continue
+            key_arrays = [pdf[k].to_numpy() for k in keys]
+            data_arrays = [
+                pdf[c].to_numpy(copy=False).astype(dtype_list[i], copy=False)
+                for i, c in enumerate(cols)
+            ]
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for ka in key_arrays:
+                change[1:] |= ka[1:] != ka[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            out_keys: list[tuple] = []
+            out_vals: list[Any] = []
+            for s, e in zip(starts, ends):
+                key = tuple(ka[s] for ka in key_arrays)
+                acc = open_acc if key == open_key else acc0
+                acc = folder(step, acc, extra, *[a[s:e] for a in data_arrays])
+                if open_key is not None and key != open_key:
+                    out_keys.append(open_key)
+                    out_vals.append(cast_result(open_acc))
+                open_key, open_acc = key, acc
+            if out_keys:
+                data = {k: [kk[i] for kk in out_keys] for i, k in enumerate(keys)}
+                data[result_name] = out_vals
+                yield pd.DataFrame(data)
+        if open_key is not None:
+            data = {k: [open_key[i]] for i, k in enumerate(keys)}
+            data[result_name] = [cast_result(open_acc)]
+            yield pd.DataFrame(data)
+
+    # One shuffle on the keys + partition-local sort; Python is crossed once
+    # per Arrow batch (not once per group — with millions of small groups the
+    # per-group applyInPandas overhead dominates the kernel cost).
+    prepared = (
+        df.select(*keys, *cols, *order_cols)
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, *order_cols)
+    )
+    return prepared.mapInPandas(fold_partition, schema=out_schema)

@@ -165,7 +165,11 @@ def grouped_scan(
         else normalize_spark_type(return_dtype)
     )
 
-    prepared = df.select(*keys, *cols, *order_cols)
+    prepared = (
+        df.select(*keys, *cols, *order_cols)
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, *order_cols)
+    )
     out_schema = T.StructType(
         list(prepared.schema.fields) + [T.StructField(result_name, res_spark_type)]
     )
@@ -175,19 +179,7 @@ def grouped_scan(
         "bool": "boolean", "float32": "Float32", "float64": "Float64",
     }
 
-    def scan_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        if order_cols:
-            pdf = pdf.sort_values(order_cols, kind="mergesort")
-        n = len(pdf)
-        mask = np.zeros(n, dtype=bool)
-        for c in cols:
-            mask |= pdf[c].isna().to_numpy()
-        np_cols = [
-            pdf[c].fillna(0).to_numpy().astype(dtype_list[i], copy=False)
-            for i, c in enumerate(cols)
-        ]
-        result = np.empty((n,) + res_shape, dtype=res_np_dtype)
-        scanner(step, acc0, extra, result, mask, *np_cols)
+    def attach_result(pdf: pd.DataFrame, result: np.ndarray, mask: np.ndarray) -> pd.DataFrame:
         out = pdf.copy()
         if res_shape:
             out[result_name] = [
@@ -196,8 +188,9 @@ def grouped_scan(
         else:
             name = _NULLABLE_PANDAS.get(res_np_dtype.name)
             if mask.any() and name:
-                out[result_name] = pd.array(result, dtype=name)
-                out.loc[mask, result_name] = pd.NA
+                arr = pd.array(result, dtype=name)
+                arr[mask] = pd.NA
+                out[result_name] = arr
             else:
                 series = pd.Series(result, index=out.index)
                 if mask.any():
@@ -205,4 +198,42 @@ def grouped_scan(
                 out[result_name] = series
         return out
 
-    return prepared.groupBy(*keys).applyInPandas(scan_group, schema=out_schema)
+    def scan_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Rows arrive grouped and ordered (partitioned by keys, sorted by
+        # keys+order); only the LAST group of a batch can continue into the
+        # next batch, so its accumulator is carried (ref `:710,725-727` —
+        # the same batch-boundary threading, here per group).
+        open_key: tuple | None = None
+        open_acc = acc0
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            mask = np.zeros(n, dtype=bool)
+            for c in cols:
+                mask |= pdf[c].isna().to_numpy()
+            np_cols = [
+                pdf[c].fillna(0).to_numpy().astype(dtype_list[i], copy=False)
+                for i, c in enumerate(cols)
+            ]
+            result = np.empty((n,) + res_shape, dtype=res_np_dtype)
+            key_arrays = [pdf[k].to_numpy() for k in keys]
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for ka in key_arrays:
+                change[1:] |= ka[1:] != ka[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                key = tuple(ka[s] for ka in key_arrays)
+                acc = open_acc if key == open_key else acc0
+                acc = scanner(
+                    step, acc, extra,
+                    result[s:e],
+                    mask[s:e],
+                    *[a[s:e] for a in np_cols],
+                )
+                open_key, open_acc = key, acc
+            yield attach_result(pdf, result, mask)
+
+    return prepared.mapInPandas(scan_partition, schema=out_schema)

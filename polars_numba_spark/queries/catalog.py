@@ -539,3 +539,4 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extension queries (dedup / similarity / text / multimodal) register on
 # import — keep last (they import register/_t from this module).
 from polars_numba_spark.queries import pipeline  # noqa: E402,F401
+from polars_numba_spark.queries import relational  # noqa: E402,F401

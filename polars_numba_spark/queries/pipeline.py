@@ -173,7 +173,9 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-    return D.jaccard_pairs(d, pairs).where(F.col("jaccard") >= 0.8)
+    return D.jaccard_pairs(d, pairs, prune_threshold=0.8).where(
+        F.col("jaccard") >= 0.8
+    )
 
 
 @register("dedup_minhash_pairs")  # Spark xxhash64 — no portable oracle

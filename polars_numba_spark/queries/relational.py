@@ -1,0 +1,230 @@
+"""Relational-breadth queries: the SURVEY.md §2.B host-surface gaps the
+reference delegates to its host engine — joins of every flavor (incl. as-of),
+set operations, JSON extraction, date/string/array scalar functions — each
+with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_numba_spark.operators.asof import asof_join
+from polars_numba_spark.queries.catalog import _t, register
+
+
+@register(
+    "asof_last_signup_before_purchase",
+    oracle="""
+    SELECT l.event_id, l.user_id, r.ts_us AS signup_ts
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts_us
+          FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN
+         (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_us
+          FROM events WHERE event_type = 'signup') r
+      ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+    """,
+)
+def asof_last_signup_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent prior (or
+    simultaneous) signup. Our union+window implementation (one shuffle, no
+    row explosion) vs DuckDB's native ASOF JOIN as the oracle."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = e.where(F.col("event_type") == "signup").select("user_id", "ts")
+    out = asof_join(purchases, signups, on="ts", by="user_id", value_cols=["ts"])
+    return out.select(
+        "event_id", "user_id", F.col("ts_asof").alias("signup_ts")
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no orders in 2001 — no row
+    multiplication, AQE picks the build side at runtime."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "repeat_customers_setops",
+    oracle="""
+    SELECT 'both_years' AS cohort, COUNT(*) AS n FROM (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        INTERSECT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    UNION ALL
+    SELECT '1996_only' AS cohort, COUNT(*) AS n FROM (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        EXCEPT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    """,
+)
+def repeat_customers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT / EXCEPT cohorts of customers by order year."""
+    o = _t(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return o.where(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    both = year(1996).intersect(year(1997)).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both_years").alias("cohort"), "n"
+    )
+    only96 = year(1996).subtract(year(1997)).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("1996_only").alias("cohort"), "n")
+    return both.unionByName(only96)
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the semi-structured props column (string JSON →
+    typed value) + aggregate — the log-parsing staple."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+    )
+
+
+@register(
+    "orders_by_month",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS month_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date bucketing (date_trunc) + aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("month", F.date_trunc("month", F.col("o_orderdate")))
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)").alias(
+                "month_revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "part_brand_stats",
+    oracle="""
+    SELECT CAST(regexp_replace(p_brand, 'Brand#', '') AS INTEGER) AS brand_num,
+           upper(p_type) AS p_type_upper,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM part
+    GROUP BY 1, 2
+    """,
+)
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: regexp_replace / upper + typed cast + aggregate."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.withColumn(
+            "brand_num", F.regexp_replace("p_brand", "Brand#", "").cast("int")
+        )
+        .withColumn("p_type_upper", F.upper("p_type"))
+        .groupBy("brand_num", "p_type_upper")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.expr("CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)").alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+@register(
+    "embedding_array_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(length(embedding) AS INTEGER) AS dim,
+           list_aggregate(embedding::DOUBLE[], 'min') AS el_min,
+           list_aggregate(embedding::DOUBLE[], 'max') AS el_max
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+)
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar functions over the embedding column (size/min/max) —
+    pure codegen, no explode."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_min(v).alias("el_min"),
+        F.array_max(v).alias("el_max"),
+    )
+
+
+@register(
+    "part_supplier_distinct",
+    oracle="""
+    SELECT p_brand, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def part_supplier_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (TPC-H Q16 shape): countDistinct over a broadcast
+    dimension join — Catalyst plans the expand+two-phase distinct."""
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    p = _t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

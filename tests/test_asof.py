@@ -1,0 +1,32 @@
+"""As-of join unit tests (backward/inclusive semantics, null when no match)."""
+
+from __future__ import annotations
+
+from polars_numba_spark.operators.asof import asof_join
+
+
+def test_asof_basic(spark):
+    left = spark.createDataFrame(
+        [("u1", 5, "l1"), ("u1", 10, "l2"), ("u1", 20, "l3"), ("u2", 7, "l4")],
+        "k string, t long, lval string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 4, "r1"), ("u1", 10, "r2"), ("u1", 15, "r3"), ("u3", 1, "rX")],
+        "k string, t long, rval string",
+    )
+    out = asof_join(left, right, on="t", by="k", value_cols=["rval"])
+    got = {(r["k"], r["t"]): r["rval_asof"] for r in out.collect()}
+    assert got == {
+        ("u1", 5): "r1",     # latest right ≤ 5 is t=4
+        ("u1", 10): "r2",    # inclusive: right at t=10 matches
+        ("u1", 20): "r3",
+        ("u2", 7): None,     # no right rows for u2
+    }
+
+
+def test_asof_multiple_value_columns(spark):
+    left = spark.createDataFrame([(60, 100)], "t long, x long")
+    right = spark.createDataFrame([(50, 7, 8.5)], "t long, a long, b double")
+    out = asof_join(left, right, on="t", value_cols=["a", "b"]).collect()[0]
+    assert (out["a_asof"], out["b_asof"]) == (7, 8.5)
+    assert out["x"] == 100

@@ -1,0 +1,92 @@
+"""Physical-plan audits: scale posture pinned by tests.
+
+At 100 TB a query that returns correct rows but reads all columns, misses a
+filter pushdown, or sort-merge-joins a tiny dimension is broken. These tests
+assert the plan *shape* of the catalog's headline queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from polars_numba_spark import plans
+from polars_numba_spark.queries import catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+def q(spark, name):
+    return catalog.spark_queries()[name](spark, SF)
+
+
+def test_q6_filters_reach_the_scan(spark):
+    df = q(spark, "q6_revenue_forecast")
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_q6_column_pruning(spark):
+    df = q(spark, "q6_revenue_forecast")
+    schemas = plans.read_schemas(df)
+    assert len(schemas) == 1
+    # only the 4 referenced columns are read, not all 11
+    assert sorted(
+        c.split(":")[0]
+        for c in schemas[0].strip("struct<>").split(",")
+    ) == ["l_discount", "l_extendedprice", "l_quantity", "l_shipdate"]
+
+
+def test_q3_broadcasts_dimensions(spark):
+    assert plans.has_broadcast_join(q(spark, "q3_shipping_priority"))
+
+
+def test_q5_broadcasts_dimensions(spark):
+    assert plans.has_broadcast_join(q(spark, "q5_local_supplier_volume"))
+
+
+def test_q1_partial_aggregation(spark):
+    """Map-side combine: the groupBy must plan partial+final aggregates."""
+    assert plans.has_partial_aggregation(q(spark, "q1_pricing_summary"))
+
+
+def test_q1_single_shuffle(spark):
+    assert plans.count_exchanges(q(spark, "q1_pricing_summary")) <= 1
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must be ONE hash exchange (union+window), not a range
+    join explosion or nested loop."""
+    df = q(spark, "asof_last_signup_before_purchase")
+    text = plans.explain_string(df)
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+    assert plans.count_exchanges(df) <= 2  # one for the window, AQE may add one
+
+
+def test_grouped_fold_is_single_exchange(spark):
+    """The grouped kernel fold shuffles once on the group keys."""
+    df = q(spark, "kernel_fold_event_cents")
+    assert plans.count_exchanges(df) <= 1
+
+
+def test_scan_queries_have_codegen(spark):
+    """Declarative queries keep nonzero WholeStageCodegen coverage.
+
+    AQE hides codegen in unexecuted adaptive plans, so inspect with AQE off —
+    codegen eligibility is a static plan property."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ["q1_pricing_summary", "running_max_order_price", "doc_token_stats"]:
+            assert plans.wholestage_codegen_spans(q(spark, name)) >= 1, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_dedup_minhash_no_cartesian(spark):
+    """LSH candidate generation must join on band buckets, never cross-join."""
+    df = q(spark, "dedup_minhash_pairs")
+    text = plans.explain_string(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
