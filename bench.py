@@ -59,8 +59,11 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # Warm-up: JVM JIT, parquet footer cache, Python worker pool.
+    # Warm-up: JVM JIT + parquet footer cache (q6) and the Python worker
+    # pool (capped_balance) — the first Pandas-path query in a session pays
+    # ~2s of worker startup that is not a property of any query.
     run("q6_revenue_forecast")
+    run("capped_balance_per_user")
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -197,20 +197,20 @@ def grouped_fold(
         open_key: tuple | None = None
         open_acc: Any = None
         for pdf in batches:
-            # fold null rule: drop rows with a null in any selected column
-            # up front (ref `:339` — batch-level, groups stay contiguous)
-            mask = None
-            for c in cols:
-                m = pdf[c].isna().to_numpy()
-                mask = m if mask is None else (mask | m)
-            if mask is not None and mask.any():
-                pdf = pdf[~mask]
             n = len(pdf)
             if not n:
                 continue
+            # fold null rule (ref `:339`): rows with a null in any selected
+            # column are dropped — but only the ROWS, not their group: a
+            # group that is entirely null still yields acc0. So boundaries
+            # are detected on the full batch and nulls filtered per slice.
+            mask = np.zeros(n, dtype=bool)
+            for c in cols:
+                mask |= pdf[c].isna().to_numpy()
+            valid = ~mask
             key_arrays = [pdf[k].to_numpy() for k in keys]
             data_arrays = [
-                pdf[c].to_numpy(copy=False).astype(dtype_list[i], copy=False)
+                pdf[c].fillna(0).to_numpy().astype(dtype_list[i], copy=False)
                 for i, c in enumerate(cols)
             ]
             change = np.zeros(n, dtype=bool)
@@ -224,7 +224,11 @@ def grouped_fold(
             for s, e in zip(starts, ends):
                 key = tuple(ka[s] for ka in key_arrays)
                 acc = open_acc if key == open_key else acc0
-                acc = folder(step, acc, extra, *[a[s:e] for a in data_arrays])
+                v = valid[s:e]
+                if v.all():
+                    acc = folder(step, acc, extra, *[a[s:e] for a in data_arrays])
+                elif v.any():
+                    acc = folder(step, acc, extra, *[a[s:e][v] for a in data_arrays])
                 if open_key is not None and key != open_key:
                     out_keys.append(open_key)
                     out_vals.append(cast_result(open_acc))

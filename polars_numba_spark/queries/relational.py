@@ -228,3 +228,39 @@ def part_supplier_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "events_daily_windows",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_daily_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (the batch face of the streaming rollup —
+    identical expression runs under readStream with a watermark; see
+    polars_numba_spark.streaming.windowed_rollup and its parity test)."""
+    from polars_numba_spark.streaming import windowed_rollup
+
+    e = _t(spark, sf_dir, "events")
+    out = windowed_rollup(
+        e,
+        "ts",
+        "1 day",
+        group_by=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_cents": F.sum(F.round(F.col("value") * 100).cast("long")),
+        },
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_cents",
+    )

@@ -1,0 +1,89 @@
+"""Property-based differential tests: grouped/global fold & scan vs a
+pure-Python reference implementation on Hypothesis-generated frames.
+
+The reference repo has no property tests (SURVEY.md §5) — this layer is
+additive: it hunts the corners example-based tests miss (null placement,
+group boundaries, empty groups, negative values).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from polars_numba_spark import collect_fold, collect_scan, grouped_fold
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # group key
+        st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),  # value
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _spark_df(spark, rows):
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    return spark.createDataFrame(data, "g long, v long, ord long")
+
+
+def step(acc, v):
+    return acc + v if v % 2 == 0 else acc - v  # non-commutative-ish, branchy
+
+
+def py_fold(values, acc0=0.0):
+    acc = acc0
+    for v in values:
+        if v is not None:
+            acc = step(acc, v)
+    return acc
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_strategy)
+def test_collect_fold_matches_python(spark, rows):
+    df = _spark_df(spark, rows)
+    got = collect_fold(df, step, 0.0, column_names=["v"], order_by="ord")
+    assert got == pytest.approx(py_fold([v for _, v in rows]))
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_strategy)
+def test_grouped_fold_matches_python(spark, rows):
+    df = _spark_df(spark, rows)
+    out = grouped_fold(df, "g", step, 0.0, "double", columns=["v"], order_by="ord")
+    got = {r["g"]: r["fold"] for r in out.collect()}
+    expected = {}
+    for g, v in rows:
+        expected.setdefault(g, []).append(v)
+    # groups whose rows are all-null still fold to acc0 (rows dropped)
+    expected = {g: py_fold(vs) for g, vs in expected.items()}
+    assert got.keys() == expected.keys()
+    for g in expected:
+        assert got[g] == pytest.approx(expected[g]), g
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_strategy)
+def test_collect_scan_matches_python(spark, rows):
+    df = _spark_df(spark, rows)
+    out = collect_scan(df, step, 0.0, "double", column_names=["v"], order_by="ord")
+    got = [r["scan"] for r in out.orderBy("ord").collect()]
+    acc = 0.0
+    expected = []
+    for _, v in rows:
+        if v is None:
+            expected.append(None)
+        else:
+            acc = step(acc, v)
+            expected.append(acc)
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        if e is None:
+            assert g is None
+        else:
+            assert g is not None and math.isclose(g, e)
