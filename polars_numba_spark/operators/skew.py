@@ -1,0 +1,59 @@
+"""Skew-aware aggregation: salted two-level aggregate for hot keys.
+
+At 100 TB a handful of hot keys (a viral user, an empty-string token) can
+pin an aggregation on one reducer. For **associative+commutative**
+aggregates the standard fix is salting: append a random salt to the key,
+aggregate partially over (key, salt) — spreading each hot key over N
+reducers — then aggregate the partials over the key alone.
+
+Note Spark already does map-side partial aggregation for `groupBy().agg`,
+which absorbs most skew for simple aggregates; salting matters when the
+*reduce* side must still see all rows of a key (e.g. `collect_list`,
+`countDistinct` re-aggregation, or grouped kernel ops with associative
+steps). The helper exists for those, and as the documented skew recipe.
+Non-associative folds cannot be salted — declared honestly in
+``grouped_fold``'s docs; their skew mitigation is a data-model question.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from polars_numba_spark.operators._prep import as_list
+
+# (partial aggregate, final re-aggregate) pairs per kind
+_MERGEABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+    "product": (F.product, F.product),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    group_by: str | Sequence[str],
+    kind: str,
+    column: str | Column,
+    salt_buckets: int = 16,
+    result_name: str = "agg",
+) -> DataFrame:
+    """Two-level salted aggregate: ``groupBy(keys, salt)`` partials →
+    ``groupBy(keys)`` merge. Result is identical to the direct aggregate
+    (associativity), but no single reducer ever sees a full hot key."""
+    keys = as_list(group_by)
+    try:
+        partial, final = _MERGEABLE[kind]
+    except KeyError:
+        raise ValueError(
+            f"kind {kind!r} is not salt-mergeable; supported: {sorted(_MERGEABLE)}"
+        ) from None
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partials = salted.groupBy(*keys, "__salt").agg(
+        partial(column).alias("__partial")
+    )
+    return partials.groupBy(*keys).agg(final("__partial").alias(result_name))

@@ -540,3 +540,4 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # import — keep last (they import register/_t from this module).
 from polars_numba_spark.queries import pipeline  # noqa: E402,F401
 from polars_numba_spark.queries import relational  # noqa: E402,F401
+from polars_numba_spark.queries import tpch_extra  # noqa: E402,F401

@@ -1,0 +1,191 @@
+"""Second TPC-H-ish batch (Q13/Q14/Q18/Q19 shapes), sessionization with a
+gaps-and-islands oracle, and the skew-salted aggregate (oracle: the plain
+aggregate it must equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_numba_spark.operators.sessionize import sessionize
+from polars_numba_spark.operators.skew import salted_agg
+from polars_numba_spark.queries.catalog import _DSUM, _t, register
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: outer join preserving zero-order customers, then a
+    distribution over counts — two aggregations, one broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle=f"""
+    SELECT {_DSUM.format(x="CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+           AS promo_revenue,
+           {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: conditional aggregation over a broadcast join."""
+    l = _t(spark, sf_dir, "lineitem").where(  # noqa: E741
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    promo = "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+        F.expr(_DSUM.format(x=promo)).alias("promo_revenue"),
+        F.expr(_DSUM.format(x="l_extendedprice * (1 - l_discount)")).alias(
+            "total_revenue"
+        ),
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle=f"""
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           {_DSUM.format(x='l_quantity')} AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 400
+    )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: HAVING-filtered semi join back onto the fact table."""
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 400)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big.withColumnRenamed("l_orderkey", "bk"), F.col("l_orderkey") == F.col("bk"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.expr(_DSUM.format(x="l_quantity")).alias("total_qty"))
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunction of conjunctive ranges across both join sides —
+    the predicate cannot fully push into either scan, but each disjunct's
+    single-side conjuncts can (Catalyst extracts common filters)."""
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 20) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 40) & F.col("l_quantity").between(20, 40))
+    )
+    return j.where(cond).agg(
+        F.expr(_DSUM.format(x="l_extendedprice * (1 - l_discount)")).alias("revenue")
+    )
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts, cents,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+    ), islands AS (
+        SELECT user_id, ts, cents,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events, SUM(cents) AS total_cents
+    FROM islands GROUP BY user_id, session_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: Spark's native session_window vs an independent
+    gaps-and-islands formulation (lag → flag → running island id) in DuckDB
+    — two structurally different algorithms, same sessions."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return sessionize(
+        e,
+        "ts",
+        gap="30 minutes",
+        group_by="user_id",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_cents": F.sum("cents"),
+        },
+    )
+
+
+@register(
+    "salted_event_type_totals",
+    oracle="""
+    SELECT event_type, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew recipe: event_type has only 5 hot keys — the salted two-level
+    aggregate spreads each over 16 reducers and must equal the plain
+    GROUP BY (associativity), which is exactly what the oracle checks."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return salted_agg(
+        e, "event_type", "sum", "cents", salt_buckets=16, result_name="total_cents"
+    )
