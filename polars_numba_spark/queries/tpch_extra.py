@@ -189,3 +189,45 @@ def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_agg(
         e, "event_type", "sum", "cents", salt_buckets=16, result_name="total_cents"
     )
+
+
+@register(
+    "global_longest_hot_streak",
+    oracle="""
+    WITH o AS (
+        SELECT l_quantity > 25 AS hot,
+               ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        FROM lineitem
+    ), g AS (
+        SELECT hot, rn - ROW_NUMBER() OVER (PARTITION BY hot ORDER BY rn) AS grp
+        FROM o
+    )
+    SELECT CAST(COALESCE(MAX(cnt), 0) AS BIGINT) AS longest FROM (
+        SELECT COUNT(*) AS cnt FROM g WHERE hot GROUP BY grp
+    )
+    """,
+)
+def global_longest_hot_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's marquee whole-frame fold (freezing-streak,
+    `examples_fold.py:15-40`) at table scale: longest run of consecutive
+    high-quantity lineitems in (orderkey, linenumber) order, computed by
+    collect_fold's single ordered stream — checked against an independent
+    gaps-and-islands SQL formulation. The scalar is wrapped in a one-row
+    DataFrame so the driver gate can hash it."""
+    from polars_numba_spark.operators.fold import collect_fold
+
+    l = _t(spark, sf_dir, "lineitem").select(  # noqa: E741
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+
+    def streak(acc, qty):
+        current, best = acc
+        current = current + 1 if qty > 25 else 0
+        return (current, best if best > current else current)
+
+    _, longest = collect_fold(
+        l, streak, (0, 0),
+        column_names=["l_quantity"],
+        order_by=["l_orderkey", "l_linenumber"],
+    )
+    return spark.createDataFrame([(int(longest),)], "longest long")

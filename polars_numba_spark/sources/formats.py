@@ -1,0 +1,67 @@
+"""Source/sink format helpers beyond parquet.
+
+The reference reads no files at all (in-memory frames only, SURVEY.md §2.B);
+this engine's I/O surface is Spark's DataSource V2, wrapped thinly so schema
+discipline is kept explicit — at 100 TB, schema inference is a full extra
+scan, so every reader here takes or derives an explicit schema.
+
+Formats: parquet (primary, in tables.py), CSV, JSON-lines, and a
+partitioned-parquet writer for hive-style layout (partition pruning on
+read). ORC/Avro exist in Spark but their jars are not in this container.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from polars_numba_spark.operators._prep import as_list
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV with a mandatory schema (no inference scan)."""
+    reader = spark.read.option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.schema(schema).csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | str, **options: str
+) -> DataFrame:
+    """JSON-lines with a mandatory schema."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.schema(schema).json(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: str | Sequence[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-layout parquet: downstream readers get partition pruning for
+    filters on the partition columns (the cheapest filter there is — the
+    files are never opened)."""
+    writer = df.write.mode("overwrite").partitionBy(*as_list(partition_by))
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)

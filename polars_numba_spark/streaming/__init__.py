@@ -2,7 +2,8 @@
 
 from polars_numba_spark.streaming.stateful import (
     streaming_grouped_fold,
+    streaming_grouped_scan,
     windowed_rollup,
 )
 
-__all__ = ["streaming_grouped_fold", "windowed_rollup"]
+__all__ = ["streaming_grouped_fold", "streaming_grouped_scan", "windowed_rollup"]

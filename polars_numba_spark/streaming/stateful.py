@@ -99,6 +99,89 @@ def streaming_grouped_fold(
     )
 
 
+def streaming_grouped_scan(
+    df: DataFrame,
+    group_by: str | Sequence[str],
+    function: Callable,
+    initial_accumulator: Any,
+    return_dtype: Any,
+    columns: Sequence[str],
+    order_by: str | Sequence[str] | None = None,
+    extra_args: Sequence[Any] = (),
+    result_name: str = "scan",
+) -> DataFrame:
+    """Per-key running scan over a stream: every input row is emitted with
+    its post-update accumulator; the accumulator persists in the state store
+    across micro-batches (the streaming face of ``grouped_scan``; output
+    mode ``append``).
+
+    Null rule matches the batch operator: rows with a null in any selected
+    column emit a null scan value and do not advance the accumulator.
+    """
+    import numpy as np
+
+    from polars_numba_spark.dtypes import result_dtype_and_shape
+    from polars_numba_spark.kernels import get_scanner
+
+    step = compile_step_function(function)
+    keys = as_list(group_by)
+    order_cols = as_list(order_by)
+    cols = list(columns)
+    np_dtypes = input_numpy_dtypes(df, cols)
+    dtype_list = [np_dtypes[c] for c in cols]
+    scanner = get_scanner(len(cols))
+    extra = tuple(extra_args)
+    acc0 = initial_accumulator
+    res_np_dtype, res_shape = result_dtype_and_shape(return_dtype)
+
+    passthrough = [f for f in df.schema.fields if f.name in {*keys, *order_cols, *cols}]
+    out_schema = T.StructType(
+        passthrough + [T.StructField(result_name, normalize_spark_type(return_dtype))]
+    )
+    state_schema = T.StructType([T.StructField("acc", T.DoubleType())])
+
+    def scan_with_state(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        acc = state.get[0] if state.exists else acc0
+        for pdf in pdfs:
+            pdf = pdf[[f.name for f in passthrough]]
+            if order_cols:
+                pdf = pdf.sort_values(order_cols, kind="mergesort")
+            n = len(pdf)
+            if not n:
+                continue
+            mask = None
+            for c in cols:
+                m = pdf[c].isna().to_numpy()
+                mask = m if mask is None else (mask | m)
+            import numpy as _np
+
+            mask = mask if mask is not None else _np.zeros(n, dtype=bool)
+            np_cols = [
+                pdf[c].fillna(0).to_numpy().astype(dtype_list[i], copy=False)
+                for i, c in enumerate(cols)
+            ]
+            result = np.empty((n,) + res_shape, dtype=res_np_dtype)
+            acc = scanner(step, acc, extra, result, mask, *np_cols)
+            out = pdf.copy()
+            series = pd.Series(result, index=out.index)
+            if mask.any():
+                series = series.astype(object)
+                series[mask] = None
+            out[result_name] = series
+            yield out
+        state.update((float(acc),))
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        scan_with_state,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_rollup(
     df: DataFrame,
     time_col: str,
