@@ -238,3 +238,75 @@ def simhash_dedup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 20,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (id, component)
+    where component is the smallest id reachable from ``id``.
+
+    Large-scale dedup needs this step: pairwise matches must become
+    clusters so one canonical document per cluster survives. Algorithm is
+    iterative min-label propagation — each round every node adopts the
+    smallest label among itself and its neighbors; rounds ≈ graph diameter
+    (near-dup clusters are shallow, so few rounds). Each round is one
+    join + groupBy (shuffle on node id); AQE sizes the exchanges. The loop
+    stops early when no label changes (count of changed labels is cheap —
+    an aggregate, not a collect of data).
+
+    This is the canonical "iterative algorithm on DataFrames" shape — not
+    SQL-expressible as one query, hence driver-checked rows-only and pinned
+    by structural tests instead.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        n_changed = new_labels.where(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """From near-dup pairs to a keep/drop verdict per document: cluster the
+    pair graph, keep the smallest id per component (plus every unpaired
+    document). Returns (id, keep: bool, component)."""
+    comps = connected_components(pairs)
+    ids = df.select(F.col(id_col).alias("id"))
+    labeled = ids.join(comps, "id", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("id"))
+    )
+    return labeled.withColumn("keep", F.col("id") == F.col("component"))

@@ -286,3 +286,67 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, schema contract, and payload round-trip byte-exactly."""
     d = _t(spark, sf_dir, "documents")
     return M.extract_features(M.attach_payload(d))
+
+
+@register(
+    "curated_corpus",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {X.SQL_FINGERPRINT.format(c='text')} AS fp,
+               least(length(list_intersect(
+                   list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+                   ['the','a','and','of','to','in','is','it','that','for']
+               )) / 5.0, 1.0) * 0.4
+               + CASE WHEN (CAST(length(text) AS DOUBLE)
+                            / length(string_split_regex(trim(lower(text)), '\\s+'))) >= 3.0
+                       AND (CAST(length(text) AS DOUBLE)
+                            / length(string_split_regex(trim(lower(text)), '\\s+'))) <= 10.0
+                      THEN 0.3 ELSE 0.0 END
+               + greatest(0.0,
+                   0.3 - (CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                          / length(text)) * 3.0
+                       - (CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                          / length(text)) * 1.5)
+               AS quality
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, lang, quality,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM scored WHERE quality >= 0.5
+    )
+    SELECT doc_id, lang, quality FROM ranked WHERE rn = 1
+    """,
+)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline in one plan: quality-score filter →
+    fingerprint near-dup dedup (keep lowest id per bucket) → curated doc
+    list. Composes three oracled operators; one scan, two shuffles
+    (fingerprint window + nothing else — the filter rides the scan)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        X.fingerprint("text").alias("fp"),
+        X.quality_score("text").alias("quality"),
+    ).where(F.col("quality") >= 0.5)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "quality")
+    )
+
+
+@register("dedup_clusters")  # iterative (connected components) — rows-only
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: MinHash-LSH pairs → connected
+    components → keep/drop verdict per doc. Iterative label propagation is
+    not one-SQL-expressible → rows-only driver check; semantics pinned by
+    tests/test_components.py."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(d, num_hashes=32, bands=8, threshold=0.9)
+    verdict = D.dedup_keep_list(d, pairs)
+    return verdict.orderBy("id").select("id", "component", "keep")

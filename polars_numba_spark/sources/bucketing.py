@@ -14,6 +14,8 @@ plan property, which is the entire point of the feature.
 
 from __future__ import annotations
 
+import os
+import shutil
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +34,14 @@ def write_bucketed(
     catalog table. Sorting within buckets additionally removes the sort
     step from downstream merge joins and grouped kernel operators."""
     keys = as_list(bucket_by)
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # A crashed/cleaned metastore can leave an orphan location behind —
+    # saveAsTable refuses to reuse it, so clear it explicitly.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         num_buckets, keys[0], *keys[1:]
     )
