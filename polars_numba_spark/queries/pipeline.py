@@ -350,3 +350,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_dedup_pairs(d, num_hashes=32, bands=8, threshold=0.9)
     verdict = D.dedup_keep_list(d, pairs)
     return verdict.orderBy("id").select("id", "component", "keep")
+
+
+@register("embedding_lsh_recall")  # self-evaluating — approximate vs exact
+def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH approximate top-k against the exact brute force,
+    computed in-plan (one row: n_queries, n_hits, recall). Makes the
+    approximation quality a measured, driver-visible number instead of a
+    claim."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(e, q, k=5).select("query_id", "neighbor_id")
+    approx = S.lsh_topk(e, q, k=5, dim=64).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.aq) & (exact.neighbor_id == approx.an),
+        "left_semi",
+    )
+    return exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    ).select(
+        "n_exact",
+        "n_hits",
+        (F.col("n_hits") / F.col("n_exact")).alias("recall_at_5"),
+    )

@@ -264,3 +264,38 @@ def events_daily_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_cents",
     )
+
+
+@register(
+    "calendar_order_coverage",
+    oracle="""
+    WITH cal AS (
+        SELECT CAST(d AS TIMESTAMP) AS day
+        FROM generate_series(TIMESTAMP '1995-01-01 00:00:00',
+                             TIMESTAMP '1995-03-31 00:00:00',
+                             INTERVAL 1 DAY) AS t(d)
+    )
+    SELECT cal.day, COUNT(o.o_orderkey) AS n_orders
+    FROM cal LEFT JOIN orders o ON o.o_orderdate = cal.day
+    GROUP BY cal.day
+    """,
+)
+def calendar_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated date-range dimension (the reference uses pl.date_range for
+    its weather fixture, `examples_fold.py:17`; Spark's analog is
+    sequence+explode) outer-joined against facts — finds zero-order days."""
+    o = _t(spark, sf_dir, "orders")
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("1995-03-31").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    return (
+        cal.join(o, o.o_orderdate == cal.day, "left")
+        .groupBy("day")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
