@@ -231,3 +231,76 @@ def global_longest_hot_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=["l_orderkey", "l_linenumber"],
     )
     return spark.createDataFrame([(int(longest),)], "longest long")
+
+
+@register(
+    "kernel_fold_two_columns",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(l_quantity * l_linenumber) AS weighted
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def kernel_fold_two_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column kernel fold (arity dispatch >1 through the driver gate):
+    acc + quantity×linenumber per returnflag. Both inputs are small
+    int-valued doubles, so the sum is float-exact and order-free — an exact
+    SQL oracle for the multi-column kernel path."""
+    from polars_numba_spark.operators.fold import grouped_fold
+
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+
+    def weighted_step(acc, qty, line):
+        return acc + qty * line
+
+    return grouped_fold(
+        l.select("l_returnflag", "l_quantity", "l_linenumber", "l_orderkey"),
+        "l_returnflag",
+        weighted_step,
+        0.0,
+        "double",
+        columns=["l_quantity", "l_linenumber"],
+        order_by="l_orderkey",
+        result_name="weighted",
+    ).select("l_returnflag", "weighted")
+
+
+@register(
+    "kernel_scan_multi_output",
+    oracle="""
+    SELECT event_id,
+           [SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w,
+            COUNT(*) OVER w] AS acc_pair
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def kernel_scan_multi_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-output kernel scan (tuple accumulator → SizedArray, ref
+    `tests/test_collect_scan.py:190-208` at table scale): per-user running
+    (cents_total, event_count) pairs, oracled by a pair of window aggregates
+    packed into a list."""
+    from pyspark.sql import types as T
+
+    from polars_numba_spark.dtypes import SizedArray
+    from polars_numba_spark.operators.scan import grouped_scan
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+
+    def pair_step(acc, cents):
+        return (acc[0] + cents, acc[1] + 1)
+
+    return grouped_scan(
+        e.select("user_id", "event_id", "ts", "cents"),
+        "user_id",
+        pair_step,
+        (0, 0),
+        SizedArray(T.LongType(), 2),
+        columns=["cents"],
+        order_by=["ts", "event_id"],
+        result_name="acc_pair",
+    ).select("event_id", "acc_pair")
