@@ -50,7 +50,9 @@ from polars_numba_spark.dtypes import (
 from polars_numba_spark.kernels import compile_step_function, get_folder
 from polars_numba_spark.operators._prep import (
     as_list,
+    group_boundaries,
     input_numpy_dtypes,
+    key_tuple,
     resolve_input_columns,
 )
 
@@ -208,21 +210,15 @@ def grouped_fold(
             for c in cols:
                 mask |= pdf[c].isna().to_numpy()
             valid = ~mask
-            key_arrays = [pdf[k].to_numpy() for k in keys]
             data_arrays = [
                 pdf[c].fillna(0).to_numpy().astype(dtype_list[i], copy=False)
                 for i, c in enumerate(cols)
             ]
-            change = np.zeros(n, dtype=bool)
-            change[0] = True
-            for ka in key_arrays:
-                change[1:] |= ka[1:] != ka[:-1]
-            starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], n)
+            starts, ends = group_boundaries(pdf, keys)
             out_keys: list[tuple] = []
             out_vals: list[Any] = []
             for s, e in zip(starts, ends):
-                key = tuple(ka[s] for ka in key_arrays)
+                key = key_tuple(pdf, keys, s)
                 acc = open_acc if key == open_key else acc0
                 v = valid[s:e]
                 if v.all():

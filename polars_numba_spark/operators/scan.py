@@ -50,7 +50,9 @@ from polars_numba_spark.dtypes import (
 from polars_numba_spark.kernels import compile_step_function, get_scanner
 from polars_numba_spark.operators._prep import (
     as_list,
+    group_boundaries,
     input_numpy_dtypes,
+    key_tuple,
     resolve_input_columns,
 )
 from polars_numba_spark.operators.fold import _single_ordered_stream
@@ -217,15 +219,9 @@ def grouped_scan(
                 for i, c in enumerate(cols)
             ]
             result = np.empty((n,) + res_shape, dtype=res_np_dtype)
-            key_arrays = [pdf[k].to_numpy() for k in keys]
-            change = np.zeros(n, dtype=bool)
-            change[0] = True
-            for ka in key_arrays:
-                change[1:] |= ka[1:] != ka[:-1]
-            starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], n)
+            starts, ends = group_boundaries(pdf, keys)
             for s, e in zip(starts, ends):
-                key = tuple(ka[s] for ka in key_arrays)
+                key = key_tuple(pdf, keys, s)
                 acc = open_acc if key == open_key else acc0
                 acc = scanner(
                     step, acc, extra,

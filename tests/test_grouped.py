@@ -171,3 +171,24 @@ def test_many_groups_parallel(spark):
     out = grouped_fold(df, "g", add, 0.0, "double", columns=["v"], order_by="ord")
     assert out.count() == 50
     assert all(r["fold"] == 190.0 for r in out.collect())
+
+
+def test_null_group_keys_form_one_group(spark):
+    """Spark groupBy treats null as ONE group; the NumPy boundary detection
+    must be NaN-aware (NaN != NaN would split every null row into its own
+    group — regression test)."""
+    df = spark.createDataFrame(
+        [(None, 1.0, 0), (None, 2.0, 1), (5, 10.0, 2)],
+        "g integer, v double, ord long",
+    )
+
+    def add(acc, v):
+        return acc + v
+
+    folded = grouped_fold(df, "g", add, 0.0, "double", columns=["v"], order_by="ord")
+    got = {r["g"]: r["fold"] for r in folded.collect()}
+    assert got == {None: 3.0, 5: 10.0}
+
+    scanned = grouped_scan(df, "g", add, 0.0, "double", columns=["v"], order_by="ord")
+    vals = {(r["g"], r["ord"]): r["scan"] for r in scanned.collect()}
+    assert vals == {(None, 0): 1.0, (None, 1): 3.0, (5, 2): 10.0}
