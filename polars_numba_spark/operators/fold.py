@@ -79,6 +79,7 @@ def collect_fold(
     extra_args: Sequence[Any] = (),
     column_names: Sequence[str] | None = None,
     order_by: str | Sequence[str] | None = None,
+    combine: Callable[[Any, Any], Any] | None = None,
 ) -> Any:
     """Fold the frame to a single driver-side Python value.
 
@@ -93,6 +94,12 @@ def collect_fold(
       column values (ref `:316,376-379`).
     - ``column_names=None`` binds ALL frame columns positionally
       (ref `:346-348`; tested `tests/test_collect_fold.py:75-85`).
+    - ``combine=None`` (default) preserves the reference's sequential
+      semantics exactly (single ordered stream). Supplying ``combine(a, b)``
+      DECLARES that partition partial folds merge correctly — the fold then
+      runs partition-parallel (one partial per partition, combined on the
+      driver), which is the scale path for decomposable reductions that the
+      named-kind ``assoc_fold`` can't express (custom states, tuples).
     """
     step = compile_step_function(function)
     order_cols = as_list(order_by)
@@ -104,28 +111,46 @@ def collect_fold(
     dtype_list = [np_dtypes[c] for c in cols]
 
     prepared = df.select(*cols, *order_cols).na.drop(subset=cols)
-    prepared = _single_ordered_stream(prepared, order_cols)
+    if combine is None:
+        prepared = _single_ordered_stream(prepared, order_cols)
+    elif order_cols:
+        # partition-parallel path still needs intra-partition order; the
+        # partitioning itself can stay as-is (combine order is handled below)
+        prepared = prepared.sortWithinPartitions(*order_cols)
     # Catalyst still sees select + na.drop declaratively → column pruning and
     # IsNotNull pushdown reach the parquet scan before the stream collapses.
 
     def fold_stream(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         acc = acc0
+        saw_rows = False
         for batch in batches:
             if batch.num_rows == 0:
                 continue
+            saw_rows = True
             arrays = [
                 column_to_numpy(batch.column(i), dtype_list[i])
                 for i in range(len(cols))
             ]
             acc = folder(step, acc, extra, *arrays)
-        yield pa.RecordBatch.from_arrays(
-            [pa.array([pickle.dumps(acc)], type=pa.binary())], names=["acc"]
-        )
+        if combine is None or saw_rows:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([pickle.dumps(acc)], type=pa.binary())], names=["acc"]
+            )
 
     result = prepared.mapInArrow(fold_stream, schema="acc binary").collect()
     if not result:
         return acc0
-    return pickle.loads(bytes(result[0][0]))
+    if combine is None:
+        return pickle.loads(bytes(result[0][0]))
+    # Partition partials combine on the driver — O(#partitions) tiny values.
+    # NOTE: requires f(f(a0, xs), f(a0, ys)) == f(a0, xs ++ ys) under
+    # `combine`; partition order is not guaranteed, so `combine` must be
+    # order-insensitive unless the caller also controls partitioning.
+    partials = [pickle.loads(bytes(row[0])) for row in result]
+    acc = partials[0]
+    for p in partials[1:]:
+        acc = combine(acc, p)
+    return acc
 
 
 def grouped_fold(

@@ -183,3 +183,32 @@ def test_compile_cache_returns_same_object():
         return acc + a
 
     assert compile_step_function(step) is compile_step_function(step)
+
+
+def test_combine_parallel_fold_matches_sequential(spark):
+    """Declared-combinable fold runs partition-parallel and must equal the
+    sequential single-stream result for a decomposable reduction."""
+    rows = [(float(i % 97), i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "v double, ord long").repartition(8)
+
+    def step(acc, v):
+        total, count, mx = acc
+        return (total + v, count + 1, v if v > mx else mx)
+
+    def merge(a, b):
+        return (a[0] + b[0], a[1] + b[1], max(a[2], b[2]))
+
+    seq = collect_fold(df, step, (0.0, 0, float("-inf")), column_names=["v"])
+    par = collect_fold(
+        df, step, (0.0, 0, float("-inf")), column_names=["v"], combine=merge
+    )
+    assert par[1] == seq[1] == 5000
+    assert par[2] == seq[2]
+    assert abs(par[0] - seq[0]) < 1e-6  # float sum order differs across partials
+
+
+def test_combine_fold_empty_frame(spark):
+    df = spark.createDataFrame([], "v double")
+    got = collect_fold(df, lambda acc, v: acc + v, 7.0, column_names=["v"],
+                       combine=lambda a, b: a + b)
+    assert got == 7.0
