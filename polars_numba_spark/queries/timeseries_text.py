@@ -1,0 +1,191 @@
+"""Time-series and text-pipeline queries: rolling range windows, gap-fill
+interpolation (oracled by an independent double-ASOF formulation), document
+chunking, n-gram statistics, and exact moment statistics via decimal sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_numba_spark.operators.chunking import chunk_documents
+from polars_numba_spark.operators.text import tokens
+from polars_numba_spark.operators.timeseries import (
+    gap_fill_interpolate,
+    rolling_range_agg,
+)
+from polars_numba_spark.queries.catalog import _t, register
+
+
+@register(
+    "rolling_hour_user_value",
+    oracle="""
+    SELECT event_id, user_id,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS hour_cents
+    FROM events
+    """,
+)
+def rolling_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user value sum — a RANGE frame over epoch seconds
+    (row frames are wrong for irregular event spacing)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = rolling_range_agg(
+        e.select("event_id", "user_id", "ts", "cents"),
+        "ts",
+        3600,
+        {"hour_cents": F.sum("cents")},
+        partition_by="user_id",
+    )
+    return out.select("event_id", "user_id", "hour_cents")
+
+
+@register(
+    "gap_fill_user_value",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value AS v
+        FROM events WHERE event_type = 'purchase'
+    ), bounds AS (
+        SELECT user_id, MIN(t) AS t0, MAX(t) AS t1 FROM obs GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS g
+        FROM bounds
+    ), with_prev AS (
+        SELECT grid.user_id, grid.g, p.t AS pt, p.v AS pv
+        FROM grid ASOF LEFT JOIN obs p
+          ON grid.user_id = p.user_id AND grid.g >= p.t
+    ), with_both AS (
+        SELECT wp.user_id, wp.g, wp.pt, wp.pv, n.t AS nt, n.v AS nv
+        FROM with_prev wp ASOF LEFT JOIN obs n
+          ON wp.user_id = n.user_id AND wp.g <= n.t
+    )
+    SELECT user_id, g AS ts,
+           CASE WHEN pt = g THEN pv
+                WHEN nv IS NULL THEN pv
+                WHEN pv IS NULL THEN nv
+                WHEN nt = pt THEN pv
+                ELSE pv + (nv - pv) * ((epoch(g) - epoch(pt)) / (epoch(nt) - epoch(pt)))
+           END AS value
+    FROM with_both
+    """,
+)
+def gap_fill_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + linear interpolation of per-user purchase values onto a
+    6-hour grid. Our union+window single-pass implementation vs a genuinely
+    different algorithm in the oracle (two directional ASOF joins) — same
+    numbers required, including the interpolation arithmetic."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    out = gap_fill_interpolate(
+        e.select("user_id", "ts", "value"),
+        "ts",
+        "value",
+        step_seconds=6 * 3600,
+        partition_by="user_id",
+        method="linear",
+    )
+    return out.select("user_id", "ts", "value")
+
+
+@register(
+    "doc_chunks",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents WHERE doc_id < 100
+    ), s AS (
+        SELECT doc_id, toks,
+               greatest(CAST(ceil((len(toks) - 16) / 48.0) AS BIGINT), 1) AS ns
+        FROM t
+    ), e AS (
+        SELECT doc_id, toks, unnest(range(ns)) AS ci FROM s
+    )
+    SELECT doc_id,
+           CAST(ci AS INTEGER) AS chunk_idx,
+           CAST(len(toks[ci*48+1 : least(ci*48+64, len(toks))]) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(toks[ci*48+1 : least(ci*48+64, len(toks))], ' ') AS chunk_text
+    FROM e
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, 16 overlap) —
+    the context-window prep step, pure codegen, provenance kept."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
+@register(
+    "top_bigrams",
+    oracle="""
+    WITH t AS (
+        SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ), b AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM t
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (n-gram surface): zip adjacent tokens,
+    explode, count, deterministic top-20."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "lineitem_price_moments",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS s2
+        FROM lineitem
+    )
+    SELECT n, s1 / n AS mean_price,
+           (s2 - s1 * s1 / n) / (n - 1) AS var_price
+    FROM s
+    """,
+)
+def lineitem_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact moment statistics: mean and sample variance derived from
+    decimal-exact Σx and Σx² — bit-identical across engines, unlike native
+    var_samp whose float accumulation order differs."""
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    s = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)").alias("s1"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)"
+        ).alias("s2"),
+    )
+    return s.select(
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean_price"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var_price"
+        ),
+    )
