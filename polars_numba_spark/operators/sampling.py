@@ -1,0 +1,72 @@
+"""Deterministic sampling and dataset splitting.
+
+Training pipelines need splits that are (a) reproducible across runs and
+engines, (b) stable under data growth (a document's split must not change
+when other rows arrive), and (c) computable scan-side with no shuffle.
+``rand()``-based sampling fails (a) and (b); the standard answer is
+content-hash bucketing: ``bucket = H(key) % N`` and split by bucket range.
+
+H here is the first 15 hex chars of md5 (60 bits) — chosen over the faster
+xxhash64 because md5 is engine-portable (DuckDB, Trino, BigQuery all parse
+it identically), which makes every split/sample decision oracle-checkable.
+For pure-Spark hot paths where portability is irrelevant, swap in
+``F.xxhash64`` — same structure, ~3× cheaper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column | str, buckets: int = HASH_BUCKETS) -> Column:
+    """Stable content-hash bucket in [0, buckets): md5 → 60-bit int → mod."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
+    return h % buckets
+
+
+def sql_hash_bucket(expr: str, buckets: int = HASH_BUCKETS) -> str:
+    """The same bucket in DuckDB SQL (oracle fragment)."""
+    return (
+        f"CAST(CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS UBIGINT)"
+        f" % {buckets} AS BIGINT)"
+    )
+
+
+def split_by_hash(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    split_name: str = "split",
+) -> DataFrame:
+    """Assign each row a named split by hash-bucket range.
+
+    ``weights`` maps split name → fraction (must sum to ≤ 1; remainder goes
+    to the last split). Assignment depends only on the row's own key —
+    adding data never moves existing rows between splits.
+    """
+    total = sum(weights.values())
+    if not 0 < total <= 1.0 + 1e-9:
+        raise ValueError(f"split weights must sum to (0, 1], got {total}")
+    bucket = hash_bucket(key)
+    expr = None
+    upper = 0.0
+    names = list(weights.items())
+    for name, w in names[:-1]:
+        upper += w
+        cond = bucket < int(upper * HASH_BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = names[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_name, expr)
+
+
+def sample_by_hash(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Deterministic ~fraction sample: keep rows whose bucket falls below
+    the threshold. Same row set every run, every engine."""
+    if not 0 < fraction <= 1:
+        raise ValueError("fraction must be in (0, 1]")
+    return df.where(hash_bucket(key) < int(fraction * HASH_BUCKETS))

@@ -189,3 +189,61 @@ def lineitem_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_price"
         ),
     )
+
+
+@register(
+    "doc_train_valid_test_split",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 AS BIGINT) AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'valid'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM b GROUP BY 1
+    """,
+)
+def doc_train_valid_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split by content-hash bucket
+    — reproducible across engines (oracle computes the identical md5
+    bucket), stable under data growth, zero shuffle for the assignment."""
+    from polars_numba_spark.operators.sampling import split_by_hash
+
+    d = _t(spark, sf_dir, "documents")
+    out = split_by_hash(d, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
+    "order_price_changes",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           o_totalprice - lag(o_totalprice) OVER w AS price_change,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def order_price_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (lag/lead/ntile): per-customer order price
+    deltas and global price quartiles with deterministic tie-breaks."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wq = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_change"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(wq).alias("price_quartile"),
+    )

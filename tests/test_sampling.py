@@ -1,0 +1,64 @@
+"""Deterministic hash-split/sample tests: stability, disjointness, growth
+invariance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_numba_spark.operators.sampling import (
+    hash_bucket,
+    sample_by_hash,
+    split_by_hash,
+)
+
+
+def ids(spark, n, start=0):
+    return spark.range(start, start + n).withColumnRenamed("id", "k")
+
+
+def test_split_fractions_and_disjointness(spark):
+    df = ids(spark, 5000)
+    out = split_by_hash(df, "k", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    counts = {r["split"]: r["c"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert counts["train"] / 5000 == pytest.approx(0.8, abs=0.03)
+    assert counts["valid"] / 5000 == pytest.approx(0.1, abs=0.02)
+    # one split per row (disjoint + exhaustive by construction)
+    assert sum(counts.values()) == 5000
+
+
+def test_split_stable_under_growth(spark):
+    """Adding rows must not move existing rows between splits."""
+    small = split_by_hash(ids(spark, 1000), "k", {"a": 0.5, "b": 0.5})
+    big = split_by_hash(ids(spark, 3000), "k", {"a": 0.5, "b": 0.5})
+    s = {r["k"]: r["split"] for r in small.collect()}
+    b = {r["k"]: r["split"] for r in big.collect()}
+    assert all(b[k] == v for k, v in s.items())
+
+
+def test_sample_deterministic_and_sized(spark):
+    df = ids(spark, 10000)
+    a = {r["k"] for r in sample_by_hash(df, "k", 0.2).collect()}
+    b = {r["k"] for r in sample_by_hash(df, "k", 0.2).collect()}
+    assert a == b
+    assert len(a) / 10000 == pytest.approx(0.2, abs=0.02)
+    # nested: a 0.1 sample is a subset of the 0.2 sample (same hash order)
+    c = {r["k"] for r in sample_by_hash(df, "k", 0.1).collect()}
+    assert c <= a
+
+
+def test_bad_weights_rejected(spark):
+    df = ids(spark, 10)
+    with pytest.raises(ValueError, match="weights"):
+        split_by_hash(df, "k", {"a": 0.9, "b": 0.3})
+    with pytest.raises(ValueError, match="fraction"):
+        sample_by_hash(df, "k", 0.0)
+
+
+def test_bucket_range(spark):
+    df = ids(spark, 1000)
+    mm = df.select(hash_bucket("k").alias("b")).agg(
+        F.min("b"), F.max("b")
+    ).collect()[0]
+    assert 0 <= mm[0] and mm[1] < 10000
