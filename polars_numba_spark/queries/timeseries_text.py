@@ -247,3 +247,79 @@ def order_price_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_totalprice").over(w).alias("next_price"),
         F.ntile(4).over(wq).alias("price_quartile"),
     )
+
+
+@register(
+    "training_data_pipeline",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, text,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 AS BIGINT) AS bucket,
+               md5(list_aggregate(list_sort(list_distinct(
+                   string_split_regex(trim(lower(text)), '\\s+'))), 'string_agg', ' ')) AS fp,
+               least(length(list_intersect(
+                   list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+                   ['the','a','and','of','to','in','is','it','that','for']
+               )) / 5.0, 1.0) * 0.4
+               + CASE WHEN (CAST(length(text) AS DOUBLE)
+                            / length(string_split_regex(trim(lower(text)), '\\s+'))) >= 3.0
+                       AND (CAST(length(text) AS DOUBLE)
+                            / length(string_split_regex(trim(lower(text)), '\\s+'))) <= 10.0
+                      THEN 0.3 ELSE 0.0 END
+               + greatest(0.0,
+                   0.3 - (CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                          / length(text)) * 3.0
+                       - (CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                          / length(text)) * 1.5)
+               AS quality
+        FROM documents
+    ), curated AS (
+        SELECT doc_id, text, bucket FROM (
+            SELECT doc_id, text, bucket,
+                   ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM scored WHERE quality >= 0.5
+        ) WHERE rn = 1
+    ), chunked AS (
+        SELECT doc_id, bucket,
+               unnest(range(greatest(CAST(ceil((length(string_split_regex(trim(lower(text)), '\\s+')) - 16) / 48.0) AS BIGINT), 1))) AS ci
+        FROM curated
+    )
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'valid'
+                ELSE 'test' END AS split,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_chunks
+    FROM chunked GROUP BY 1
+    """,
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline in ONE Catalyst plan: quality scoring →
+    fingerprint dedup → deterministic train/valid/test split → overlapping
+    chunking → per-split corpus stats. Five oracled operators composed; the
+    oracle recomputes the entire pipeline independently in DuckDB."""
+    from pyspark.sql import Window
+
+    from polars_numba_spark.operators.chunking import chunk_documents
+    from polars_numba_spark.operators.sampling import split_by_hash
+    from polars_numba_spark.operators.text import fingerprint, quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "text",
+        fingerprint("text").alias("fp"),
+        quality_score("text").alias("quality"),
+    ).where(F.col("quality") >= 0.5)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    curated = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    split = split_by_hash(curated, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    chunks = chunk_documents(split, chunk_tokens=64, overlap=16).join(
+        split.select("doc_id", "split"), "doc_id"
+    )
+    return chunks.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )

@@ -192,3 +192,40 @@ def test_null_group_keys_form_one_group(spark):
     scanned = grouped_scan(df, "g", add, 0.0, "double", columns=["v"], order_by="ord")
     vals = {(r["g"], r["ord"]): r["scan"] for r in scanned.collect()}
     assert vals == {(None, 0): 1.0, (None, 1): 3.0, (5, 2): 10.0}
+
+
+def test_single_huge_group_streams_through(spark):
+    """The mapInPandas execution streams Arrow batches, so a group larger
+    than any single batch (here 1M rows through 50k-row batches) works with
+    O(batch) worker memory — the applyInPandas whole-group materialization
+    cap does NOT apply to this engine's grouped kernels."""
+    df = (
+        spark.range(0, 1_000_000)
+        .select(
+            F.lit(1).alias("g"),
+            F.col("id").cast("double").alias("v"),
+            F.col("id").alias("ord"),
+        )
+    )
+
+    def add(acc, v):
+        return acc + v
+
+    out = grouped_fold(df, "g", add, 0.0, "double", columns=["v"], order_by="ord")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["fold"] == float(999_999 * 1_000_000 // 2)
+
+
+def test_grouped_arity_errors(spark):
+    df = spark.createDataFrame([("g", 1.0, 0)], "k string, v double, ord long")
+    with pytest.raises(ValueError, match="at least one column"):
+        grouped_fold(df, "k", lambda acc: acc, 0.0, "double", columns=[], order_by="ord")
+    wide = df
+    for i in range(10):
+        wide = wide.withColumn(f"c{i}", F.lit(1.0))
+    with pytest.raises(RuntimeError, match="only up to 9 columns are supported"):
+        grouped_fold(
+            wide, "k", lambda acc, *a: acc, 0.0, "double",
+            columns=[f"c{i}" for i in range(10)], order_by="ord",
+        )
