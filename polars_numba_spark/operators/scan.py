@@ -67,6 +67,8 @@ def collect_scan(
     column_names: Sequence[str] | None = None,
     order_by: str | Sequence[str] | None = None,
     result_name: str = "scan",
+    combine: Callable[[Any, Any], Any] | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Whole-frame running scan → the input columns plus a ``result_name``
     column, computed over one ordered stream.
@@ -76,10 +78,22 @@ def collect_scan(
     result is a composable DataFrame — select ``result_name`` for the Series
     shape). ``order_by`` declares row order; omit to inherit source order.
 
-    Scale note: the result is NOT collected — it stays distributed (a single
-    partition, by necessity of the sequential dependency). Downstream ops may
-    ``repartition()`` to re-parallelize; Catalyst handles the rest.
+    Scale note: the result is NOT collected — it stays distributed. By
+    default it is a single ordered partition (the sequential dependency).
+    Supplying ``combine`` runs the classic **two-pass parallel prefix scan**
+    instead: range-partition on the order key, pass 1 folds per-partition
+    partials, the driver prefix-combines them into per-partition seeds
+    (O(#partitions) tiny values), pass 2 scans each partition seeded with
+    its prefix — fully parallel, exact. ``combine`` must satisfy
+    ``fold(a, rows) == combine(a, fold(acc0, rows))``; ``order_by`` is
+    required and should be a total order (ties make range partitioning
+    nondeterministic at partition edges).
     """
+    if combine is not None:
+        return _parallel_prefix_scan(
+            df, function, initial_accumulator, return_dtype, extra_args,
+            column_names, order_by, result_name, combine, num_partitions,
+        )
     step = compile_step_function(function)
     order_cols = as_list(order_by)
     cols = resolve_input_columns(df, column_names, exclude=order_cols)
@@ -124,6 +138,116 @@ def collect_scan(
             )
 
     return prepared.mapInArrow(scan_stream, schema=out_schema)
+
+
+def _parallel_prefix_scan(
+    df: DataFrame,
+    function: Callable,
+    initial_accumulator: Any,
+    return_dtype: Any,
+    extra_args: Sequence[Any],
+    column_names: Sequence[str] | None,
+    order_by: str | Sequence[str] | None,
+    result_name: str,
+    combine: Callable[[Any, Any], Any],
+    num_partitions: int | None,
+) -> DataFrame:
+    """Two-pass parallel prefix scan (see collect_scan docstring)."""
+    import pickle
+
+    from pyspark import TaskContext
+
+    step = compile_step_function(function)
+    order_cols = as_list(order_by)
+    if not order_cols:
+        raise ValueError("the parallel (combine) scan requires order_by")
+    cols = resolve_input_columns(df, column_names, exclude=order_cols)
+    np_dtypes = input_numpy_dtypes(df, cols)
+    scanner = get_scanner(len(cols))
+    folder_extra = tuple(extra_args)
+    acc0 = initial_accumulator
+    dtype_list = [np_dtypes[c] for c in cols]
+    res_np_dtype, res_shape = result_dtype_and_shape(return_dtype)
+    res_spark_type = (
+        return_dtype.spark_type()
+        if isinstance(return_dtype, SizedArray)
+        else normalize_spark_type(return_dtype)
+    )
+
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    prepared = (
+        df.select(*cols, *order_cols)
+        .repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+    )
+    # Both passes MUST see byte-identical partitions, but repartitionByRange
+    # samples its boundaries per job — materialize once (executor-local
+    # storage) so pass 1's partials line up with pass 2's partitions. At
+    # cluster scale this is one extra write of the working set, the price of
+    # turning a one-task scan into an n-task scan.
+    prepared = prepared.localCheckpoint(eager=True)
+    col_idx = {c: i for i, c in enumerate(prepared.columns)}
+
+    def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pid = TaskContext.get().partitionId()
+        acc = acc0
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            in_arrays = [batch.column(col_idx[c]) for c in cols]
+            mask = null_mask(in_arrays)
+            np_cols = [
+                column_to_numpy(fill_zero(arr), dtype_list[i])
+                for i, arr in enumerate(in_arrays)
+            ]
+            # scan null rule during the partial fold too: null rows don't
+            # advance the accumulator
+            buf = np.empty((batch.num_rows,) + res_shape, dtype=res_np_dtype)
+            acc = scanner(step, acc, folder_extra, buf, mask, *np_cols)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([pid], type=pa.int32()),
+                pa.array([pickle.dumps(acc)], type=pa.binary()),
+            ],
+            names=["pid", "acc"],
+        )
+
+    rows = prepared.mapInArrow(partials, schema="pid int, acc binary").collect()
+    part_accs = {r["pid"]: pickle.loads(bytes(r["acc"])) for r in rows}
+    # The contract `fold(a, rows) == combine(a, fold(acc0, rows))` gives the
+    # prefix recurrence: seed_{i+1} = combine(seed_i, partial_i), seed_0=acc0.
+    seeds: dict[int, Any] = {}
+    seed = acc0
+    for pid in range(n_parts):
+        seeds[pid] = seed
+        if pid in part_accs:
+            seed = combine(seed, part_accs[pid])
+
+    out_schema = T.StructType(
+        list(prepared.schema.fields) + [T.StructField(result_name, res_spark_type)]
+    )
+
+    def seeded_scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc = seeds[TaskContext.get().partitionId()]
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            in_arrays = [batch.column(col_idx[c]) for c in cols]
+            mask = null_mask(in_arrays)
+            np_cols = [
+                column_to_numpy(fill_zero(arr), dtype_list[i])
+                for i, arr in enumerate(in_arrays)
+            ]
+            result = np.empty((n,) + res_shape, dtype=res_np_dtype)
+            acc = scanner(step, acc, folder_extra, result, mask, *np_cols)
+            scan_col = scan_result_to_arrow(result, mask, res_shape)
+            yield pa.RecordBatch.from_arrays(
+                [*batch.columns, scan_col],
+                names=[*batch.schema.names, result_name],
+            )
+
+    return prepared.mapInArrow(seeded_scan, schema=out_schema)
 
 
 def grouped_scan(

@@ -133,3 +133,58 @@ def test_running_max_matches_window(spark):
         for r in assoc_scan(df, "max", "price", order_by="ord").orderBy("ord").collect()
     ]
     assert kernel == window == [20, 20, 21, 22, 23, 23, 23, 24, 25]
+
+
+def test_parallel_prefix_scan_matches_sequential(spark):
+    """combine-declared scan: two-pass parallel prefix scan over range
+    partitions must equal the single-stream sequential scan exactly
+    (integer arithmetic → bit-exact)."""
+    rows = [(int(i % 89), i) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "v long, ord long")
+
+    def add(acc, v):
+        return acc + v
+
+    def merge(a, b):
+        return a + b
+
+    seq = collect_scan(df, add, 0, "long", column_names=["v"], order_by="ord")
+    par = collect_scan(
+        df, add, 0, "long", column_names=["v"], order_by="ord",
+        combine=merge, num_partitions=8,
+    )
+    assert par.rdd.getNumPartitions() == 8
+    seq_vals = [r["scan"] for r in seq.orderBy("ord").collect()]
+    par_vals = [r["scan"] for r in par.orderBy("ord").collect()]
+    assert seq_vals == par_vals
+
+
+def test_parallel_prefix_scan_null_rule(spark):
+    """Null rows null out and don't advance the accumulator — including when
+    the null falls at a partition boundary region."""
+    rows = [(i if i % 5 else None, i) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "v long, ord long")
+
+    def add(acc, v):
+        return acc + v
+
+    par = collect_scan(
+        df, add, 0, "long", column_names=["v"], order_by="ord",
+        combine=lambda a, b: a + b, num_partitions=4,
+    )
+    got = [r["scan"] for r in par.orderBy("ord").collect()]
+    acc, expected = 0, []
+    for v, _ in rows:
+        if v is None:
+            expected.append(None)
+        else:
+            acc += v
+            expected.append(acc)
+    assert got == expected
+
+
+def test_parallel_scan_requires_order(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="requires order_by"):
+        collect_scan(df, lambda a, v: a + v, 0, "long", column_names=["v"],
+                     combine=lambda a, b: a + b)
