@@ -353,3 +353,63 @@ def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in cols]
     )
+
+
+@register(
+    "recent_order_pressure",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, COUNT(o.o_orderkey) AS n_recent_orders
+    FROM (SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem WHERE l_orderkey < 1000) l
+    LEFT JOIN orders o
+      ON o.o_orderdate >= l.l_shipdate - INTERVAL 7 DAY
+     AND o.o_orderdate <= l.l_shipdate
+    GROUP BY l.l_orderkey, l.l_linenumber
+    """,
+)
+def recent_order_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: for each lineitem, how many orders (any customer) were
+    placed in the 7 days up to its ship date. Implemented with the
+    bucketized interval join (hash join on week buckets + exact range
+    filter) instead of the nested-loop plan a bare BETWEEN join gets;
+    oracle uses DuckDB's native IEJoin."""
+    from polars_numba_spark.operators.rangejoin import interval_join
+
+    l = (  # noqa: E741
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.unix_timestamp("l_shipdate").alias("ship_s"),
+        )
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("recent_orderkey"),
+        F.unix_timestamp("o_orderdate").alias("od_s"),
+    )
+    # interval per order: [od, od] joined against window [ship-7d, ship]
+    # flip: treat each lineitem's window as the interval, orders as points
+    windows = l.withColumn("win_lo", F.col("ship_s") - 7 * 86400).withColumn(
+        "win_hi", F.col("ship_s")
+    )
+    joined = interval_join(
+        o.select(F.col("recent_orderkey"), F.col("od_s")),
+        windows,
+        point="od_s",
+        lower="win_lo",
+        upper="win_hi",
+        bucket_width=7 * 86400,
+        how="inner",
+    )
+    counts = joined.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("n_recent_orders")
+    )
+    # LEFT semantics: keep (orderkey, linenumber) pairs with zero matches
+    # (distinct — the synthetic data has duplicate line numbers, which the
+    # oracle's GROUP BY merges)
+    return (
+        l.select("l_orderkey", "l_linenumber")
+        .distinct()
+        .join(counts, ["l_orderkey", "l_linenumber"], "left")
+        .withColumn("n_recent_orders", F.coalesce("n_recent_orders", F.lit(0)))
+    )

@@ -1,0 +1,44 @@
+"""Interval-join unit tests: exact semantics + no-nested-loop plan."""
+
+from __future__ import annotations
+
+from polars_numba_spark import plans
+from polars_numba_spark.operators.rangejoin import interval_join
+
+
+def test_interval_join_golden(spark):
+    points = spark.createDataFrame([(1, 5), (2, 10), (3, 25)], "pid long, t long")
+    intervals = spark.createDataFrame(
+        [(100, 0, 9), (200, 10, 19), (300, 5, 30)], "iid long, lo long, hi long"
+    )
+    out = interval_join(points, intervals, "t", "lo", "hi", bucket_width=10)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == [(1, 100), (1, 300), (2, 200), (2, 300), (3, 300)]
+
+
+def test_interval_join_closed_variants(spark):
+    points = spark.createDataFrame([(1, 10)], "pid long, t long")
+    intervals = spark.createDataFrame([(7, 10, 20), (8, 0, 10)], "iid long, lo long, hi long")
+    both = {r["iid"] for r in interval_join(points, intervals, "t", "lo", "hi", 10).collect()}
+    assert both == {7, 8}
+    neither = {
+        r["iid"]
+        for r in interval_join(points, intervals, "t", "lo", "hi", 10, closed="neither").collect()
+    }
+    assert neither == set()
+
+
+def test_interval_join_with_keys(spark):
+    points = spark.createDataFrame([("a", 1, 5), ("b", 2, 5)], "k string, pid long, t long")
+    intervals = spark.createDataFrame([("a", 9, 0, 10)], "k string, iid long, lo long, hi long")
+    out = interval_join(points, intervals, "t", "lo", "hi", 10, by="k").collect()
+    assert [(r["pid"], r["iid"]) for r in out] == [(1, 9)]
+
+
+def test_interval_join_avoids_nested_loop(spark):
+    points = spark.createDataFrame([(1, 5)], "pid long, t long")
+    intervals = spark.createDataFrame([(9, 0, 10)], "iid long, lo long, hi long")
+    out = interval_join(points, intervals, "t", "lo", "hi", 10)
+    text = plans.explain_string(out)
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
