@@ -26,8 +26,6 @@ oracle — it anchors the approximate variants' correctness in tests.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 

@@ -413,3 +413,26 @@ def recent_order_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, ["l_orderkey", "l_linenumber"], "left")
         .withColumn("n_recent_orders", F.coalesce("n_recent_orders", F.lit(0)))
     )
+
+
+@register("distinct_users_sketch")  # approx side is engine-specific — rows-only
+def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality sketch surface: HyperLogLog++ approx-distinct next to the
+    exact count, with the relative error computed in-plan — the query is its
+    own accuracy report (approx values are engine-specific, so no cross-
+    engine oracle; determinism within Spark makes the driver's repeat-run
+    hash stable)."""
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+    return per_type.select(
+        "event_type",
+        "exact_users",
+        "approx_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+        ).alias("rel_err"),
+    )
