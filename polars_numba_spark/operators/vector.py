@@ -1,0 +1,143 @@
+"""Vector-column operators: normalization, per-group centroids, nearest-
+centroid assignment, k-means iteration — the building blocks of an IVF
+similarity index (train centroids → assign vectors → search within cells).
+
+Centroid math runs via posexplode → per-(group, dim) aggregation →
+re-assembly with ``array_agg`` sorted by dim: shuffle on (group, dim),
+perfectly parallel, no Python. Assignment is a broadcast of the (small)
+centroid table and an argmax over cosine scores — scan-side, no shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_numba_spark.operators._prep import as_list
+from polars_numba_spark.operators.similarity import as_double, cosine, norm
+
+
+def l2_normalize(col, eps: float = 1e-12):
+    """Unit-normalize a vector column (array<double>)."""
+    v = as_double(col) if isinstance(col, str) else col
+    n = norm(v)
+    return F.transform(v, lambda x: x / (n + eps))
+
+
+def group_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_by: str | Sequence[str] = "label",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group mean vector: (keys..., centroid array<double>, n_members).
+
+    ``exact=True`` accumulates each dimension as DECIMAL(28,12) before the
+    final double division and rounds the mean to 9 decimals — deterministic
+    across engines and partitionings (float sums are order-dependent, and
+    even the double→decimal input cast can round differently in the last
+    ulp across engines; centroids feeding an index should not drift run to
+    run). ``exact=False`` is plain float aggregation (faster, drifts).
+    """
+    keys = as_list(group_by)
+    dims = df.select(
+        *keys,
+        F.posexplode(as_double(vec_col)).alias("dim", "x"),
+    )
+    if exact:
+        sum_expr = F.expr("CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)")
+    else:
+        sum_expr = F.sum("x")
+    per_dim = dims.groupBy(*keys, "dim").agg(
+        sum_expr.alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    mean = F.col("s") / F.col("n")
+    if exact:
+        mean = F.round(mean, 9)
+    return (
+        per_dim.withColumn("mean", mean)
+        .groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean"))
+            ).alias("pairs"),
+            F.first("n").alias("n_members"),
+        )
+        .select(
+            *keys,
+            F.col("pairs.mean").alias("centroid"),
+            "n_members",
+        )
+    )
+
+
+def assign_nearest_centroid(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "label",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """Assign each vector to its highest-cosine centroid:
+    (id, assigned, cosine_sim). Centroids are broadcast (they are small by
+    construction); the scan parallelizes; ties break on centroid id."""
+    c = centroids.select(
+        F.col(centroid_id_col).alias("__cid"),
+        as_double(centroid_vec_col).alias("__cv"),
+    )
+    scored = df.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("__v")
+    ).crossJoin(F.broadcast(c)).select(
+        "id", "__cid", cosine(F.col("__v"), F.col("__cv")).alias("cos")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("__cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("__cid").alias("assigned"),
+            F.col("cos").alias("cosine_sim"),
+        )
+    )
+
+
+def kmeans_iterations(
+    df: DataFrame,
+    k: int,
+    iterations: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means on a vector column: returns (assignments, centroids).
+
+    Seeding is deterministic (first k vectors by id). Each iteration is one
+    assignment pass (broadcast centroids) + one centroid pass (exploded
+    aggregation); lineage is truncated per round. This is the IVF training
+    loop — at corpus scale run a few iterations on a hash-sample, then
+    assign the full corpus once.
+    """
+    seeds = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("label"),
+            as_double(vec_col).alias("centroid"),
+        )
+    )
+    centroids = seeds.localCheckpoint(eager=True)
+    assignments = None
+    for _ in range(iterations):
+        assignments = assign_nearest_centroid(
+            df, centroids, vec_col, id_col, "label", "centroid"
+        )
+        joined = df.join(assignments, id_col).select(
+            F.col("assigned").alias("label"), vec_col
+        )
+        centroids = group_centroids(joined, vec_col, "label").select(
+            "label", "centroid"
+        ).localCheckpoint(eager=True)
+    return assignments, centroids

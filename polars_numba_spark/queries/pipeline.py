@@ -376,3 +376,43 @@ def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits") / F.col("n_exact")).alias("recall_at_5"),
     )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    WITH dims AS (
+        SELECT label, d.i - 1 AS dim, d.x
+        FROM embeddings,
+             LATERAL (SELECT UNNEST(embedding::DOUBLE[]) AS x,
+                             generate_subscripts(embedding, 1) AS i) d
+    ), per_dim AS (
+        SELECT label, dim,
+               ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9) AS mean
+        FROM dims GROUP BY label, dim
+    )
+    SELECT label, list(mean ORDER BY dim) AS centroid,
+           (SELECT COUNT(*) FROM embeddings e WHERE e.label = per_dim.label) AS n_members
+    FROM per_dim GROUP BY label
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the IVF centroid-training step) with
+    decimal-exact per-dimension accumulation — bit-identical across engines
+    and partitionings."""
+    from polars_numba_spark.operators.vector import group_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    return group_centroids(e, "embedding", "label")
+
+
+@register("kmeans_assignments")  # iterative — rows-only
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k=8, deterministic seeding) over the
+    embeddings — the iterative-algorithm surface; assignment quality pinned
+    by tests, determinism by the driver's repeat-run hash."""
+    from polars_numba_spark.operators.vector import kmeans_iterations
+
+    e = _t(spark, sf_dir, "embeddings")
+    assignments, _ = kmeans_iterations(e, k=8, iterations=2)
+    return assignments.orderBy("vec_id").select("vec_id", "assigned")

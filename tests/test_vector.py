@@ -1,0 +1,57 @@
+"""Vector/centroid/k-means operator tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_numba_spark.operators.vector import (
+    assign_nearest_centroid,
+    group_centroids,
+    kmeans_iterations,
+    l2_normalize,
+)
+
+
+def test_l2_normalize(spark):
+    df = spark.createDataFrame([(1, [3.0, 4.0])], "id long, v array<double>")
+    out = df.select(l2_normalize("v").alias("n")).collect()[0]["n"]
+    assert out == pytest.approx([0.6, 0.8])
+    assert math.isclose(sum(x * x for x in out), 1.0)
+
+
+def test_group_centroids_golden(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("a", [3.0, 2.0]), ("b", [10.0, 10.0])],
+        "label string, embedding array<double>",
+    )
+    out = {r["label"]: (r["centroid"], r["n_members"]) for r in group_centroids(df).collect()}
+    assert out["a"] == ([2.0, 1.0], 2)
+    assert out["b"] == ([10.0, 10.0], 1)
+
+
+def test_assign_nearest_centroid(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [0.1, 1.0])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "label int, centroid array<double>"
+    )
+    out = {r["vec_id"]: r["assigned"] for r in assign_nearest_centroid(vecs, cents).collect()}
+    assert out == {1: 0, 2: 1}
+
+
+def test_kmeans_separates_clear_clusters(spark):
+    # two tight clusters around (1,0) and (0,1)
+    rows = [(i, [1.0 + 0.01 * i, 0.02 * (i % 3)]) for i in range(10)] + [
+        (100 + i, [0.02 * (i % 3), 1.0 + 0.01 * i]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assignments, centroids = kmeans_iterations(df, k=2, iterations=3)
+    got = {r["vec_id"]: r["assigned"] for r in assignments.collect()}
+    cluster_a = {got[i] for i in range(10)}
+    cluster_b = {got[100 + i] for i in range(10)}
+    assert len(cluster_a) == 1 and len(cluster_b) == 1 and cluster_a != cluster_b
+    assert centroids.count() == 2
