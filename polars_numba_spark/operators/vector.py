@@ -141,3 +141,55 @@ def kmeans_iterations(
             "label", "centroid"
         ).localCheckpoint(eager=True)
     return assignments, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: brute-force only within the ``nprobe`` nearest cells.
+
+    Corpus vectors are assigned to their nearest centroid cell (one pass,
+    broadcast centroids); each query probes its ``nprobe`` closest cells and
+    scores only those members — cost |q| × (corpus / k) × nprobe instead of
+    |q| × corpus. Recall rises with nprobe (= 1 - P[true neighbor lives in
+    an unprobed cell]). The cell join is an equi-join on cell id: shuffle
+    tracks cell sizes, and skewed cells are AQE's problem, not a plan flaw.
+    """
+    cells = assign_nearest_centroid(corpus, centroids, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("assigned").alias("cell")
+    )
+    member_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    ).join(cells, "neighbor_id")
+
+    c = centroids.select(
+        F.col("label").alias("cell"), as_double("centroid").alias("cent_v")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    q_cells = (
+        q.crossJoin(F.broadcast(c))
+        .select("query_id", "qv", "cell", cosine(F.col("qv"), F.col("cent_v")).alias("cc"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("cc").desc(), F.col("cell"))
+    probed = (
+        q_cells.withColumn("__pr", F.row_number().over(w_probe))
+        .where(F.col("__pr") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        member_vecs.join(probed, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )

@@ -416,3 +416,25 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     assignments, _ = kmeans_iterations(e, k=8, iterations=2)
     return assignments.orderBy("vec_id").select("vec_id", "assigned")
+
+
+@register("embedding_ivf_recall")  # approximate + iterative — self-evaluating
+def embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index end-to-end: k-means cells (2 Lloyd iterations) → nprobe=3
+    probed search for 10 queries → recall@5 vs brute force computed in-plan.
+    The full approximate-nearest-neighbor stack, self-reporting quality."""
+    from polars_numba_spark.operators.vector import ivf_topk, kmeans_iterations
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    _, cents = kmeans_iterations(e, k=8, iterations=2)
+    approx = ivf_topk(e, q, cents, k=5, nprobe=3).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    exact = S.brute_force_topk(e, q, k=5).select("query_id", "neighbor_id")
+    hits = exact.join(
+        approx, (exact.query_id == approx.aq) & (exact.neighbor_id == approx.an), "left_semi"
+    )
+    return exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    ).select("n_exact", "n_hits", (F.col("n_hits") / F.col("n_exact")).alias("recall_at_5"))

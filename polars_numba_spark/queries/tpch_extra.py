@@ -436,3 +436,74 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "totacctbal"
         ),
     )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: revenue lost to returns per customer, one quarter."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")  # noqa: E741
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.expr(_DSUM.format(x="l_extendedprice * (1 - l_discount)")).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT {_DSUM.format(x='l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#5'
+      AND l_quantity < (
+          SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated scalar subquery (per-part average quantity) —
+    decorrelated into a broadcast aggregate join. The AVG threshold is a
+    single-scan double (deterministic per part), so the comparison is exact."""
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#5")
+    thresholds = l.groupBy(F.col("l_partkey").alias("tk")).agg(
+        (F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)") * 0.5
+         / F.count(F.lit(1))).alias("half_avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(thresholds), l.l_partkey == F.col("tk"))
+        .where(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            (F.expr(_DSUM.format(x="l_extendedprice")) / 7.0).alias("avg_yearly")
+        )
+    )

@@ -55,3 +55,21 @@ def test_kmeans_separates_clear_clusters(spark):
     cluster_b = {got[100 + i] for i in range(10)}
     assert len(cluster_a) == 1 and len(cluster_b) == 1 and cluster_a != cluster_b
     assert centroids.count() == 2
+
+
+def test_ivf_topk_recall_beats_probe_fraction(spark):
+    from polars_numba_spark.operators.vector import ivf_topk
+    from polars_numba_spark.sources import load_table
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    q = e.where(F.col("vec_id") < 5)
+    _, cents = kmeans_iterations(e, k=8, iterations=2)
+    from polars_numba_spark.operators.similarity import brute_force_topk
+
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(e, q, k=5).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(e, q, cents, k=5, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # scoring ~3/8 of the corpus; structure should beat that
