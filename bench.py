@@ -38,6 +38,18 @@ HEADLINE = [
     "dedup_jaccard_pairs",
     "embedding_topk_bruteforce",
     "multimodal_features",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "user_sessions",
+    "rolling_hour_user_value",
+    "gap_fill_user_value",
+    "doc_chunks",
+    "top_bigrams",
+    "doc_train_valid_test_split",
+    "label_centroids",
+    "order_price_quantiles",
+    "recent_order_pressure",
+    "training_data_pipeline",
 ]
 
 
