@@ -507,3 +507,44 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr(_DSUM.format(x="l_extendedprice")) / 7.0).alias("avg_yearly")
         )
     )
+
+
+@register(
+    "sql_surface_running_balance",
+    oracle="""
+    SELECT user_id, event_id,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS scan
+    FROM events
+    """,
+)
+def sql_surface_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scan operator through its pure-SQL spelling (polymorphic UDTF
+    with TABLE PARTITION BY ORDER BY) — Spark 4's table-function surface,
+    which the reference's Python-only API lacks. Oracle: the plain window
+    aggregate."""
+    from polars_numba_spark.sql import register_scan_udtf
+
+    def add(acc, cents):
+        return acc + cents
+
+    register_scan_udtf(
+        spark, "pns_running_balance", add, 0,
+        input_cols=["cents"], key_cols=["user_id", "event_id"],
+        return_schema="user_id bigint, event_id bigint, cents bigint, scan bigint",
+    )
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    e.createOrReplaceTempView("pns_events_cents")
+    return spark.sql(
+        """
+        SELECT user_id, event_id, scan
+        FROM pns_running_balance(
+            TABLE(pns_events_cents) PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
+    )
