@@ -87,3 +87,34 @@ def test_windowed_rollup_batch_stream_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM rollup_stream").collect()
     }
     assert got == expected
+
+
+def test_sessionize_batch_stream_parity(spark, tmp_path):
+    """Session windows under readStream (complete mode + watermark) must
+    equal the batch sessionization — Spark's unified semantics, pinned."""
+    from polars_numba_spark.operators.sessionize import sessionize
+
+    batch = load_table(spark, "events", SF)
+    expected = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sessionize(batch, "ts", gap="30 minutes", group_by="user_id").collect()
+    }
+
+    stream = load_stream(spark, "events", SF)
+    out = sessionize(
+        stream, "ts", gap="30 minutes", group_by="user_id", watermark="1 hour"
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    assert got == expected
