@@ -1,0 +1,47 @@
+"""Training-data pipeline example: quality → dedup → split → chunks over
+the documents table, plus embedding similarity search — the extension
+surface beyond the reference."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+from pyspark.sql import functions as F
+
+from polars_numba_spark import get_spark
+from polars_numba_spark.operators.chunking import chunk_documents
+from polars_numba_spark.operators.dedup import minhash_dedup_pairs
+from polars_numba_spark.operators.sampling import split_by_hash
+from polars_numba_spark.operators.similarity import brute_force_topk
+from polars_numba_spark.operators.text import quality_score
+from polars_numba_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark(app_name="example-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, "documents", SF)
+    curated = docs.where(quality_score("text") >= 0.5)
+    split = split_by_hash(curated, "doc_id", {"train": 0.9, "test": 0.1})
+    chunks = chunk_documents(split.where(F.col("split") == "train"))
+    print("train chunks:", chunks.count())
+    assert chunks.count() > 0
+
+    near_dups = minhash_dedup_pairs(docs, threshold=0.9)
+    print("near-dup pairs (jaccard ≥ 0.9):", near_dups.count())
+
+    emb = load_table(spark, "embeddings", SF)
+    topk = brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=3)
+    assert topk.count() == 9
+    print("top-3 neighbors per query:")
+    topk.show(9, truncate=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

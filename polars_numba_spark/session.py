@@ -29,6 +29,17 @@ def get_spark(
     extra_conf: Mapping[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession."""
+    # Executors' Python workers must be able to import this package (kernel
+    # functions are pickled by reference). Export its location before the
+    # JVM launches so workers inherit it — makes entry points cwd-independent
+    # in local mode. On a real cluster, ship the package via --py-files/pip.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"

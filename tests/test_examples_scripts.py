@@ -1,0 +1,20 @@
+"""The examples/ scripts run clean end-to-end (the reference's CI runs its
+example scripts the same way, `.github/workflows/test.yml:29-35`)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "script", ["example_fold.py", "example_scan.py", "example_pipeline.py"]
+)
+def test_example_runs(script):
+    proc = subprocess.run(
+        [sys.executable, f"examples/{script}"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
