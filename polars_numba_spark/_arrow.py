@@ -42,8 +42,12 @@ def fill_zero(array: pa.Array) -> pa.Array:
     if array.null_count == 0:
         return array
     typ = array.type
-    if pa.types.is_timestamp(typ) or pa.types.is_date(typ):
+    if pa.types.is_timestamp(typ):
         zero = pa.scalar(0, type=pa.int64()).cast(typ)
+    elif pa.types.is_date(typ):
+        import datetime
+
+        zero = pa.scalar(datetime.date(1970, 1, 1), type=typ)
     elif pa.types.is_boolean(typ):
         zero = pa.scalar(False, type=typ)
     else:

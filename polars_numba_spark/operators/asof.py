@@ -26,6 +26,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from polars_numba_spark.operators._prep import as_list
 
@@ -50,18 +51,27 @@ def asof_join(
         value_cols = [c for c in right.columns if c not in keys and c != on]
     value_cols = list(value_cols)
 
+    # The carried payload is ONE struct per right row (never null for right
+    # rows, null for left rows): last(struct, ignorenulls) then picks the
+    # latest right ROW atomically — a right row whose individual value
+    # columns are NULL is still the match (DuckDB ASOF semantics), and
+    # multiple value columns can never blend across different right rows.
     r = right.select(
         *keys,
         F.col(on).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__payload"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left.columns],
     )
     l = left.select(  # noqa: E741
         *keys,
         F.col(on).alias("__t"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(
+            T.StructType([T.StructField(c, right.schema[c].dataType) for c in value_cols])
+        )
+        .alias("__payload"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
     unioned = r.unionByName(l)
@@ -73,12 +83,9 @@ def asof_join(
     carried = unioned.select(
         "__side",
         *[F.col(f"__l_{c}") for c in left.columns],
-        *[
-            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.last(F.col("__payload"), ignorenulls=True).over(w).alias("__match"),
     )
     return carried.where(F.col("__side") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
-        *[F.col(f"{c}{suffix}") for c in value_cols],
+        *[F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )

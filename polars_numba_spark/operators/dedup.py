@@ -199,7 +199,9 @@ def simhash(col: Column | str, bits: int = 32) -> Column:
             + F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
         bit_cols.append(
-            F.when(contrib > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     total = bit_cols[0]
     for c in bit_cols[1:]:

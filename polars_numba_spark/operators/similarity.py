@@ -112,7 +112,7 @@ def hyperplane_bucket(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(
+        bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
             F.lit(0).cast("long")
         )
     return bucket

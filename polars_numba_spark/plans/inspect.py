@@ -1,4 +1,12 @@
-"""Plan-string extraction and structural predicates over Spark plans."""
+"""Plan-string extraction and structural predicates over Spark plans.
+
+Mode notes (load-bearing): *formatted* mode prints each node twice (tree
+line + detail section) and separates operator arguments from the node name
+(``Exchange (4)`` … ``Arguments: hashpartitioning(...)``), so structural
+counting is done on *simple* mode, where a node prints once as
+``Exchange hashpartitioning(...)``. Scan attributes (PushedFilters /
+ReadSchema) only appear in formatted mode.
+"""
 
 from __future__ import annotations
 
@@ -34,21 +42,29 @@ def read_schemas(df: DataFrame) -> list[str]:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan (broadcast exchanges
-    excluded — those are the cheap kind)."""
-    text = explain_string(df, "formatted")
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", text))
-
-
-def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in explain_string(df, "formatted") or (
-        "BroadcastNestedLoopJoin" in explain_string(df, "formatted")
+    excluded — those are the cheap kind). Counted in simple mode, where each
+    Exchange prints exactly once with its partitioning inline."""
+    text = explain_string(df, "simple")
+    return len(
+        re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", text
+        )
     )
 
 
+def has_broadcast_join(df: DataFrame) -> bool:
+    text = explain_string(df, "simple")
+    return "BroadcastHashJoin" in text or "BroadcastNestedLoopJoin" in text
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
-    """Map-side combine present: a HashAggregate pair (partial + final)."""
-    text = explain_string(df, "formatted")
-    return len(re.findall(r"HashAggregate|SortAggregate|ObjectHashAggregate", text)) >= 2
+    """Map-side combine present: at least a partial+final aggregate pair.
+    Simple mode prints each aggregate node once, so >= 2 means a real pair
+    (formatted mode would double-count a single node)."""
+    text = explain_string(df, "simple")
+    return (
+        len(re.findall(r"HashAggregate|SortAggregate|ObjectHashAggregate", text)) >= 2
+    )
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:

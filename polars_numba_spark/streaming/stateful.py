@@ -59,22 +59,17 @@ def streaming_grouped_fold(
     out_schema = T.StructType(
         key_fields + [T.StructField(result_name, normalize_spark_type(return_dtype))]
     )
-    # State holds the accumulator as a single (possibly multi-field) row.
-    if isinstance(acc0, tuple):
-        state_schema = T.StructType(
-            [T.StructField(f"acc{i}", T.DoubleType()) for i in range(len(acc0))]
-        )
-    else:
-        state_schema = T.StructType([T.StructField("acc", T.DoubleType())])
+    # State holds the PICKLED accumulator: arbitrary Python accumulators
+    # (tuples, dicts, ints without float degradation) survive micro-batches
+    # exactly as the batch operators allow.
+    state_schema = T.StructType([T.StructField("acc", T.BinaryType())])
 
     def fold_with_state(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
-        if state.exists:
-            stored = state.get
-            acc = tuple(stored) if isinstance(acc0, tuple) else stored[0]
-        else:
-            acc = acc0
+        import pickle
+
+        acc = pickle.loads(bytes(state.get[0])) if state.exists else acc0
         for pdf in pdfs:
             if order_cols:
                 pdf = pdf.sort_values(order_cols, kind="mergesort")
@@ -85,7 +80,7 @@ def streaming_grouped_fold(
                     for i, c in enumerate(cols)
                 ]
                 acc = folder(step, acc, extra, *arrays)
-        state.update(tuple(float(a) for a in acc) if isinstance(acc0, tuple) else (float(acc),))
+        state.update((pickle.dumps(acc),))
         data = {k: [v] for k, v in zip(keys, key)}
         data[result_name] = [acc]
         yield pd.DataFrame(data)
@@ -134,16 +129,25 @@ def streaming_grouped_scan(
     acc0 = initial_accumulator
     res_np_dtype, res_shape = result_dtype_and_shape(return_dtype)
 
+    from polars_numba_spark.dtypes import SizedArray
+
+    res_spark_type = (
+        return_dtype.spark_type()
+        if isinstance(return_dtype, SizedArray)
+        else normalize_spark_type(return_dtype)
+    )
     passthrough = [f for f in df.schema.fields if f.name in {*keys, *order_cols, *cols}]
     out_schema = T.StructType(
-        passthrough + [T.StructField(result_name, normalize_spark_type(return_dtype))]
+        passthrough + [T.StructField(result_name, res_spark_type)]
     )
-    state_schema = T.StructType([T.StructField("acc", T.DoubleType())])
+    state_schema = T.StructType([T.StructField("acc", T.BinaryType())])
 
     def scan_with_state(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
-        acc = state.get[0] if state.exists else acc0
+        import pickle
+
+        acc = pickle.loads(bytes(state.get[0])) if state.exists else acc0
         for pdf in pdfs:
             pdf = pdf[[f.name for f in passthrough]]
             if order_cols:
@@ -165,13 +169,18 @@ def streaming_grouped_scan(
             result = np.empty((n,) + res_shape, dtype=res_np_dtype)
             acc = scanner(step, acc, extra, result, mask, *np_cols)
             out = pdf.copy()
-            series = pd.Series(result, index=out.index)
-            if mask.any():
-                series = series.astype(object)
-                series[mask] = None
-            out[result_name] = series
+            if res_shape:
+                out[result_name] = [
+                    None if m else row.tolist() for m, row in zip(mask, result)
+                ]
+            else:
+                series = pd.Series(result, index=out.index)
+                if mask.any():
+                    series = series.astype(object)
+                    series[mask] = None
+                out[result_name] = series
             yield out
-        state.update((float(acc),))
+        state.update((pickle.dumps(acc),))
 
     return df.groupBy(*keys).applyInPandasWithState(
         scan_with_state,

@@ -30,3 +30,16 @@ def test_asof_multiple_value_columns(spark):
     out = asof_join(left, right, on="t", value_cols=["a", "b"]).collect()[0]
     assert (out["a_asof"], out["b_asof"]) == (7, 8.5)
     assert out["x"] == 100
+
+
+def test_asof_null_right_value_is_carried_not_skipped(spark):
+    """A right row whose VALUE is null is still the as-of match (DuckDB ASOF
+    semantics) — naive last(value, ignorenulls) would wrongly carry the older
+    non-null value; with two value columns it could even blend rows."""
+    left = spark.createDataFrame([("u", 3, "L")], "k string, t long, tag string")
+    right = spark.createDataFrame(
+        [("u", 1, 5, 100), ("u", 2, None, 7)], "k string, t long, v integer, w integer"
+    )
+    out = asof_join(left, right, on="t", by="k", value_cols=["v", "w"]).collect()[0]
+    assert out["v_asof"] is None   # from the t=2 row, NOT 5 from t=1
+    assert out["w_asof"] == 7      # same row — no cross-row blending

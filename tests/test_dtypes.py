@@ -99,3 +99,23 @@ def test_normalize_accepts_instance_class_and_string():
     assert normalize_spark_type("array<double>") == T.ArrayType(T.DoubleType())
     with pytest.raises(TypeError):
         normalize_spark_type(42)
+
+
+def test_scan_over_nullable_date_column(spark):
+    """DateType scan input with nulls: the zero-fill path must not crash
+    (regression: int64→date32 Arrow cast is unsupported)."""
+    from datetime import date
+
+    df = spark.createDataFrame(
+        [(date(2024, 1, 2), 0), (None, 1), (date(2024, 1, 5), 2)],
+        "d date, ord long",
+    )
+
+    def latest(acc, d):
+        return d if d > acc else acc
+
+    out = collect_scan(
+        df, latest, date(1970, 1, 1), "date", column_names=["d"], order_by="ord"
+    )
+    vals = [r["scan"] for r in out.orderBy("ord").collect()]
+    assert vals == [date(2024, 1, 2), None, date(2024, 1, 5)]

@@ -189,3 +189,13 @@ def test_multimodal_extract_features_roundtrip(spark):
         assert r["n_bytes"] == len(payload)
         w, h, p = M.decode_image_stub(payload)
         assert (r["width"], r["height"], r["phash"]) == (w, h, p)
+
+
+def test_simhash_full_64_bits(spark):
+    """bits=64 must build a valid plan (bit 63 via shiftleft, not 2**63
+    literal overflow) and identical docs still collide at Hamming 0."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")], "doc_id long, text string"
+    )
+    sigs = df.select(D.simhash("text", bits=64).alias("s")).collect()
+    assert sigs[0]["s"] == sigs[1]["s"]

@@ -118,3 +118,39 @@ def test_sessionize_batch_stream_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sess_stream").collect()
     }
     assert got == expected
+
+
+def test_streaming_fold_integer_state_not_degraded(spark, tmp_path):
+    """The state store holds PICKLED accumulators — an integer accumulator
+    stays an int across micro-batches (the old DoubleType state store would
+    silently coerce it to float)."""
+    from polars_numba_spark.operators.fold import grouped_fold
+    from polars_numba_spark.streaming import streaming_grouped_fold
+
+    stream = load_stream(spark, "events", SF)
+    batch = load_table(spark, "events", SF)
+
+    def count_only(acc, v):
+        return acc + 1
+
+    sout = streaming_grouped_fold(
+        stream.select("user_id", "ts", "event_id", "value"),
+        "user_id", count_only, 0, "long",
+        columns=["value"], order_by=["ts", "event_id"],
+    )
+    q = (
+        sout.writeStream.format("memory").queryName("fold_int_state")
+        .outputMode("update").option("checkpointLocation", str(tmp_path / "ck4"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["fold"]
+        for r in spark.sql("SELECT * FROM fold_int_state").collect()
+    }
+    expected = {
+        r["user_id"]: r["fold"]
+        for r in grouped_fold(batch, "user_id", count_only, 0, "long",
+                              columns=["value"], order_by=["ts", "event_id"]).collect()
+    }
+    assert got == expected and all(isinstance(v, int) for v in got.values())
