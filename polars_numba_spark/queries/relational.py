@@ -436,3 +436,70 @@ def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_users")
         ).alias("rel_err"),
     )
+
+
+@register(
+    "nation_order_cube",
+    oracle="""
+    SELECT n_name, o_orderstatus, COUNT(*) AS order_count
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY CUBE (n_name, o_orderstatus)
+    """,
+)
+def nation_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE grouping sets (all four subtotal combinations)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .cube("n_name", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "events_unpivoted_flags",
+    oracle="""
+    WITH pivoted AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, kind, n FROM pivoted
+    UNPIVOT (n FOR kind IN (click, purchase))
+    """,
+)
+def events_unpivoted_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide per-user counts back to long (kind, n) rows."""
+    e = _t(spark, sf_dir, "events")
+    wide = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("click"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchase"),
+    )
+    return wide.unpivot("user_id", ["click", "purchase"], "kind", "n")
+
+
+@register(
+    "embedding_sign_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+           CAST(CASE WHEN len(list_filter(embedding, x -> x > 0.2)) > 0
+                THEN 1 ELSE 0 END AS BOOLEAN) AS has_large
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
+def embedding_sign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter/exists) over the embedding
+    column — pure codegen, no explode."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.exists("embedding", lambda x: x > 0.2).alias("has_large"),
+    )
