@@ -28,7 +28,13 @@ def sessionize(
     watermark: str | None = None,
 ) -> DataFrame:
     """Gap-based sessions per key: one row per session with
-    ``session_start`` (min event time) plus the given aggregates."""
+    ``session_start`` (min event time) plus the given aggregates.
+
+    Boundary semantics (verified empirically): an event exactly ``gap``
+    after the previous one is merged into the SAME session — Spark's
+    session_window treats the window end as inclusive for merging. The
+    gaps-and-islands oracle formulation must therefore use
+    ``ts - lag(ts) > gap`` (strict) for the new-session flag."""
     keys = as_list(group_by)
     aggs = aggs or {"n_events": F.count(F.lit(1))}
     out = df

@@ -121,6 +121,23 @@ SQL_DISTINCT_TOKENS = f"list_sort(list_distinct({SQL_TOKENS}))"
 SQL_FINGERPRINT = f"md5(list_aggregate({SQL_DISTINCT_TOKENS}, 'string_agg', ' '))"
 
 
+SQL_QUALITY = (
+    "least(length(list_intersect(list_distinct({t}), "
+    "['the','a','and','of','to','in','is','it','that','for'])) / 5.0, 1.0) * 0.4"
+    " + CASE WHEN (CAST(length({c}) AS DOUBLE) / length({t})) >= 3.0"
+    "        AND (CAST(length({c}) AS DOUBLE) / length({t})) <= 10.0"
+    "   THEN 0.3 ELSE 0.0 END"
+    " + greatest(0.0, 0.3"
+    "   - (CAST(length(regexp_extract_all({c}, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length({c})) * 3.0"
+    "   - (CAST(length(regexp_extract_all({c}, '[0-9]')) AS DOUBLE) / length({c})) * 1.5)"
+)
+
+
+def sql_quality(c: str) -> str:
+    """The frozen quality formula as a DuckDB fragment (oracle parity)."""
+    return SQL_QUALITY.format(c=c, t=SQL_TOKENS.format(c=c))
+
+
 def sql_lang_hits(c: str, lang: str) -> str:
     return (
         f"length(list_intersect(list_distinct({SQL_TOKENS.format(c=c)}), "

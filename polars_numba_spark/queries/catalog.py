@@ -135,7 +135,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
@@ -382,7 +382,7 @@ def running_max_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_running_event_count",
     oracle="""
     SELECT event_id, user_id,
-           COUNT(*) OVER (
+           COUNT(event_id) OVER (
                PARTITION BY user_id
                ORDER BY CAST(ts AS TIMESTAMP), event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -440,7 +440,7 @@ def kernel_scan_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kernel_fold_event_cents",
     oracle="""
     SELECT user_id,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+           COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)), 0) AS total_cents
     FROM events
     GROUP BY user_id
     """,
@@ -472,11 +472,13 @@ def kernel_fold_event_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kernel_scan_user_balance_cents",
     oracle="""
     SELECT event_id, user_id,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
-               PARTITION BY user_id
-               ORDER BY CAST(ts AS TIMESTAMP), event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS balance_cents
+           CASE WHEN value IS NULL THEN NULL ELSE
+               COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 0)
+           END AS balance_cents
     FROM events
     """,
 )

@@ -50,28 +50,8 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_quality_scores",
-    oracle="""
-    WITH f AS (
-        SELECT doc_id,
-               length(text) AS n_chars,
-               length(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
-               length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
-               length(regexp_extract_all(text, '[0-9]')) AS n_digit,
-               length(list_intersect(
-                   list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
-                   ['the','a','and','of','to','in','is','it','that','for']
-               )) AS n_stop
-        FROM documents
-    )
-    SELECT doc_id,
-           least(n_stop / 5.0, 1.0) * 0.4
-           + CASE WHEN (CAST(n_chars AS DOUBLE) / n_tokens) >= 3.0
-                   AND (CAST(n_chars AS DOUBLE) / n_tokens) <= 10.0
-                  THEN 0.3 ELSE 0.0 END
-           + greatest(0.0, 0.3 - (CAST(n_punct AS DOUBLE) / n_chars) * 3.0
-                           - (CAST(n_digit AS DOUBLE) / n_chars) * 1.5)
-           AS quality
-    FROM f
+    oracle=f"""
+    SELECT doc_id, {X.sql_quality('text')} AS quality FROM documents
     """,
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,21 +274,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
         SELECT doc_id, lang,
                {X.SQL_FINGERPRINT.format(c='text')} AS fp,
-               least(length(list_intersect(
-                   list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
-                   ['the','a','and','of','to','in','is','it','that','for']
-               )) / 5.0, 1.0) * 0.4
-               + CASE WHEN (CAST(length(text) AS DOUBLE)
-                            / length(string_split_regex(trim(lower(text)), '\\s+'))) >= 3.0
-                       AND (CAST(length(text) AS DOUBLE)
-                            / length(string_split_regex(trim(lower(text)), '\\s+'))) <= 10.0
-                      THEN 0.3 ELSE 0.0 END
-               + greatest(0.0,
-                   0.3 - (CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-                          / length(text)) * 3.0
-                       - (CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-                          / length(text)) * 1.5)
-               AS quality
+               {X.sql_quality('text')} AS quality
         FROM documents
     ), ranked AS (
         SELECT doc_id, lang, quality,

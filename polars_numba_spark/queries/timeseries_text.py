@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from polars_numba_spark.operators import sampling as SAMPLING
+from polars_numba_spark.operators import text as X
 from polars_numba_spark.operators.chunking import chunk_documents
 from polars_numba_spark.operators.text import tokens
 from polars_numba_spark.operators.timeseries import (
@@ -195,8 +197,7 @@ def lineitem_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_train_valid_test_split",
     oracle=f"""
     WITH b AS (
-        SELECT doc_id,
-               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 AS BIGINT) AS bucket
+        SELECT doc_id, {SAMPLING.sql_hash_bucket('doc_id')} AS bucket
         FROM documents
     )
     SELECT CASE WHEN bucket < 8000 THEN 'train'
@@ -251,27 +252,12 @@ def order_price_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "training_data_pipeline",
-    oracle="""
+    oracle=f"""
     WITH scored AS (
         SELECT doc_id, text,
-               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 AS BIGINT) AS bucket,
-               md5(list_aggregate(list_sort(list_distinct(
-                   string_split_regex(trim(lower(text)), '\\s+'))), 'string_agg', ' ')) AS fp,
-               least(length(list_intersect(
-                   list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
-                   ['the','a','and','of','to','in','is','it','that','for']
-               )) / 5.0, 1.0) * 0.4
-               + CASE WHEN (CAST(length(text) AS DOUBLE)
-                            / length(string_split_regex(trim(lower(text)), '\\s+'))) >= 3.0
-                       AND (CAST(length(text) AS DOUBLE)
-                            / length(string_split_regex(trim(lower(text)), '\\s+'))) <= 10.0
-                      THEN 0.3 ELSE 0.0 END
-               + greatest(0.0,
-                   0.3 - (CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-                          / length(text)) * 3.0
-                       - (CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-                          / length(text)) * 1.5)
-               AS quality
+               {SAMPLING.sql_hash_bucket('doc_id')} AS bucket,
+               {X.SQL_FINGERPRINT.format(c='text')} AS fp,
+               {X.sql_quality('text')} AS quality
         FROM documents
     ), curated AS (
         SELECT doc_id, text, bucket FROM (
@@ -315,10 +301,11 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "text")
     )
-    split = split_by_hash(curated, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
-    chunks = chunk_documents(split, chunk_tokens=64, overlap=16).join(
-        split.select("doc_id", "split"), "doc_id"
-    )
+    chunks = chunk_documents(curated, chunk_tokens=64, overlap=16)
+    # split is a pure function of doc_id — assign on the chunk output
+    # instead of joining back (which would re-evaluate the whole curation
+    # lineage a second time)
+    chunks = split_by_hash(chunks, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
     return chunks.groupBy("split").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_chunks"),

@@ -196,7 +196,7 @@ def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH o AS (
         SELECT l_quantity > 25 AS hot,
-               ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+               ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn
         FROM lineitem
     ), g AS (
         SELECT hot, rn - ROW_NUMBER() OVER (PARTITION BY hot ORDER BY rn) AS grp
@@ -228,7 +228,10 @@ def global_longest_hot_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, longest = collect_fold(
         l, streak, (0, 0),
         column_names=["l_quantity"],
-        order_by=["l_orderkey", "l_linenumber"],
+        # l_quantity tie-break: (orderkey, linenumber) is NOT unique in the
+        # synthetic data; remaining ties share the same quantity, so the hot
+        # flag sequence — all the fold sees — is deterministic.
+        order_by=["l_orderkey", "l_linenumber", "l_quantity"],
     )
     return spark.createDataFrame([(int(longest),)], "longest long")
 
@@ -270,8 +273,10 @@ def kernel_fold_two_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kernel_scan_multi_output",
     oracle="""
     SELECT event_id,
-           [SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w,
-            COUNT(*) OVER w] AS acc_pair
+           CASE WHEN value IS NULL THEN NULL ELSE
+               [COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w, 0),
+                COUNT(value) OVER w]
+           END AS acc_pair
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -513,11 +518,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_surface_running_balance",
     oracle="""
     SELECT user_id, event_id,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
-               PARTITION BY user_id
-               ORDER BY CAST(ts AS TIMESTAMP), event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS scan
+           CASE WHEN value IS NULL THEN NULL ELSE
+               COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 0)
+           END AS scan
     FROM events
     """,
 )
