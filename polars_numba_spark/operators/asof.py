@@ -56,6 +56,10 @@ def asof_join(
     # latest right ROW atomically — a right row whose individual value
     # columns are NULL is still the match (DuckDB ASOF semantics), and
     # multiple value columns can never blend across different right rows.
+    # A right row with a null `on` value can never be an as-of match
+    # (DuckDB/pandas semantics); without this filter Spark's nulls-first
+    # ascending sort would place it before every left row and carry it.
+    right = right.where(F.col(on).isNotNull())
     r = right.select(
         *keys,
         F.col(on).alias("__t"),

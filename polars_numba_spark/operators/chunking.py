@@ -30,6 +30,10 @@ def chunk_documents(
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    # Null texts produce no chunks (filtered explicitly — a null array would
+    # silently vanish in posexplode anyway; making it explicit keeps the
+    # one-chunk-minimum contract honest: it applies to non-null documents).
+    df = df.where(F.col(text_col).isNotNull())
     stride = chunk_tokens - overlap
     toks = tokens(text_col)
     n = F.size(toks)

@@ -272,6 +272,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -292,7 +293,15 @@ def connected_components(
         n_changed = new_labels.where(F.col("changed")).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter exceeds the cap); raise "
+            "max_iterations — returning partial labels would silently keep "
+            "multiple canonical docs per cluster"
+        )
     return labels
 
 

@@ -41,6 +41,12 @@ def interval_join(
     ``point``/``lower``/``upper`` are numeric (epoch-cast timestamps work:
     ``F.unix_timestamp``). Output: all left columns + all right columns.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "interval_join supports how='inner'/'left' only: the right side "
+            "is exploded per bucket, so right/full outer would emit one "
+            "duplicate row per overlapped bucket for unmatched intervals"
+        )
     keys = as_list(by)
     lo_op = {"both": "<=", "left": "<=", "right": "<", "neither": "<"}[closed]
     hi_op = {"both": "<=", "left": "<", "right": "<=", "neither": "<"}[closed]

@@ -22,10 +22,14 @@ HASH_BUCKETS = 10_000
 
 
 def hash_bucket(col: Column | str, buckets: int = HASH_BUCKETS) -> Column:
-    """Stable content-hash bucket in [0, buckets): md5 → 60-bit int → mod."""
+    """Stable content-hash bucket in [0, buckets): md5 → 60-bit int → mod.
+
+    NULL keys bucket to 0 (deterministic and identical for split_by_hash
+    and sample_by_hash — without the coalesce, nulls would fall through
+    when-chains to the LAST split but be DROPPED by sample filters)."""
     c = F.col(col) if isinstance(col, str) else col
     h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
-    return h % buckets
+    return F.coalesce(h % buckets, F.lit(0))
 
 
 def sql_hash_bucket(expr: str, buckets: int = HASH_BUCKETS) -> str:

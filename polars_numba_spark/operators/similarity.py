@@ -107,11 +107,7 @@ def hyperplane_bucket(
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         warr = F.array(*[F.lit(w) for w in weights[p]])
-        proj = F.aggregate(
-            F.zip_with(v, warr, lambda x, w: x * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        proj = dot(v, warr)
         bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
             F.lit(0).cast("long")
         )

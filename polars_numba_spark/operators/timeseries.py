@@ -100,10 +100,17 @@ def gap_fill_interpolate(
     w_prev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_next = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     ts = F.col("__t").cast("double")
-    prev_v = F.last(F.col("__v"), ignorenulls=True).over(w_prev)
-    prev_t = F.last(F.when(F.col("__is_obs") == 1, ts), ignorenulls=True).over(w_prev)
-    next_v = F.first(F.col("__v"), ignorenulls=True).over(w_next)
-    next_t = F.first(F.when(F.col("__is_obs") == 1, ts), ignorenulls=True).over(w_next)
+    # time and value are carried as ONE struct from observations whose value
+    # is non-null — a null-valued observation must contribute neither its
+    # value nor its timestamp, or the interpolation fraction desynchronizes
+    obs_pair = F.when(
+        (F.col("__is_obs") == 1) & F.col("__v").isNotNull(),
+        F.struct(ts.alias("t"), F.col("__v").alias("v")),
+    )
+    prev = F.last(obs_pair, ignorenulls=True).over(w_prev)
+    nxt = F.first(obs_pair, ignorenulls=True).over(w_next)
+    prev_v, prev_t = prev["v"], prev["t"]
+    next_v, next_t = nxt["v"], nxt["t"]
     if method == "ffill":
         filled = prev_v
     elif method == "linear":

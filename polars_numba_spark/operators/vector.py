@@ -50,9 +50,13 @@ def group_centroids(
         sum_expr = F.expr("CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)")
     else:
         sum_expr = F.sum("x")
+    # F.count("x") (non-null) as the divisor: a null vector ELEMENT must
+    # not bias the mean low; member count is computed separately per group
+    # (per-dim counts can differ for ragged/null-element vectors).
     per_dim = dims.groupBy(*keys, "dim").agg(
-        sum_expr.alias("s"), F.count(F.lit(1)).alias("n")
+        sum_expr.alias("s"), F.count("x").alias("n")
     )
+    member_counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_members"))
     mean = F.col("s") / F.col("n")
     if exact:
         mean = F.round(mean, 9)
@@ -63,8 +67,8 @@ def group_centroids(
             F.array_sort(
                 F.collect_list(F.struct("dim", "mean"))
             ).alias("pairs"),
-            F.first("n").alias("n_members"),
         )
+        .join(member_counts, keys)
         .select(
             *keys,
             F.col("pairs.mean").alias("centroid"),

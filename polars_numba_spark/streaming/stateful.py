@@ -64,13 +64,26 @@ def streaming_grouped_fold(
     # exactly as the batch operators allow.
     state_schema = T.StructType([T.StructField("acc", T.BinaryType())])
 
+    from polars_numba_spark.dtypes import result_dtype_and_shape
+
+    res_np_dtype, res_shape = result_dtype_and_shape(return_dtype)
+
     def fold_with_state(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         import pickle
 
+        import numpy as np
+
         acc = pickle.loads(bytes(state.get[0])) if state.exists else acc0
-        for pdf in pdfs:
+        # Spark may deliver a key's micro-batch rows as SEVERAL pandas
+        # chunks in arbitrary order — order_by is only meaningful over the
+        # concatenation, so gather first, sort once, fold once. Memory is
+        # bounded by the key's per-micro-batch volume (watermarks bound it
+        # further in production).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             if order_cols:
                 pdf = pdf.sort_values(order_cols, kind="mergesort")
             pdf = pdf.dropna(subset=cols)
@@ -81,8 +94,14 @@ def streaming_grouped_fold(
                 ]
                 acc = folder(step, acc, extra, *arrays)
         state.update((pickle.dumps(acc),))
+        # return-dtype cast, same numpy-buffer semantics as batch grouped_fold
+        buf = np.empty((1,) + res_shape, dtype=res_np_dtype)
+        buf[0] = acc
+        value = buf[0].tolist() if res_shape else (
+            buf[0].item() if res_np_dtype.kind in "biuf" else buf[0]
+        )
         data = {k: [v] for k, v in zip(keys, key)}
-        data[result_name] = [acc]
+        data[result_name] = [value]
         yield pd.DataFrame(data)
 
     return df.groupBy(*keys).applyInPandasWithState(
@@ -148,8 +167,11 @@ def streaming_grouped_scan(
         import pickle
 
         acc = pickle.loads(bytes(state.get[0])) if state.exists else acc0
-        for pdf in pdfs:
-            pdf = pdf[[f.name for f in passthrough]]
+        # concatenate the micro-batch's chunks before sorting (see fold)
+        gathered = [pdf[[f.name for f in passthrough]] for pdf in pdfs if len(pdf)]
+        for pdf in (
+            [pd.concat(gathered, ignore_index=True)] if len(gathered) > 1 else gathered
+        ):
             if order_cols:
                 pdf = pdf.sort_values(order_cols, kind="mergesort")
             n = len(pdf)

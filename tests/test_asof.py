@@ -43,3 +43,12 @@ def test_asof_null_right_value_is_carried_not_skipped(spark):
     out = asof_join(left, right, on="t", by="k", value_cols=["v", "w"]).collect()[0]
     assert out["v_asof"] is None   # from the t=2 row, NOT 5 from t=1
     assert out["w_asof"] == 7      # same row — no cross-row blending
+
+
+def test_asof_null_time_right_rows_never_match(spark):
+    """A right row with a NULL time is not a match (regression: nulls-first
+    sort made it the carried payload for every left row)."""
+    left = spark.createDataFrame([("u", 5)], "k string, t long")
+    right = spark.createDataFrame([("u", None, 99.0)], "k string, t long, v double")
+    out = asof_join(left, right, on="t", by="k", value_cols=["v"]).collect()[0]
+    assert out["v_asof"] is None

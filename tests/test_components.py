@@ -52,3 +52,13 @@ def test_keep_list_on_real_near_dups(spark):
             assert keep_orig and not keep_clone
     # unpaired docs all keep themselves
     assert all(k for i, (k, c) in rows.items() if c == i)
+
+
+def test_components_raises_on_iteration_cap(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=3)

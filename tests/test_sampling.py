@@ -62,3 +62,13 @@ def test_bucket_range(spark):
         F.min("b"), F.max("b")
     ).collect()[0]
     assert 0 <= mm[0] and mm[1] < 10000
+
+
+def test_null_keys_consistent_between_split_and_sample(spark):
+    """NULL keys bucket to 0: assigned to the FIRST split and included in
+    any sample whose fraction covers bucket 0 — consistent, documented."""
+    df = spark.createDataFrame([(None,), (1,), (2,)], "k string")
+    splits = {r["k"]: r["split"] for r in split_by_hash(df, "k", {"a": 0.5, "b": 0.5}).collect()}
+    assert splits[None] == "a"
+    sampled = {r["k"] for r in sample_by_hash(df, "k", 0.5).collect()}
+    assert None in sampled  # bucket 0 < 5000

@@ -83,3 +83,24 @@ def test_chunking_invalid_overlap(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_gap_fill_ignores_null_valued_observations(spark):
+    """A null-valued observation must contribute neither value nor TIME —
+    regression: its timestamp desynchronized the interpolation fraction."""
+    rows = [
+        ("u", T0, 0.0),
+        ("u", T0 + timedelta(seconds=10), None),
+        ("u", T0 + timedelta(seconds=20), 20.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = gap_fill_interpolate(df, "ts", "v", 4, partition_by="k", method="linear")
+    got = {r["ts"]: r["v"] for r in out.collect()}
+    expected = {T0 + timedelta(seconds=s): float(s) for s in range(0, 21, 4)}
+    assert got == expected
+
+
+def test_chunking_null_text_filtered(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, None)], "doc_id long, text string")
+    out = chunk_documents(df)
+    assert [r["doc_id"] for r in out.collect()] == [1]
