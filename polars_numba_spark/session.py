@@ -61,4 +61,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
     return builder.getOrCreate()

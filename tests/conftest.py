@@ -17,7 +17,16 @@ from polars_numba_spark import get_spark  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="polars-numba-spark-tests", master="local[4]", shuffle_partitions=4)
+    extra = {}
+    if os.environ.get("PNS_TEST_TINY_BATCHES"):
+        # adversarial batching: exercises every batch-boundary carry path
+        extra["spark.sql.execution.arrow.maxRecordsPerBatch"] = "19"
+    s = get_spark(
+        app_name="polars-numba-spark-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf=extra or None,
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
