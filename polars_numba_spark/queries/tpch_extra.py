@@ -555,3 +555,92 @@ def sql_surface_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH volumes AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+          AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1997-12-31 00:00:00'
+    )
+    SELECT o_year,
+           {_DSUM.format(x="CASE WHEN supp_nation = 'NATION_9' THEN volume ELSE 0.0 END")}
+           / {_DSUM.format(x='volume')} AS mkt_share
+    FROM volumes GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share within a region per year — nested
+    conditional aggregation over a 7-way join, exact decimal share."""
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    c = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").alias("n2")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    vols = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sup), l.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    nation_vol = "CASE WHEN supp_nation = 'NATION_9' THEN volume ELSE 0.0 END"
+    return vols.groupBy("o_year").agg(
+        (
+            F.expr(_DSUM.format(x=nation_vol)) / F.expr(_DSUM.format(x="volume"))
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "order_price_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS cheapest_key,
+           last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS priciest_key
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def order_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist plus
+    first/last_value over the full-partition frame (deterministic
+    tie-breaks throughout)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(wf).alias("cheapest_key"),
+        F.last("o_orderkey").over(wf).alias("priciest_key"),
+    )
