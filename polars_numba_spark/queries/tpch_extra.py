@@ -644,3 +644,69 @@ def order_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(wf).alias("cheapest_key"),
         F.last("o_orderkey").over(wf).alias("priciest_key"),
     )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+           {_DSUM.format(x='l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1')}
+           AS profit
+    FROM lineitem, orders, supplier, part, nation
+    WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      AND l_partkey = p_partkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit expression mixing columns from two fact-side
+    tables, LIKE-filtered part dimension, grouped by nation and year
+    (p_retailprice*qty*0.1 stands in for the absent ps_supplycost)."""
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    o = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    n = _t(spark, sf_dir, "nation")
+    profit = "l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1"
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sup), l.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(n), sup.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.expr(_DSUM.format(x=profit)).alias("profit"))
+    )
+
+
+@register(
+    "customer_name_fuzzy_pairs",
+    oracle="""
+    SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: Levenshtein distance within nation blocks
+    (both engines implement classic edit distance — exact oracle). The
+    blocking key bounds the pair count, the standard record-linkage shape."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.alias("a")
+    b = c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(dist <= 2)
+        .select(
+            F.col("a.c_custkey").alias("a_key"),
+            F.col("b.c_custkey").alias("b_key"),
+            dist.alias("edit_dist"),
+        )
+    )
