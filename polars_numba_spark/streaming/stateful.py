@@ -236,3 +236,25 @@ def windowed_rollup(
     return out.groupBy(*keys).agg(
         *[expr.alias(name) for name, expr in aggs.items()]
     )
+
+
+def streaming_exact_dedup(
+    df: DataFrame,
+    content_col: str,
+    time_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first arrival per content
+    digest. With ``time_col``, state is bounded by the watermark (digests
+    older than the watermark are dropped from state — the standard
+    duplicates-arrive-close-together assumption); without it, state grows
+    with distinct content forever (documented, batch-equivalent).
+
+    Works identically on batch DataFrames (Spark's unified semantics), where
+    it degenerates to dropDuplicates on the digest.
+    """
+    out = df.withColumn("__digest", F.md5(F.col(content_col).cast("string")))
+    if df.isStreaming and time_col is not None:
+        out = out.withWatermark(time_col, watermark)
+        return out.dropDuplicatesWithinWatermark(["__digest"]).drop("__digest")
+    return out.dropDuplicates(["__digest"]).drop("__digest")

@@ -154,3 +154,23 @@ def test_streaming_fold_integer_state_not_degraded(spark, tmp_path):
                               columns=["value"], order_by=["ts", "event_id"]).collect()
     }
     assert got == expected and all(isinstance(v, int) for v in got.values())
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Streaming dedup keeps one row per content digest; count matches the
+    batch dedup of the same data."""
+    from polars_numba_spark.streaming import streaming_exact_dedup
+
+    batch = load_table(spark, "events", SF).select("event_id", "ts", "event_type")
+    expected = streaming_exact_dedup(batch, "event_type").count()  # batch path
+
+    stream = load_stream(spark, "events", SF).select("event_id", "ts", "event_type")
+    out = streaming_exact_dedup(stream, "event_type", time_col="ts", watermark="90 days")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "ckd"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) c FROM dedup_stream").collect()[0]["c"]
+    assert got == expected == 5  # 5 distinct event types
