@@ -185,22 +185,30 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash(col: Column | str, bits: int = 32) -> Column:
+def simhash(col: Column | str, bits: int = 32, hash_fn=None) -> Column:
     """Sign-aggregated token-hash fingerprint (Charikar simhash).
 
-    For each bit position, sum +1/-1 contributions of ``xxhash64(token)``
+    For each bit position, sum +1/-1 contributions of the token hash
     across distinct tokens; the sign of the sum is the output bit. Documents
     within small Hamming distance are near-duplicates. Pure codegen: one
     expression, no shuffle, no UDF.
+
+    ``hash_fn`` maps a token Column to a long hash; default is the JVM
+    xxhash64 (fast, Spark-specific). Pass an engine-portable hash (e.g. the
+    md5-hex trick) to make results reproducible in other engines.
     """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     toks = distinct_tokens(col)
     bit_cols = []
     for i in range(bits):
         contrib = F.aggregate(
             toks,
             F.lit(0).cast("long"),
+            # 2-arg merge lambda (pyspark checks arity); `i` and `hash_fn`
+            # close over eagerly — F.aggregate builds the Column immediately
             lambda acc, t: acc
-            + F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            + F.when(F.shiftright(hash_fn(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
         bit_cols.append(
             F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(

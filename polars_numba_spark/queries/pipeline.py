@@ -511,3 +511,60 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.select("a_id", "b_id", jac.alias("jaccard")).where(
         F.col("jaccard") >= 0.8
     )
+
+
+@register(
+    "dedup_simhash_portable",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_sort(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
+        FROM documents WHERE doc_id < 150
+    ), hashed AS (
+        SELECT doc_id, UNNEST(list_transform(t, tok ->
+                   CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT))) AS h
+        FROM toks
+    ), contribs AS (
+        SELECT doc_id, i.i AS i,
+               SUM(CASE WHEN ((h >> i.i) & 1) = 1 THEN 1 ELSE -1 END) AS contrib
+        FROM hashed, (SELECT UNNEST(range(16)) AS i) i
+        GROUP BY doc_id, i.i
+    ), sigs AS (
+        SELECT doc_id,
+               SUM(CASE WHEN contrib > 0 THEN CAST(1 << i AS BIGINT) ELSE 0 END) AS sig
+        FROM contribs GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 2
+    """,
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash cross-engine verified: md5-derived token hashes feed the
+    sign-aggregated 16-bit signature; pairs within Hamming distance 2 must
+    match DuckDB's independent bit-arithmetic reproduction. Completes the
+    dedup trilogy (exact, MinHash, SimHash) with full oracles; the
+    xxhash64 operator remains the production path."""
+    from polars_numba_spark.operators.dedup import hamming64, simhash
+
+    def md5_hash(tok):
+        return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    sigs = d.select(
+        F.col("doc_id").alias("id"),
+        simhash("text", bits=16, hash_fn=md5_hash).alias("sig"),
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    ham = hamming64(F.col("a.sig"), F.col("b.sig")).cast("int")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= 2)
+    )
