@@ -503,3 +503,52 @@ def embedding_sign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
         F.exists("embedding", lambda x: x > 0.2).alias("has_large"),
     )
+
+
+@register(
+    "scalar_function_zoo",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS f_abs,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS f_ceil,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS f_floor,
+           sign(l_discount - 0.05) AS f_sign,
+           CAST(l_quantity AS BIGINT) % 5 AS f_mod,
+           sqrt(l_extendedprice) AS f_sqrt,
+           l_extendedprice * l_extendedprice AS f_sq,
+           greatest(l_discount, l_tax) AS f_greatest,
+           least(l_discount, l_tax) AS f_least,
+           nullif(l_discount, 0.0) AS f_nullif,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS f_coalesce,
+           substr(l_returnflag || l_linestatus, 1, 2) AS f_concat_substr,
+           lpad(CAST(l_linenumber AS VARCHAR), 3, '0') AS f_lpad,
+           replace(l_returnflag, 'N', 'X') AS f_replace
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+)
+def scalar_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function breadth in one projection: arithmetic (abs/ceil/
+    floor/sign/mod), IEEE-exact sqrt and squaring, comparators (greatest/
+    least), null combinators (nullif/coalesce), string functions (concat/
+    substr/lpad/replace) — all with bit-exact cross-engine semantics
+    (libm-dependent exp/ln are deliberately absent: their last-ulp values
+    differ between JVM and C runtimes)."""
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 300)  # noqa: E741
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("f_abs"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("long").alias("f_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("long").alias("f_floor"),
+        F.signum(F.col("l_discount") - 0.05).alias("f_sign"),
+        (F.col("l_quantity").cast("long") % 5).alias("f_mod"),
+        F.sqrt("l_extendedprice").alias("f_sqrt"),
+        (F.col("l_extendedprice") * F.col("l_extendedprice")).alias("f_sq"),
+        F.greatest("l_discount", "l_tax").alias("f_greatest"),
+        F.least("l_discount", "l_tax").alias("f_least"),
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("f_nullif"),
+        F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(-1.0)).alias("f_coalesce"),
+        F.substring(F.concat("l_returnflag", "l_linestatus"), 1, 2).alias("f_concat_substr"),
+        F.lpad(F.col("l_linenumber").cast("string"), 3, "0").alias("f_lpad"),
+        F.replace(F.col("l_returnflag"), F.lit("N"), F.lit("X")).alias("f_replace"),
+    )
