@@ -552,3 +552,51 @@ def scalar_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("l_linenumber").cast("string"), 3, "0").alias("f_lpad"),
         F.replace(F.col("l_returnflag"), F.lit("N"), F.lit("X")).alias("f_replace"),
     )
+
+
+@register(
+    "events_hourly_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INTEGER) AS dow,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap by day-of-week × hour-of-day (date-part extraction;
+    Spark dayofweek is 1=Sunday, DuckDB dayofweek is 0=Sunday — the oracle
+    aligns with +1)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hod"),
+        )
+        .groupBy("dow", "hod")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "document_length_histogram",
+    oracle="""
+    SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def document_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document lengths (floor-bucketing — the
+    groupBy histogram idiom that scales to any cardinality)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("bucket_lo", (F.floor(F.col("n_chars") / 50) * 50).cast("long"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

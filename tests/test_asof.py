@@ -52,3 +52,43 @@ def test_asof_null_time_right_rows_never_match(spark):
     right = spark.createDataFrame([("u", None, 99.0)], "k string, t long, v double")
     out = asof_join(left, right, on="t", by="k", value_cols=["v"]).collect()[0]
     assert out["v_asof"] is None
+
+
+def test_asof_matches_pandas_merge_asof_property(spark):
+    """Differential vs a third independent implementation: pandas
+    merge_asof(direction='backward') on randomized inputs."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        left_pd = pd.DataFrame({
+            "k": rng.choice(["a", "b"], 15),
+            "t": rng.randint(0, 50, 15).astype("int64"),
+        }).sort_values("t").reset_index(drop=True)
+        left_pd["lid"] = range(len(left_pd))
+        right_pd = pd.DataFrame({
+            "k": rng.choice(["a", "b"], 10),
+            "t": rng.randint(0, 50, 10).astype("int64"),
+            "v": rng.randint(0, 1000, 10).astype("int64"),
+        }).sort_values("t").reset_index(drop=True)
+        # merge_asof requires unique-ish ordering; drop duplicate (k,t) on the
+        # right to make the expected match unambiguous
+        right_pd = right_pd.drop_duplicates(["k", "t"], keep="last").sort_values("t")
+
+        expected = pd.merge_asof(
+            left_pd, right_pd, on="t", by="k", direction="backward"
+        ).set_index("lid")["v"].to_dict()
+
+        left = spark.createDataFrame(left_pd)
+        right = spark.createDataFrame(right_pd)
+        got = {
+            r["lid"]: r["v_asof"]
+            for r in asof_join(left, right, on="t", by="k", value_cols=["v"]).collect()
+        }
+        for lid, exp_v in expected.items():
+            g = got[lid]
+            if pd.isna(exp_v):
+                assert g is None, (trial, lid)
+            else:
+                assert g == exp_v, (trial, lid)
