@@ -26,20 +26,18 @@ def l2_normalize(col, eps: float = 1e-12):
     return F.transform(v, lambda x: x / (n + eps))
 
 
-def group_centroids(
+def group_centroid_dims(
     df: DataFrame,
     vec_col: str = "embedding",
     group_by: str | Sequence[str] = "label",
     exact: bool = True,
 ) -> DataFrame:
-    """Per-group mean vector: (keys..., centroid array<double>, n_members).
+    """Exploded per-dimension centroid means: (keys..., dim, mean,
+    n_members) — one scalar row per (group, dimension).
 
-    ``exact=True`` accumulates each dimension as DECIMAL(28,12) before the
-    final double division and rounds the mean to 9 decimals — deterministic
-    across engines and partitionings (float sums are order-dependent, and
-    even the double→decimal input cast can round differently in the last
-    ulp across engines; centroids feeding an index should not drift run to
-    run). ``exact=False`` is plain float aggregation (faster, drifts).
+    This is the flat spelling of :func:`group_centroids` (same shuffle on
+    (group, dim), no array re-assembly); it is also the shape safe for
+    oracle-compared results, where array-typed columns are not allowed.
     """
     keys = as_list(group_by)
     dims = df.select(
@@ -62,13 +60,36 @@ def group_centroids(
         mean = F.round(mean, 9)
     return (
         per_dim.withColumn("mean", mean)
-        .groupBy(*keys)
+        .join(member_counts, keys)
+        .select(*keys, "dim", "mean", "n_members")
+    )
+
+
+def group_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_by: str | Sequence[str] = "label",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group mean vector: (keys..., centroid array<double>, n_members).
+
+    ``exact=True`` accumulates each dimension as DECIMAL(28,12) before the
+    final double division and rounds the mean to 9 decimals — deterministic
+    across engines and partitionings (float sums are order-dependent, and
+    even the double→decimal input cast can round differently in the last
+    ulp across engines; centroids feeding an index should not drift run to
+    run). ``exact=False`` is plain float aggregation (faster, drifts).
+    """
+    keys = as_list(group_by)
+    per_dim = group_centroid_dims(df, vec_col, group_by, exact=exact)
+    return (
+        per_dim.groupBy(*keys)
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("dim", "mean"))
             ).alias("pairs"),
+            F.first("n_members").alias("n_members"),
         )
-        .join(member_counts, keys)
         .select(
             *keys,
             F.col("pairs.mean").alias("centroid"),

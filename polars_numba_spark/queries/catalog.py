@@ -10,6 +10,13 @@ Conventions that make the driver's hash compare deterministic:
   the last ulps. Decimal sums are associative/exact, so both engines produce
   bit-identical doubles. Products/divisions of identical doubles are IEEE
   deterministic and need no special handling.
+- Integer sums in oracles are wrapped ``CAST(SUM(...) AS BIGINT)``: DuckDB's
+  ``SUM(BIGINT)`` returns HUGEINT, which pandas-based canonicalization (the
+  driver's compare) coerces to float64 while Spark stays int64 — the hashes
+  could never match. (``COUNT`` is BIGINT and needs no wrap.)
+- Oracled queries never emit array/list-typed result columns — the driver's
+  canonicalizer sorts rows by every column and lists are unhashable there.
+  Multi-value results are exploded to scalar rows or split into columns.
 - Top-k queries carry a unique tie-break column in the ORDER BY so LIMIT is
   a total order.
 - Result timestamps are emitted as-is (both engines read this parquet as
@@ -440,7 +447,8 @@ def kernel_scan_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kernel_fold_event_cents",
     oracle="""
     SELECT user_id,
-           COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)), 0) AS total_cents
+           CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)), 0) AS BIGINT)
+               AS total_cents
     FROM events
     GROUP BY user_id
     """,
@@ -472,13 +480,13 @@ def kernel_fold_event_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kernel_scan_user_balance_cents",
     oracle="""
     SELECT event_id, user_id,
-           CASE WHEN value IS NULL THEN NULL ELSE
+           CAST(CASE WHEN value IS NULL THEN NULL ELSE
                COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
                    PARTITION BY user_id
                    ORDER BY CAST(ts AS TIMESTAMP), event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ), 0)
-           END AS balance_cents
+           END AS BIGINT) AS balance_cents
     FROM events
     """,
 )

@@ -357,19 +357,24 @@ def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9) AS mean
         FROM dims GROUP BY label, dim
     )
-    SELECT label, list(mean ORDER BY dim) AS centroid,
-           (SELECT COUNT(*) FROM embeddings e WHERE e.label = per_dim.label) AS n_members
-    FROM per_dim GROUP BY label
+    SELECT p.label, CAST(p.dim AS INTEGER) AS dim, p.mean,
+           (SELECT COUNT(*) FROM embeddings e WHERE e.label = p.label) AS n_members
+    FROM per_dim p
     """,
 )
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (the IVF centroid-training step) with
     decimal-exact per-dimension accumulation — bit-identical across engines
-    and partitionings."""
-    from polars_numba_spark.operators.vector import group_centroids
+    and partitionings. Emitted as exploded (label, dim, mean, n_members)
+    scalar rows: array-typed result columns are banned in oracled queries
+    (they crash pandas-based row canonicalization — catalog.py conventions).
+    """
+    from polars_numba_spark.operators.vector import group_centroid_dims
 
     e = _t(spark, sf_dir, "embeddings")
-    return group_centroids(e, "embedding", "label")
+    return group_centroid_dims(e, "embedding", "label").select(
+        "label", F.col("dim").cast("int").alias("dim"), "mean", "n_members"
+    )
 
 
 @register("kmeans_assignments")  # iterative — rows-only

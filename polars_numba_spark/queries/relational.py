@@ -236,7 +236,7 @@ def part_supplier_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events
     GROUP BY 1, 2
     """,
@@ -330,11 +330,11 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_type_pivot",
     oracle="""
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
     FROM events
     GROUP BY user_id
     """,
@@ -466,8 +466,8 @@ def nation_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pivoted AS (
         SELECT user_id,
-               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
         FROM events GROUP BY user_id
     )
     SELECT user_id, kind, n FROM pivoted
@@ -512,7 +512,7 @@ def embedding_sign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            abs(l_discount - 0.05) AS f_abs,
            CAST(ceil(l_quantity / 7.0) AS BIGINT) AS f_ceil,
            CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS f_floor,
-           sign(l_discount - 0.05) AS f_sign,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS f_sign,
            CAST(l_quantity AS BIGINT) % 5 AS f_mod,
            sqrt(l_extendedprice) AS f_sqrt,
            l_extendedprice * l_extendedprice AS f_sq,

@@ -23,11 +23,11 @@ from polars_numba_spark.queries.catalog import _t, register
     "rolling_hour_user_value",
     oracle="""
     SELECT event_id, user_id,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
                PARTITION BY user_id
                ORDER BY CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
-           ) AS hour_cents
+           ) AS BIGINT) AS hour_cents
     FROM events
     """,
 )

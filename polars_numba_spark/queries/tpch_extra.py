@@ -149,7 +149,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM marked
     )
     SELECT user_id, MIN(ts) AS session_start,
-           COUNT(*) AS n_events, SUM(cents) AS total_cents
+           COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS total_cents
     FROM islands GROUP BY user_id, session_id
     """,
 )
@@ -175,7 +175,8 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "salted_event_type_totals",
     oracle="""
-    SELECT event_type, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+    SELECT event_type,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events GROUP BY event_type
     """,
 )
@@ -273,10 +274,11 @@ def kernel_fold_two_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kernel_scan_multi_output",
     oracle="""
     SELECT event_id,
-           CASE WHEN value IS NULL THEN NULL ELSE
-               [COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w, 0),
-                COUNT(value) OVER w]
-           END AS acc_pair
+           CAST(CASE WHEN value IS NULL THEN NULL ELSE
+               COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w, 0)
+           END AS BIGINT) AS cents_total,
+           CAST(CASE WHEN value IS NULL THEN NULL ELSE COUNT(value) OVER w
+           END AS BIGINT) AS n_seen
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -285,8 +287,10 @@ def kernel_fold_two_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kernel_scan_multi_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-output kernel scan (tuple accumulator → SizedArray, ref
     `tests/test_collect_scan.py:190-208` at table scale): per-user running
-    (cents_total, event_count) pairs, oracled by a pair of window aggregates
-    packed into a list."""
+    (cents_total, event_count) pairs, oracled by a pair of window aggregates.
+    The kernel emits the SizedArray pair; the result schema splits it into
+    scalar columns (array-typed result columns would crash the driver's
+    pandas canonicalizer — catalog.py conventions)."""
     from pyspark.sql import types as T
 
     from polars_numba_spark.dtypes import SizedArray
@@ -308,7 +312,11 @@ def kernel_scan_multi_output(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["cents"],
         order_by=["ts", "event_id"],
         result_name="acc_pair",
-    ).select("event_id", "acc_pair")
+    ).select(
+        "event_id",
+        F.element_at("acc_pair", 1).alias("cents_total"),
+        F.element_at("acc_pair", 2).alias("n_seen"),
+    )
 
 
 @register(
@@ -518,13 +526,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_surface_running_balance",
     oracle="""
     SELECT user_id, event_id,
-           CASE WHEN value IS NULL THEN NULL ELSE
+           CAST(CASE WHEN value IS NULL THEN NULL ELSE
                COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
                    PARTITION BY user_id
                    ORDER BY CAST(ts AS TIMESTAMP), event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ), 0)
-           END AS scan
+           END AS BIGINT) AS scan
     FROM events
     """,
 )
