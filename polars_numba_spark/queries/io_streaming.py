@@ -1,0 +1,122 @@
+"""Driver-gated queries for the I/O-format and Structured Streaming
+surfaces — the two SURVEY.md §2.B families that previously had pytest
+coverage but no CORRECTNESS row.
+
+Both queries keep the (spark, sf_dir) -> batch DataFrame contract:
+
+- the formats query materializes a deterministic slice of ``orders`` as CSV
+  and JSON-lines, reads both back through the schema-mandatory readers, and
+  aggregates — the oracle aggregates the same slice straight off parquet, so
+  any value lost or mangled in either text codec (double shortest-roundtrip,
+  ISO-8601 timestamps) breaks the hash;
+- the streaming query runs a real Structured Streaming job (file source →
+  event-time tumbling windows → memory sink, ``availableNow`` trigger) and
+  returns the sink table; with bounded input the final streaming state must
+  equal the batch aggregate the oracle computes.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_numba_spark.queries.catalog import _DSUM, _t, register
+from polars_numba_spark.sources import load_stream
+from polars_numba_spark.sources.formats import (
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+)
+from polars_numba_spark.streaming import windowed_rollup
+
+
+@register(
+    "formats_csv_jsonl_roundtrip",
+    oracle=f"""
+    SELECT fmt, o_orderstatus, COUNT(*) AS n_orders,
+           {_DSUM.format(x='o_totalprice')} AS total_price,
+           CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_order
+    FROM orders, (SELECT UNNEST(['csv', 'jsonl']) AS fmt) f
+    WHERE o_orderkey < 5000
+    GROUP BY fmt, o_orderstatus
+    """,
+)
+def formats_csv_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON-lines round-trip differential: parquet slice → write both
+    text formats → schema-mandatory read back → per-format aggregate. The
+    oracle computes the identical aggregate from parquet for each format
+    tag, so the hash proves byte-exact codec round-trips (doubles survive
+    via shortest-roundtrip repr, timestamps via ISO-8601 at UTC)."""
+    base = tempfile.mkdtemp(prefix="pns_formats_")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 5000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+    write_csv(o, f"{base}/csv")
+    write_jsonl(o, f"{base}/jsonl")
+    schema = (
+        "o_orderkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp"
+    )
+    c = read_csv(spark, f"{base}/csv", schema).withColumn("fmt", F.lit("csv"))
+    j = read_jsonl(spark, f"{base}/jsonl", schema).withColumn("fmt", F.lit("jsonl"))
+    return (
+        c.unionByName(j)
+        .groupBy("fmt", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(_DSUM.format(x="o_totalprice")).alias("total_price"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
+@register(
+    "streaming_daily_rollup",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed rollup executed as an actual Structured Streaming job:
+    file-stream the events parquet, event-time 1-day tumbling windows per
+    event_type, complete-mode memory sink, availableNow trigger. Bounded
+    input ⇒ the final sink state must equal the batch aggregate (Spark's
+    unified semantics), which the oracle computes independently — a hard
+    driver signal for the streaming engine path, not just its batch twin."""
+    stream = load_stream(spark, "events", sf_dir)
+    out = windowed_rollup(
+        stream,
+        "ts",
+        "1 day",
+        group_by=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_cents": F.sum(F.round(F.col("value") * 100).cast("long")),
+        },
+    )
+    sink = f"pns_stream_daily_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(sink).select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_cents",
+    )
