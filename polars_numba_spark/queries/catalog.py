@@ -501,7 +501,13 @@ def kernel_scan_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME running max through the generic sequential kernel
     (collect_scan → single ordered Arrow stream) — a kernel-vs-SQL
     differential with an exact oracle. Use the window form for production;
-    this entry exists to prove the kernel path against Catalyst."""
+    this entry exists to prove the kernel path against Catalyst.
+
+    ``column_names`` is deliberately omitted: the kernel binds all frame
+    columns positionally in frame order, minus order/group columns — the
+    reference's A7 default (`__init__.py:346-348`, tested
+    `tests/test_collect_fold.py:75-85`) — so this query also drives the
+    positional-binding machinery through the hard gate."""
     o = _t(spark, sf_dir, "orders")
 
     def step(acc, price):
@@ -512,7 +518,6 @@ def kernel_scan_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         step,
         float("-inf"),
         "double",
-        column_names=["o_totalprice"],
         order_by="o_orderkey",
         result_name="running_max",
     ).select("o_orderkey", "running_max")
@@ -531,7 +536,17 @@ def kernel_scan_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kernel_fold_event_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped fold through the generic kernel with an exact integer oracle:
     per-user sum of value-in-cents. Proves the applyInPandas fold path
-    (shuffle on user_id, ordered kernel per group) against plain SQL."""
+    (shuffle on user_id, ordered kernel per group) against plain SQL.
+
+    Two machinery items ride through the gate here: the accumulator is a
+    FLOAT (0.0) while the declared return dtype is long — the A11 cast
+    (ref `tests/test_collect_scan.py:75-92`; exact because cent totals stay
+    far under 2^53) — and the call is spelled through the ``df.plumba``
+    accessor, the engine's analog of the reference's registered expression
+    namespace (ref `__init__.py:802-827`)."""
+    from polars_numba_spark.namespace import attach
+
+    attach()
     e = _t(spark, sf_dir, "events").withColumn(
         "cents", F.round(F.col("value") * 100).cast("long")
     )
@@ -539,11 +554,10 @@ def kernel_fold_event_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     def add(acc, cents):
         return acc + cents
 
-    return grouped_fold(
-        e,
+    return e.plumba.fold(
         "user_id",
         add,
-        0,
+        0.0,
         "long",
         columns=["cents"],
         order_by=["ts", "event_id"],

@@ -241,22 +241,24 @@ def global_longest_hot_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kernel_fold_two_columns",
     oracle="""
     SELECT l_returnflag,
-           SUM(l_quantity * l_linenumber) AS weighted
+           SUM(3.0 * l_quantity * l_linenumber) AS weighted
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def kernel_fold_two_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-column kernel fold (arity dispatch >1 through the driver gate):
-    acc + quantity×linenumber per returnflag. Both inputs are small
-    int-valued doubles, so the sum is float-exact and order-free — an exact
-    SQL oracle for the multi-column kernel path."""
+    acc + scale×quantity×linenumber per returnflag, with the scale injected
+    via ``extra_args`` — the A8 constant-injection protocol (threaded
+    between acc and column values, ref `__init__.py:316,376-379`) under an
+    exact oracle. All terms are small int-valued doubles, so the sum is
+    float-exact and order-free."""
     from polars_numba_spark.operators.fold import grouped_fold
 
     l = _t(spark, sf_dir, "lineitem")  # noqa: E741
 
-    def weighted_step(acc, qty, line):
-        return acc + qty * line
+    def weighted_step(acc, scale, qty, line):
+        return acc + scale * qty * line
 
     return grouped_fold(
         l.select("l_returnflag", "l_quantity", "l_linenumber", "l_orderkey"),
@@ -266,6 +268,7 @@ def kernel_fold_two_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double",
         columns=["l_quantity", "l_linenumber"],
         order_by="l_orderkey",
+        extra_args=(3.0,),
         result_name="weighted",
     ).select("l_returnflag", "weighted")
 
