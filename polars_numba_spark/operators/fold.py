@@ -114,9 +114,15 @@ def collect_fold(
     if combine is None:
         prepared = _single_ordered_stream(prepared, order_cols)
     elif order_cols:
-        # partition-parallel path still needs intra-partition order; the
-        # partitioning itself can stay as-is (combine order is handled below)
-        prepared = prepared.sortWithinPartitions(*order_cols)
+        # Partition-parallel path with a declared order: range-partition on
+        # the order columns so each partition is a CONTIGUOUS run of the
+        # declared order (hash partitions would be arbitrary interleavings —
+        # an associative-but-non-commutative combine would silently merge
+        # out-of-order slices). collect() preserves partition order, so the
+        # driver-side combine below merges partials in true sequence.
+        prepared = prepared.repartitionByRange(*order_cols).sortWithinPartitions(
+            *order_cols
+        )
     # Catalyst still sees select + na.drop declaratively → column pruning and
     # IsNotNull pushdown reach the parquet scan before the stream collapses.
 
@@ -144,8 +150,11 @@ def collect_fold(
         return pickle.loads(bytes(result[0][0]))
     # Partition partials combine on the driver — O(#partitions) tiny values.
     # NOTE: requires f(f(a0, xs), f(a0, ys)) == f(a0, xs ++ ys) under
-    # `combine`; partition order is not guaranteed, so `combine` must be
-    # order-insensitive unless the caller also controls partitioning.
+    # `combine`. With order_by, partitions are contiguous ranges of the
+    # declared order (repartitionByRange above) and arrive in partition
+    # order, so a non-commutative (but decomposable) combine is safe;
+    # without order_by, partition contents are arbitrary and `combine`
+    # must be order-insensitive.
     partials = [pickle.loads(bytes(row[0])) for row in result]
     acc = partials[0]
     for p in partials[1:]:

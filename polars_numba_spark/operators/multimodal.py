@@ -3,15 +3,24 @@
 Convention: a multimodal asset is a ``binary`` payload column next to a
 ``struct`` metadata column (mime, n_bytes, and per-modality fields). The
 Spark-side plumbing — schema contracts, Arrow batch shape, ``mapInPandas``
-feature extraction, partition sizing — is real and tested; the actual
-codec step (image decode / audio resample / video frame-sample) is STUBBED
-because no media libraries exist in this container:
+feature extraction, partition sizing — is real and tested, and so is header
+decoding for the three container formats whose dimensions live in fixed
+header fields:
 
-- :func:`decode_image_stub` raises ``NotImplementedError`` when asked for a
-  real decode, exactly where a Pillow/libvips call would slot in;
-- ``fake=True`` derives deterministic pseudo-features from the payload bytes
-  so the full pipeline (including the oracle-checked catalog query) runs
-  end-to-end.
+- **PNG**: 8-byte signature, IHDR chunk → width/height as 4-byte big-endian
+  at offsets 16/20;
+- **JPEG**: marker scan from SOI to the first SOF0-SOF15 frame header →
+  height/width as 2-byte big-endian;
+- **GIF**: ``GIF87a``/``GIF89a`` signature → width/height as 2-byte
+  little-endian at offsets 6/8.
+
+Payloads that are not one of these containers (e.g. raw text bytes in the
+testdata) fall back to deterministic md5-seeded pseudo-features, so the
+pipeline runs end-to-end on any corpus. FULL raster decoding (pixel data,
+resampling, frame extraction) would need Pillow/libvips, absent from this
+container — the parsers above read real files' headers but stop before
+pixels, which is also the right scale posture: corpus-wide dimension/codec
+stats must not decompress 100 TB of pixels.
 
 Scale notes: payloads ride through Arrow as zero-copy binary buffers;
 ``mapInPandas`` batch size is governed by ``maxRecordsPerBatch`` — for
@@ -25,12 +34,17 @@ import hashlib
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
     "doc_id long, mime string, n_bytes int, width int, height int, phash string"
 )
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOF0-15 minus DHT/JPG/DAC
 
 
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -45,39 +59,136 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int, str]:
-    """Codec slot. Real decode is NotImplemented in this container; the fake
-    path derives deterministic pseudo-dimensions and a perceptual-hash stand-
-    in from the payload bytes (md5-seeded), so downstream plumbing is
-    exercised with stable values."""
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires a media library (Pillow/libvips) "
-            "not present in this environment"
-        )
+def decode_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """Parse (mime, width, height) from a real image container header, or
+    None if the payload is not a recognized image format."""
+    if len(payload) >= 24 and payload[:8] == _PNG_SIG:
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        return "image/png", width, height
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                return None  # corrupt marker stream
+            marker = payload[i + 1]
+            if marker in _SOF_MARKERS:
+                height = int.from_bytes(payload[i + 5 : i + 7], "big")
+                width = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return "image/jpeg", width, height
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                i += 2  # standalone markers have no length field
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            i += 2 + seg_len
+        return None
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        width = int.from_bytes(payload[6:8], "little")
+        height = int.from_bytes(payload[8:10], "little")
+        return "image/gif", width, height
+    return None
+
+
+def decode_payload(payload: bytes) -> tuple[str, int, int, str]:
+    """(mime, width, height, phash) for any payload: real header parsing for
+    PNG/JPEG/GIF, deterministic md5-seeded pseudo-features otherwise (the
+    non-image fallback keeps arbitrary corpora flowing end-to-end)."""
     digest = hashlib.md5(payload).hexdigest()
+    header = decode_image_header(payload)
+    if header is not None:
+        mime, width, height = header
+        return mime, width, height, digest[:16]
     n = len(payload)
-    width = 64 + (n % 577)
-    height = 64 + ((n * 7) % 421)
-    return width, height, digest[:16]
+    return (
+        "application/octet-stream",
+        64 + (n % 577),
+        64 + ((n * 7) % 421),
+        digest[:16],
+    )
 
 
 def extract_features(df: DataFrame) -> DataFrame:
     """Feature extraction over payloads via ``mapInPandas`` (Arrow-batched,
-    partition-parallel, shuffle-free)."""
+    partition-parallel, shuffle-free). Width/height come from real header
+    parsing when the payload is PNG/JPEG/GIF, else the pseudo fallback;
+    mime/n_bytes are taken from the metadata struct (caller-declared)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_image_stub(p) for p in pdf["payload"]]
+            feats = [decode_payload(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
                     "mime": [m["mime"] for m in pdf["meta"]],
                     "n_bytes": [int(m["n_bytes"]) for m in pdf["meta"]],
-                    "width": [f[0] for f in feats],
-                    "height": [f[1] for f in feats],
-                    "phash": [f[2] for f in feats],
+                    "width": [f[1] for f in feats],
+                    "height": [f[2] for f in feats],
+                    "phash": [f[3] for f in feats],
                 }
             )
 
     return df.select("doc_id", "payload", "meta").mapInPandas(run, FEATURE_SCHEMA)
+
+
+IMAGE_DIMS_SCHEMA = "doc_id long, mime string, width int, height int, n_bytes int"
+
+
+def extract_image_dims(df: DataFrame) -> DataFrame:
+    """Dimension extraction from real image headers only (no metadata, no
+    fallback): (doc_id, mime, width, height, n_bytes) with nulls for
+    unrecognized payloads. Arrow-batched, partition-parallel, shuffle-free."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [decode_image_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "mime": [x[0] if x else None for x in parsed],
+                    "width": [x[1] if x else None for x in parsed],
+                    "height": [x[2] if x else None for x in parsed],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, IMAGE_DIMS_SCHEMA)
+
+
+# --- deterministic image-payload synthesis (for tests + the driver query) --
+
+
+def _be(col: Column, n_hex: int) -> Column:
+    """Integer column → n_hex/2 big-endian bytes."""
+    return F.unhex(F.lpad(F.hex(col), n_hex, "0"))
+
+
+def _le16(col: Column) -> Column:
+    """Integer column → 2 little-endian bytes."""
+    hi = _be(col % 256, 2)
+    lo = _be((col / 256).cast("long"), 2)
+    return F.concat(hi, lo)
+
+
+def synthesize_image_payload(fmt: Column, width: Column, height: Column) -> Column:
+    """Build a REAL (minimal) PNG / JPEG / GIF header as a binary column —
+    magic bytes, correctly-placed dimension fields, correct endianness —
+    entirely with codegen'd expressions. The decoder must recover the
+    dimensions from these bytes; nothing is smuggled through metadata."""
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+        _be(width, 8),
+        _be(height, 8),
+        F.unhex(F.lit("0806000000")),
+    )
+    jpeg = F.concat(
+        F.unhex(F.lit("FFD8" + "FFC0" + "0011" + "08")),
+        _be(height, 4),
+        _be(width, 4),
+        F.unhex(F.lit("03")),
+    )
+    gif = F.concat(
+        F.encode(F.lit("GIF89a"), "UTF-8"), _le16(width), _le16(height)
+    )
+    return (
+        F.when(fmt == "png", png).when(fmt == "jpeg", jpeg).otherwise(gif)
+    )

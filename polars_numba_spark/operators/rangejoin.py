@@ -34,18 +34,31 @@ def interval_join(
     by: str | Sequence[str] = (),
     how: str = "inner",
     closed: str = "both",
+    right_keys: Sequence[str] | None = None,
 ) -> DataFrame:
     """Join left points to right intervals: ``lower <= point <= upper``
     (``closed='both'``; 'left'/'right'/'neither' adjust the endpoints).
 
     ``point``/``lower``/``upper`` are numeric (epoch-cast timestamps work:
     ``F.unix_timestamp``). Output: all left columns + all right columns.
+
+    ``how``: 'inner'; 'left' keeps unmatched points (a point lands in
+    exactly one bucket, so the outer join is native); 'right' keeps
+    unmatched INTERVALS — since intervals are exploded to one row per
+    overlapped bucket, a naive outer would emit duplicate null rows, so
+    the unmatched intervals are recovered with an anti join on
+    ``right_keys`` (required: columns identifying an interval row) and
+    unioned back with null left columns.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "right"):
         raise ValueError(
-            "interval_join supports how='inner'/'left' only: the right side "
-            "is exploded per bucket, so right/full outer would emit one "
-            "duplicate row per overlapped bucket for unmatched intervals"
+            "interval_join supports how='inner'/'left'/'right'; full outer "
+            "would need both recovery passes — compose 'left' and 'right'"
+        )
+    if how == "right" and not right_keys:
+        raise ValueError(
+            "how='right' needs right_keys naming the interval identity "
+            "columns (the exploded right side has no unique row id)"
         )
     keys = as_list(by)
     lo_op = {"both": "<=", "left": "<=", "right": "<", "neither": "<"}[closed]
@@ -66,10 +79,30 @@ def interval_join(
     exact = F.expr(f"r.{lower} {lo_op} l.{point}") & F.expr(
         f"l.{point} {hi_op} r.{upper}"
     )
-    joined = l_b.alias("l").join(r_b.alias("r"), cond & exact, how)
+    base_how = "inner" if how == "right" else how
+    joined = l_b.alias("l").join(r_b.alias("r"), cond & exact, base_how)
+
+    def name_r(c: str) -> str:
+        return c if c not in left.columns else f"{c}_r"
+
     out_cols = [F.col(f"l.{c}") for c in left.columns] + [
-        F.col(f"r.{c}").alias(c if c not in left.columns else f"{c}_r")
-        for c in right.columns
-        if c not in keys
+        F.col(f"r.{c}").alias(name_r(c)) for c in right.columns if c not in keys
     ]
-    return joined.select(*out_cols)
+    out = joined.select(*out_cols)
+    if how != "right":
+        return out
+    # Recover unmatched intervals: anti join the ORIGINAL right side against
+    # the matched interval identities (pre-explode rows, so no duplicates),
+    # then union with null left columns. One extra shuffle on right_keys —
+    # the price of outer semantics over an exploded side.
+    rk = as_list(right_keys)
+    matched = out.select(*[F.col(name_r(c)).alias(c) for c in rk]).dropDuplicates(rk)
+    unmatched = right.join(matched, rk, "left_anti")
+    null_left = unmatched.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+        ],
+        *[F.col(c).alias(name_r(c)) for c in right.columns if c not in keys],
+    )
+    return out.unionByName(null_left)

@@ -116,7 +116,7 @@ _DRIVER_PRIORITY: list[str] = [
     "top_bigrams",
     "doc_chunks",
     "doc_train_valid_test_split",
-    "multimodal_features",
+    "multimodal_image_dims",
     "rolling_hour_user_value",
     "gap_fill_user_value",
     "training_data_pipeline",

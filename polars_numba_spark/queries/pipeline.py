@@ -269,6 +269,45 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_dims",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'image/jpeg'
+                           ELSE 'image/gif' END AS mime,
+           CAST(16 + doc_id % 317 AS INTEGER) AS width,
+           CAST(16 + (doc_id * 3) % 211 AS INTEGER) AS height,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 12 ELSE 10 END
+                AS INTEGER) AS n_bytes
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-header decoding through the hard gate: minimal-but-genuine
+    PNG/JPEG/GIF containers are synthesized in-plan (magic bytes + correctly
+    placed big/little-endian dimension fields), then the Arrow-batched
+    header parser must recover mime/width/height FROM THE BYTES — the oracle
+    computes the embedded values independently, so a parser that misreads an
+    offset or endianness hash-mismatches. (Full raster decode needs a media
+    library absent here; header parsing is the honest, scale-appropriate
+    core — see operators/multimodal.py.)"""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("jpeg"), F.lit("gif")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    with_payload = d.select(
+        "doc_id",
+        M.synthesize_image_payload(
+            fmt,
+            (16 + F.col("doc_id") % 317).cast("long"),
+            (16 + (F.col("doc_id") * 3) % 211).cast("long"),
+        ).alias("payload"),
+    )
+    return M.extract_image_dims(with_payload)
+
+
+@register(
     "curated_corpus",
     oracle=f"""
     WITH scored AS (
@@ -318,29 +357,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verdict.orderBy("id").select("id", "component", "keep")
 
 
-@register("embedding_lsh_recall")  # self-evaluating — approximate vs exact
-def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of the LSH approximate top-k against the exact brute force,
-    computed in-plan (one row: n_queries, n_hits, recall). Makes the
-    approximation quality a measured, driver-visible number instead of a
-    claim."""
+@register("embedding_near_dup_recall")  # self-evaluating — approximate vs exact
+def embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the scalable (multi-table, occupancy-bounded) LSH near-dup
+    operator against the exact all-pairs truth at cosine ≥ 0.4, computed
+    in-plan — the measured quality number for the operator whose bucket
+    count grows with the corpus. Params are tuned for this corpus's weak
+    similarity structure (uniform-ish vectors, max pair cosine 0.51; real
+    near-dup corpora sit at ≥0.9 where per-plane agreement ≈ 0.9 and the
+    production defaults reach recall ≈ 0.99 — see
+    operators/similarity.py::embedding_near_dup_pairs)."""
     e = _t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 10)
-    exact = S.brute_force_topk(e, q, k=5).select("query_id", "neighbor_id")
-    approx = S.lsh_topk(e, q, k=5, dim=64).select(
-        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
-    )
+    exact = embedding_near_dup_pairs_q(spark, sf_dir).where(
+        F.col("cosine_sim") >= 0.4
+    ).select("a_id", "b_id")
+    approx = S.embedding_near_dup_pairs(
+        e, threshold=0.4, dim=64, n_planes=3, n_tables=16
+    ).select(F.col("a_id").alias("xa"), F.col("b_id").alias("xb"))
     hits = exact.join(
-        approx,
-        (exact.query_id == approx.aq) & (exact.neighbor_id == approx.an),
-        "left_semi",
+        approx, (exact.a_id == approx.xa) & (exact.b_id == approx.xb), "left_semi"
     )
     return exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
         hits.agg(F.count(F.lit(1)).alias("n_hits"))
     ).select(
         "n_exact",
         "n_hits",
-        (F.col("n_hits") / F.col("n_exact")).alias("recall_at_5"),
+        (F.col("n_hits") / F.col("n_exact")).alias("recall"),
     )
 
 

@@ -371,7 +371,9 @@ def recent_order_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     placed in the 7 days up to its ship date. Implemented with the
     bucketized interval join (hash join on week buckets + exact range
     filter) instead of the nested-loop plan a bare BETWEEN join gets;
-    oracle uses DuckDB's native IEJoin."""
+    ``how='right'`` keeps zero-match windows natively (the operator recovers
+    unmatched intervals with an anti join — SURVEY §9 item closed). Oracle
+    uses DuckDB's native IEJoin."""
     from polars_numba_spark.operators.rangejoin import interval_join
 
     l = (  # noqa: E741
@@ -399,19 +401,13 @@ def recent_order_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower="win_lo",
         upper="win_hi",
         bucket_width=7 * 86400,
-        how="inner",
+        how="right",
+        right_keys=["l_orderkey", "l_linenumber"],
     )
-    counts = joined.groupBy("l_orderkey", "l_linenumber").agg(
-        F.count(F.lit(1)).alias("n_recent_orders")
-    )
-    # LEFT semantics: keep (orderkey, linenumber) pairs with zero matches
-    # (distinct — the synthetic data has duplicate line numbers, which the
-    # oracle's GROUP BY merges)
-    return (
-        l.select("l_orderkey", "l_linenumber")
-        .distinct()
-        .join(counts, ["l_orderkey", "l_linenumber"], "left")
-        .withColumn("n_recent_orders", F.coalesce("n_recent_orders", F.lit(0)))
+    # F.count(col) skips the nulls of recovered zero-match windows; the
+    # groupBy merges duplicate (orderkey, linenumber) rows like the oracle's
+    return joined.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count("recent_orderkey").alias("n_recent_orders")
     )
 
 

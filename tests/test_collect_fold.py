@@ -212,3 +212,20 @@ def test_combine_fold_empty_frame(spark):
     got = collect_fold(df, lambda acc, v: acc + v, 7.0, column_names=["v"],
                        combine=lambda a, b: a + b)
     assert got == 7.0
+
+
+def test_combine_with_order_by_non_commutative(spark):
+    """combine= with order_by must merge partials in the DECLARED order
+    (range partitioning makes partitions contiguous runs): a concatenation
+    fold — associative but not commutative — reproduces the exact sequence."""
+    rows = [(i, float(i)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "ord long, v double").repartition(16)
+
+    def step(acc, v):
+        return acc + (int(v),)
+
+    got = collect_fold(
+        df, step, (), column_names=["v"], order_by="ord",
+        combine=lambda a, b: a + b,
+    )
+    assert got == tuple(range(2000))

@@ -167,15 +167,84 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert all(qid < 5 for qid, _ in approx)
 
 
+def test_planes_scale_with_corpus():
+    """The near-dup bucket space must GROW with the corpus (the round-1
+    fixed-64-bucket O(n²) hazard): occupancy stays ~target, planes rise."""
+    assert S.planes_for_corpus(1_000) < S.planes_for_corpus(1_000_000)
+    assert S.planes_for_corpus(1_000_000_000, target_bucket_rows=256) >= 21
+    # expected occupancy bounded by ~target for large corpora
+    n = 10**8
+    planes = S.planes_for_corpus(n, target_bucket_rows=256)
+    assert n / 2**planes <= 256
+
+
+def test_embedding_near_dup_pairs_subset_of_exact(spark):
+    """Bucketed candidates can only MISS pairs, never invent them: every
+    emitted pair must appear in the exact all-pairs set with the identical
+    cosine, and recall at this corpus's top band must be high."""
+    e = embeddings(spark)
+    exact = {
+        (r["a_id"], r["b_id"]): r["cosine_sim"]
+        for r in _exact_pairs(e, 0.4).collect()
+    }
+    approx = {
+        (r["a_id"], r["b_id"]): r["cosine_sim"]
+        for r in S.embedding_near_dup_pairs(
+            e, threshold=0.4, dim=64, n_planes=3, n_tables=16
+        ).collect()
+    }
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert v == exact[k]
+    assert len(approx) / len(exact) >= 0.9
+
+
+def _exact_pairs(e, threshold):
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            S.cosine(
+                S.as_double(F.col("a.embedding")), S.as_double(F.col("b.embedding"))
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 # --- multimodal ------------------------------------------------------------
 
 
-def test_multimodal_stub_is_deterministic_and_real_decode_stubbed(spark):
-    w1, h1, p1 = M.decode_image_stub(b"some payload bytes")
-    w2, h2, p2 = M.decode_image_stub(b"some payload bytes")
-    assert (w1, h1, p1) == (w2, h2, p2)
-    with pytest.raises(NotImplementedError):
-        M.decode_image_stub(b"x", fake=False)
+def test_multimodal_header_parsers_on_handcrafted_bytes():
+    """Real container headers built independently (struct.pack, not the
+    Spark-side synthesizer) must decode to the embedded dimensions."""
+    import struct
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 640, 480)
+        + b"\x08\x06\x00\x00\x00"
+    )
+    assert M.decode_image_header(png) == ("image/png", 640, 480)
+    # JPEG with an APP0 segment BEFORE the SOF0 frame (marker scan must skip)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 640)
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\x03"
+    assert M.decode_image_header(jpeg) == ("image/jpeg", 640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    assert M.decode_image_header(gif) == ("image/gif", 320, 200)
+    assert M.decode_image_header(b"plain text, not an image") is None
+
+
+def test_multimodal_decode_payload_deterministic_fallback():
+    a = M.decode_payload(b"some payload bytes")
+    b = M.decode_payload(b"some payload bytes")
+    assert a == b
+    assert a[0] == "application/octet-stream"
 
 
 def test_multimodal_extract_features_roundtrip(spark):
@@ -187,7 +256,7 @@ def test_multimodal_extract_features_roundtrip(spark):
     for r in rows:
         payload = src[r["doc_id"]].encode("utf-8")
         assert r["n_bytes"] == len(payload)
-        w, h, p = M.decode_image_stub(payload)
+        _, w, h, p = M.decode_payload(payload)
         assert (r["width"], r["height"], r["phash"]) == (w, h, p)
 
 

@@ -42,3 +42,26 @@ def test_interval_join_avoids_nested_loop(spark):
     text = plans.explain_string(out)
     assert "BroadcastNestedLoopJoin" not in text
     assert "CartesianProduct" not in text
+
+
+def test_interval_join_right_keeps_unmatched_intervals(spark):
+    points = spark.createDataFrame([(1, 5)], "pid long, t long")
+    intervals = spark.createDataFrame(
+        [(100, 0, 9), (200, 40, 60)], "iid long, lo long, hi long"
+    )
+    out = interval_join(
+        points, intervals, "t", "lo", "hi", bucket_width=10,
+        how="right", right_keys=["iid"],
+    ).collect()
+    got = sorted((r["iid"], r["pid"]) for r in out)
+    # interval 200 overlaps 3 buckets but must surface exactly ONCE, unmatched
+    assert got == [(100, 1), (200, None)]
+
+
+def test_interval_join_right_requires_keys(spark):
+    points = spark.createDataFrame([(1, 5)], "pid long, t long")
+    intervals = spark.createDataFrame([(9, 0, 10)], "iid long, lo long, hi long")
+    import pytest
+
+    with pytest.raises(ValueError, match="right_keys"):
+        interval_join(points, intervals, "t", "lo", "hi", 10, how="right")
