@@ -1,10 +1,13 @@
-"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness: runs the ENTIRE query catalog at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is forced end-to-end with a noop write (full computation, no
 driver collect), after a warm-up query to amortize JVM/session start.
+Round 1 benched a 32-query headline subset; since round 2 the bench covers
+every catalog entry (per-query r1 numbers in BASELINE.md remain directly
+comparable — names match).
 """
 
 from __future__ import annotations
@@ -16,41 +19,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "top_customers_by_spend",
-    "orders_rank_in_customer",
-    "events_sessionize_stats",
-    "running_max_order_price",
-    "user_running_event_count",
-    "kernel_fold_event_cents",
-    "kernel_scan_user_balance_cents",
-    "capped_balance_per_user",
-    "asof_last_signup_before_purchase",
-    "part_supplier_distinct",
-    "doc_token_stats",
-    "dedup_exact_digests",
-    "dedup_jaccard_pairs",
-    "embedding_topk_bruteforce",
-    "multimodal_features",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "user_sessions",
-    "rolling_hour_user_value",
-    "gap_fill_user_value",
-    "doc_chunks",
-    "top_bigrams",
-    "doc_train_valid_test_split",
-    "label_centroids",
-    "order_price_quantiles",
-    "recent_order_pressure",
-    "training_data_pipeline",
-]
 
 
 def main() -> None:
@@ -78,16 +46,15 @@ def main() -> None:
     run("capped_balance_per_user")
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in queries:
-            continue
+    for name in queries:
         timings[name] = round(run(name), 4)
+        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "full_catalog_total_wall",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
