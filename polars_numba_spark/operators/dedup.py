@@ -178,11 +178,18 @@ def minhash_dedup_pairs(
     bands: int = 8,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact-Jaccard verification."""
+    """Full near-dup pipeline: LSH candidates → exact-Jaccard verification.
+
+    The verifier gets ``prune_threshold=threshold``: candidates failing the
+    size-ratio bound (jaccard ≤ min/max of the two cardinalities) are
+    dropped on two cheap ints before the array_union — results identical
+    (the bound is implied by the ≥ threshold filter), candidate-verify cost
+    is not.
+    """
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
-    return jaccard_pairs(df, cands, text_col, id_col).where(
-        F.col("jaccard") >= threshold
-    )
+    return jaccard_pairs(
+        df, cands, text_col, id_col, prune_threshold=threshold
+    ).where(F.col("jaccard") >= threshold)
 
 
 def simhash(col: Column | str, bits: int = 32, hash_fn=None) -> Column:

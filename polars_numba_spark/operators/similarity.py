@@ -47,6 +47,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with the norms precomputed per VECTOR instead of per pair.
+
+    Spark's higher-order functions (zip_with/aggregate) execute interpreted,
+    not codegen'd, so a pairwise ``cosine(a, b)`` pays three interpreted
+    array reductions per pair. Hoisting the norms into the per-vector prep
+    leaves one reduction (the dot product) per pair — ~3× on pair-scoring
+    stages — while the arithmetic (and so bit-exactness vs DuckDB's
+    list_cosine_similarity) is unchanged: same values, same operation
+    order, merely computed once."""
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -62,17 +75,19 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"),
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -163,22 +178,24 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         as_double(vec_col).alias("cv"),
         F.explode(_multi_table_buckets(vec_col, dim, n_planes, n_tables)).alias("tb"),
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(vec_col).alias("qv"),
         F.explode(_multi_table_buckets(vec_col, dim, n_planes, n_tables)).alias("tb"),
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     candidates = (
         c.join(F.broadcast(q), "tb")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id", "qv", "cv", "qn", "cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = candidates.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"),
+        cosine_with_norms(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -229,7 +246,7 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"),
         as_double(vec_col).alias("v"),
         F.explode(_multi_table_buckets(vec_col, dim, n_planes, n_tables)).alias("tb"),
-    )
+    ).withColumn("nv", norm(F.col("v")))
     a = e.alias("a")
     b = e.alias("b")
     return (
@@ -242,10 +259,16 @@ def embedding_near_dup_pairs(
             F.col("b.id").alias("b_id"),
             F.col("a.v").alias("av"),
             F.col("b.v").alias("bv"),
+            F.col("a.nv").alias("an"),
+            F.col("b.nv").alias("bn"),
         )
         .dropDuplicates(["a_id", "b_id"])
         .select(
-            "a_id", "b_id", cosine(F.col("av"), F.col("bv")).alias("cosine_sim")
+            "a_id",
+            "b_id",
+            cosine_with_norms(
+                F.col("av"), F.col("bv"), F.col("an"), F.col("bn")
+            ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )

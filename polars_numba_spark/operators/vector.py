@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_numba_spark.operators._prep import as_list
-from polars_numba_spark.operators.similarity import as_double, cosine, norm
+from polars_numba_spark.operators.similarity import (
+    as_double,
+    cosine_with_norms,
+    norm,
+)
 
 
 def l2_normalize(col, eps: float = 1e-12):
@@ -112,11 +116,18 @@ def assign_nearest_centroid(
     c = centroids.select(
         F.col(centroid_id_col).alias("__cid"),
         as_double(centroid_vec_col).alias("__cv"),
-    )
-    scored = df.select(
-        F.col(id_col).alias("id"), as_double(vec_col).alias("__v")
-    ).crossJoin(F.broadcast(c)).select(
-        "id", "__cid", cosine(F.col("__v"), F.col("__cv")).alias("cos")
+    ).withColumn("__cn", norm(F.col("__cv")))
+    scored = (
+        df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("__v"))
+        .withColumn("__vn", norm(F.col("__v")))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "id",
+            "__cid",
+            cosine_with_norms(
+                F.col("__v"), F.col("__cv"), F.col("__vn"), F.col("__cn")
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("__cid"))
     return (
@@ -189,28 +200,45 @@ def ivf_topk(
     cells = assign_nearest_centroid(corpus, centroids, vec_col, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("assigned").alias("cell")
     )
-    member_vecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    ).join(cells, "neighbor_id")
+    member_vecs = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+        )
+        .withColumn("cvn", norm(F.col("cv")))
+        .join(cells, "neighbor_id")
+    )
 
     c = centroids.select(
         F.col("label").alias("cell"), as_double("centroid").alias("cent_v")
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    ).withColumn("cent_n", norm(F.col("cent_v")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
     q_cells = (
         q.crossJoin(F.broadcast(c))
-        .select("query_id", "qv", "cell", cosine(F.col("qv"), F.col("cent_v")).alias("cc"))
+        .select(
+            "query_id", "qv", "qn", "cell",
+            cosine_with_norms(
+                F.col("qv"), F.col("cent_v"), F.col("qn"), F.col("cent_n")
+            ).alias("cc"),
+        )
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.col("cc").desc(), F.col("cell"))
     probed = (
         q_cells.withColumn("__pr", F.row_number().over(w_probe))
         .where(F.col("__pr") <= nprobe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "qn", "cell")
     )
     scored = (
         member_vecs.join(probed, "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cvn")
+            ).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (

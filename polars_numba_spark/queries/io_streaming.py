@@ -30,6 +30,7 @@ from polars_numba_spark.sources.formats import (
     read_jsonl,
     write_csv,
     write_jsonl,
+    write_partitioned_parquet,
 )
 from polars_numba_spark.streaming import windowed_rollup
 
@@ -73,6 +74,33 @@ def formats_csv_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_DSUM.format(x="o_totalprice")).alias("total_price"),
             F.max("o_orderdate").alias("last_order"),
         )
+    )
+
+
+@register(
+    "formats_partitioned_pruning",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {_DSUM.format(x='o_totalprice')} AS total_price
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderstatus
+    """,
+)
+def formats_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partitioned parquet end-to-end: write orders partitioned
+    by o_orderstatus, read back with a filter on the partition column —
+    non-matching partition directories are never opened (partition pruning,
+    asserted in tests/test_formats.py) — and aggregate; the oracle computes
+    the same aggregate from the unpartitioned source."""
+    base = tempfile.mkdtemp(prefix="pns_part_")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_partitioned_parquet(o, base, "o_orderstatus")
+    back = spark.read.parquet(base).where(F.col("o_orderstatus") == "O")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(_DSUM.format(x="o_totalprice")).alias("total_price"),
     )
 
 

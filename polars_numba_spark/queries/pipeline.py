@@ -163,7 +163,16 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline (shingle → minhash → band → bucket join
     → exact-Jaccard verify). Deterministic (seeded xxhash64) but the hash is
     Spark-specific → rows-only driver check; pinned against
-    dedup_jaccard_pairs in pytest instead."""
+    dedup_jaccard_pairs in pytest instead.
+
+    Corpus note: this synthetic corpus is saturated with true near-dups —
+    at sf0.1, 62% of ALL doc pairs are band candidates and most VERIFY at
+    jaccard ≥ 0.8 (measured; a tighter 8×8 band geometry was tried and
+    rejected: it only traded ~13% recall of true boundary pairs for a
+    minor speedup, because the cost here is true-pair volume, a data
+    property, not band noise). The 8 bands × 4 rows geometry keeps recall
+    ≈ 0.985 at the 0.8 threshold; the size-ratio prune inside
+    minhash_dedup_pairs is the legitimate cost lever."""
     d = _t(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs(d, num_hashes=32, bands=8, threshold=0.8).orderBy(
         "a_id", "b_id"
@@ -232,7 +241,12 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact differential, not a scale demo. The production path is the
     occupancy-bounded bucketed operator, whose quality is itself
     driver-visible via embedding_near_dup_recall."""
-    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 1000)
+        .select("vec_id", S.as_double("embedding").alias("v"))
+        .withColumn("nv", S.norm(F.col("v")))
+    )
     a = e.alias("a")
     b = e.alias("b")
     return (
@@ -240,8 +254,8 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("a_id"),
             F.col("b.vec_id").alias("b_id"),
-            S.cosine(
-                S.as_double(F.col("a.embedding")), S.as_double(F.col("b.embedding"))
+            S.cosine_with_norms(
+                F.col("a.v"), F.col("b.v"), F.col("a.nv"), F.col("b.nv")
             ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= 0.2)
