@@ -71,11 +71,18 @@ def decode_image_header(payload: bytes) -> tuple[str, int, int] | None:
         while i + 9 <= len(payload):
             if payload[i] != 0xFF:
                 return None  # corrupt marker stream
+            # optional 0xFF fill bytes may pad before any marker (spec B.1.1.2)
+            while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 9 > len(payload):
+                return None
             marker = payload[i + 1]
             if marker in _SOF_MARKERS:
                 height = int.from_bytes(payload[i + 5 : i + 7], "big")
                 width = int.from_bytes(payload[i + 7 : i + 9], "big")
                 return "image/jpeg", width, height
+            if marker == 0xD9:  # EOI before any frame header
+                return None
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 i += 2  # standalone markers have no length field
                 continue
@@ -89,12 +96,23 @@ def decode_image_header(payload: bytes) -> tuple[str, int, int] | None:
     return None
 
 
-def decode_payload(payload: bytes) -> tuple[str, int, int, str]:
+def decode_payload(
+    payload: bytes, declared_mime: str | None = None
+) -> tuple[str, int, int, str]:
     """(mime, width, height, phash) for any payload: real header parsing for
     PNG/JPEG/GIF, deterministic md5-seeded pseudo-features otherwise (the
-    non-image fallback keeps arbitrary corpora flowing end-to-end)."""
+    non-image fallback keeps arbitrary corpora flowing end-to-end).
+
+    ``declared_mime`` gates the image path: when the caller has declared a
+    modality (metadata struct), only ``image/*`` payloads are parsed —
+    byte-sniffing alone would misclassify text beginning with the ASCII
+    'GIF87a'/'GIF89a' signature. ``None`` means no declaration (sniff)."""
     digest = hashlib.md5(payload).hexdigest()
-    header = decode_image_header(payload)
+    header = (
+        decode_image_header(payload)
+        if declared_mime is None or declared_mime.startswith("image/")
+        else None
+    )
     if header is not None:
         mime, width, height = header
         return mime, width, height, digest[:16]
@@ -109,13 +127,18 @@ def decode_payload(payload: bytes) -> tuple[str, int, int, str]:
 
 def extract_features(df: DataFrame) -> DataFrame:
     """Feature extraction over payloads via ``mapInPandas`` (Arrow-batched,
-    partition-parallel, shuffle-free). Width/height come from real header
-    parsing when the payload is PNG/JPEG/GIF, else the pseudo fallback;
-    mime/n_bytes are taken from the metadata struct (caller-declared)."""
+    partition-parallel, shuffle-free). The DECLARED mime in the metadata
+    struct picks the codec: ``image/*`` payloads go through real header
+    parsing, everything else takes the deterministic pseudo path — sniffing
+    bytes against the declaration would misdecode text that merely starts
+    with an ASCII container signature ('GIF89a...')."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_payload(p) for p in pdf["payload"]]
+            feats = [
+                decode_payload(p, declared_mime=m["mime"])
+                for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
@@ -163,10 +186,10 @@ def _be(col: Column, n_hex: int) -> Column:
 
 
 def _le16(col: Column) -> Column:
-    """Integer column → 2 little-endian bytes."""
-    hi = _be(col % 256, 2)
-    lo = _be((col / 256).cast("long"), 2)
-    return F.concat(hi, lo)
+    """Integer column → 2 little-endian bytes (low byte first)."""
+    lo_byte = _be(col % 256, 2)
+    hi_byte = _be((col / 256).cast("long"), 2)
+    return F.concat(lo_byte, hi_byte)
 
 
 def synthesize_image_payload(fmt: Column, width: Column, height: Column) -> Column:

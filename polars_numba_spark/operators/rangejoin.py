@@ -98,9 +98,14 @@ def interval_join(
     rk = as_list(right_keys)
     matched = out.select(*[F.col(name_r(c)).alias(c) for c in rk]).dropDuplicates(rk)
     unmatched = right.join(matched, rk, "left_anti")
+    # `by` keys surface through the left-column slots of the schema, but an
+    # unmatched interval still HAS key values — take them from the right
+    # side (null keys would collapse every unmatched interval into one
+    # group downstream); only genuinely left-only columns become null.
     null_left = unmatched.select(
         *[
-            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            F.col(c) if c in keys
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left.columns
         ],
         *[F.col(c).alias(name_r(c)) for c in right.columns if c not in keys],

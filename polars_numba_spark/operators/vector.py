@@ -30,20 +30,10 @@ def l2_normalize(col, eps: float = 1e-12):
     return F.transform(v, lambda x: x / (n + eps))
 
 
-def group_centroid_dims(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    group_by: str | Sequence[str] = "label",
-    exact: bool = True,
+def _per_dim_means(
+    df: DataFrame, vec_col: str, keys: list[str], exact: bool
 ) -> DataFrame:
-    """Exploded per-dimension centroid means: (keys..., dim, mean,
-    n_members) — one scalar row per (group, dimension).
-
-    This is the flat spelling of :func:`group_centroids` (same shuffle on
-    (group, dim), no array re-assembly); it is also the shape safe for
-    oracle-compared results, where array-typed columns are not allowed.
-    """
-    keys = as_list(group_by)
+    """(keys..., dim, mean): posexplode → per-(group, dim) aggregation."""
     dims = df.select(
         *keys,
         F.posexplode(as_double(vec_col)).alias("dim", "x"),
@@ -58,13 +48,33 @@ def group_centroid_dims(
     per_dim = dims.groupBy(*keys, "dim").agg(
         sum_expr.alias("s"), F.count("x").alias("n")
     )
-    member_counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_members"))
     mean = F.col("s") / F.col("n")
     if exact:
         mean = F.round(mean, 9)
+    return per_dim.withColumn("mean", mean).select(*keys, "dim", "mean")
+
+
+def _member_counts(df: DataFrame, keys: list[str]) -> DataFrame:
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_members"))
+
+
+def group_centroid_dims(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_by: str | Sequence[str] = "label",
+    exact: bool = True,
+) -> DataFrame:
+    """Exploded per-dimension centroid means: (keys..., dim, mean,
+    n_members) — one scalar row per (group, dimension).
+
+    This is the flat spelling of :func:`group_centroids` (same shuffle on
+    (group, dim), no array re-assembly); it is also the shape safe for
+    oracle-compared results, where array-typed columns are not allowed.
+    """
+    keys = as_list(group_by)
     return (
-        per_dim.withColumn("mean", mean)
-        .join(member_counts, keys)
+        _per_dim_means(df, vec_col, keys, exact)
+        .join(_member_counts(df, keys), keys)
         .select(*keys, "dim", "mean", "n_members")
     )
 
@@ -83,22 +93,25 @@ def group_centroids(
     even the double→decimal input cast can round differently in the last
     ulp across engines; centroids feeding an index should not drift run to
     run). ``exact=False`` is plain float aggregation (faster, drifts).
+
+    The member-count join lands on the POST-aggregation |groups| rows, not
+    the |groups|×dim exploded frame — this path runs once per k-means
+    iteration, so the join size matters.
     """
     keys = as_list(group_by)
-    per_dim = group_centroid_dims(df, vec_col, group_by, exact=exact)
-    return (
-        per_dim.groupBy(*keys)
+    assembled = (
+        _per_dim_means(df, vec_col, keys, exact)
+        .groupBy(*keys)
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("dim", "mean"))
             ).alias("pairs"),
-            F.first("n_members").alias("n_members"),
         )
-        .select(
-            *keys,
-            F.col("pairs.mean").alias("centroid"),
-            "n_members",
-        )
+    )
+    return assembled.join(_member_counts(df, keys), keys).select(
+        *keys,
+        F.col("pairs.mean").alias("centroid"),
+        "n_members",
     )
 
 

@@ -17,6 +17,8 @@ Both queries keep the (spark, sf_dir) -> batch DataFrame contract:
 
 from __future__ import annotations
 
+import hashlib
+import os
 import tempfile
 import uuid
 
@@ -33,6 +35,18 @@ from polars_numba_spark.sources.formats import (
     write_partitioned_parquet,
 )
 from polars_numba_spark.streaming import windowed_rollup
+
+
+def _scratch_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(tag, sf) scratch dir: the lazily-returned
+    DataFrame still references these files when the caller collects, so
+    they cannot be deleted here — instead every rerun overwrites the SAME
+    directory (mode 'overwrite'), bounding disk at one copy per sf rather
+    than one per invocation."""
+    sf_key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pns_{tag}_{sf_key}")
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 @register(
@@ -52,7 +66,7 @@ def formats_csv_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the identical aggregate from parquet for each format
     tag, so the hash proves byte-exact codec round-trips (doubles survive
     via shortest-roundtrip repr, timestamps via ISO-8601 at UTC)."""
-    base = tempfile.mkdtemp(prefix="pns_formats_")
+    base = _scratch_dir("formats", sf_dir)
     o = (
         _t(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") < 5000)
@@ -92,7 +106,7 @@ def formats_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-matching partition directories are never opened (partition pruning,
     asserted in tests/test_formats.py) — and aggregate; the oracle computes
     the same aggregate from the unpartitioned source."""
-    base = tempfile.mkdtemp(prefix="pns_part_")
+    base = _scratch_dir("part", sf_dir)
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
@@ -141,7 +155,12 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    if not query.awaitTermination(300):
+        query.stop()
+        raise TimeoutError(
+            "streaming_daily_rollup: availableNow stream did not finish in "
+            "300s — refusing to return a partial complete-mode aggregate"
+        )
     return spark.table(sink).select(
         F.col("window.start").alias("window_start"),
         "event_type",

@@ -698,12 +698,22 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                substr(c_name, 10 + s.i, 1) || substr(c_name, 13 + s.i, 1)
                  || substr(c_name, 16 + s.i, 1) AS seg
         FROM customer, (SELECT UNNEST([0, 1, 2]) AS i) s
+    ), dels AS (
+        SELECT c_custkey, c_nationkey, c_name,
+               substr(c_name, 10, d.i - 1) || substr(c_name, 10 + d.i, 9) AS delstr
+        FROM customer, (SELECT UNNEST(range(1, 10)) AS i) d
     ), cand AS (
         SELECT DISTINCT a.c_custkey AS a_key, b.c_custkey AS b_key,
                a.c_name AS an, b.c_name AS bn
         FROM segs a JOIN segs b
           ON a.c_nationkey = b.c_nationkey
          AND a.seg_i = b.seg_i AND a.seg = b.seg
+         AND a.c_custkey < b.c_custkey
+        UNION
+        SELECT DISTINCT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+        FROM dels a JOIN dels b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.delstr = b.delstr
          AND a.c_custkey < b.c_custkey
     )
     SELECT a_key, b_key, CAST(levenshtein(an, bn) AS INTEGER) AS edit_dist
@@ -713,19 +723,25 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching with SCALABLE blocking (round-1 verdict fix):
     round 1 blocked on c_nationkey alone — 25 blocks forever, so candidate
-    pairs grew O(n²/25). Candidates now additionally require an exact match
-    on one of three digit segments of the name's numeric tail (pigeonhole:
-    ≤2 substitutions touch at most 2 of 3 disjoint position sets), a
-    PassJoin-style scheme whose key space GROWS with the data, keeping
-    block sizes bounded. The position sets are INTERLEAVED (positions
-    i, i+3, i+6), not contiguous: zero-padded keys make leading digits
-    near-constant, so a contiguous leading segment would degenerate back
-    to the nation-sized block — transversal segments each carry one
-    low-order (high-entropy) digit regardless of fill. Pigeonhole only
-    needs disjoint position sets, so completeness for substitution edits —
-    the only kind these fixed-format names exhibit — is unchanged, and the
-    oracle applies the identical candidate generation, so the comparison
-    stays exact."""
+    pairs grew O(n²/25). Candidate generation is now COMPLETE for every
+    edit-distance ≤2 pair of these fixed-length names, via the union of two
+    bounded-block families:
+
+    - **interleaved digit segments** (positions i, i+3, i+6): pigeonhole —
+      ≤2 substitutions touch at most 2 of 3 disjoint position sets.
+      Interleaving matters: zero-padded keys make a contiguous leading
+      segment a single value ('000'), degenerating to nation-sized blocks.
+    - **deletion neighborhood** (each name minus one digit): an equal-length
+      pair at distance 2 via insert+delete shifts a span and can touch all
+      three segments, but deleting the inserted char from one name and the
+      displaced char from the other yields the SAME 8-digit string, so the
+      pair meets in a deletion block. Equal lengths (fixed format) leave no
+      other ED≤2 case.
+
+    Both key spaces GROW with the data (bounded blocks at any scale), and
+    the oracle applies the identical candidate generation, so the
+    comparison stays exact — and, being complete, the result equals the
+    unblocked nation-wide scan."""
     c = _t(spark, sf_dir, "customer")
 
     def seg(i: int):
@@ -735,28 +751,36 @@ def customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("c_name", 16 + i, 1),
         )
 
-    segs = c.select(
-        "c_custkey",
-        "c_nationkey",
-        "c_name",
-        F.posexplode(F.array(seg(0), seg(1), seg(2))).alias("seg_i", "seg"),
-    )
-    a = segs.alias("a")
-    b = segs.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-    return (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.seg_i") == F.col("b.seg_i"))
-            & (F.col("a.seg") == F.col("b.seg"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    def delstr(i: int):  # digits 1..9 with digit i removed
+        return F.concat(
+            F.substring("c_name", 10, i - 1), F.substring("c_name", 10 + i, 9)
         )
-        .select(
+
+    def pairs_on(keyed, extra_eq):
+        a, b = keyed.alias("a"), keyed.alias("b")
+        cond = (
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+        )
+        for k in extra_eq:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        return a.join(b, cond).select(
             F.col("a.c_custkey").alias("a_key"),
             F.col("b.c_custkey").alias("b_key"),
-            dist.alias("edit_dist"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("edit_dist"),
         )
+
+    segs = c.select(
+        "c_custkey", "c_nationkey", "c_name",
+        F.posexplode(F.array(seg(0), seg(1), seg(2))).alias("seg_i", "seg"),
+    )
+    dels = c.select(
+        "c_custkey", "c_nationkey", "c_name",
+        F.explode(F.array(*[delstr(i) for i in range(1, 10)])).alias("delstr"),
+    )
+    return (
+        pairs_on(segs, ["seg_i", "seg"])
+        .unionByName(pairs_on(dels, ["delstr"]))
         .dropDuplicates(["a_key", "b_key"])
         .where(F.col("edit_dist") <= 2)
     )

@@ -268,3 +268,24 @@ def test_simhash_full_64_bits(spark):
     )
     sigs = df.select(D.simhash("text", bits=64).alias("s")).collect()
     assert sigs[0]["s"] == sigs[1]["s"]
+
+
+def test_jpeg_parser_handles_fill_bytes_and_eoi():
+    import struct
+
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 10, 20)
+    # legal 0xFF fill padding before the SOF marker
+    jpeg = b"\xff\xd8" + b"\xff\xff\xff" + sof0[1:]
+    assert M.decode_image_header(jpeg) == ("image/jpeg", 20, 10)
+    # EOI before any frame header → not decodable, never a garbage read
+    assert M.decode_image_header(b"\xff\xd8\xff\xd9" + b"\x00" * 16) is None
+
+
+def test_decode_payload_mime_gate_vs_ascii_gif_text():
+    text = b"GIF89a is an image format from 1989."
+    sniffed = M.decode_payload(text)
+    declared = M.decode_payload(text, declared_mime="application/octet-stream")
+    assert sniffed[0] == "image/gif"  # byte-sniffing alone is fooled
+    assert declared[0] == "application/octet-stream"  # declaration wins
+    n = len(text)
+    assert declared[1] == 64 + (n % 577) and declared[2] == 64 + ((n * 7) % 421)

@@ -65,3 +65,17 @@ def test_interval_join_right_requires_keys(spark):
 
     with pytest.raises(ValueError, match="right_keys"):
         interval_join(points, intervals, "t", "lo", "hi", 10, how="right")
+
+
+def test_interval_join_right_with_by_keys_preserves_key_values(spark):
+    points = spark.createDataFrame([("u1", 1, 5)], "k string, pid long, t long")
+    intervals = spark.createDataFrame(
+        [("u1", 100, 0, 9), ("u2", 200, 0, 9)], "k string, iid long, lo long, hi long"
+    )
+    out = interval_join(
+        points, intervals, "t", "lo", "hi", bucket_width=10,
+        by="k", how="right", right_keys=["iid"],
+    ).collect()
+    got = sorted((r["k"], r["iid"], r["pid"]) for r in out)
+    # u2's unmatched interval must keep its key value, not come back NULL
+    assert got == [("u1", 100, 1), ("u2", 200, None)]

@@ -45,7 +45,9 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def canon(pdf: pd.DataFrame) -> pd.DataFrame:
     """The driver's canonical form: columns sorted by name, rows sorted by
     every column. Raises (like the driver does) on unhashable cell types —
-    array-typed result columns are a shipping bug, not a gate bug."""
+    array-typed result columns are a shipping bug, not a gate bug. The
+    probe hash matters: a SINGLE-column frame of lists sorts fine and only
+    explodes at the driver's hash step, so sorting alone under-detects."""
     pdf = pdf[sorted(pdf.columns)]
     # normalize datetime units (ns vs us is an Arrow transport detail, not a
     # semantic difference; values compare equal after unifying)
@@ -54,7 +56,9 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf[c] = pdf[c].astype("datetime64[us]")
     if len(pdf):
         pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
-    return pdf.reset_index(drop=True)
+    pdf = pdf.reset_index(drop=True)
+    pd.util.hash_pandas_object(pdf, index=False)  # probe: driver's hash path
+    return pdf
 
 
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
@@ -154,7 +158,10 @@ def main() -> int:
             print(f"FAIL  {name} [{slot}]: duckdb error: {exc}")
             failures += 1
             continue
-        problems = compare(name, spark_pdf, duck_pdf)
+        try:
+            problems = compare(name, spark_pdf, duck_pdf)
+        except Exception as exc:  # noqa: BLE001 — one bad query must not abort the run
+            problems = [f"compare error (driver would ERR): {exc}"]
         if problems:
             failures += 1
             print(f"FAIL  {name} [{slot}]: " + "; ".join(problems))
