@@ -90,3 +90,34 @@ def test_dedup_minhash_no_cartesian(spark):
     text = plans.explain_string(df)
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_fuzzy_pairs_blocking_is_hash_join(spark):
+    """The complete ED<=2 blocking must plan equi-joins on the blocking keys
+    — a nested-loop (the plan a bare levenshtein<=2 theta-join would get)
+    means the blocking keys fell out of the join condition."""
+    df = q(spark, "customer_name_fuzzy_pairs")
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_bucketed_near_dup_operator_is_hash_join(spark):
+    """The scalable near-dup operator joins on the exploded (table, bucket)
+    key — never a nested loop over pairs."""
+    from polars_numba_spark.operators import similarity as S
+    from polars_numba_spark.sources import load_table
+
+    e = load_table(spark, "embeddings", SF)
+    df = S.embedding_near_dup_pairs(e, threshold=0.4, n_planes=3, n_tables=4)
+    s = plans.explain_string(df)
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_partitioned_pruning_query_prunes(spark):
+    """The formats_partitioned_pruning read-back must carry the partition
+    filter as PartitionFilters (directories skipped), not a data filter."""
+    df = q(spark, "formats_partitioned_pruning")
+    s = plans.explain_string(df)
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in s
