@@ -50,6 +50,37 @@ def distinct_tokens(col: Column | str) -> Column:
     return F.array_sort(F.array_distinct(tokens(col)))
 
 
+def token_shingles(col: Column | str, n: int = 8) -> Column:
+    """Distinct n-gram token shingles ('w1 w2 ... wn' strings), the unit of
+    benchmark-decontamination overlap checks. Pure codegen (transform over a
+    sequence of slice starts); documents shorter than n tokens yield an
+    empty array (Spark's sequence(1, 0) would count DOWN — guarded)."""
+    t = tokens(col)
+    size = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), size - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.array_distinct(
+        F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+SQL_TOKEN_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(length({t}) - {m}, 0) + 1), "
+    "i -> array_to_string({t}[i : i + {m}], ' ')))"
+)
+
+
+def sql_token_shingles(c: str, n: int = 8) -> str:
+    """DuckDB spelling of :func:`token_shingles` (m = n - 1: DuckDB list
+    slices are 1-based inclusive, so t[i : i+m] is n elements)."""
+    from polars_numba_spark.operators.text import SQL_TOKENS
+
+    return SQL_TOKEN_SHINGLES.format(t=SQL_TOKENS.format(c=c), m=n - 1)
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set. Two documents that are token-permutations of each other get

@@ -167,3 +167,40 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_cents",
     )
+
+
+@register(
+    "streaming_dedup_docs",
+    oracle="""
+    SELECT COUNT(*) AS n_unique,
+           CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars
+    FROM (SELECT DISTINCT text FROM documents)
+    """,
+)
+def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup as a REAL streaming job: file-stream the
+    documents table through streaming_exact_dedup (stateful first-arrival
+    per content digest), availableNow → memory sink, then aggregate the
+    sink. Which copy survives a digest race is arbitrary across partitions,
+    so the result projects only digest-determined values (count + summed
+    text length over distinct texts) — deterministic regardless of arrival
+    order, and equal to the batch DISTINCT the oracle computes."""
+    from polars_numba_spark.streaming import streaming_exact_dedup
+
+    stream = load_stream(spark, "documents", sf_dir)
+    deduped = streaming_exact_dedup(stream, "text")
+    sink = f"pns_stream_dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(300):
+        query.stop()
+        raise TimeoutError("streaming_dedup_docs: stream did not finish in 300s")
+    return spark.table(sink).agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.length("text").cast("long")).cast("long").alias("total_chars"),
+    )

@@ -363,6 +363,48 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontamination_overlap",
+    oracle=f"""
+    WITH eg AS (
+        SELECT DISTINCT UNNEST({X.sql_token_shingles('text', 4)}) AS g
+        FROM documents WHERE doc_id < 20
+    ), tg AS (
+        SELECT doc_id, UNNEST({X.sql_token_shingles('text', 4)}) AS g
+        FROM documents WHERE doc_id >= 20
+    )
+    SELECT tg.doc_id, COUNT(*) AS n_shared_ngrams
+    FROM tg JOIN eg ON tg.g = eg.g
+    GROUP BY tg.doc_id
+    """,
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which training documents share n-gram
+    token shingles with the held-out eval set (doc_id < 20 stands in for
+    the benchmark)? n=4 here — real pipelines use 8-13-gram windows, but
+    these short synthetic docs share almost no 8-grams (1 hit), while
+    4-grams give a meaningful overlap set (36 docs); the operator's
+    default stays 8. The standard pre-training hygiene pass — explode
+    distinct shingles on both sides, equi-join on the shingle, count per
+    train doc. At corpus scale the eval side is tiny and broadcast; the
+    train side never self-joins, so cost is linear in corpus shingles.
+    Oracle reproduces the shingling + join independently in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    eval_grams = (
+        d.where(F.col("doc_id") < 20)
+        .select(F.explode(X.token_shingles("text", 4)).alias("g"))
+        .dropDuplicates(["g"])
+    )
+    train_grams = d.where(F.col("doc_id") >= 20).select(
+        "doc_id", F.explode(X.token_shingles("text", 4)).alias("g")
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
 @register("dedup_clusters")  # iterative (connected components) — rows-only
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering end-to-end: MinHash-LSH pairs → connected
