@@ -691,6 +691,113 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late shipments (>60 days after order — the testdata
+    has no receipt/commit dates) split into high/low priority counts — the
+    dual-conditional-count aggregate over a fact-fact join."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_3'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone shipped late (>90 days) on a
+    finished multi-supplier order — the classic correlated EXISTS +
+    NOT-EXISTS pair, decorrelated into a semi join (another supplier
+    exists) and an anti join whose condition references outer columns
+    (no OTHER supplier was late). Late-ship proxy per q12."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l1 = _t(spark, sf_dir, "lineitem").alias("l1")
+    l2 = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+        .alias("l2")
+    )
+    l3 = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("k3"),
+            F.col("l_suppkey").alias("s3"),
+            F.col("l_shipdate").alias("ship3"),
+        )
+        .alias("l3")
+    )
+    late = l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey).where(
+        F.col("l1.l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    multi = late.join(
+        l2,
+        (F.col("k2") == F.col("l1.l_orderkey")) & (F.col("s2") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = multi.join(
+        l3,
+        (F.col("k3") == F.col("l1.l_orderkey"))
+        & (F.col("s3") != F.col("l1.l_suppkey"))
+        & (F.col("ship3") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@register(
     "customer_name_fuzzy_pairs",
     oracle="""
     WITH segs AS (
