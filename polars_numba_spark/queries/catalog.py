@@ -101,7 +101,7 @@ _DRIVER_PRIORITY: list[str] = [
     "user_sessions",                    # session windows (gaps-and-islands oracle)
     "order_price_quantiles",            # exact percentiles
     "formats_csv_jsonl_roundtrip",      # CSV/JSONL source round-trip
-    "streaming_daily_rollup",           # real Structured Streaming job
+    "streaming_scan_user_balance",      # stateful streaming kernel scan (real job)
     # LLM-data-pipeline operators
     "dedup_exact_digests",
     "dedup_fingerprint_groups",

@@ -170,6 +170,63 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_scan_user_balance",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(CASE WHEN value IS NULL THEN NULL ELSE
+               COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 0)
+           END AS BIGINT) AS scan
+    FROM events
+    """,
+)
+def streaming_scan_user_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL STREAMING kernel scan through the hard gate: per-user
+    running balance via applyInPandasWithState (accumulator in the state
+    store), driven as a real availableNow job into a memory sink, compared
+    against the plain SQL window oracle. Append mode emits each input row
+    exactly once with its post-update accumulator, so the result is the
+    full 10k-row scan — the streaming face of the reference's grouped scan
+    carrying a hard correctness signal, not just batch-parity pytest."""
+    from polars_numba_spark.streaming import streaming_grouped_scan
+
+    stream = load_stream(spark, "events", sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+
+    def add(acc, cents):
+        return acc + cents
+
+    out = streaming_grouped_scan(
+        stream.select("user_id", "event_id", "ts", "cents"),
+        "user_id",
+        add,
+        0,
+        "long",
+        columns=["cents"],
+        order_by=["ts", "event_id"],
+    )
+    run_id = uuid.uuid4().hex[:8]
+    sink = f"pns_stream_scan_{run_id}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"pns_ckpt_{run_id}")
+    query = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(300):
+        query.stop()
+        raise TimeoutError("streaming_scan_user_balance: stream did not finish in 300s")
+    return spark.table(sink).select("user_id", "event_id", "scan")
+
+
+@register(
     "streaming_dedup_docs",
     oracle="""
     SELECT COUNT(*) AS n_unique,
