@@ -76,8 +76,6 @@ SQL_TOKEN_SHINGLES = (
 def sql_token_shingles(c: str, n: int = 8) -> str:
     """DuckDB spelling of :func:`token_shingles` (m = n - 1: DuckDB list
     slices are 1-based inclusive, so t[i : i+m] is n elements)."""
-    from polars_numba_spark.operators.text import SQL_TOKENS
-
     return SQL_TOKEN_SHINGLES.format(t=SQL_TOKENS.format(c=c), m=n - 1)
 
 

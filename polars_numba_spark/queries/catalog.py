@@ -565,9 +565,10 @@ def kernel_fold_event_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "total_cents")
 
 
-@register(
-    "kernel_scan_user_balance_cents",
-    oracle="""
+# Shared by the batch kernel scan, the SQL-UDTF spelling, and the streaming
+# kernel scan — one template so the null/rounding semantics can never
+# desynchronize between the three gated spellings of the same computation.
+SCAN_BALANCE_ORACLE = """
     SELECT event_id, user_id,
            CAST(CASE WHEN value IS NULL THEN NULL ELSE
                COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
@@ -575,9 +576,14 @@ def kernel_fold_event_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY CAST(ts AS TIMESTAMP), event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ), 0)
-           END AS BIGINT) AS balance_cents
+           END AS BIGINT) AS {alias}
     FROM events
-    """,
+    """
+
+
+@register(
+    "kernel_scan_user_balance_cents",
+    oracle=SCAN_BALANCE_ORACLE.format(alias="balance_cents"),
 )
 def kernel_scan_user_balance_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running balance (integer cents) through the grouped scan

@@ -19,13 +19,19 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from polars_numba_spark.queries.catalog import _DSUM, _t, register
+from polars_numba_spark.queries.catalog import (
+    _DSUM,
+    SCAN_BALANCE_ORACLE,
+    _t,
+    register,
+)
 from polars_numba_spark.sources import load_stream
 from polars_numba_spark.sources.formats import (
     read_csv,
@@ -171,26 +177,22 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_scan_user_balance",
-    oracle="""
-    SELECT user_id, event_id,
-           CAST(CASE WHEN value IS NULL THEN NULL ELSE
-               COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
-                   PARTITION BY user_id
-                   ORDER BY CAST(ts AS TIMESTAMP), event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ), 0)
-           END AS BIGINT) AS scan
-    FROM events
-    """,
+    oracle=SCAN_BALANCE_ORACLE.format(alias="scan"),
 )
 def streaming_scan_user_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STATEFUL STREAMING kernel scan through the hard gate: per-user
     running balance via applyInPandasWithState (accumulator in the state
     store), driven as a real availableNow job into a memory sink, compared
-    against the plain SQL window oracle. Append mode emits each input row
-    exactly once with its post-update accumulator, so the result is the
-    full 10k-row scan — the streaming face of the reference's grouped scan
-    carrying a hard correctness signal, not just batch-parity pytest."""
+    against the plain SQL window oracle (shared with the batch kernel and
+    SQL-UDTF spellings — SCAN_BALANCE_ORACLE). Append mode emits one output
+    row per input event (10k at the correctness SF, 100k at bench sf0.1).
+
+    Oracle equality requires the table to arrive as ONE micro-batch:
+    ``order_by`` sorts within a batch, and cross-batch order is arrival
+    order (the documented streaming caveat). That holds here — the table is
+    a single parquet file and no maxFilesPerTrigger is set — and the batch
+    count is ASSERTED after termination rather than assumed, so a future
+    multi-file testdata layout fails loudly instead of hash-mismatching."""
     from polars_numba_spark.streaming import streaming_grouped_scan
 
     stream = load_stream(spark, "events", sf_dir).withColumn(
@@ -211,6 +213,9 @@ def streaming_scan_user_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_id = uuid.uuid4().hex[:8]
     sink = f"pns_stream_scan_{run_id}"
+    # fresh checkpoint per run (a reused one would mark the file processed
+    # and emit nothing); removed after termination — the memory sink holds
+    # the results, the state store is not needed once the query stops
     ckpt = os.path.join(tempfile.gettempdir(), f"pns_ckpt_{run_id}")
     query = (
         out.writeStream.format("memory")
@@ -220,9 +225,21 @@ def streaming_scan_user_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    if not query.awaitTermination(300):
-        query.stop()
-        raise TimeoutError("streaming_scan_user_balance: stream did not finish in 300s")
+    try:
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError(
+                "streaming_scan_user_balance: stream did not finish in 300s"
+            )
+        fed = [p for p in query.recentProgress if p["numInputRows"] > 0]
+        if len(fed) > 1:
+            raise RuntimeError(
+                f"streaming_scan_user_balance: input arrived in {len(fed)} "
+                "micro-batches — per-batch ordering no longer matches the "
+                "global window oracle (multi-file testdata?)"
+            )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink).select("user_id", "event_id", "scan")
 
 

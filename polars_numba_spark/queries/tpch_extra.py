@@ -10,7 +10,12 @@ from pyspark.sql import functions as F
 
 from polars_numba_spark.operators.sessionize import sessionize
 from polars_numba_spark.operators.skew import salted_agg
-from polars_numba_spark.queries.catalog import _DSUM, _t, register
+from polars_numba_spark.queries.catalog import (
+    _DSUM,
+    SCAN_BALANCE_ORACLE,
+    _t,
+    register,
+)
 
 
 @register(
@@ -527,17 +532,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sql_surface_running_balance",
-    oracle="""
-    SELECT user_id, event_id,
-           CAST(CASE WHEN value IS NULL THEN NULL ELSE
-               COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
-                   PARTITION BY user_id
-                   ORDER BY CAST(ts AS TIMESTAMP), event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ), 0)
-           END AS BIGINT) AS scan
-    FROM events
-    """,
+    oracle=SCAN_BALANCE_ORACLE.format(alias="scan"),
 )
 def sql_surface_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scan operator through its pure-SQL spelling (polymorphic UDTF
