@@ -181,10 +181,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash_pairs")  # Spark xxhash64 — no portable oracle
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (sign-aggregated bit vector, prefix-bucketed,
-    Hamming-verified)."""
+    """SimHash near-dup pairs (sign-aggregated bit vector, Hamming-
+    pigeonhole blocked — complete within the threshold, no prefix-bucket
+    misses — Hamming-verified)."""
     d = _t(spark, sf_dir, "documents")
-    return D.simhash_dedup_pairs(d, bits=32, prefix_bits=6, max_hamming=3).orderBy(
+    return D.simhash_dedup_pairs(d, bits=32, max_hamming=3).orderBy(
         "a_id", "b_id"
     )
 

@@ -133,7 +133,7 @@ def test_simhash_identical_docs_zero_hamming(spark):
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "totally different words here")],
         "doc_id long, text string",
     )
-    pairs = D.simhash_dedup_pairs(df, bits=32, prefix_bits=4, max_hamming=0).collect()
+    pairs = D.simhash_dedup_pairs(df, bits=32, max_hamming=0).collect()
     assert [(r["a_id"], r["b_id"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
 
 
@@ -289,3 +289,27 @@ def test_decode_payload_mime_gate_vs_ascii_gif_text():
     assert declared[0] == "application/octet-stream"  # declaration wins
     n = len(text)
     assert declared[1] == 64 + (n % 577) and declared[2] == 64 + ((n * 7) % 421)
+
+
+def test_simhash_pigeonhole_blocking_is_complete(spark):
+    """Pigeonhole-blocked simhash pairs must EQUAL the all-pairs Hamming
+    scan — blocking is a cost lever, never a recall lever."""
+    d = docs(spark).limit(80)
+    blocked = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in D.simhash_dedup_pairs(d, bits=32, max_hamming=3).collect()
+    }
+    sigs = d.select(F.col("doc_id").alias("id"), D.simhash("text", 32).alias("sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    exact = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            D.hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert blocked == exact
