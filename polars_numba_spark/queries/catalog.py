@@ -72,6 +72,7 @@ _DRIVER_PRIORITY: list[str] = [
     "kernel_scan_running_max",          # A3 collect_scan
     "kernel_scan_user_balance_cents",   # A4 grouped scan
     "kernel_fold_two_columns",          # A9 arity>1 dispatch
+    "capped_balance_per_user",          # flagship non-assoc fold (recursive-CTE oracle)
     "kernel_scan_multi_output",         # A10 tuple→SizedArray accumulator
     "user_running_event_count",         # M4 associative window fast path
     "sql_surface_running_balance",      # SQL UDTF spelling (Spark 4)
@@ -96,7 +97,6 @@ _DRIVER_PRIORITY: list[str] = [
     "scalar_function_zoo",              # 15 bit-exact scalar functions
     "events_json_props",                # JSON extraction
     "user_event_type_pivot",            # pivot
-    "events_unpivoted_flags",           # unpivot/melt
     "events_daily_windows",             # tumbling event-time windows
     "user_sessions",                    # session windows (gaps-and-islands oracle)
     "order_price_quantiles",            # exact percentiles
@@ -607,13 +607,45 @@ def kernel_scan_user_balance_cents(spark: SparkSession, sf_dir: str) -> DataFram
     ).select("event_id", "user_id", "balance_cents")
 
 
-@register("capped_balance_per_user")  # non-associative → no SQL oracle
+@register(
+    "capped_balance_per_user",
+    oracle="""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        FROM events WHERE value IS NOT NULL
+    ), counts AS (
+        SELECT e.user_id AS user_id, COUNT(ev.rn) AS n
+        FROM (SELECT DISTINCT user_id FROM events) e
+        LEFT JOIN ev ON ev.user_id = e.user_id
+        GROUP BY e.user_id
+    ), fold AS (
+        SELECT user_id, 0 AS rn, CAST(0.0 AS DOUBLE) AS acc FROM counts
+        UNION ALL
+        SELECT f.user_id AS user_id, f.rn + 1 AS rn,
+               CASE WHEN f.acc + e.value > 10000.0 OR f.acc + e.value < 0.0
+                    THEN f.acc ELSE f.acc + e.value END AS acc
+        FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+    )
+    SELECT f.user_id AS user_id, f.acc AS capped_balance
+    FROM fold f JOIN counts c ON f.user_id = c.user_id AND f.rn = c.n
+    """,
+)
 def capped_balance_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship: per-user capped running balance — the reference's
     credit-card fold (`examples_fold.py:47-97`). A purchase that would push
     the balance over the cap (or below zero) is rejected and the accumulator
     keeps its prior value: order-dependent, non-associative, impossible for
     any partial-aggregation plan — exactly what the sequential kernel is for.
+
+    Not partial-aggregable, but still ORACLED: a DuckDB recursive CTE
+    replays the identical fold row by row (each recursion step advances
+    every user by one event; same IEEE double adds in the same order, so
+    equality is bit-exact). Even the non-SQL-expressible flagship carries a
+    hard cross-engine signal. Fold null rule: null-value rows are dropped;
+    all-null users terminate at the rn=0 anchor with acc0 = 0.0, matching
+    the kernel's acc0 emission.
     """
     e = _t(spark, sf_dir, "events")
 
