@@ -485,11 +485,49 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kmeans_assignments")  # iterative — rows-only
+@register(
+    "kmeans_assignments",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS label, emb AS cent FROM v WHERE vec_id < 8
+    ), a1 AS (
+      SELECT vec_id, label FROM (
+        SELECT v.vec_id, s.label,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(v.emb, s.cent) DESC, s.label) AS rn
+        FROM v, seeds s
+      ) WHERE rn = 1
+    ), dims1 AS (
+      SELECT a1.label, d.i - 1 AS dim, d.x
+      FROM a1 JOIN v USING (vec_id),
+           LATERAL (SELECT UNNEST(v.emb) AS x, generate_subscripts(v.emb, 1) AS i) d
+    ), cent1 AS (
+      SELECT label, list(mean ORDER BY dim) AS cent FROM (
+        SELECT label, dim,
+               ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9) AS mean
+        FROM dims1 GROUP BY label, dim
+      ) GROUP BY label
+    ), a2 AS (
+      SELECT vec_id, label AS assigned FROM (
+        SELECT v.vec_id, c.label,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(v.emb, c.cent) DESC, c.label) AS rn
+        FROM v, cent1 c
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, assigned FROM a2
+    """,
+)
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations of k-means (k=8, deterministic seeding) over the
-    embeddings — the iterative-algorithm surface; assignment quality pinned
-    by tests, determinism by the driver's repeat-run hash."""
+    embeddings — the iterative-algorithm surface, now with a FULL oracle:
+    the two iterations unroll into plain SQL (seed on the first k ids →
+    argmax-cosine assignment → decimal-exact centroid means → second
+    assignment), every stage bit-exact cross-engine (cosine ==
+    list_cosine_similarity, centroid recipe == label_centroids). Iterative
+    ≠ un-oracleable when the iteration count is a constant."""
     from polars_numba_spark.operators.vector import kmeans_iterations
 
     e = _t(spark, sf_dir, "embeddings")
