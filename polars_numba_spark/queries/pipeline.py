@@ -217,10 +217,67 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
 
 
-@register("embedding_topk_lsh")  # approximate — verified vs brute force in tests
+def _lsh_oracle_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 8, k: int = 5) -> str:
+    """DuckDB reproduction of lsh_topk's ENTIRE pipeline: the same seeded
+    Gaussian plane weights are embedded as string-cast literals (string→
+    double parses are correctly rounded; DuckDB's bare numeric literals
+    round-trip through DECIMAL and can be off by an ulp, flipping a
+    projection sign), projections use an explicit left-to-right
+    list_reduce matching Spark's aggregate fold bit-for-bit, and bucket /
+    candidate / scoring / ranking stages mirror the operator exactly."""
+    from polars_numba_spark.operators.similarity import _plane_weights
+
+    def dot_sql(w: list[float]) -> str:
+        lit = "[" + ",".join(f"'{x!r}'::DOUBLE" for x in w) + "]"
+        return (
+            f"list_reduce(list_transform(range(1, {len(w) + 1}), "
+            f"i -> emb[i] * ({lit})[i]), (a, b) -> a + b)"
+        )
+
+    tables = []
+    for t in range(n_tables):
+        weights = _plane_weights(dim, n_planes, seed=42 + 1000 * t)
+        bucket = " + ".join(
+            f"(CASE WHEN {dot_sql(weights[p])} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        tables.append(
+            f"SELECT vec_id, {t} AS tbl, {bucket} AS bucket FROM v"
+        )
+    buckets_union = "\n      UNION ALL\n      ".join(tables)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), b AS (
+      {buckets_union}
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_cosine_similarity(qv.emb, cv.emb) AS cosine_sim
+      FROM cand
+      JOIN v qv ON qv.vec_id = cand.query_id
+      JOIN v cv ON cv.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("embedding_topk_lsh", oracle=_lsh_oracle_sql())
 def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (random-hyperplane buckets): the scale
-    path — candidate scoring restricted to same-bucket vectors."""
+    path — candidate scoring restricted to same-bucket vectors. FULLY
+    oracled despite being 'approximate': the approximation is deterministic
+    given the seeded planes, so DuckDB reproduces every stage — plane
+    projections (bit-exact string-literal weights + left-to-right reduce),
+    sign buckets, multi-table candidate union, cosine ranking."""
     e = _t(spark, sf_dir, "embeddings")
     return S.lsh_topk(e, e.where(F.col("vec_id") < 10), dim=64, k=5)
 
