@@ -62,19 +62,38 @@ def fingerprint_dedup_groups(
     )
 
 
-def minhash_signature(col: Column | str, num_hashes: int = 32) -> Column:
+def md5_long(col: Column) -> Column:
+    """Engine-portable 60-bit hash: the first 15 hex chars of md5 as a
+    long — reproducible in any engine with md5 (the cross-oracle hash)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signature(
+    col: Column | str, num_hashes: int = 32, portable: bool = False
+) -> Column:
     """k seeded min-hashes over the distinct token set.
 
-    ``xxhash64(token, seed)`` is a JVM builtin → the whole signature is one
-    codegen'd expression; per-doc cost O(tokens × k) with no shuffle.
+    Default: ``xxhash64(token, seed)`` — a JVM builtin, so the whole
+    signature is one codegen'd expression; per-doc cost O(tokens × k) with
+    no shuffle. ``portable=True`` swaps in md5-derived hashes (seed as a
+    ``#i`` suffix) reproducible in DuckDB — ~3× costlier, used where the
+    downstream result must be cross-engine oracled.
     """
     toks = distinct_tokens(col)
-    return F.array(
-        *[
-            F.array_min(F.transform(toks, lambda t: F.xxhash64(t, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
+    if portable:
+        def h(t, i):
+            return md5_long(F.concat(t, F.lit(f"#{i}")))
+    else:
+        def h(t, i):
+            return F.xxhash64(t, F.lit(i))
+
+    def min_hash(i: int):
+        # NB: the transform lambda must stay 1-arg — a 2-arg lambda would
+        # receive the ARRAY INDEX as its second argument (Spark semantics),
+        # silently replacing the seed
+        return F.array_min(F.transform(toks, lambda t: h(t, i)))
+
+    return F.array(*[min_hash(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_candidates(
@@ -83,6 +102,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded minhash LSH.
 
@@ -95,8 +115,18 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes).alias("sig"),
+        minhash_signature(text_col, num_hashes, portable=portable).alias("sig"),
     )
+
+    def band_hash(b: int) -> Column:
+        elems = [
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if portable:  # md5 over comma-joined values — DuckDB-reproducible
+            return F.md5(F.concat_ws(",", *[e.cast("string") for e in elems]))
+        return F.xxhash64(*elems)
+
     banded = sig.select(
         "id",
         F.explode(
@@ -104,9 +134,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                        ).alias("band_hash"),
+                        band_hash(b).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
@@ -177,6 +205,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    portable: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verification.
 
@@ -186,7 +215,9 @@ def minhash_dedup_pairs(
     (the bound is implied by the ≥ threshold filter), candidate-verify cost
     is not.
     """
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, portable=portable
+    )
     return jaccard_pairs(
         df, cands, text_col, id_col, prune_threshold=threshold
     ).where(F.col("jaccard") >= threshold)
