@@ -289,13 +289,19 @@ def simhash_dedup_pairs(
         bits // n_blocks + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)
     ]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def mask(width: int):
+        # a 64-bit block's all-ones mask overflows LongType as (1<<64)-1;
+        # it is -1 in two's complement (and AND with -1 is the identity)
+        return F.lit(-1 if width >= 64 else (1 << width) - 1).cast("long")
+
     sigs = df.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig"))
     blocks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("bi"),
                 F.shiftright(F.col("sig"), offsets[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .bitwiseAND(mask(widths[i]))
                 .alias("bv"),
             )
             for i in range(n_blocks)
@@ -311,8 +317,11 @@ def simhash_dedup_pairs(
             F.col("b.id").alias("b_id"),
             hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
         )
-        .dropDuplicates(["a_id", "b_id"])
+        # filter BEFORE the dedup shuffle: hamming is deterministic per
+        # pair, so the result is identical and the exchange only carries
+        # pairs that survive the threshold
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 

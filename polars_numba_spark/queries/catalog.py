@@ -616,10 +616,9 @@ def kernel_scan_user_balance_cents(spark: SparkSession, sf_dir: str) -> DataFram
                                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
         FROM events WHERE value IS NOT NULL
     ), counts AS (
-        SELECT e.user_id AS user_id, COUNT(ev.rn) AS n
-        FROM (SELECT DISTINCT user_id FROM events) e
-        LEFT JOIN ev ON ev.user_id = e.user_id
-        GROUP BY e.user_id
+        -- COUNT(value) skips NULLs and GROUP BY keeps every user, so
+        -- all-null users get n = 0 (they terminate at the rn=0 anchor)
+        SELECT user_id, COUNT(value) AS n FROM events GROUP BY user_id
     ), fold AS (
         SELECT user_id, 0 AS rn, CAST(0.0 AS DOUBLE) AS acc FROM counts
         UNION ALL

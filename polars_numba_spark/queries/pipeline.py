@@ -463,17 +463,7 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _md5int_spark(expr):
-    return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("bigint")
-
-
 _MD5INT_SQL = "CAST(CAST(('0x' || substr(md5({x}), 1, 15)) AS UBIGINT) AS BIGINT)"
-_MINHASH_SQL_LIST = ", ".join(
-    "list_min(list_transform(t, tok -> "
-    + _MD5INT_SQL.format(x="tok || '#%d'" % i)
-    + "))"
-    for i in range(16)
-)
 
 
 def _minhash_band_sql(num_hashes: int, bands: int) -> tuple[str, str]:
@@ -626,7 +616,12 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
     ), seeds AS (
-      SELECT vec_id AS label, emb AS cent FROM v WHERE vec_id < 8
+      -- mirror kmeans_iterations' seeding exactly: first k vectors by id,
+      -- relabeled 0..k-1 (id-agnostic; no contiguity assumption)
+      SELECT label, cent FROM (
+        SELECT emb AS cent, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS label
+        FROM v
+      ) WHERE label < 8
     ), a1 AS (
       SELECT vec_id, label FROM (
         SELECT v.vec_id, s.label,
@@ -692,6 +687,9 @@ def embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_exact", "n_hits", (F.col("n_hits") / F.col("n_exact")).alias("recall_at_5"))
 
 
+_PORTABLE16_SIG, _PORTABLE16_BANDS = _minhash_band_sql(16, 4)
+
+
 @register(
     "dedup_minhash_portable",
     oracle=f"""
@@ -700,14 +698,9 @@ def embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_sort(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
         FROM documents WHERE doc_id < 200
     ), sigs AS (
-        SELECT doc_id, t,
-               [ {_MINHASH_SQL_LIST} ] AS sig
-        FROM toks
+        SELECT doc_id, t, [ {_PORTABLE16_SIG} ] AS sig FROM toks
     ), banded AS (
-        SELECT doc_id, t, band_idx,
-               md5(CAST(sig[band_idx*4+1] AS VARCHAR) || ',' || CAST(sig[band_idx*4+2] AS VARCHAR)
-                   || ',' || CAST(sig[band_idx*4+3] AS VARCHAR) || ',' || CAST(sig[band_idx*4+4] AS VARCHAR)) AS band_hash
-        FROM sigs, (SELECT UNNEST([0,1,2,3]) AS band_idx)
+        {_PORTABLE16_BANDS}
     ), cands AS (
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.t AS ta, b.t AS tb
         FROM banded a JOIN banded b
@@ -727,61 +720,15 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-hashes (16 hashes, 4 bands of 4) → band-bucket candidate join →
     exact-Jaccard verification — every stage reproduced independently in
     DuckDB. The xxhash64 variant (dedup_minhash_pairs) is the production
-    path (~3× cheaper hashes); this one proves the algorithm end to end."""
+    path (~3× cheaper hashes); this one proves the algorithm end to end.
+    Spark side and oracle both come from ONE source each: the operator's
+    ``portable=True`` path and the ``_minhash_band_sql`` generator — no
+    hand-rolled third spelling to drift."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    toks = d.select(
-        F.col("doc_id").alias("id"), X.distinct_tokens("text").alias("t")
-    )
-    def _min_hash(i: int):
-        # NB: the transform lambda must be 1-arg — a 2-arg lambda would
-        # receive the ARRAY INDEX as its second argument (Spark semantics),
-        # silently replacing the seed
-        seed = F.lit(f"#{i}")
-        return F.array_min(
-            F.transform("t", lambda tok: _md5int_spark(F.concat(tok, seed)))
-        )
-
-    sig = toks.withColumn("sig", F.array(*[_min_hash(i) for i in range(16)]))
-    banded = sig.select(
-        "id",
-        "t",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                ",", *[F.element_at("sig", b * 4 + r + 1).cast("string") for r in range(4)]
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "t", "band.band_idx", "band.band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.t").alias("ta"),
-            F.col("b.t").alias("tb"),
-        )
-        .dropDuplicates(["a_id", "b_id"])
-    )
-    union = F.size(F.array_union(F.col("ta"), F.col("tb")))
-    inter = F.size("ta") + F.size("tb") - union
-    jac = inter.cast("double") / union
-    return cands.select("a_id", "b_id", jac.alias("jaccard")).where(
+    cands = D.minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, portable=True
+    ).select(F.col("a_id"), F.col("b_id"))
+    return D.jaccard_pairs(d, cands, prune_threshold=0.8).where(
         F.col("jaccard") >= 0.8
     )
 
