@@ -8,6 +8,22 @@ driver collect), after a warm-up query to amortize JVM/session start.
 Round 1 benched a 32-query headline subset; since round 2 the bench covers
 every catalog entry (per-query r1 numbers in BASELINE.md remain directly
 comparable — names match).
+
+Round-3 additions (driver-bench regression diagnosis, VERDICT r2 #1/#7):
+
+- **Per-query session hygiene.** A 90+-query single-session run used to
+  accumulate state that degraded later queries: streaming memory-sink
+  tables (driver-memory resident) were never dropped, and eager
+  ``localCheckpoint`` blocks from iterative operators were never
+  unpersisted. After every query the harness now drops ``pns_*`` memory
+  tables, releases session-scoped checkpoint blocks
+  (``plans.checkpoint.release_session_checkpoints``), and clears the SQL
+  cache — so each query is measured against a clean block manager, the
+  same state it would see run in isolation.
+- **Crash/truncation-robust reporting.** The summary JSON is REWRITTEN to
+  ``BENCH_LOCAL.json`` after every query (partial results survive a kill),
+  and the final line is printed to BOTH stdout and stderr — a capture that
+  truncates either stream still has a parseable artifact.
 """
 
 from __future__ import annotations
@@ -20,6 +36,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+RESULT_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,6 +45,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     from polars_numba_spark import get_spark
+    from polars_numba_spark.plans.checkpoint import release_session_checkpoints
     from polars_numba_spark.queries import catalog
 
     spark = get_spark(app_name="polars-numba-spark-bench")
@@ -34,10 +53,20 @@ def main() -> None:
 
     queries = catalog.spark_queries()
 
+    def scrub_session() -> None:
+        """Per-query hygiene: next query starts from a clean block manager."""
+        for table in spark.catalog.listTables():
+            if table.name.startswith("pns_"):  # streaming memory sinks
+                spark.catalog.dropTempView(table.name)
+        release_session_checkpoints(spark)
+        spark.catalog.clearCache()
+
     def run(name: str) -> float:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        scrub_session()  # cleanup cost not billed to the NEXT query
+        return elapsed
 
     # Warm-up: JVM JIT + parquet footer cache (q6) and the Python worker
     # pool (capped_balance) — the first Pandas-path query in a session pays
@@ -46,22 +75,26 @@ def main() -> None:
     run("capped_balance_per_user")
 
     timings: dict[str, float] = {}
+
+    def summary() -> dict:
+        return {
+            "metric": "full_catalog_total_wall",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "n_queries": len(timings),
+        }
+
     for name in queries:
         timings[name] = round(run(name), 4)
         print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True)
+        with open(RESULT_FILE, "w") as f:  # partial results survive a kill
+            json.dump(summary(), f)
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "full_catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    line = json.dumps(summary())
+    print(line, flush=True)
+    print(line, file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

@@ -170,16 +170,19 @@ def jaccard_pairs(
     a pure optimization (never changes results for a ≥ τ filter downstream),
     and the kind that matters when the candidate set is 10⁸ pairs.
     """
+    # token-set size is materialized ONCE as a per-doc column — the prune
+    # filter and the jaccard projection both read it, so the plan carries an
+    # explicit int instead of relying on Catalyst CSE of repeated F.size
     toks = df.select(
         F.col(id_col).alias("id"), distinct_tokens(text_col).alias("toks")
-    )
+    ).withColumn("n_toks", F.size("toks"))
     a = toks.alias("ta")
     b = toks.alias("tb")
     joined = pairs.join(a, pairs.a_id == F.col("ta.id")).join(
         b, pairs.b_id == F.col("tb.id")
     )
-    size_a = F.size(F.col("ta.toks"))
-    size_b = F.size(F.col("tb.toks"))
+    size_a = F.col("ta.n_toks")
+    size_b = F.col("tb.n_toks")
     if prune_threshold is not None:
         joined = joined.where(
             F.least(size_a, size_b)
@@ -347,16 +350,29 @@ def connected_components(
     SQL-expressible as one query, hence driver-checked rows-only and pinned
     by structural tests instead.
     """
-    sym = (
+    from polars_numba_spark.plans.checkpoint import (
+        register_session_scoped,
+        release,
+        tracked_local_checkpoint,
+    )
+
+    spark = edges.sparkSession
+    sym_plan = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
+    # Materialize the edge set ONCE: every round joins `sym`, and without
+    # this the lazy plan re-derives the ENTIRE upstream pair pipeline
+    # (minhash signatures → LSH band join → jaccard verify) per round —
+    # the dominant cost of clustering at any scale.
+    sym, sym_ids = tracked_local_checkpoint(sym_plan)
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    prev_ids: set[int] = set()
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
@@ -374,19 +390,30 @@ def connected_components(
                 (F.col("nbr_min") < F.col("component")).alias("changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        # truncate lineage; round N-1's blocks are superseded the moment
+        # round N materializes — free them (round-2 verdict: accumulated
+        # checkpoint blocks are a memory-pressure risk at 100×)
+        new_labels, new_ids = tracked_local_checkpoint(new_labels)
+        release(spark, prev_ids)
+        prev_ids = new_ids
         n_changed = new_labels.where(F.col("changed")).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
             converged = True
             break
     if not converged:
+        release(spark, sym_ids | prev_ids)
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "iterations (graph diameter exceeds the cap); raise "
             "max_iterations — returning partial labels would silently keep "
             "multiple canonical docs per cluster"
         )
+    # the final labels checkpoint is read lazily by the caller's plan; its
+    # blocks are swept between queries (bench/gate hygiene), not here. The
+    # edge set is no longer referenced — free it now.
+    release(spark, sym_ids)
+    register_session_scoped(prev_ids)
     return labels
 
 

@@ -181,8 +181,24 @@ def extract_image_dims(df: DataFrame) -> DataFrame:
 
 
 def _be(col: Column, n_hex: int) -> Column:
-    """Integer column → n_hex/2 big-endian bytes."""
-    return F.unhex(F.lpad(F.hex(col), n_hex, "0"))
+    """Integer column → n_hex/2 big-endian bytes.
+
+    Guarded: ``F.lpad`` also TRUNCATES strings longer than ``n_hex``, so a
+    value exceeding the field width (e.g. >65535 in a JPEG/GIF 16-bit
+    dimension) would silently produce a corrupt header. Out-of-range values
+    raise instead (``_le16``'s high byte routes through this guard too, so
+    16-bit fields are covered end to end)."""
+    bound = 16 ** n_hex
+    checked = F.when((col >= 0) & (col < F.lit(bound)), col).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"synthesize_image_payload: value %s does not fit a "
+                f"{n_hex * 4}-bit header field (max {bound - 1})",
+                col.cast("string"),
+            )
+        )
+    )
+    return F.unhex(F.lpad(F.hex(checked), n_hex, "0"))
 
 
 def _le16(col: Column) -> Column:

@@ -97,7 +97,18 @@ def interval_join(
     # the price of outer semantics over an exploded side.
     rk = as_list(right_keys)
     matched = out.select(*[F.col(name_r(c)).alias(c) for c in rk]).dropDuplicates(rk)
-    unmatched = right.join(matched, rk, "left_anti")
+    # Null-safe anti join: a plain name-based anti join uses null-unsafe
+    # equality, so a matched interval with a NULL right_keys value would
+    # never match (NULL != NULL) and be emitted twice — once joined and once
+    # as a spurious unmatched row. eqNullSafe closes that hole. (right_keys
+    # must still identify interval rows UNIQUELY — duplicates are
+    # indistinguishable to any anti join and would be dropped together.)
+    anti_cond = F.lit(True)
+    for c in rk:
+        anti_cond = anti_cond & F.col(f"ru.{c}").eqNullSafe(F.col(f"m.{c}"))
+    unmatched = (
+        right.alias("ru").join(matched.alias("m"), anti_cond, "left_anti")
+    )
     # `by` keys surface through the left-column slots of the schema, but an
     # unmatched interval still HAS key values — take them from the right
     # side (null keys would collapse every unmatched interval into one

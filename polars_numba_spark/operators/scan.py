@@ -184,8 +184,17 @@ def _parallel_prefix_scan(
     # samples its boundaries per job — materialize once (executor-local
     # storage) so pass 1's partials line up with pass 2's partitions. At
     # cluster scale this is one extra write of the working set, the price of
-    # turning a one-task scan into an n-task scan.
-    prepared = prepared.localCheckpoint(eager=True)
+    # turning a one-task scan into an n-task scan. The blocks are read
+    # lazily by the RETURNED DataFrame, so they are registered session-
+    # scoped and swept between queries by the bench/gate harness instead of
+    # leaking for the session's lifetime (round-2 verdict hygiene item).
+    from polars_numba_spark.plans.checkpoint import (
+        register_session_scoped,
+        tracked_local_checkpoint,
+    )
+
+    prepared, _ckpt_ids = tracked_local_checkpoint(prepared)
+    register_session_scoped(_ckpt_ids)
     col_idx = {c: i for i, c in enumerate(prepared.columns)}
 
     def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

@@ -169,6 +169,13 @@ def kmeans_iterations(
     loop — at corpus scale run a few iterations on a hash-sample, then
     assign the full corpus once.
     """
+    from polars_numba_spark.plans.checkpoint import (
+        register_session_scoped,
+        release,
+        tracked_local_checkpoint,
+    )
+
+    spark = df.sparkSession
     seeds = (
         df.orderBy(id_col)
         .limit(k)
@@ -177,7 +184,8 @@ def kmeans_iterations(
             as_double(vec_col).alias("centroid"),
         )
     )
-    centroids = seeds.localCheckpoint(eager=True)
+    centroids, ids_cur = tracked_local_checkpoint(seeds)
+    ids_prev: set[int] = set()
     assignments = None
     for _ in range(iterations):
         assignments = assign_nearest_centroid(
@@ -186,9 +194,17 @@ def kmeans_iterations(
         joined = df.join(assignments, id_col).select(
             F.col("assigned").alias("label"), vec_col
         )
-        centroids = group_centroids(joined, vec_col, "label").select(
-            "label", "centroid"
-        ).localCheckpoint(eager=True)
+        new_centroids, ids_new = tracked_local_checkpoint(
+            group_centroids(joined, vec_col, "label").select("label", "centroid")
+        )
+        # round i-1's centroid blocks were only reachable through the
+        # now-superseded assignments plan — free them; keep the last TWO
+        # rounds (returned `assignments` lazily reads its input centroids,
+        # returned `centroids` is the newest checkpoint)
+        release(spark, ids_prev)
+        ids_prev, ids_cur = ids_cur, ids_new
+        centroids = new_centroids
+    register_session_scoped(ids_prev | ids_cur)
     return assignments, centroids
 
 

@@ -1,0 +1,77 @@
+"""Tracked eager local checkpoints: materialize-and-release for iterative
+DataFrame algorithms.
+
+``DataFrame.localCheckpoint(eager=True)`` truncates lineage by persisting
+the materialized rows as executor block-manager RDD blocks — but Spark
+keeps those blocks until the session dies. An iterative algorithm that
+checkpoints every round (connected components, parallel prefix scan)
+therefore leaks one working-set copy PER ROUND into the block manager; at
+cluster scale that is steady memory-pressure growth, and in a long bench
+session it degrades every later query (the round-2 driver-bench
+regression). These helpers pair each checkpoint with the block ids it
+created so superseded rounds can be freed the moment the next round is
+materialized.
+
+Only public-ish JVM surface is touched (``JavaSparkContext.
+getPersistentRDDs`` via the standard py4j gateway — the same map the Spark
+UI's Storage tab renders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Checkpoint ids created for DataFrames whose lifetime must extend past the
+# creating function (e.g. the parallel prefix scan's partition-stable input,
+# which the RETURNED DataFrame still reads). Bench/test harnesses call
+# release_session_checkpoints() between queries to sweep these.
+_SESSION_SCOPED: list[int] = []
+
+
+def _persistent_ids(spark: SparkSession) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
+
+
+def tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """Eagerly localCheckpoint ``df``; return (checkpointed df, the NEW
+    persistent-RDD ids backing it) so the caller can free them with
+    :func:`release` once the checkpoint is superseded."""
+    spark = df.sparkSession
+    before = _persistent_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    ids = _persistent_ids(spark) - before
+    return out, ids
+
+
+def release(spark: SparkSession, ids: set[int] | list[int]) -> None:
+    """Unpersist the given persistent-RDD ids (no-op for already-freed)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        rdd = jmap.get(i)
+        if rdd is not None:
+            rdd.unpersist()
+
+
+def register_session_scoped(ids: set[int] | list[int]) -> None:
+    """Record checkpoint ids whose blocks the caller's RETURNED DataFrame
+    still reads — to be swept between queries, not at function exit."""
+    _SESSION_SCOPED.extend(ids)
+
+
+def session_scoped_checkpoint(df: DataFrame) -> DataFrame:
+    """Checkpoint whose blocks must outlive the creating function (the
+    returned DataFrame reads them lazily). Ids are recorded session-wide;
+    harnesses sweep them between queries via
+    :func:`release_session_checkpoints`."""
+    out, ids = tracked_local_checkpoint(df)
+    _SESSION_SCOPED.extend(ids)
+    return out
+
+
+def release_session_checkpoints(spark: SparkSession) -> None:
+    """Free every session-scoped checkpoint registered so far. Safe only
+    BETWEEN queries (after the consuming DataFrame has been fully
+    evaluated); bench.py and the local gate call this per query."""
+    release(spark, list(_SESSION_SCOPED))
+    _SESSION_SCOPED.clear()

@@ -9,10 +9,14 @@ Both queries keep the (spark, sf_dir) -> batch DataFrame contract:
   aggregates — the oracle aggregates the same slice straight off parquet, so
   any value lost or mangled in either text codec (double shortest-roundtrip,
   ISO-8601 timestamps) breaks the hash;
-- the streaming query runs a real Structured Streaming job (file source →
-  event-time tumbling windows → memory sink, ``availableNow`` trigger) and
-  returns the sink table; with bounded input the final streaming state must
-  equal the batch aggregate the oracle computes.
+- the streaming queries run real Structured Streaming jobs (file source →
+  stateful operator / event-time windows → parquet sink, ``availableNow``
+  trigger) and return a read of the sink; with bounded input the final
+  streaming state must equal the batch computation the oracle performs.
+  Sinks are parquet (or a memory table staged out and DROPPED before
+  returning) so no session-lived state survives a query — the round-2
+  driver bench showed leaked memory sinks degrading every later query in a
+  91-query single-session run.
 """
 
 from __future__ import annotations
@@ -44,13 +48,18 @@ from polars_numba_spark.streaming import windowed_rollup
 
 
 def _scratch_dir(tag: str, sf_dir: str) -> str:
-    """Deterministic per-(tag, sf) scratch dir: the lazily-returned
+    """Deterministic per-(pid, tag, sf) scratch dir: the lazily-returned
     DataFrame still references these files when the caller collects, so
     they cannot be deleted here — instead every rerun overwrites the SAME
     directory (mode 'overwrite'), bounding disk at one copy per sf rather
-    than one per invocation."""
+    than one per invocation. The pid token keeps two CONCURRENT gate/bench
+    processes from overwriting files the other's lazy DataFrame still
+    references (within one process, reruns are sequential — the overwrite
+    is safe)."""
     sf_key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"pns_{tag}_{sf_key}")
+    path = os.path.join(
+        tempfile.gettempdir(), f"pns_{tag}_{sf_key}_p{os.getpid()}"
+    )
     os.makedirs(path, exist_ok=True)
     return path
 
@@ -124,6 +133,21 @@ def formats_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fresh_dir(base: str, run_id: str) -> str:
+    """Wipe ``base`` (previous runs' output — same bounded-disk contract as
+    the overwrite-mode scratch writes) and return a run-specific subdir."""
+    shutil.rmtree(base, ignore_errors=True)
+    path = os.path.join(base, run_id)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _await(query, name: str) -> None:
+    if not query.awaitTermination(300):
+        query.stop()
+        raise TimeoutError(f"{name}: availableNow stream did not finish in 300s")
+
+
 @register(
     "streaming_daily_rollup",
     oracle="""
@@ -153,7 +177,8 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents": F.sum(F.round(F.col("value") * 100).cast("long")),
         },
     )
-    sink = f"pns_stream_daily_{uuid.uuid4().hex[:8]}"
+    run_id = uuid.uuid4().hex[:8]
+    sink = f"pns_stream_daily_{run_id}"
     query = (
         out.writeStream.format("memory")
         .queryName(sink)
@@ -161,18 +186,113 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    if not query.awaitTermination(300):
-        query.stop()
-        raise TimeoutError(
-            "streaming_daily_rollup: availableNow stream did not finish in "
-            "300s — refusing to return a partial complete-mode aggregate"
-        )
-    return spark.table(sink).select(
-        F.col("window.start").alias("window_start"),
-        "event_type",
-        "n_events",
-        "total_cents",
+    try:
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError(
+                "streaming_daily_rollup: availableNow stream did not finish in "
+                "300s — refusing to return a partial complete-mode aggregate"
+            )
+        # Complete mode requires a memory sink (driver-resident rows); stage
+        # the final state to parquet and DROP the sink table so nothing
+        # session-lived survives the query (round-2 driver-bench hygiene:
+        # leaked memory sinks degraded every later query in a 91-query run).
+        staged = _fresh_dir(_scratch_dir("daily_out", sf_dir), run_id)
+        spark.table(sink).select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_cents",
+        ).write.mode("overwrite").parquet(staged)
+    finally:
+        spark.catalog.dropTempView(sink)
+    return spark.read.parquet(staged)
+
+
+def staged_streaming_scan_balance(
+    spark: SparkSession,
+    sf_dir: str,
+    n_staging_files: int = 16,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Core of ``streaming_scan_user_balance``, exposed so tests can force
+    multi-batch delivery (``max_files_per_trigger=1``) and prove
+    batch-count independence.
+
+    Round-2 verdict #3 ("robustness cliff"): the old spelling asserted the
+    input arrived as ONE micro-batch, because ``order_by`` only sorts
+    within a batch and cross-batch order is arrival order. This version
+    guarantees per-key ordering STRUCTURALLY instead of asserting the
+    environment:
+
+    1. **Stage** (batch): hash-repartition events by ``user_id`` into
+       ``n_staging_files`` files, each sorted by (user_id, ts, event_id).
+       Every user's rows now live entirely inside ONE parquet file.
+    2. **Stream** the staged layout through the stateful scan
+       (``applyInPandasWithState``, accumulator in the state store). A file
+       stream source assigns whole files to micro-batches, so no matter how
+       the files are batched — one batch, or one PER FILE under
+       ``maxFilesPerTrigger=1`` — each key's rows arrive together and the
+       per-batch ``order_by`` sort is a global per-key sort. This is the
+       per-key cross-batch ordering guarantee, by layout rather than luck.
+    3. Sink is a parquet STREAMING sink (not a memory table): nothing
+       driver-resident, nothing session-lived left behind.
+
+    At cluster scale step 1 is one extra shuffle+write of the stream's
+    working set — the standard stage-then-replay pattern for folds that
+    need event-time order over a file-backed stream."""
+    from polars_numba_spark.streaming import streaming_grouped_scan
+
+    run_id = uuid.uuid4().hex[:8]
+    staging = _fresh_dir(_scratch_dir("scan_stage", sf_dir), run_id)
+    out_dir = _fresh_dir(_scratch_dir("scan_out", sf_dir), run_id)
+
+    events = (
+        _t(spark, sf_dir, "events")
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+        .select("user_id", "event_id", "ts", "cents")
     )
+    (
+        events.repartition(n_staging_files, "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+
+    reader = spark.readStream.schema(events.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(staging)
+
+    def add(acc, cents):
+        return acc + cents
+
+    out = streaming_grouped_scan(
+        stream,
+        "user_id",
+        add,
+        0,
+        "long",
+        columns=["cents"],
+        order_by=["ts", "event_id"],
+    )
+    # fresh checkpoint per run (a reused one would mark the staged files
+    # processed and emit nothing); removed after termination — the parquet
+    # sink holds the results, the state store dies with the query
+    ckpt = os.path.join(tempfile.gettempdir(), f"pns_ckpt_{run_id}")
+    query = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await(query, "streaming_scan_user_balance")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir).select("user_id", "event_id", "scan")
 
 
 @register(
@@ -182,65 +302,12 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_scan_user_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STATEFUL STREAMING kernel scan through the hard gate: per-user
     running balance via applyInPandasWithState (accumulator in the state
-    store), driven as a real availableNow job into a memory sink, compared
-    against the plain SQL window oracle (shared with the batch kernel and
-    SQL-UDTF spellings — SCAN_BALANCE_ORACLE). Append mode emits one output
-    row per input event (10k at the correctness SF, 100k at bench sf0.1).
-
-    Oracle equality requires the table to arrive as ONE micro-batch:
-    ``order_by`` sorts within a batch, and cross-batch order is arrival
-    order (the documented streaming caveat). That holds here — the table is
-    a single parquet file and no maxFilesPerTrigger is set — and the batch
-    count is ASSERTED after termination rather than assumed, so a future
-    multi-file testdata layout fails loudly instead of hash-mismatching."""
-    from polars_numba_spark.streaming import streaming_grouped_scan
-
-    stream = load_stream(spark, "events", sf_dir).withColumn(
-        "cents", F.round(F.col("value") * 100).cast("long")
-    )
-
-    def add(acc, cents):
-        return acc + cents
-
-    out = streaming_grouped_scan(
-        stream.select("user_id", "event_id", "ts", "cents"),
-        "user_id",
-        add,
-        0,
-        "long",
-        columns=["cents"],
-        order_by=["ts", "event_id"],
-    )
-    run_id = uuid.uuid4().hex[:8]
-    sink = f"pns_stream_scan_{run_id}"
-    # fresh checkpoint per run (a reused one would mark the file processed
-    # and emit nothing); removed after termination — the memory sink holds
-    # the results, the state store is not needed once the query stops
-    ckpt = os.path.join(tempfile.gettempdir(), f"pns_ckpt_{run_id}")
-    query = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not query.awaitTermination(300):
-            query.stop()
-            raise TimeoutError(
-                "streaming_scan_user_balance: stream did not finish in 300s"
-            )
-        fed = [p for p in query.recentProgress if p["numInputRows"] > 0]
-        if len(fed) > 1:
-            raise RuntimeError(
-                f"streaming_scan_user_balance: input arrived in {len(fed)} "
-                "micro-batches — per-batch ordering no longer matches the "
-                "global window oracle (multi-file testdata?)"
-            )
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(sink).select("user_id", "event_id", "scan")
+    store), driven as a real availableNow job, compared against the plain
+    SQL window oracle (shared with the batch kernel and SQL-UDTF spellings
+    — SCAN_BALANCE_ORACLE). Batch-count-INDEPENDENT by construction — see
+    :func:`staged_streaming_scan_balance`; the forced-multi-batch proof
+    lives in tests/test_streaming_scan.py."""
+    return staged_streaming_scan_balance(spark, sf_dir)
 
 
 @register(
@@ -263,18 +330,24 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = load_stream(spark, "documents", sf_dir)
     deduped = streaming_exact_dedup(stream, "text")
-    sink = f"pns_stream_dedup_{uuid.uuid4().hex[:8]}"
+    run_id = uuid.uuid4().hex[:8]
+    out_dir = _fresh_dir(_scratch_dir("dedup_out", sf_dir), run_id)
+    ckpt = os.path.join(tempfile.gettempdir(), f"pns_ckpt_dedup_{run_id}")
+    # parquet streaming sink — append mode needs no driver-resident memory
+    # table, so nothing session-lived survives the query (bench hygiene)
     query = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
-    if not query.awaitTermination(300):
-        query.stop()
-        raise TimeoutError("streaming_dedup_docs: stream did not finish in 300s")
-    return spark.table(sink).agg(
+    try:
+        _await(query, "streaming_dedup_docs")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir).agg(
         F.count(F.lit(1)).alias("n_unique"),
         F.sum(F.length("text").cast("long")).cast("long").alias("total_chars"),
     )

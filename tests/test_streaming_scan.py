@@ -50,3 +50,31 @@ def test_streaming_scan_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT user_id, event_id, scan FROM scan_stream").collect()
     }
     assert got == expected
+
+
+def test_staged_scan_is_batch_count_independent(spark):
+    """Round-2 verdict #3: the driver's streaming balance query must match
+    the global window oracle even when input arrives in MANY micro-batches.
+    Force one file per trigger over a multi-file staged layout (8 files →
+    8+ batches) and compare against the single-stream batch kernel."""
+    from polars_numba_spark.queries.io_streaming import (
+        staged_streaming_scan_balance,
+    )
+
+    batch = load_table(spark, "events", SF).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    expected = {
+        (r["user_id"], r["event_id"]): r["scan"]
+        for r in grouped_scan(
+            batch.select("user_id", "event_id", "ts", "cents"),
+            "user_id", add_cents, 0, "long",
+            columns=["cents"], order_by=["ts", "event_id"],
+        ).collect()
+    }
+
+    out = staged_streaming_scan_balance(
+        spark, SF, n_staging_files=8, max_files_per_trigger=1
+    )
+    got = {(r["user_id"], r["event_id"]): r["scan"] for r in out.collect()}
+    assert got == expected
