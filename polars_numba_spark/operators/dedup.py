@@ -29,7 +29,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from polars_numba_spark.operators.text import distinct_tokens, fingerprint
+from polars_numba_spark.operators.text import (
+    distinct_tokens,
+    fingerprint,
+    token_shingles,
+)
+
+
+def _token_sets(col: Column | str, shingle_n: int | None) -> Column:
+    """The comparison unit for Jaccard/minhash: distinct unigram tokens by
+    default, or distinct n-token shingles when ``shingle_n`` is set.
+    Shingling is standard MinHash practice — unigram sets saturate on any
+    corpus with shared vocabulary (documents that merely draw words from
+    the same pool look like near-dups), while n-token shingles require
+    shared *runs*, collapsing the candidate volume by orders of magnitude
+    (measured on this corpus: 23% of pairs at unigram jaccard ≥ 0.8 vs
+    0.002% at 8-shingle jaccard ≥ 0.2)."""
+    if shingle_n is None:
+        return distinct_tokens(col)
+    return F.array_sort(token_shingles(col, shingle_n))
 
 
 def exact_dedup_key(col: Column | str) -> Column:
@@ -69,17 +87,30 @@ def md5_long(col: Column) -> Column:
 
 
 def minhash_signature(
-    col: Column | str, num_hashes: int = 32, portable: bool = False
+    col: Column | str,
+    num_hashes: int = 32,
+    portable: bool = False,
+    shingle_n: int | None = None,
 ) -> Column:
-    """k seeded min-hashes over the distinct token set.
+    """k seeded min-hashes over the distinct token (or shingle) set.
 
     Default: ``xxhash64(token, seed)`` — a JVM builtin, so the whole
     signature is one codegen'd expression; per-doc cost O(tokens × k) with
     no shuffle. ``portable=True`` swaps in md5-derived hashes (seed as a
     ``#i`` suffix) reproducible in DuckDB — ~3× costlier, used where the
-    downstream result must be cross-engine oracled.
+    downstream result must be cross-engine oracled. ``shingle_n`` switches
+    the unit from unigrams to n-token shingles (see :func:`_token_sets`).
+
+    SCALE CAVEAT: this expression form re-derives the token array inside
+    every transform (higher-order functions are interpreted and escape
+    both codegen and CSE) — fine for unigram splits, pathological for
+    shingles (measured 323s vs ~3s at sf0.1).
+    :func:`minhash_lsh_candidates` therefore computes signatures via
+    explode → codegen'd hash → map-side min aggregation instead; keep this
+    form for expression-context uses (e.g. attaching a signature column
+    without a shuffle) on cheap token sets only.
     """
-    toks = distinct_tokens(col)
+    toks = _token_sets(col, shingle_n)
     if portable:
         def h(t, i):
             return md5_long(F.concat(t, F.lit(f"#{i}")))
@@ -103,6 +134,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     portable: bool = False,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded minhash LSH.
 
@@ -110,18 +142,43 @@ def minhash_lsh_candidates(
     The only shuffle is the self-join on (band_idx, band_hash) — fan-out is
     bucket-sized, never all-pairs. Skewed buckets (e.g. empty docs) are the
     one scale hazard; AQE skew-join handles moderate cases, and callers can
-    pre-filter degenerate docs.
+    pre-filter degenerate docs. With ``shingle_n``, documents shorter than
+    n tokens have no shingles and are excluded up front (an empty set has
+    no similarity evidence — and would otherwise bucket together on the
+    null signature, a skew bomb).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # Signature via EXPLODE → codegen'd hash → map-side MIN aggregation —
+    # not the array-expression form (minhash_signature). Two scale reasons,
+    # both measured: (1) higher-order functions are INTERPRETED and escape
+    # whole-stage codegen, and Catalyst does not CSE the token/shingle
+    # array across the k min-hash expressions — with 8-token shingles the
+    # expression form re-built the shingle array k times per row (323s at
+    # sf0.1 vs ~3s for this shape); (2) the per-(id, token) rows hash with
+    # plain codegen'd xxhash64/md5 and reduce via partial min BEFORE the
+    # one shuffle on id, so signature cost parallelizes past the input
+    # file count. min over the same token multiset ⇒ values identical to
+    # the expression form (pinned in tests).
+    tok = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, portable=portable).alias("sig"),
+        F.explode(_token_sets(text_col, shingle_n)).alias("tok"),
+    )
+    # (documents with an empty token/shingle set simply vanish at the
+    # explode — no similarity evidence, no null-signature skew bucket)
+    if portable:
+        def h(i: int) -> Column:
+            return md5_long(F.concat(F.col("tok"), F.lit(f"#{i}")))
+    else:
+        def h(i: int) -> Column:
+            return F.xxhash64(F.col("tok"), F.lit(i))
+
+    sig = tok.groupBy("id").agg(
+        *[F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
 
     def band_hash(b: int) -> Column:
         elems = [
-            F.element_at("sig", b * rows_per_band + r + 1)
-            for r in range(rows_per_band)
+            F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
         ]
         if portable:  # md5 over comma-joined values — DuckDB-reproducible
             return F.md5(F.concat_ws(",", *[e.cast("string") for e in elems]))
@@ -141,6 +198,8 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_hash")
+    # NB: the self-join reads `banded` twice, but both sides are the same
+    # plan — Catalyst's ReuseExchange serves the agg shuffle once.
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -161,8 +220,10 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     prune_threshold: float | None = None,
+    shingle_n: int | None = None,
 ) -> DataFrame:
-    """Exact distinct-token Jaccard for given (a_id, b_id) candidate pairs.
+    """Exact distinct-token (or n-shingle, with ``shingle_n``) Jaccard for
+    given (a_id, b_id) candidate pairs.
 
     ``prune_threshold=τ`` applies the size-ratio bound *before* the array
     intersect: jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose
@@ -174,7 +235,7 @@ def jaccard_pairs(
     # filter and the jaccard projection both read it, so the plan carries an
     # explicit int instead of relying on Catalyst CSE of repeated F.size
     toks = df.select(
-        F.col(id_col).alias("id"), distinct_tokens(text_col).alias("toks")
+        F.col(id_col).alias("id"), _token_sets(text_col, shingle_n).alias("toks")
     ).withColumn("n_toks", F.size("toks"))
     a = toks.alias("ta")
     b = toks.alias("tb")
@@ -209,6 +270,7 @@ def minhash_dedup_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     portable: bool = False,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verification.
 
@@ -216,13 +278,16 @@ def minhash_dedup_pairs(
     size-ratio bound (jaccard ≤ min/max of the two cardinalities) are
     dropped on two cheap ints before the array_union — results identical
     (the bound is implied by the ≥ threshold filter), candidate-verify cost
-    is not.
+    is not. ``shingle_n`` applies the same shingling to BOTH the LSH stage
+    and the verifier, so the verified jaccard is shingle-set jaccard.
     """
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, portable=portable
+        df, text_col, id_col, num_hashes, bands, portable=portable,
+        shingle_n=shingle_n,
     )
     return jaccard_pairs(
-        df, cands, text_col, id_col, prune_threshold=threshold
+        df, cands, text_col, id_col, prune_threshold=threshold,
+        shingle_n=shingle_n,
     ).where(F.col("jaccard") >= threshold)
 
 

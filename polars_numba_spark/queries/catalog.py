@@ -74,7 +74,7 @@ _DRIVER_PRIORITY: list[str] = [
     "kernel_fold_two_columns",          # A9 arity>1 dispatch
     "capped_balance_per_user",          # flagship non-assoc fold (recursive-CTE oracle)
     "kernel_scan_multi_output",         # A10 tuple→SizedArray accumulator
-    "user_running_event_count",         # M4 associative window fast path
+    "parallel_fold_total_cents",        # collect_fold(combine=) parallel path
     "sql_surface_running_balance",      # SQL UDTF spelling (Spark 4)
     # TPC-H relational core (§2.B joins/agg/subqueries)
     "q1_pricing_summary",
@@ -118,9 +118,13 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_train_valid_test_split",
     "multimodal_image_dims",
     "rolling_hour_user_value",
-    "gap_fill_user_value",
+    "parallel_scan_running_balance",    # two-pass parallel prefix scan
     "training_data_pipeline",
 ]
+# Swapped OUT of the window in round 3 (r2 verdict #5 — both remain oracled
+# and local-gated): user_running_event_count (associative window fast path —
+# family still evidenced by orders_rank_in_customer + running_max_order_price)
+# and gap_fill_user_value (timeseries — rolling_hour_user_value stays in).
 
 
 def _prioritized(mapping: dict) -> dict:
@@ -605,6 +609,84 @@ def kernel_scan_user_balance_cents(spark: SparkSession, sf_dir: str) -> DataFram
         order_by=["ts", "event_id"],
         result_name="balance_cents",
     ).select("event_id", "user_id", "balance_cents")
+
+
+@register(
+    "parallel_fold_total_cents",
+    oracle="""
+    SELECT CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)), 0) AS BIGINT)
+        AS total_cents
+    FROM events
+    """,
+)
+def parallel_fold_total_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``collect_fold(combine=)`` — the PARTITION-PARALLEL fold path —
+    through the hard gate (r2 verdict #5: it was pytest-only). The global
+    event-cents total is folded one partial per partition, partials
+    combined on the driver (O(#partitions) pickled ints), checked against
+    plain SQL SUM. ``order_by`` is omitted: + is commutative, so arbitrary
+    partition contents are legal — exercising the unordered combine
+    contract. This is the scale escape from the single-stream global fold:
+    the reference's streaming accumulator threading (`__init__.py:710,
+    725-727`) done as a map-side partial per partition instead of one
+    sequential pass."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+
+    def add(acc, cents):
+        return acc + cents
+
+    def combine(a, b):
+        return a + b
+
+    from polars_numba_spark.operators.fold import collect_fold
+
+    total = collect_fold(e.select("cents"), add, 0, combine=combine)
+    return spark.createDataFrame([(int(total),)], "total_cents bigint")
+
+
+@register(
+    "parallel_scan_running_balance",
+    oracle="""
+    SELECT event_id,
+           CAST(CASE WHEN value IS NULL THEN NULL ELSE
+               COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 0)
+           END AS BIGINT) AS global_balance
+    FROM events
+    """,
+)
+def parallel_scan_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-pass PARALLEL PREFIX SCAN through the hard gate (r2 verdict
+    #5: pytest-only before). A GLOBAL running balance (no partition key —
+    the single-stream shape) computed fully parallel: range-partition on
+    (ts, event_id), pass 1 folds per-partition partials, the driver prefix-
+    combines them into per-partition seeds, pass 2 scans each partition
+    seeded with its prefix. Exact vs the global window oracle, including
+    the null rule (null value → null output, accumulator unchanged)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+
+    def add(acc, cents):
+        return acc + cents
+
+    def combine(a, b):
+        return a + b
+
+    return collect_scan(
+        e.select("event_id", "ts", "cents"),
+        add,
+        0,
+        "long",
+        column_names=["cents"],
+        order_by=["ts", "event_id"],
+        result_name="global_balance",
+        combine=combine,
+    ).select("event_id", "global_balance")
 
 
 @register(

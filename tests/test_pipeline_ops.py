@@ -128,6 +128,39 @@ def test_minhash_recall_vs_exact(spark):
     assert recall >= 0.9
 
 
+def test_shingled_minhash_pin_vs_exact_shingle_jaccard(spark):
+    """The PRODUCTION twin (dedup_minhash_pairs, shingle_n=8) pinned
+    against the exact shingled-Jaccard differential: every emitted pair is
+    exact-verified ≥ τ by construction (precision 1.0), and banded capture
+    of the true ≥ 0.8 pairs must be ≥ 0.9 (theory: ≈ 0.985 at j = 0.8 for
+    8 bands × 4 rows). Uses the full sf0.001 corpus — 27 true pairs."""
+    d = docs(spark)
+    ids = d.select("doc_id")
+    all_pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    )
+    exact = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in D.jaccard_pairs(d, all_pairs, shingle_n=8)
+        .where(F.col("jaccard") >= 0.8)
+        .collect()
+    }
+    assert exact, "corpus should contain shingle near-dups"
+    found = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in D.minhash_dedup_pairs(
+            d, num_hashes=32, bands=8, threshold=0.8, shingle_n=8
+        ).collect()
+    }
+    # precision: everything emitted is a true pair with the exact jaccard
+    for pair, j in found.items():
+        assert pair in exact and abs(j - exact[pair]) < 1e-12
+    # recall of banded capture
+    assert len(found) / len(exact) >= 0.9
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "totally different words here")],
