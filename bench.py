@@ -24,6 +24,18 @@ Round-3 additions (driver-bench regression diagnosis, VERDICT r2 #1/#7):
   ``BENCH_LOCAL.json`` after every query (partial results survive a kill),
   and the final line is printed to BOTH stdout and stderr — a capture that
   truncates either stream still has a parseable artifact.
+
+Round-4 additions (VERDICT r3 #2, the lesson of the crashed r3 driver
+bench — one AnalysisException aborted the whole run with rc=1 and no JSON):
+
+- **Per-query fault isolation.** Every query runs inside try/except; a
+  failure records ``{"errors": {name: "Type: message"}}`` in the summary
+  and the loop CONTINUES. The final JSON is always emitted and the process
+  always exits 0 — one broken query costs one red entry, not the round.
+- **Explicit partial marking.** Mid-run snapshots carry ``"partial": true``
+  (dropped only when the loop completes), so a killed run's
+  ``BENCH_LOCAL.json`` can never be misread as a full-catalog floor
+  (ADVICE r3 #1).
 """
 
 from __future__ import annotations
@@ -52,6 +64,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = catalog.spark_queries()
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:  # iteration aid: bench only the named queries
+        wanted = [q.strip() for q in subset.split(",") if q.strip()]
+        queries = {k: queries[k] for k in wanted if k in queries}
 
     def scrub_session() -> None:
         """Per-query hygiene: next query starts from a clean block manager."""
@@ -71,13 +87,17 @@ def main() -> None:
     # Warm-up: JVM JIT + parquet footer cache (q6) and the Python worker
     # pool (capped_balance) — the first Pandas-path query in a session pays
     # ~2s of worker startup that is not a property of any query.
-    run("q6_revenue_forecast")
-    run("capped_balance_per_user")
+    for warm in ("q6_revenue_forecast", "capped_balance_per_user"):
+        try:
+            run(warm)
+        except Exception as exc:  # warm-up failure must not kill the bench
+            print(f"  warm-up {warm} failed: {exc!r}", file=sys.stderr, flush=True)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
-    def summary() -> dict:
-        return {
+    def summary(partial: bool) -> dict:
+        out = {
             "metric": "full_catalog_total_wall",
             "value": round(sum(timings.values()), 4),
             "unit": "sec",
@@ -85,14 +105,30 @@ def main() -> None:
             "sf": sf,
             "n_queries": len(timings),
         }
+        if errors:
+            out["errors"] = errors
+            out["n_errors"] = len(errors)
+        if partial:
+            out["partial"] = True  # mid-run snapshot, NOT a full-catalog floor
+        return out
 
     for name in queries:
-        timings[name] = round(run(name), 4)
-        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True)
+        try:
+            timings[name] = round(run(name), 4)
+            print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"  {name}: ERROR {errors[name]}", file=sys.stderr, flush=True)
+            try:
+                scrub_session()  # a failed query must not poison the next one
+            except Exception:
+                pass
         with open(RESULT_FILE, "w") as f:  # partial results survive a kill
-            json.dump(summary(), f)
+            json.dump(summary(partial=True), f)
 
-    line = json.dumps(summary())
+    line = json.dumps(summary(partial=False))
+    with open(RESULT_FILE, "w") as f:
+        json.dump(summary(partial=False), f)
     print(line, flush=True)
     print(line, file=sys.stderr, flush=True)
 

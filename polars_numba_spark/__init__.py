@@ -30,7 +30,7 @@ from __future__ import annotations
 from polars_numba_spark._numba import HAVE_NUMBA
 from polars_numba_spark.dtypes import SizedArray
 from polars_numba_spark.session import get_spark
-from polars_numba_spark.operators.fold import collect_fold, grouped_fold
+from polars_numba_spark.operators.fold import agg_with_fold, collect_fold, grouped_fold
 from polars_numba_spark.operators.scan import collect_scan, grouped_scan
 from polars_numba_spark.operators.window import (
     running_agg,
@@ -42,6 +42,7 @@ __all__ = [
     "HAVE_NUMBA",
     "SizedArray",
     "get_spark",
+    "agg_with_fold",
     "collect_fold",
     "collect_scan",
     "grouped_fold",

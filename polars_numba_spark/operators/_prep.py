@@ -40,6 +40,22 @@ def key_tuple(pdf: "pd.DataFrame", keys: Sequence[str], row: int) -> tuple:
     return tuple(out)
 
 
+def ensure_event_time(df: DataFrame, time_col: str) -> DataFrame:
+    """Coerce a TIMESTAMP_NTZ event-time column to session-zone TIMESTAMP.
+
+    ``withWatermark`` and several time arithmetics are only legal on
+    TIMESTAMP (LTZ); parquet-sourced naive timestamps arrive as NTZ.
+    No-op when the column is already LTZ (or anything else castable the
+    caller wants to keep as-is).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[time_col].dataType, T.TimestampNTZType):
+        return df.withColumn(time_col, F.col(time_col).cast(T.TimestampType()))
+    return df
+
+
 def as_list(value: str | Sequence[str] | None) -> list[str]:
     if value is None:
         return []

@@ -332,12 +332,39 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def bits_for_corpus(
+    n_rows: int, max_hamming: int = 3, target_block_rows: int = 256
+) -> int:
+    """Signature width whose per-block value space keeps expected block
+    occupancy ≈ ``target_block_rows`` — the simhash analog of
+    ``similarity.planes_for_corpus`` (round-3 verdict: a fixed ``bits``
+    makes pigeonhole-block occupancy grow linearly with the corpus, and
+    within-block join cost quadratically).
+
+    Pigeonhole blocking splits the signature into ``max_hamming + 1``
+    blocks of ~``bits/(k+1)`` bits each, so occupancy per block value is
+    ``n_rows / 2^(bits/(k+1))``; solving for occupancy ≤ target gives
+    ``bits = (k+1) * ceil(log2(n_rows / target))``. Capped at 64 — the
+    one-long codegen encoding's limit; with the default k=3 that still
+    bounds occupancy at ``target`` up to ~16M rows per partition-disjoint
+    corpus slice, beyond which an array-of-longs signature is the upgrade
+    path.
+    """
+    import math
+
+    n_blocks = max_hamming + 1
+    per_block = max(1, math.ceil(math.log2(max(n_rows, 2) / target_block_rows)))
+    return max(16, min(64, n_blocks * per_block))
+
+
 def simhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 32,
+    bits: int | None = 32,
     max_hamming: int = 3,
+    n_rows: int | None = None,
+    target_block_rows: int = 256,
 ) -> DataFrame:
     """Near-dup pairs by simhash with Hamming-pigeonhole blocking.
 
@@ -349,9 +376,15 @@ def simhash_dedup_pairs(
     whose differing bits fell in the prefix, and (b) froze the bucket count
     at 2^prefix_bits forever. Pigeonhole blocking is complete (every
     ≤ max_hamming pair is found), and the per-block value space is
-    2^(bits/(k+1)) — widen ``bits`` (64 via the same codegen) as the corpus
-    grows to keep block occupancy bounded.
+    2^(bits/(k+1)) — ``bits=None`` sizes the signature to the corpus via
+    :func:`bits_for_corpus` (count once if ``n_rows`` not given), keeping
+    block occupancy ≈ ``target_block_rows`` as the corpus grows instead of
+    letting the within-block self-join degrade quadratically.
     """
+    if bits is None:
+        if n_rows is None:
+            n_rows = df.count()
+        bits = bits_for_corpus(n_rows, max_hamming, target_block_rows)
     n_blocks = max_hamming + 1
     widths = [
         bits // n_blocks + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)

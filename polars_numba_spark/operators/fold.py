@@ -281,3 +281,57 @@ def grouped_fold(
         .sortWithinPartitions(*keys, *order_cols)
     )
     return prepared.mapInPandas(fold_partition, schema=out_schema)
+
+
+def agg_with_fold(
+    df: DataFrame,
+    group_by: str | Sequence[str],
+    native_aggs: dict[str, Any],
+    folds: dict[str, dict],
+) -> DataFrame:
+    """One grouped result mixing native Spark aggregates with kernel folds.
+
+    Closes the expression-context gap vs the reference, whose fold is an
+    ``Expr`` usable INSIDE ``group_by().agg(...)`` alongside other
+    expressions (ref `examples_fold.py:87-97` — a fold and native aggs in
+    one ``agg`` call). Spark aggregate expressions can't host an arbitrary
+    sequential kernel, so the equivalent surface is this helper: it runs the
+    native aggregates as one Catalyst ``groupBy().agg`` and each fold spec
+    through :func:`grouped_fold`, then null-safe-joins the per-key results
+    (null is one group in both paths, matching groupBy semantics).
+
+    ``native_aggs`` maps result name → aggregate Column;
+    ``folds`` maps result name → kwargs for :func:`grouped_fold`
+    (``function, initial_accumulator, return_dtype, columns, order_by,
+    extra_args``).
+
+    Scale notes: each component shuffles once on the SAME keys and the
+    joins are key-equi — at cluster scale co-partitioned joins of
+    already-aggregated (one-row-per-key) sides, far smaller than the input.
+    The cost over a hypothetical fused plan is one extra join per fold;
+    folds sharing (columns, order_by) could be fused into one
+    ``applyInPandas`` pass, left as an optimization until a workload needs
+    it (documented, not hidden).
+    """
+    keys = as_list(group_by)
+    if not keys:
+        raise ValueError("group_by must name at least one column")
+    names = list(native_aggs) + list(folds)
+    dupes = {n for n in names if names.count(n) > 1} | (set(names) & set(keys))
+    if dupes:
+        raise ValueError(f"duplicate result/key names: {sorted(dupes)}")
+
+    out = df.groupBy(*keys).agg(
+        *[expr.alias(name) for name, expr in native_aggs.items()]
+    )
+    for name, spec in folds.items():
+        folded = grouped_fold(df, keys, result_name=name, **spec)
+        renames = {k: f"__fk_{k}" for k in keys}
+        for old, new in renames.items():
+            folded = folded.withColumnRenamed(old, new)
+        cond = None
+        for k in keys:
+            c = out[k].eqNullSafe(folded[renames[k]])
+            cond = c if cond is None else (cond & c)
+        out = out.join(folded, cond, "inner").drop(*renames.values())
+    return out

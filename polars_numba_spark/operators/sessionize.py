@@ -16,7 +16,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from polars_numba_spark.operators._prep import as_list
+from polars_numba_spark.operators._prep import as_list, ensure_event_time
 
 
 def sessionize(
@@ -37,7 +37,7 @@ def sessionize(
     ``ts - lag(ts) > gap`` (strict) for the new-session flag."""
     keys = as_list(group_by)
     aggs = aggs or {"n_events": F.count(F.lit(1))}
-    out = df
+    out = ensure_event_time(df, time_col)
     if df.isStreaming and watermark:
         out = out.withWatermark(time_col, watermark)
     return (

@@ -99,7 +99,10 @@ def gap_fill_interpolate(
     base = Window.partitionBy(*keys).orderBy("__t", F.col("__is_obs").desc())
     w_prev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_next = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    ts = F.col("__t").cast("double")
+    # NTZ-safe epoch seconds: TIMESTAMP_NTZ cannot cast to DOUBLE directly;
+    # routing through TIMESTAMP is wall-clock-shift-invariant here because
+    # ts only ever appears in differences (interpolation fractions)
+    ts = F.col("__t").cast("timestamp").cast("double")
     # time and value are carried as ONE struct from observations whose value
     # is non-null — a null-valued observation must contribute neither its
     # value nor its timestamp, or the interpolation fraction desynchronizes

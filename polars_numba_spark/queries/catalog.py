@@ -749,6 +749,73 @@ def capped_balance_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "capped_balance")
 
 
+@register(
+    "user_activity_with_fold",
+    oracle="""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        FROM events WHERE value IS NOT NULL
+    ), counts AS (
+        SELECT user_id, COUNT(value) AS n FROM events GROUP BY user_id
+    ), fold AS (
+        SELECT user_id, 0 AS rn, CAST(0.0 AS DOUBLE) AS acc FROM counts
+        UNION ALL
+        SELECT f.user_id AS user_id, f.rn + 1 AS rn,
+               CASE WHEN f.acc + e.value > 10000.0 OR f.acc + e.value < 0.0
+                    THEN f.acc ELSE f.acc + e.value END AS acc
+        FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+    ), capped AS (
+        SELECT f.user_id, f.acc AS capped_balance
+        FROM fold f JOIN counts c ON f.user_id = c.user_id AND f.rn = c.n
+    ), native AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM events GROUP BY user_id
+    )
+    SELECT n.user_id AS user_id, n.n_events AS n_events,
+           n.total_cents AS total_cents, c.capped_balance AS capped_balance
+    FROM native n JOIN capped c ON n.user_id = c.user_id
+    """,
+)
+def user_activity_with_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expression-context composition surface (round-3 verdict missing
+    #3): native Catalyst aggregates AND a non-associative kernel fold in ONE
+    grouped result via :func:`agg_with_fold` — the Spark spelling of the
+    reference's fold-Expr-inside-``group_by().agg(...)``
+    (ref `examples_fold.py:87-97`). Oracle joins a plain GROUP BY with the
+    recursive-CTE fold replay, mirroring the helper's structure."""
+    from polars_numba_spark.operators.fold import agg_with_fold
+
+    e = _t(spark, sf_dir, "events")
+
+    def cap_fold(acc, cap, value):
+        candidate = acc + value
+        if candidate > cap or candidate < 0:
+            return acc
+        return candidate
+
+    return agg_with_fold(
+        e,
+        "user_id",
+        native_aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_cents": F.sum(F.round(F.col("value") * 100).cast("long")),
+        },
+        folds={
+            "capped_balance": dict(
+                function=cap_fold,
+                initial_accumulator=0.0,
+                return_dtype="double",
+                columns=["value"],
+                order_by=["ts", "event_id"],
+                extra_args=(10_000.0,),
+            )
+        },
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() smoke query — see :func:`capped_balance_per_user`."""
     return capped_balance_per_user(spark, sf_dir)

@@ -26,7 +26,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from polars_numba_spark.dtypes import normalize_spark_type
 from polars_numba_spark.kernels import compile_step_function, get_folder
-from polars_numba_spark.operators._prep import as_list, input_numpy_dtypes
+from polars_numba_spark.operators._prep import as_list, ensure_event_time, input_numpy_dtypes
 
 
 def streaming_grouped_fold(
@@ -230,7 +230,7 @@ def windowed_rollup(
     """
     aggs = aggs or {"n_events": F.count(F.lit(1))}
     keys = [F.window(F.col(time_col), window_duration).alias("window"), *as_list(group_by)]
-    out = df
+    out = ensure_event_time(df, time_col)
     if df.isStreaming:
         out = out.withWatermark(time_col, watermark)
     return out.groupBy(*keys).agg(
@@ -255,6 +255,7 @@ def streaming_exact_dedup(
     """
     out = df.withColumn("__digest", F.md5(F.col(content_col).cast("string")))
     if df.isStreaming and time_col is not None:
+        out = ensure_event_time(out, time_col)
         out = out.withWatermark(time_col, watermark)
         return out.dropDuplicatesWithinWatermark(["__digest"]).drop("__digest")
     return out.dropDuplicates(["__digest"]).drop("__digest")

@@ -229,3 +229,72 @@ def test_grouped_arity_errors(spark):
             wide, "k", lambda acc, *a: acc, 0.0, "double",
             columns=[f"c{i}" for i in range(10)], order_by="ord",
         )
+
+
+def test_agg_with_fold_mixes_native_and_kernel(spark, user_purchases):
+    """The expression-context composition surface: native aggregates and a
+    kernel fold in one grouped result (ref `examples_fold.py:87-97` puts a
+    fold Expr alongside other aggs in one ``agg`` call)."""
+    from polars_numba_spark import agg_with_fold
+
+    out = agg_with_fold(
+        user_purchases,
+        "user",
+        native_aggs={"n": F.count(F.lit(1)), "total": F.sum("amt")},
+        folds={
+            "capped": dict(
+                function=cap_step,
+                initial_accumulator=0.0,
+                return_dtype="double",
+                columns=["amt"],
+                order_by="ord",
+                extra_args=(1000.0,),
+            )
+        },
+    )
+    assert sorted(out.columns) == ["capped", "n", "total", "user"]
+    rows = {r["user"]: r for r in out.collect()}
+    assert rows["alice"]["n"] == 5 and rows["alice"]["capped"] == 610.0
+    assert rows["bob"]["n"] == 2 and rows["bob"]["capped"] == 17.5
+    assert rows["bob"]["total"] == 17.5
+
+
+def test_agg_with_fold_null_key_is_one_group(spark):
+    from polars_numba_spark import agg_with_fold
+
+    df = spark.createDataFrame(
+        [(None, 1.0, 0), (None, 2.0, 1), ("a", 5.0, 2)],
+        "user string, amt double, ord long",
+    )
+    out = agg_with_fold(
+        df,
+        "user",
+        native_aggs={"n": F.count(F.lit(1))},
+        folds={
+            "capped": dict(
+                function=cap_step,
+                initial_accumulator=0.0,
+                return_dtype="double",
+                columns=["amt"],
+                order_by="ord",
+                extra_args=(1000.0,),
+            )
+        },
+    )
+    rows = {r["user"]: r for r in out.collect()}
+    assert rows[None]["n"] == 2 and rows[None]["capped"] == 3.0
+    assert rows["a"]["capped"] == 5.0
+
+
+def test_agg_with_fold_rejects_name_collisions(spark, user_purchases):
+    from polars_numba_spark import agg_with_fold
+
+    with pytest.raises(ValueError, match="duplicate"):
+        agg_with_fold(
+            user_purchases,
+            "user",
+            native_aggs={"x": F.count(F.lit(1))},
+            folds={"x": dict(function=cap_step, initial_accumulator=0.0,
+                             return_dtype="double", columns=["amt"],
+                             order_by="ord", extra_args=(1000.0,))},
+        )
