@@ -327,6 +327,51 @@ def simhash(col: Column | str, bits: int = 32, hash_fn=None) -> Column:
     return total
 
 
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    hash_fn=None,
+) -> DataFrame:
+    """Simhash signatures as a DataFrame ``(id, sig)`` — the production
+    twin of the :func:`simhash` expression, bit-identical output, different
+    physical shape.
+
+    The expression spelling evaluates ``bits`` interpreted higher-order
+    ``aggregate`` lambdas per row, each traversing the token array —
+    O(bits × tokens) in the expression interpreter. This spelling explodes
+    distinct tokens ONCE, hashes each token once, and folds the ±1
+    per-bit contributions in a single codegen'd hash aggregate with
+    map-side combine (one shuffle on the id) — the same
+    explode→aggregate rewrite that took shingled MinHash 57.7s→6.7s in
+    round 3. Empty/ tokenless documents survive via ``explode_outer`` with
+    zero contributions, matching the expression's all-zero signature.
+    """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(distinct_tokens(text_col)).alias("__tok"),
+    ).select("id", "__tok", hash_fn(F.col("__tok")).alias("__h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.col("__tok").isNull(), 0)
+            .when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    sig = None
+    for i in range(bits):
+        piece = F.when(
+            F.col(f"__b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = piece if sig is None else sig + piece
+    return agg.select("id", sig.alias("sig"))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two long-encoded bit vectors."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -396,7 +441,9 @@ def simhash_dedup_pairs(
         # it is -1 in two's complement (and AND with -1 is the identity)
         return F.lit(-1 if width >= 64 else (1 << width) - 1).cast("long")
 
-    sigs = df.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig"))
+    # signatures via the explode+aggregate twin (one codegen hash aggregate)
+    # rather than the per-row expression — bit-identical, O(bits×) cheaper
+    sigs = simhash_signatures(df, text_col, id_col, bits)
     blocks = F.array(
         *[
             F.struct(

@@ -783,17 +783,17 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-aggregated 16-bit signature; pairs within Hamming distance 2 must
     match DuckDB's independent bit-arithmetic reproduction. Completes the
     dedup trilogy (exact, MinHash, SimHash) with full oracles; the
-    xxhash64 operator remains the production path."""
-    from polars_numba_spark.operators.dedup import hamming64, simhash
+    xxhash64 operator remains the production path. Signatures go through
+    :func:`simhash_signatures` — the explode+aggregate production twin —
+    so the hash-checked oracle pins the same physical path
+    ``simhash_dedup_pairs`` runs at scale (round-4 rewrite)."""
+    from polars_numba_spark.operators.dedup import hamming64, simhash_signatures
 
     def md5_hash(tok):
         return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
-    sigs = d.select(
-        F.col("doc_id").alias("id"),
-        simhash("text", bits=16, hash_fn=md5_hash).alias("sig"),
-    )
+    sigs = simhash_signatures(d, "text", "doc_id", bits=16, hash_fn=md5_hash)
     a = sigs.alias("a")
     b = sigs.alias("b")
     ham = hamming64(F.col("a.sig"), F.col("b.sig")).cast("int")

@@ -364,6 +364,32 @@ def test_decode_payload_mime_gate_vs_ascii_gif_text():
     assert declared[1] == 64 + (n % 577) and declared[2] == 64 + ((n * 7) % 421)
 
 
+def test_simhash_signatures_match_expression(spark):
+    """The explode+aggregate production twin must be BIT-IDENTICAL to the
+    expression spelling — including tokenless documents (explode_outer
+    keeps them with the expression's all-zero signature)."""
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "the quick brown dog"),
+         (2, ""), (3, "   "), (4, "one-token")],
+        "doc_id long, text string",
+    )
+    expr_sigs = {
+        r["id"]: r["sig"]
+        for r in df.select(
+            F.col("doc_id").alias("id"), D.simhash("text", 32).alias("sig")
+        ).collect()
+    }
+    twin_sigs = {
+        r["id"]: r["sig"]
+        for r in D.simhash_signatures(df, "text", "doc_id", bits=32).collect()
+    }
+    assert twin_sigs == expr_sigs
+    # split("") yields [""] (never an empty array), so empty and
+    # whitespace-only docs share the one-empty-token signature — the twin
+    # must reproduce that quirk, not "fix" it to zero
+    assert twin_sigs[2] == twin_sigs[3] == expr_sigs[2]
+
+
 def test_simhash_pigeonhole_blocking_is_complete(spark):
     """Pigeonhole-blocked simhash pairs must EQUAL the all-pairs Hamming
     scan — blocking is a cost lever, never a recall lever."""

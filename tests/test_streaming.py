@@ -50,7 +50,7 @@ def test_streaming_fold_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120)
+    assert query.awaitTermination(120), "stream did not finish within timeout"
     got = {
         r["user_id"]: r["fold"]
         for r in spark.sql(
@@ -81,7 +81,7 @@ def test_windowed_rollup_batch_stream_parity(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120)
+    assert query.awaitTermination(120), "stream did not finish within timeout"
     got = {
         (r["window"]["start"], r["n_events"], r["total_cents"])
         for r in spark.sql("SELECT * FROM rollup_stream").collect()
@@ -112,7 +112,7 @@ def test_sessionize_batch_stream_parity(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120)
+    assert query.awaitTermination(120), "stream did not finish within timeout"
     got = {
         (r["user_id"], r["session_start"], r["n_events"])
         for r in spark.sql("SELECT * FROM sess_stream").collect()
@@ -143,7 +143,7 @@ def test_streaming_fold_integer_state_not_degraded(spark, tmp_path):
         .outputMode("update").option("checkpointLocation", str(tmp_path / "ck4"))
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within timeout"
     got = {
         r["user_id"]: r["fold"]
         for r in spark.sql("SELECT * FROM fold_int_state").collect()
@@ -171,6 +171,6 @@ def test_streaming_exact_dedup(spark, tmp_path):
         .outputMode("append").option("checkpointLocation", str(tmp_path / "ckd"))
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within timeout"
     got = spark.sql("SELECT COUNT(*) c FROM dedup_stream").collect()[0]["c"]
     assert got == expected == 5  # 5 distinct event types

@@ -44,7 +44,7 @@ def test_streaming_scan_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120)
+    assert query.awaitTermination(120), "stream did not finish within timeout"
     got = {
         (r["user_id"], r["event_id"]): r["scan"]
         for r in spark.sql("SELECT user_id, event_id, scan FROM scan_stream").collect()
