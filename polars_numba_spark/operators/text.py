@@ -184,3 +184,66 @@ def sql_language_id(c: str) -> str:
             f"THEN '{lang}' ELSE {expr} END"
         )
     return expr
+
+
+def word_bigrams(col: Column | str) -> Column:
+    """NON-distinct word bigrams ('w1 w2' strings) — the repetition unit.
+    Unlike :func:`token_shingles` (distinct, for containment checks),
+    duplicates are preserved: repetition scoring needs the multiset."""
+    t = tokens(col)
+    size = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), size - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+    )
+    return F.when(size >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Repeated-content quality signals per document (the Gopher/C4-style
+    repetition filters): ``token_rep_frac`` = fraction of tokens that are
+    repeats of an earlier token (1 − distinct/total), and
+    ``top_bigram_frac`` = share of all word bigrams taken by the most
+    frequent one. High values flag boilerplate / keyword-stuffed / looping
+    documents that poison training data.
+
+    Scale shape: the token fractions are pure per-row expressions
+    (scan-linear, whole-stage codegen). The bigram mode can't be a per-row
+    expression without an O(distinct²) higher-order loop, so it's the
+    explode→count→max/sum idiom: two map-side-combined aggregations
+    sharing one shuffle key (the doc id). Documents with <2 tokens get
+    ``top_bigram_frac`` 0.0 via the left join.
+    """
+    t = tokens(text_col)
+    base = df.select(F.col(id_col).alias("id"), t.alias("__t"))
+    per_doc = base.select(
+        "id",
+        F.size("__t").cast("long").alias("n_tokens"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("__t")).cast("double")
+            / F.size("__t").cast("double")
+        ).alias("token_rep_frac"),
+    )
+    size = F.size("__t")
+    grams = F.transform(
+        F.sequence(F.lit(1), size - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, 2)),
+    )
+    bg = base.where(size >= 2).select("id", F.explode(grams).alias("__bg"))
+    counts = bg.groupBy("id", "__bg").agg(F.count(F.lit(1)).alias("__c"))
+    agg = counts.groupBy("id").agg(
+        F.max("__c").alias("__top"), F.sum("__c").alias("__n_bg")
+    )
+    return (
+        per_doc.join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "token_rep_frac",
+            F.coalesce(
+                F.col("__top").cast("double") / F.col("__n_bg").cast("double"),
+                F.lit(0.0),
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -62,6 +62,44 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_repetition_stats",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), per_doc AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                     / CAST(len(t) AS DOUBLE) AS token_rep_frac, t
+        FROM toks
+    ), bg AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM per_doc
+    ), counts AS (
+        SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg
+    ), agg AS (
+        SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM counts GROUP BY doc_id
+    )
+    SELECT p.doc_id AS doc_id, p.n_tokens AS n_tokens,
+           p.token_rep_frac AS token_rep_frac,
+           COALESCE(CAST(a.top_c AS DOUBLE) / CAST(a.n_bg AS DOUBLE), 0.0)
+               AS top_bigram_frac
+    FROM per_doc p LEFT JOIN agg a ON p.doc_id = a.doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-content quality signals (the Gopher/C4 repetition filters):
+    repeated-token fraction and top-bigram share per document — the
+    boilerplate/keyword-stuffing detector a curation pipeline runs next to
+    length/stopword scoring. Oracle reproduces the identical tokenization
+    and double arithmetic in DuckDB list functions."""
+    d = _t(spark, sf_dir, "documents")
+    return X.repetition_stats(d, "text", "doc_id")
+
+
+@register(
     "doc_language_id",
     oracle=f"""
     SELECT {X.sql_language_id('text')} AS lang_pred, lang AS lang_label,

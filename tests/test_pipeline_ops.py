@@ -412,3 +412,24 @@ def test_simhash_pigeonhole_blocking_is_complete(spark):
         .collect()
     }
     assert blocked == exact
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher-style repetition signals on a fixture with known answers."""
+    from polars_numba_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a"),      # tokens 5, distinct 2; bigrams: ab,ba,ab,ba → top 2/4
+            (1, "x y z"),          # no repeats; bigrams xy,yz → top 1/2
+            (2, "solo"),           # 1 token → no bigrams → 0.0
+            (3, "w w w w"),        # 4 tokens 1 distinct; bigrams ww×3 → 3/3
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in X.repetition_stats(df).collect()}
+    assert rows[0]["n_tokens"] == 5 and rows[0]["token_rep_frac"] == 1 - 2 / 5
+    assert rows[0]["top_bigram_frac"] == 0.5
+    assert rows[1]["token_rep_frac"] == 0.0 and rows[1]["top_bigram_frac"] == 0.5
+    assert rows[2]["top_bigram_frac"] == 0.0 and rows[2]["token_rep_frac"] == 0.0
+    assert rows[3]["token_rep_frac"] == 0.75 and rows[3]["top_bigram_frac"] == 1.0
