@@ -226,8 +226,9 @@ def staged_streaming_scan_balance(
     environment:
 
     1. **Stage** (batch): hash-repartition events by ``user_id`` into
-       ``n_staging_files`` files, each sorted by (user_id, ts, event_id).
-       Every user's rows now live entirely inside ONE parquet file.
+       ``n_staging_files`` files. Every user's rows now live entirely
+       inside ONE parquet file (row order within the file is irrelevant —
+       the scan sorts each batch's group by ``order_by``).
     2. **Stream** the staged layout through the stateful scan
        (``applyInPandasWithState``, accumulator in the state store). A file
        stream source assigns whole files to micro-batches, so no matter how
@@ -252,9 +253,12 @@ def staged_streaming_scan_balance(
         .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
         .select("user_id", "event_id", "ts", "cents")
     )
+    # hash-repartition only: the per-key file co-location is what carries
+    # the ordering guarantee (whole files per micro-batch); row order WITHIN
+    # a file is irrelevant because the stateful scan sorts each batch's
+    # group by order_by anyway — a staging sort would be a wasted pass
     (
         events.repartition(n_staging_files, "user_id")
-        .sortWithinPartitions("user_id", "ts", "event_id")
         .write.mode("overwrite")
         .parquet(staging)
     )
