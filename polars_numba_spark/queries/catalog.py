@@ -104,7 +104,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_scan_user_balance",      # stateful streaming kernel scan (real job)
     # LLM-data-pipeline operators
     "dedup_exact_digests",
-    "dedup_fingerprint_groups",
+    "user_activity_with_fold",           # agg_with_fold composition (native aggs + kernel fold)
     "dedup_jaccard_pairs",
     "dedup_minhash_portable",
     "dedup_simhash_portable",
@@ -113,7 +113,7 @@ _DRIVER_PRIORITY: list[str] = [
     "label_centroids",                  # IVF centroid training (exploded rows)
     "doc_token_stats",
     "doc_language_id",
-    "top_bigrams",
+    "doc_repetition_stats",             # Gopher-style repetition quality filters
     "doc_chunks",
     "doc_train_valid_test_split",
     "multimodal_image_dims",
@@ -125,6 +125,12 @@ _DRIVER_PRIORITY: list[str] = [
 # and local-gated): user_running_event_count (associative window fast path —
 # family still evidenced by orders_rank_in_customer + running_max_order_price)
 # and gap_fill_user_value (timeseries — rolling_hour_user_value stays in).
+# Swapped in round 4 (both evictees remain oracled and local-gated):
+# dedup_fingerprint_groups → user_activity_with_fold (exact-dedup family
+# still evidenced by dedup_exact_digests; the new entry gates the
+# expression-context composition surface, r3 verdict missing #3) and
+# top_bigrams → doc_repetition_stats (bigram machinery still evidenced by
+# the repetition stats; per-doc repetition is the stronger pipeline signal).
 
 
 def _prioritized(mapping: dict) -> dict:

@@ -121,3 +121,25 @@ def test_partitioned_pruning_query_prunes(spark):
     df = q(spark, "formats_partitioned_pruning")
     s = plans.explain_string(df)
     assert "PartitionFilters: [isnotnull(o_orderstatus" in s
+
+
+def test_timestamp_pushdown_survives_ntz_normalization(spark):
+    """The NTZ→LTZ cast `load_table` injects (round-4 timestamp fix) must
+    NOT block predicate pushdown: Catalyst unwraps the cast in the
+    comparison (UnwrapCastInBinaryComparison) so date filters still reach
+    the parquet scan as PushedFilters, and pruning still reads only the
+    referenced columns."""
+    from pyspark.sql import functions as F
+
+    from polars_numba_spark.sources.tables import load_table
+
+    l = load_table(spark, "lineitem", SF)
+    df = l.where(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    ).select("l_quantity")
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pushed, pushed
+    schemas = plans.read_schemas(df)
+    assert sorted(
+        c.split(":")[0] for c in schemas[0].strip("struct<>").split(",")
+    ) == ["l_quantity", "l_shipdate"]
