@@ -283,6 +283,137 @@ def grouped_fold(
     return prepared.mapInPandas(fold_partition, schema=out_schema)
 
 
+def grouped_multi_fold(
+    df: DataFrame,
+    group_by: str | Sequence[str],
+    specs: dict[str, dict],
+    order_by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Several independent folds over the SAME keys and ordering, executed
+    in ONE shuffle + partition-local sort + ``mapInPandas`` pass — one row
+    per group carrying every fold's result.
+
+    The fused form of N :func:`grouped_fold` calls: data is shuffled and
+    sorted once and each Arrow batch is scanned once, with every spec's
+    kernel folding its own column slice (its own null mask — the per-spec
+    null rule is preserved exactly). Specs are ``name → {function,
+    initial_accumulator, return_dtype, columns, extra_args}``; ``order_by``
+    is shared (folds needing different orderings need different sorts —
+    use separate :func:`grouped_fold` calls).
+    """
+    keys = as_list(group_by)
+    if not keys:
+        raise ValueError("group_by must name at least one column")
+    if not specs:
+        raise ValueError("specs must contain at least one fold")
+    order_cols = as_list(order_by)
+    names = list(specs)
+
+    compiled: dict[str, dict] = {}
+    all_cols: list[str] = []
+    for name, spec in specs.items():
+        cols = resolve_input_columns(
+            df, spec.get("columns"), exclude=[*keys, *order_cols]
+        )
+        np_dtypes = input_numpy_dtypes(df, cols)
+        rd = spec["return_dtype"]
+        res_np, res_shape = result_dtype_and_shape(rd)
+        compiled[name] = dict(
+            step=compile_step_function(spec["function"]),
+            cols=cols,
+            dtypes=[np_dtypes[c] for c in cols],
+            folder=get_folder(len(cols)),
+            extra=tuple(spec.get("extra_args", ())),
+            acc0=spec["initial_accumulator"],
+            res_np=res_np,
+            res_shape=res_shape,
+        )
+        for c in cols:
+            if c not in all_cols:
+                all_cols.append(c)
+
+    key_fields = [f for f in df.schema.fields if f.name in keys]
+    res_fields = []
+    for name, spec in specs.items():
+        rd = spec["return_dtype"]
+        if isinstance(rd, SizedArray):
+            res_fields.append(T.StructField(name, rd.spark_type()))
+        else:
+            res_fields.append(T.StructField(name, normalize_spark_type(rd)))
+    out_schema = T.StructType(key_fields + res_fields)
+
+    def cast_result(meta: dict, acc: Any) -> Any:
+        buf = np.empty((1,) + meta["res_shape"], dtype=meta["res_np"])
+        buf[0] = acc
+        if meta["res_shape"]:
+            return buf[0].tolist()
+        return buf[0].item() if meta["res_np"].kind in "biuf" else buf[0]
+
+    def fold_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Same carry protocol as grouped_fold: only the LAST group of a
+        # batch can continue into the next; its accumulators (one per spec)
+        # are carried instead of emitted.
+        open_key: tuple | None = None
+        open_accs: dict[str, Any] = {}
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            per_spec: dict[str, tuple] = {}
+            for name in names:
+                meta = compiled[name]
+                mask = np.zeros(n, dtype=bool)
+                for c in meta["cols"]:
+                    mask |= pdf[c].isna().to_numpy()
+                arrays = [
+                    pdf[c].fillna(0).to_numpy().astype(meta["dtypes"][i], copy=False)
+                    for i, c in enumerate(meta["cols"])
+                ]
+                per_spec[name] = (~mask, arrays)
+            starts, ends = group_boundaries(pdf, keys)
+            out_keys: list[tuple] = []
+            out_vals: dict[str, list] = {name: [] for name in names}
+            for s, e in zip(starts, ends):
+                key = key_tuple(pdf, keys, s)
+                continuing = key == open_key
+                new_accs: dict[str, Any] = {}
+                for name in names:
+                    meta = compiled[name]
+                    acc = open_accs[name] if continuing else meta["acc0"]
+                    valid, arrays = per_spec[name]
+                    v = valid[s:e]
+                    if v.all():
+                        acc = meta["folder"](
+                            meta["step"], acc, meta["extra"], *[a[s:e] for a in arrays]
+                        )
+                    elif v.any():
+                        acc = meta["folder"](
+                            meta["step"], acc, meta["extra"], *[a[s:e][v] for a in arrays]
+                        )
+                    new_accs[name] = acc
+                if open_key is not None and not continuing:
+                    out_keys.append(open_key)
+                    for name in names:
+                        out_vals[name].append(cast_result(compiled[name], open_accs[name]))
+                open_key, open_accs = key, new_accs
+            if out_keys:
+                data = {k: [kk[i] for kk in out_keys] for i, k in enumerate(keys)}
+                data.update(out_vals)
+                yield pd.DataFrame(data)
+        if open_key is not None:
+            data = {k: [open_key[i]] for i, k in enumerate(keys)}
+            for name in names:
+                data[name] = [cast_result(compiled[name], open_accs[name])]
+            yield pd.DataFrame(data)
+
+    prepared = (
+        df.select(*keys, *all_cols, *order_cols)
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, *order_cols)
+    )
+    return prepared.mapInPandas(fold_partition, schema=out_schema)
+
+
 def agg_with_fold(
     df: DataFrame,
     group_by: str | Sequence[str],
@@ -308,10 +439,10 @@ def agg_with_fold(
     Scale notes: each component shuffles once on the SAME keys and the
     joins are key-equi — at cluster scale co-partitioned joins of
     already-aggregated (one-row-per-key) sides, far smaller than the input.
-    The cost over a hypothetical fused plan is one extra join per fold;
-    folds sharing (columns, order_by) could be fused into one
-    ``applyInPandas`` pass, left as an optimization until a workload needs
-    it (documented, not hidden).
+    Folds sharing an ``order_by`` are FUSED into one
+    :func:`grouped_multi_fold` pass (one shuffle + sort + scan for all of
+    them), so the typical many-folds-one-ordering call costs one kernel
+    pass and one join regardless of fold count.
     """
     keys = as_list(group_by)
     if not keys:
@@ -324,14 +455,32 @@ def agg_with_fold(
     out = df.groupBy(*keys).agg(
         *[expr.alias(name) for name, expr in native_aggs.items()]
     )
+
+    # fuse folds by shared ordering: one kernel pass per distinct order_by
+    by_order: dict[tuple, dict[str, dict]] = {}
     for name, spec in folds.items():
-        folded = grouped_fold(df, keys, result_name=name, **spec)
+        ob = tuple(as_list(spec.get("order_by")))
+        by_order.setdefault(ob, {})[name] = spec
+
+    def join_on_keys(left: DataFrame, right: DataFrame) -> DataFrame:
         renames = {k: f"__fk_{k}" for k in keys}
         for old, new in renames.items():
-            folded = folded.withColumnRenamed(old, new)
+            right = right.withColumnRenamed(old, new)
         cond = None
         for k in keys:
-            c = out[k].eqNullSafe(folded[renames[k]])
+            c = left[k].eqNullSafe(right[renames[k]])
             cond = c if cond is None else (cond & c)
-        out = out.join(folded, cond, "inner").drop(*renames.values())
+        return left.join(right, cond, "inner").drop(*renames.values())
+
+    for ob, group in by_order.items():
+        if len(group) == 1:
+            name, spec = next(iter(group.items()))
+            folded = grouped_fold(df, keys, result_name=name, **spec)
+        else:
+            specs = {
+                n: {k: v for k, v in s.items() if k != "order_by"}
+                for n, s in group.items()
+            }
+            folded = grouped_multi_fold(df, keys, specs, order_by=list(ob))
+        out = join_on_keys(out, folded)
     return out

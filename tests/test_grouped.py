@@ -298,3 +298,100 @@ def test_agg_with_fold_rejects_name_collisions(spark, user_purchases):
                              return_dtype="double", columns=["amt"],
                              order_by="ord", extra_args=(1000.0,))},
         )
+
+
+def sum_step(acc, amt):
+    return acc + amt
+
+
+def count_big_step(acc, threshold, amt):
+    return acc + (1 if amt > threshold else 0)
+
+
+def test_grouped_multi_fold_matches_separate_folds(spark, user_purchases):
+    """The fused pass (one shuffle+sort+scan for N folds) must reproduce N
+    separate grouped_fold calls exactly — including per-spec null rules."""
+    from polars_numba_spark.operators.fold import grouped_multi_fold
+
+    specs = {
+        "capped": dict(
+            function=cap_step, initial_accumulator=0.0, return_dtype="double",
+            columns=["amt"], extra_args=(1000.0,),
+        ),
+        "total": dict(
+            function=sum_step, initial_accumulator=0.0, return_dtype="double",
+            columns=["amt"],
+        ),
+        "n_big": dict(
+            function=count_big_step, initial_accumulator=0, return_dtype="long",
+            columns=["amt"], extra_args=(50.0,),
+        ),
+    }
+    fused = {
+        r["user"]: r
+        for r in grouped_multi_fold(user_purchases, "user", specs, order_by="ord").collect()
+    }
+    for name, spec in specs.items():
+        sep = {
+            r["user"]: r[name]
+            for r in grouped_fold(
+                user_purchases, "user", spec["function"],
+                spec["initial_accumulator"], spec["return_dtype"],
+                columns=spec["columns"], order_by="ord",
+                extra_args=spec.get("extra_args", ()), result_name=name,
+            ).collect()
+        }
+        assert {u: r[name] for u, r in fused.items()} == sep, name
+
+
+def test_grouped_multi_fold_null_rule_is_per_spec(spark):
+    """A row null in one spec's columns is dropped for THAT spec only."""
+    from polars_numba_spark.operators.fold import grouped_multi_fold
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 10.0, 0), ("a", None, 20.0, 1), ("a", 3.0, None, 2)],
+        "user string, x double, y double, ord long",
+    )
+    out = grouped_multi_fold(
+        df,
+        "user",
+        {
+            "sx": dict(function=sum_step, initial_accumulator=0.0,
+                       return_dtype="double", columns=["x"]),
+            "sy": dict(function=sum_step, initial_accumulator=0.0,
+                       return_dtype="double", columns=["y"]),
+        },
+        order_by="ord",
+    ).collect()[0]
+    assert out["sx"] == 4.0 and out["sy"] == 30.0
+
+
+def test_agg_with_fold_fuses_shared_ordering(spark, user_purchases):
+    """Two folds sharing order_by must run as ONE kernel pass: the plan
+    contains a single mapInPandas/ArrowEvalPython-style python node."""
+    from polars_numba_spark import agg_with_fold
+
+    out = agg_with_fold(
+        user_purchases,
+        "user",
+        native_aggs={"n": F.count(F.lit(1))},
+        folds={
+            "capped": dict(function=cap_step, initial_accumulator=0.0,
+                           return_dtype="double", columns=["amt"],
+                           order_by="ord", extra_args=(1000.0,)),
+            "total": dict(function=sum_step, initial_accumulator=0.0,
+                          return_dtype="double", columns=["amt"],
+                          order_by="ord"),
+        },
+    )
+    rows = {r["user"]: r for r in out.collect()}
+    assert rows["alice"]["capped"] == 610.0 and rows["alice"]["total"] == 680.0
+    assert rows["bob"]["capped"] == 17.5 and rows["bob"]["total"] == 17.5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the same physical node in both the final and original
+    # subtrees — count DISTINCT MapInPandas nodes (two unfused folds would
+    # show two nodes with different output columns)
+    nodes = {
+        ln.strip().lstrip("+-*: ") for ln in plan.splitlines() if "MapInPandas" in ln
+    }
+    assert len(nodes) == 1, plan
