@@ -395,3 +395,47 @@ def test_agg_with_fold_fuses_shared_ordering(spark, user_purchases):
         ln.strip().lstrip("+-*: ") for ln in plan.splitlines() if "MapInPandas" in ln
     }
     assert len(nodes) == 1, plan
+
+
+def test_grouped_multi_fold_batch_boundary_carry(spark):
+    """600 rows / 3 users so the adversarial 19-row batching
+    (PNS_TEST_TINY_BATCHES=1) forces every group across many Arrow batches;
+    results must match a plain-Python replay of both folds."""
+    from polars_numba_spark.operators.fold import grouped_multi_fold
+
+    rows = []
+    for i in range(600):
+        user = f"u{i % 3}"
+        amt = float((i * 37) % 101) - 25.0
+        rows.append((user, None if i % 13 == 0 else amt, i))
+    df = spark.createDataFrame(rows, "user string, amt double, ord long")
+
+    expected_capped: dict[str, float] = {}
+    expected_total: dict[str, float] = {}
+    for user, amt, _ in rows:  # rows are already in ord order
+        if amt is None:
+            continue
+        acc = expected_capped.get(user, 0.0)
+        new = acc + amt
+        expected_capped[user] = acc if new > 1000.0 or new < 0 else new
+        expected_total[user] = expected_total.get(user, 0.0) + amt
+
+    out = {
+        r["user"]: r
+        for r in grouped_multi_fold(
+            df,
+            "user",
+            {
+                "capped": dict(function=cap_step, initial_accumulator=0.0,
+                               return_dtype="double", columns=["amt"],
+                               extra_args=(1000.0,)),
+                "total": dict(function=sum_step, initial_accumulator=0.0,
+                              return_dtype="double", columns=["amt"]),
+            },
+            order_by="ord",
+        ).collect()
+    }
+    assert len(out) == 3
+    for user in expected_capped:
+        assert out[user]["capped"] == pytest.approx(expected_capped[user], abs=1e-9)
+        assert out[user]["total"] == pytest.approx(expected_total[user], abs=1e-9)
