@@ -60,6 +60,39 @@ def main() -> None:
     got = dict(sorted((r["user"], r["fold"]) for r in balances.collect()))
     assert got == {"alice": 610.0, "bob": 17.5}
     print("per-user balances:", got)
+
+    # Native aggregates + kernel folds in ONE grouped result — the Spark
+    # spelling of the reference's fold-Expr-inside-group_by().agg(...)
+    # (ref examples_fold.py:87-97). Folds sharing an ordering are fused
+    # into a single shuffle+sort+kernel pass.
+    from pyspark.sql import functions as F
+
+    from polars_numba_spark import agg_with_fold
+
+    def total(acc, amt):
+        return acc + amt
+
+    mixed = agg_with_fold(
+        user_purchases,
+        "user",
+        native_aggs={"n_purchases": F.count(F.lit(1)),
+                     "max_attempt": F.max("attempted_purchase")},
+        folds={
+            "balance": dict(function=cap, initial_accumulator=0.0,
+                            return_dtype="double",
+                            columns=["attempted_purchase"],
+                            order_by="ord", extra_args=(1000.0,)),
+            "attempted_total": dict(function=total, initial_accumulator=0.0,
+                                    return_dtype="double",
+                                    columns=["attempted_purchase"],
+                                    order_by="ord"),
+        },
+    )
+    rows = {r["user"]: r for r in mixed.collect()}
+    assert rows["alice"]["n_purchases"] == 5 and rows["alice"]["balance"] == 610.0
+    assert rows["alice"]["attempted_total"] == 680.0
+    assert rows["bob"]["max_attempt"] == 17.0 and rows["bob"]["balance"] == 17.5
+    print("mixed aggregates:", {u: (r["n_purchases"], r["balance"]) for u, r in rows.items()})
     spark.stop()
 
 
