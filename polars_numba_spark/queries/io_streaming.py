@@ -367,3 +367,77 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_unique"),
         F.sum(F.length("text").cast("long")).cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "streaming_user_sessions",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts, cents,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+    ), islands AS (
+        SELECT user_id, ts, cents,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM islands GROUP BY user_id, session_id
+    """,
+)
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization executed as an actual Structured Streaming
+    job: file-stream the events parquet through ``session_window`` (merging
+    gap-session state in the state store), complete-mode memory sink,
+    availableNow trigger. Bounded input ⇒ the final sink equals the batch
+    sessions (Spark's unified semantics), checked against the SAME
+    independent gaps-and-islands oracle as the batch ``user_sessions`` —
+    closing the streaming family on its last un-gated face (rollup, dedup
+    and the stateful kernel scan already run as real jobs). The staged
+    parquet + dropped sink follows the bench-hygiene pattern: nothing
+    session-lived survives the query."""
+    from polars_numba_spark.operators.sessionize import sessionize
+
+    stream = load_stream(spark, "events", sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    sessions = sessionize(
+        stream,
+        "ts",
+        gap="30 minutes",
+        group_by="user_id",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_cents": F.sum("cents"),
+        },
+        watermark="1 hour",
+    )
+    run_id = uuid.uuid4().hex[:8]
+    sink = f"pns_stream_sessions_{run_id}"
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await(query, "streaming_user_sessions")
+        staged = _fresh_dir(_scratch_dir("sessions_out", sf_dir), run_id)
+        spark.table(sink).select(
+            "user_id", "session_start", "n_events", "total_cents"
+        ).write.mode("overwrite").parquet(staged)
+    finally:
+        spark.catalog.dropTempView(sink)
+    return spark.read.parquet(staged)

@@ -225,7 +225,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (sign-aggregated bit vector, Hamming-
     pigeonhole blocked — complete within the threshold, no prefix-bucket
-    misses — Hamming-verified)."""
+    misses — Hamming-verified). ``bits=32`` keeps the similarity criterion
+    comparable across SFs; at cluster scale pass ``bits=None`` so
+    :func:`bits_for_corpus` widens the signature with the corpus and block
+    occupancy stays bounded (cost: one count job)."""
     d = _t(spark, sf_dir, "documents")
     return D.simhash_dedup_pairs(d, bits=32, max_hamming=3).orderBy(
         "a_id", "b_id"
