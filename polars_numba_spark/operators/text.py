@@ -247,3 +247,55 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def unigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Language-model quality proxy: per-document mean unigram
+    log-likelihood under the corpus's OWN unigram distribution (the
+    CCNet-style "perplexity bucket" signal, with the corpus standing in for
+    the external LM — fluent/typical documents score high, gibberish and
+    vocabulary-stuffed outliers score low).
+
+    Cross-engine determinism: ``ln`` is not IEEE-correctly-rounded, so raw
+    log terms could differ from another engine in the last ulp and poison
+    an order-insensitive hash. Each token's log-probability is therefore
+    ROUNDED to 9 decimals and accumulated as an exact DECIMAL — the same
+    contract as the centroid operator — making the per-doc sum
+    order-independent and bit-identical across engines.
+
+    Scale shape: vocabulary counts are one map-side-combined shuffle on the
+    token; the vocabulary (≪ corpus) joins back broadcast; the per-doc
+    aggregation shuffles on the doc id. Three linear passes, no all-pairs,
+    no Python.
+    """
+    from pyspark.sql import Window
+
+    occurrences = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("__tok")
+    )
+    vocab = occurrences.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    # total corpus tokens carried in-plan (window over the tiny vocab rows,
+    # not a driver collect)
+    vocab = vocab.withColumn(
+        "__total", F.sum("__cnt").over(Window.partitionBy())
+    ).withColumn(
+        "__logp",
+        F.round(
+            F.log(F.col("__cnt").cast("double") / F.col("__total").cast("double")), 9
+        ),
+    )
+    scored = occurrences.join(F.broadcast(vocab), "__tok")
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__logp").cast("decimal(28,12)")).alias("__sum"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            (F.col("__sum").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -100,6 +100,37 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_unigram_logprob",
+    oracle=r"""
+    WITH occ AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT tok, COUNT(*) AS cnt FROM occ GROUP BY tok
+    ), v2 AS (
+        SELECT tok,
+               ROUND(LN(CAST(cnt AS DOUBLE) /
+                        CAST(SUM(cnt) OVER () AS DOUBLE)), 9) AS logp
+        FROM vocab
+    )
+    SELECT o.doc_id AS doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(v2.logp AS DECIMAL(28,12))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_logprob
+    FROM occ o JOIN v2 ON o.tok = v2.tok
+    GROUP BY o.doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-proxy quality scoring: mean unigram log-likelihood per document
+    under the corpus's own unigram distribution (the CCNet perplexity-bucket
+    signal). Hash-exact across engines via round-9 log terms accumulated as
+    exact decimals — see operators/text.py::unigram_logprob_scores."""
+    d = _t(spark, sf_dir, "documents")
+    return X.unigram_logprob_scores(d, "text", "doc_id")
+
+
+@register(
     "doc_language_id",
     oracle=f"""
     SELECT {X.sql_language_id('text')} AS lang_pred, lang AS lang_label,

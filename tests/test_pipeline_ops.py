@@ -433,3 +433,19 @@ def test_repetition_stats_hand_computed(spark):
     assert rows[1]["token_rep_frac"] == 0.0 and rows[1]["top_bigram_frac"] == 0.5
     assert rows[2]["top_bigram_frac"] == 0.0 and rows[2]["token_rep_frac"] == 0.0
     assert rows[3]["token_rep_frac"] == 0.75 and rows[3]["top_bigram_frac"] == 1.0
+
+
+def test_unigram_logprob_ranks_typical_above_rare(spark):
+    """Docs made of corpus-common tokens must out-score docs of rare
+    tokens (the LM-proxy contract); scores are finite and negative."""
+    from polars_numba_spark.operators import text as X
+
+    rows = [(i, "common words appear in many documents here") for i in range(9)]
+    rows.append((100, "zxqv wvut kjih unique rarities"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_logprob"] for r in X.unigram_logprob_scores(df).collect()}
+    typical = out[0]
+    rare = out[100]
+    assert typical < 0 and rare < 0
+    assert typical > rare  # higher (less negative) = more typical
+    assert out[0] == out[8]  # identical docs, identical scores
