@@ -299,3 +299,28 @@ def unigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
             ),
         )
     )
+
+
+# PII scrubbing (the C4-style pre-training hygiene pass). Patterns are
+# deliberately restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition — no
+# backreferences, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Match counts per PII class (the report side of the scrub)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "n_emails": F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)),
+        "n_phones": F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0)),
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails then phone numbers with typed placeholder tags —
+    pure codegen (two regexp_replace passes), scan-linear."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")

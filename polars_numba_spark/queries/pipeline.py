@@ -131,6 +131,67 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_pii_scrub",
+    oracle=r"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 7 = 0
+                            THEN ' contact user' || doc_id ||
+                                 '@example.com or 555-123-4567 now'
+                            ELSE '' END AS t
+        FROM documents
+    ), redacted AS (
+        SELECT doc_id, t,
+               regexp_replace(
+                   regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                                  '<EMAIL>', 'g'),
+                   '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g') AS clean
+        FROM injected
+    )
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+               AS n_emails,
+           CAST(length(regexp_extract_all(t,
+                '\d{3}[-.]\d{3}[-.]\d{4}')) AS INTEGER) AS n_phones,
+           md5(clean) AS clean_digest,
+           CAST(length(clean) AS INTEGER) AS n_chars_clean
+    FROM redacted
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (the C4-style hygiene pass): email/phone detection
+    counts plus the md5 of the redacted text. The synthetic corpus contains
+    no natural PII, so the query INJECTS deterministic PII into every 7th
+    document and both engines must agree byte-for-byte on the redaction —
+    the digest makes this a hard cross-engine regex-semantics differential
+    (patterns restricted to the Java-regex ∩ RE2 common subset)."""
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    counts = X.pii_counts("t")
+    return injected.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        F.md5(X.redact_pii("t")).alias("clean_digest"),
+        F.length(X.redact_pii("t")).alias("n_chars_clean"),
+    )
+
+
+@register(
     "doc_language_id",
     oracle=f"""
     SELECT {X.sql_language_id('text')} AS lang_pred, lang AS lang_label,

@@ -449,3 +449,31 @@ def test_unigram_logprob_ranks_typical_above_rare(spark):
     assert typical < 0 and rare < 0
     assert typical > rare  # higher (less negative) = more typical
     assert out[0] == out[8]  # identical docs, identical scores
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from polars_numba_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at a.b+c@test.org or call 555-123-4567."),
+            (1, "no pii here"),
+            (2, "two mails x@y.io z@w.co and 111.222.3333"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = X.pii_counts("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            counts["n_emails"].alias("e"),
+            counts["n_phones"].alias("p"),
+            X.redact_pii("text").alias("clean"),
+        ).collect()
+    }
+    assert out[0]["e"] == 1 and out[0]["p"] == 1
+    assert out[0]["clean"] == "mail me at <EMAIL> or call <PHONE>."
+    assert out[1]["clean"] == "no pii here"
+    assert out[2]["e"] == 2 and out[2]["p"] == 1
+    assert out[2]["clean"] == "two mails <EMAIL> <EMAIL> and <PHONE>"
