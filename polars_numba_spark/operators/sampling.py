@@ -74,3 +74,38 @@ def sample_by_hash(df: DataFrame, key: str, fraction: float) -> DataFrame:
     if not 0 < fraction <= 1:
         raise ValueError("fraction must be in (0, 1]")
     return df.where(hash_bucket(key) < int(fraction * HASH_BUCKETS))
+
+
+def weighted_mix_by_hash(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic weighted dataset mixing: keep ~``fractions[group]`` of
+    each group's rows (e.g. down-sample web crawl to 30% while keeping 100%
+    of curated sources — the corpus-mixing step in front of every training
+    run). Same hash-bucket mechanism as the splits, so the decision is
+    per-row-stable under data growth, reproducible across engines, and
+    computable scan-side: the group→threshold map compiles to a when-chain,
+    no join and no shuffle.
+    """
+    for g, f in fractions.items():
+        if not 0 <= f <= 1:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1], got {f}")
+    if not 0 <= default_fraction <= 1:
+        raise ValueError("default_fraction must be in [0, 1]")
+    bucket = hash_bucket(key)
+    thresh = None
+    gc = F.col(group_col)
+    for g, f in fractions.items():
+        cond = gc.eqNullSafe(F.lit(g))
+        t = F.lit(int(f * HASH_BUCKETS))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = (
+        F.lit(int(default_fraction * HASH_BUCKETS))
+        if thresh is None
+        else thresh.otherwise(F.lit(int(default_fraction * HASH_BUCKETS)))
+    )
+    return df.where(bucket < thresh)

@@ -223,6 +223,46 @@ def doc_train_valid_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_weighted_mix",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, source, {SAMPLING.sql_hash_bucket('doc_id')} AS bucket
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, source FROM b
+        WHERE bucket < CASE source
+                           WHEN 'src0' THEN 10000
+                           WHEN 'src1' THEN 5000
+                           WHEN 'src2' THEN 2500
+                           ELSE 1000 END
+    )
+    SELECT source, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id
+    FROM kept GROUP BY source
+    """,
+)
+def doc_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: keep 100% of src0, 50% of src1, 25% of src2
+    and 10% of everything else by content-hash threshold — the
+    sampling-ratio step in front of a training run, decided scan-side per
+    row (no join, no shuffle, stable under data growth). Oracle replays the
+    identical md5 buckets and thresholds."""
+    d = _t(spark, sf_dir, "documents")
+    kept = SAMPLING.weighted_mix_by_hash(
+        d,
+        "doc_id",
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_fraction=0.1,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
     "order_price_changes",
     oracle="""
     SELECT o_custkey, o_orderkey,

@@ -72,3 +72,24 @@ def test_null_keys_consistent_between_split_and_sample(spark):
     assert splits[None] == "a"
     sampled = {r["k"] for r in sample_by_hash(df, "k", 0.5).collect()}
     assert None in sampled  # bucket 0 < 5000
+
+
+def test_weighted_mix_keeps_exact_subsets(spark):
+    """Mixing must be per-row stable: the kept set of a group at fraction f
+    is a SUBSET of the kept set at any larger f (nested thresholds), the
+    full-fraction group survives intact, and fraction 0 drops everything."""
+    from polars_numba_spark.operators.sampling import weighted_mix_by_hash
+    from polars_numba_spark.sources import load_table
+
+    d = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "source"
+    )
+    full = weighted_mix_by_hash(d, "doc_id", "source", {"src0": 1.0}, 0.3)
+    half = weighted_mix_by_hash(d, "doc_id", "source", {"src0": 1.0}, 0.15)
+    ids_full = {r["doc_id"] for r in full.where("source != 'src0'").collect()}
+    ids_half = {r["doc_id"] for r in half.where("source != 'src0'").collect()}
+    assert ids_half <= ids_full  # nested thresholds
+    n_src0 = d.where("source = 'src0'").count()
+    assert full.where("source = 'src0'").count() == n_src0  # 1.0 keeps all
+    none = weighted_mix_by_hash(d, "doc_id", "source", {"src0": 0.0}, 0.0)
+    assert none.count() == 0
