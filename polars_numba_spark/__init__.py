@@ -30,7 +30,12 @@ from __future__ import annotations
 from polars_numba_spark._numba import HAVE_NUMBA
 from polars_numba_spark.dtypes import SizedArray
 from polars_numba_spark.session import get_spark
-from polars_numba_spark.operators.fold import agg_with_fold, collect_fold, grouped_fold
+from polars_numba_spark.operators.fold import (
+    agg_with_fold,
+    collect_fold,
+    grouped_fold,
+    grouped_multi_fold,
+)
 from polars_numba_spark.operators.scan import collect_scan, grouped_scan
 from polars_numba_spark.operators.window import (
     running_agg,
@@ -46,6 +51,7 @@ __all__ = [
     "collect_fold",
     "collect_scan",
     "grouped_fold",
+    "grouped_multi_fold",
     "grouped_scan",
     "running_agg",
     "assoc_fold",

@@ -22,7 +22,12 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from polars_numba_spark.operators.asof import asof_join
-from polars_numba_spark.operators.fold import agg_with_fold, collect_fold, grouped_fold
+from polars_numba_spark.operators.fold import (
+    agg_with_fold,
+    collect_fold,
+    grouped_fold,
+    grouped_multi_fold,
+)
 from polars_numba_spark.operators.scan import collect_scan, grouped_scan
 from polars_numba_spark.operators.window import assoc_fold, assoc_scan, running_agg
 
@@ -68,6 +73,10 @@ class PlumbaNamespace:
     def agg_with_fold(self, *args: Any, **kwargs: Any) -> DataFrame:
         """Native aggregates + kernel folds in one grouped result."""
         return agg_with_fold(self._df, *args, **kwargs)
+
+    def grouped_multi_fold(self, *args: Any, **kwargs: Any) -> DataFrame:
+        """Several same-ordering folds in one shuffle+sort+kernel pass."""
+        return grouped_multi_fold(self._df, *args, **kwargs)
 
 
 def attach() -> None:
