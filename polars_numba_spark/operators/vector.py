@@ -142,15 +142,21 @@ def assign_nearest_centroid(
             ).alias("cos"),
         )
     )
-    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("__cid"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(
-            F.col("id").alias(id_col),
-            F.col("__cid").alias("assigned"),
-            F.col("cos").alias("cosine_sim"),
-        )
+    # argmax via struct-max aggregation, NOT a window row_number: the
+    # window form shuffles all n×k scored rows; the aggregate partial-
+    # combines map-side so only n best-so-far rows cross the exchange.
+    # Struct comparison is lexicographic — (cos, -cid) max picks the
+    # highest cosine, ties broken toward the LOWEST centroid id (identical
+    # to the previous orderBy(cos DESC, cid ASC) semantics).
+    best = scored.groupBy("id").agg(
+        F.max(
+            F.struct(F.col("cos").alias("cos"), (-F.col("__cid")).alias("negcid"))
+        ).alias("__best")
+    )
+    return best.select(
+        F.col("id").alias(id_col),
+        (-F.col("__best.negcid")).alias("assigned"),
+        F.col("__best.cos").alias("cosine_sim"),
     )
 
 
@@ -188,14 +194,47 @@ def kmeans_iterations(
     ids_prev: set[int] = set()
     assignments = None
     for _ in range(iterations):
-        assignments = assign_nearest_centroid(
-            df, centroids, vec_col, id_col, "label", "centroid"
+        # One scored pass serves BOTH outputs: the struct-max argmax (see
+        # assign_nearest_centroid) additionally carries each vector through
+        # the aggregate (any_value — it is functionally dependent on the
+        # id), so the centroid update needs NO re-join of df against the
+        # assignments: previously an extra n+n shuffle per iteration.
+        c = centroids.select(
+            F.col("label").alias("__cid"), as_double("centroid").alias("__cv")
+        ).withColumn("__cn", norm(F.col("__cv")))
+        scored = (
+            df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("__v"))
+            .withColumn("__vn", norm(F.col("__v")))
+            .crossJoin(F.broadcast(c))
+            .select(
+                "id",
+                "__v",
+                "__cid",
+                cosine_with_norms(
+                    F.col("__v"), F.col("__cv"), F.col("__vn"), F.col("__cn")
+                ).alias("cos"),
+            )
         )
-        joined = df.join(assignments, id_col).select(
-            F.col("assigned").alias("label"), vec_col
+        carried = scored.groupBy("id").agg(
+            F.max(
+                F.struct(F.col("cos").alias("cos"), (-F.col("__cid")).alias("negcid"))
+            ).alias("__best"),
+            F.any_value(F.col("__v")).alias("__v"),
+        )
+        assignments = carried.select(
+            F.col("id").alias(id_col),
+            (-F.col("__best.negcid")).alias("assigned"),
+            F.col("__best.cos").alias("cosine_sim"),
         )
         new_centroids, ids_new = tracked_local_checkpoint(
-            group_centroids(joined, vec_col, "label").select("label", "centroid")
+            group_centroids(
+                carried.select(
+                    (-F.col("__best.negcid")).alias("label"),
+                    F.col("__v").alias(vec_col),
+                ),
+                vec_col,
+                "label",
+            ).select("label", "centroid")
         )
         # round i-1's centroid blocks were only reachable through the
         # now-superseded assignments plan — free them; keep the last TWO
