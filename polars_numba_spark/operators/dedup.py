@@ -59,13 +59,21 @@ def exact_dedup_key(col: Column | str) -> Column:
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep the lowest-id representative per exact content digest."""
-    w = Window.partitionBy("__digest").orderBy(id_col)
+    """Keep the lowest-id representative per exact content digest.
+
+    Representative selection is a ``min_by`` aggregate (the whole row as a
+    struct, ordered by id), not a window ``row_number``: the window form
+    shuffles EVERY row to its digest partition before discarding the
+    duplicates, while the aggregate partial-combines map-side — at corpus
+    scale the exchange carries one candidate row per digest per mapper,
+    which for high-duplication corpora is a fraction of the input.
+    """
+    cols = df.columns
     return (
         df.withColumn("__digest", exact_dedup_key(text_col))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__digest", "__rn")
+        .groupBy("__digest")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__rep"))
+        .select(*[F.col(f"__rep.{c}").alias(c) for c in cols])
     )
 
 
