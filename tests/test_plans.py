@@ -143,3 +143,23 @@ def test_timestamp_pushdown_survives_ntz_normalization(spark):
     assert sorted(
         c.split(":")[0] for c in schemas[0].strip("struct<>").split(",")
     ) == ["l_quantity", "l_shipdate"]
+
+
+def test_pii_scrub_is_pure_scan(spark):
+    """Redaction + counting is per-row regex work: NO exchange at all."""
+    df = q(spark, "doc_pii_scrub")
+    assert plans.count_exchanges(df) == 0
+
+
+def test_weighted_mix_filters_scan_side(spark):
+    """The mixing decision is a scan-side hash threshold — the only
+    exchange is the final per-source report aggregate."""
+    df = q(spark, "doc_weighted_mix")
+    assert plans.count_exchanges(df) <= 1
+
+
+def test_unigram_logprob_broadcasts_vocabulary(spark):
+    """The vocabulary (small by construction) must join back broadcast,
+    never sort-merge: corpus rows may be billions, vocab is not."""
+    df = q(spark, "doc_unigram_logprob")
+    assert plans.has_broadcast_join(df)
