@@ -87,3 +87,45 @@ def test_collect_scan_matches_python(spark, rows):
             assert g is None
         else:
             assert g is not None and math.isclose(g, e)
+
+
+def step2(acc, v):
+    return acc * 2 - v if v % 3 == 0 else acc + v
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_strategy)
+def test_agg_with_fold_matches_python(spark, rows):
+    """The composition surface under Hypothesis: fused multi-fold results
+    AND native aggregates must match a pure-Python replay on arbitrary
+    null placement / group boundaries / empty groups."""
+    from pyspark.sql import functions as F
+
+    from polars_numba_spark import agg_with_fold
+
+    df = _spark_df(spark, rows)
+    out = agg_with_fold(
+        df,
+        "g",
+        native_aggs={"n": F.count(F.lit(1)), "mx": F.max("v")},
+        folds={
+            "f1": dict(function=step, initial_accumulator=0.0,
+                       return_dtype="double", columns=["v"], order_by="ord"),
+            "f2": dict(function=step2, initial_accumulator=1.0,
+                       return_dtype="double", columns=["v"], order_by="ord"),
+        },
+    )
+    got = {r["g"]: r for r in out.collect()}
+    groups: dict = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    assert got.keys() == groups.keys()
+    for g, vs in groups.items():
+        non_null = [v for v in vs if v is not None]
+        assert got[g]["n"] == len(vs)
+        assert got[g]["mx"] == (max(non_null) if non_null else None)
+        assert got[g]["f1"] == pytest.approx(py_fold(vs))
+        acc = 1.0
+        for v in non_null:
+            acc = step2(acc, v)
+        assert got[g]["f2"] == pytest.approx(acc)
