@@ -231,3 +231,101 @@ def synthesize_image_payload(fmt: Column, width: Column, height: Column) -> Colu
     return (
         F.when(fmt == "png", png).when(fmt == "jpeg", jpeg).otherwise(gif)
     )
+
+
+RESIZE_SCHEMA = "doc_id long, mime string, width int, height int, payload binary"
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing over ``mapInPandas`` (Arrow-batched,
+    partition-parallel, shuffle-free): for each payload, decode the header
+    (REAL PNG/JPEG/GIF parsing), then re-encode at the target dimensions.
+
+    The raster path is a clearly-marked DETERMINISTIC FAKE: without
+    Pillow/libvips in this environment the "resized" payload is a minimal
+    valid container of the requested dimensions whose body bytes derive
+    from md5(source payload) — stable across runs/engines, and the output
+    header round-trips through :func:`decode_image_header` at the target
+    size, so every piece of Spark-side plumbing (schema, batch shape,
+    binary columns, partition parallelism) is real and testable. Swap
+    ``_fake_raster_resize`` for a real codec when the libs exist.
+    """
+
+    def _fake_raster_resize(payload: bytes, mime: str) -> bytes:
+        seed = hashlib.md5(payload).digest()
+        body = (seed * ((width * height) // len(seed) + 1))[: max(width, 16)]
+        if mime == "image/png":
+            return (
+                b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+                + width.to_bytes(4, "big") + height.to_bytes(4, "big") + body
+            )
+        if mime == "image/gif":
+            return (
+                b"GIF89a" + width.to_bytes(2, "little")
+                + height.to_bytes(2, "little") + body
+            )
+        # JPEG: SOI + SOF0 frame header carrying the dimensions
+        return (
+            b"\xff\xd8\xff\xc0" + (8 + 3).to_bytes(2, "big") + b"\x08"
+            + height.to_bytes(2, "big") + width.to_bytes(2, "big") + b"\x01" + body
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mimes, payloads = [], []
+            for p in pdf["payload"]:
+                header = decode_image_header(p)
+                mime = header[0] if header else "image/png"
+                mimes.append(mime)
+                payloads.append(_fake_raster_resize(bytes(p), mime))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "mime": mimes,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame binary"
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Video frame-sampling plumbing over ``mapInPandas``: one output row
+    per sampled frame (doc_id, frame_idx, ts_ms, frame) — the 1→N batch
+    shape a real decoder produces, with partition-parallel extraction and
+    no shuffle.
+
+    The container decode is a clearly-marked DETERMINISTIC FAKE (no
+    ffmpeg/pyav here): payload length models duration (1 KiB ≈ 1 s), and
+    each "frame" is md5(payload ‖ frame_idx) — stable across runs and
+    engines so tests and oracles can pin the plumbing. Swap
+    ``_fake_decode_frame`` for a real demuxer when the libs exist.
+    """
+
+    def _fake_decode_frame(payload: bytes, idx: int) -> bytes:
+        return hashlib.md5(payload + idx.to_bytes(4, "big")).digest()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                duration_ms = (len(p) * 1000) // 1024
+                n = min(max_frames, max(1, duration_ms // every_ms + 1))
+                for i in range(n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(_fake_decode_frame(p, i))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)

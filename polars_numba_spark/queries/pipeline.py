@@ -192,6 +192,45 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH durations AS (
+        SELECT doc_id,
+               octet_length(encode(text)) * 1000 // 1024 AS duration_ms
+        FROM documents WHERE doc_id < 200
+    ), counts AS (
+        SELECT doc_id,
+               LEAST(8, GREATEST(1, duration_ms // 100 + 1)) AS n
+        FROM durations
+    )
+    SELECT c.doc_id AS doc_id, CAST(i.i AS INTEGER) AS frame_idx,
+           CAST(i.i * 100 AS BIGINT) AS ts_ms,
+           CAST(16 AS INTEGER) AS frame_bytes
+    FROM counts c, LATERAL (SELECT UNNEST(range(c.n)) AS i) i
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing as a gated query: UTF-8 text bytes
+    stand in for the container (same convention as multimodal_features),
+    and the oracle independently reproduces the SAMPLING SCHEDULE — which
+    documents yield how many frames at which timestamps (1 KiB ≈ 1 s,
+    every 100 ms, capped at 8) — hash-exact. The frame BYTES come from
+    the deterministic fake decoder (md5 over raw binary, which DuckDB
+    cannot hash) and are pinned by unit test instead; the gate carries
+    their length."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    frames = M.sample_frames(
+        M.attach_payload(d).select("doc_id", "payload"), every_ms=100, max_frames=8
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "ts_ms",
+        F.octet_length("frame").alias("frame_bytes"),
+    )
+
+
+@register(
     "doc_language_id",
     oracle=f"""
     SELECT {X.sql_language_id('text')} AS lang_pred, lang AS lang_label,

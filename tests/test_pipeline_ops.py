@@ -477,3 +477,52 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert out[1]["clean"] == "no pii here"
     assert out[2]["e"] == 2 and out[2]["p"] == 1
     assert out[2]["clean"] == "two mails <EMAIL> <EMAIL> and <PHONE>"
+
+
+def test_resize_images_header_roundtrips_at_target_dims(spark):
+    """The resize plumbing is real even though the raster path is a
+    deterministic fake: output payloads must decode (real header parser)
+    to exactly the requested dimensions, for every container format."""
+    from polars_numba_spark.operators.multimodal import (
+        attach_payload,
+        decode_image_header,
+        resize_images,
+        synthesize_image_payload,
+    )
+
+    src = spark.createDataFrame(
+        [(0, "png"), (1, "jpeg"), (2, "gif")], "doc_id long, fmt string"
+    ).select(
+        "doc_id",
+        synthesize_image_payload(F.col("fmt"), F.lit(640), F.lit(480)).alias("payload"),
+    )
+    out = resize_images(src, 32, 24).collect()
+    assert len(out) == 3
+    for r in out:
+        header = decode_image_header(bytes(r["payload"]))
+        assert header is not None
+        assert (header[1], header[2]) == (32, 24)
+    # determinism: same inputs → byte-identical outputs
+    again = {r["doc_id"]: bytes(r["payload"]) for r in resize_images(src, 32, 24).collect()}
+    assert {r["doc_id"]: bytes(r["payload"]) for r in out} == again
+
+
+def test_sample_frames_shape_and_determinism(spark):
+    from polars_numba_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(0, bytes(range(256)) * 16), (1, b"x")],  # ~4 KiB → 4s; tiny → 1 frame
+        "doc_id long, payload binary",
+    )
+    rows = sample_frames(df, every_ms=1000, max_frames=8).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["ts_ms"] == 0
+    assert len(by_doc[0]) == 5  # 4096 B → 4000 ms → frames at 0..4000
+    assert [r["ts_ms"] for r in sorted(by_doc[0], key=lambda r: r["frame_idx"])] == [
+        0, 1000, 2000, 3000, 4000,
+    ]
+    # frames are deterministic and distinct per index
+    frames = {bytes(r["frame"]) for r in by_doc[0]}
+    assert len(frames) == 5
