@@ -584,3 +584,49 @@ def dedup_keep_list(
         "component", F.coalesce(F.col("component"), F.col("id"))
     )
     return labeled.withColumn("keep", F.col("id") == F.col("component"))
+
+
+def duplicated_shingle_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-passage fraction: the share of a document's
+    distinct ``shingle_n``-gram shingles that also occur in at least one
+    OTHER document — the corpus-level contamination metric behind
+    passage-level dedup (a pairwise near-dup pass catches documents that
+    are globally similar; this catches boilerplate passages pasted across
+    otherwise-distinct documents).
+
+    Shape: explode distinct shingles (scan-linear), one map-side-combined
+    count per shingle, re-join on the shingle, per-doc aggregate — three
+    shuffles, all on scale-stable keys (shingle cardinality grows with the
+    corpus but so does the cluster). Documents shorter than ``shingle_n``
+    tokens have no shingles and report fraction 0.0 via the left join.
+    """
+    shingles = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_shingles(text_col, shingle_n)).alias("__sh"),
+    )
+    counts = shingles.groupBy("__sh").agg(F.count(F.lit(1)).alias("__n_docs"))
+    per_doc = (
+        shingles.join(counts, "__sh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__n_docs") >= 2, 1).otherwise(0)).alias("__n_dup"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce(
+                F.col("__n_dup").cast("double") / F.col("n_shingles").cast("double"),
+                F.lit(0.0),
+            ).alias("dup_shingle_frac"),
+        )
+    )

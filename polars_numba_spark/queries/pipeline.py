@@ -192,6 +192,39 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_duplicated_passages",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, UNNEST({X.sql_token_shingles('text', 8)}) AS s
+        FROM documents
+    ), counts AS (
+        SELECT s, COUNT(*) AS n_docs FROM sh GROUP BY s
+    ), per_doc AS (
+        SELECT sh.doc_id, COUNT(*) AS n_shingles,
+               SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM sh JOIN counts c ON sh.s = c.s
+        GROUP BY sh.doc_id
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           COALESCE(CAST(p.n_dup AS DOUBLE) / CAST(p.n_shingles AS DOUBLE), 0.0)
+               AS dup_shingle_frac
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+def doc_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage fraction per document: the share of a document's
+    distinct 8-token shingles that occur in at least one OTHER document.
+    Pairwise near-dup passes catch globally-similar documents; this is the
+    passage-level contamination metric that catches boilerplate pasted
+    across otherwise-distinct documents (the ExactSubstr-dedup signal,
+    shingle-approximated). Oracle reproduces the identical shingling and
+    arithmetic in DuckDB list functions."""
+    d = _t(spark, sf_dir, "documents")
+    return D.duplicated_shingle_fraction(d, "text", "doc_id", shingle_n=8)
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     WITH durations AS (

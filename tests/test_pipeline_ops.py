@@ -526,3 +526,25 @@ def test_sample_frames_shape_and_determinism(spark):
     # frames are deterministic and distinct per index
     frames = {bytes(r["frame"]) for r in by_doc[0]}
     assert len(frames) == 5
+
+
+def test_duplicated_shingle_fraction_literals(spark):
+    """A pasted passage shared by two docs must show up in BOTH docs'
+    fractions; a unique doc scores 0; short docs (< n tokens) score 0."""
+    passage = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (0, passage + " alpha beta gamma delta epsilon zeta eta theta"),
+            (1, passage + " iota kappa lam mu nu xi omicron pi"),
+            (2, "unique words entirely different from all other documents here"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.duplicated_shingle_fraction(df, shingle_n=8).collect()}
+    assert out[0]["dup_shingle_frac"] > 0 and out[1]["dup_shingle_frac"] > 0
+    assert out[2]["dup_shingle_frac"] == 0.0
+    assert out[3]["n_shingles"] == 0 and out[3]["dup_shingle_frac"] == 0.0
+    # exactly ONE shared shingle (the full passage) between docs 0 and 1
+    assert out[0]["n_shingles"] == 9  # 16 tokens → 9 distinct 8-shingles
+    assert out[0]["dup_shingle_frac"] == pytest.approx(1 / 9)
