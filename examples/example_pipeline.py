@@ -26,8 +26,34 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = load_table(spark, "documents", SF)
-    curated = docs.where(quality_score("text") >= 0.5)
-    split = split_by_hash(curated, "doc_id", {"train": 0.9, "test": 0.1})
+
+    # quality signals: length/stopword score, repetition, LM-proxy logprob
+    from polars_numba_spark.operators.text import (
+        redact_pii,
+        repetition_stats,
+        unigram_logprob_scores,
+    )
+
+    rep = repetition_stats(docs)
+    lp = unigram_logprob_scores(docs)
+    scored = (
+        docs.select("doc_id", "source", "text", quality_score("text").alias("q"))
+        .join(rep.select("doc_id", "token_rep_frac"), "doc_id")
+        .join(lp.select("doc_id", "avg_logprob"), "doc_id")
+    )
+    curated = scored.where(
+        (F.col("q") >= 0.5) & (F.col("token_rep_frac") <= 0.9)
+    ).withColumn("text", redact_pii("text"))
+    print("curated docs:", curated.count())
+    assert curated.count() > 0
+
+    # weighted mixing, split, chunking
+    from polars_numba_spark.operators.sampling import weighted_mix_by_hash
+
+    mixed = weighted_mix_by_hash(
+        curated, "doc_id", "source", {"src0": 1.0}, default_fraction=0.5
+    )
+    split = split_by_hash(mixed, "doc_id", {"train": 0.9, "test": 0.1})
     chunks = chunk_documents(split.where(F.col("split") == "train"))
     print("train chunks:", chunks.count())
     assert chunks.count() > 0
