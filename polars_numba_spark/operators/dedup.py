@@ -604,6 +604,12 @@ def duplicated_shingle_fraction(
     shuffles, all on scale-stable keys (shingle cardinality grows with the
     corpus but so does the cluster). Documents shorter than ``shingle_n``
     tokens have no shingles and report fraction 0.0 via the left join.
+
+    Skew note: a boilerplate shingle present in millions of documents
+    concentrates its (doc, shingle) rows on one join partition — the same
+    hot-key shape as every inverted-index join; AQE's skew-join split (on
+    by default in session.get_spark) handles it, and pre-filtering known
+    boilerplate shingles is the manual escape.
     """
     shingles = df.select(
         F.col(id_col).alias("id"),

@@ -249,7 +249,9 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def unigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
+def unigram_logprob_scores(
+    df, text_col: str = "text", id_col: str = "doc_id", broadcast_vocab: bool = True
+):
     """Language-model quality proxy: per-document mean unigram
     log-likelihood under the corpus's OWN unigram distribution (the
     CCNet-style "perplexity bucket" signal, with the corpus standing in for
@@ -264,9 +266,12 @@ def unigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
     order-independent and bit-identical across engines.
 
     Scale shape: vocabulary counts are one map-side-combined shuffle on the
-    token; the vocabulary (≪ corpus) joins back broadcast; the per-doc
+    token; the vocabulary joins back broadcast by default; the per-doc
     aggregation shuffles on the doc id. Three linear passes, no all-pairs,
-    no Python.
+    no Python. At web scale a raw-token vocabulary can reach 10⁸+ rows —
+    too big to broadcast: pass ``broadcast_vocab=False`` for a shuffle
+    (sort-merge) join on the token instead, or pre-truncate the vocabulary
+    (rare tokens share one OOV bucket) to keep the broadcast path.
     """
     from pyspark.sql import Window
 
@@ -284,7 +289,8 @@ def unigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
             F.log(F.col("__cnt").cast("double") / F.col("__total").cast("double")), 9
         ),
     )
-    scored = occurrences.join(F.broadcast(vocab), "__tok")
+    vocab_side = F.broadcast(vocab) if broadcast_vocab else vocab
+    scored = occurrences.join(vocab_side, "__tok")
     return (
         scored.groupBy("id")
         .agg(
