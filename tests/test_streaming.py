@@ -174,3 +174,70 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert q.awaitTermination(120), "stream did not finish within timeout"
     got = spark.sql("SELECT COUNT(*) c FROM dedup_stream").collect()[0]["c"]
     assert got == expected == 5  # 5 distinct event types
+
+
+def test_windowed_rollup_drops_late_rows_past_watermark(spark, tmp_path):
+    """The core watermark semantic, pinned end-to-end: once a micro-batch
+    advances the watermark past a window's end, late rows for that window
+    are DROPPED (append mode emits the window once, without them).
+
+    Timing nuance (real engine behavior, verified): the watermark computed
+    from batch N takes effect in batch N+1, and a window is emitted+evicted
+    at the end of the first batch that RUNS with the watermark past its
+    end — a straggler arriving in that same batch still merges. The drop
+    only hits rows arriving after eviction, so the test needs three
+    batches under maxFilesPerTrigger=1: A advances event time to 10:30,
+    B (filler) runs with watermark 10:20 and evicts+emits [9:00, 9:30),
+    C delivers the 9:10 straggler — dropped, the sink keeps the on-time
+    count."""
+    import time
+
+    from polars_numba_spark.streaming import windowed_rollup
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, "ts timestamp, v long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / ("stage_" + name)))
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / ("stage_" + name) / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / name))
+
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    write_file([(t(9, 0), 1), (t(9, 5), 1), (t(10, 30), 1)], "a.parquet")
+    time.sleep(1.1)  # file-source processes in mtime order; keep A < B < C
+    write_file([(t(10, 31), 1)], "b.parquet")
+    time.sleep(1.1)
+    write_file([(t(9, 10), 1)], "c.parquet")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    rolled = windowed_rollup(
+        stream, "ts", window_duration="30 minutes", watermark="10 minutes"
+    )
+    query = (
+        rolled.writeStream.format("memory")
+        .queryName("late_rollup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert query.awaitTermination(120), "stream did not finish within timeout"
+    got = {
+        (r["window"]["start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM late_rollup").collect()
+    }
+    # [9:00, 9:30) emitted with the 2 on-time events; the 9:10 straggler
+    # arrived after the watermark passed 9:30 and must NOT be counted.
+    assert (t(9, 0), 2) in got, got
+    assert (t(9, 0), 3) not in got, got
