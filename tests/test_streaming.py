@@ -241,3 +241,60 @@ def test_windowed_rollup_drops_late_rows_past_watermark(spark, tmp_path):
     # arrived after the watermark passed 9:30 and must NOT be counted.
     assert (t(9, 0), 2) in got, got
     assert (t(9, 0), 3) not in got, got
+
+
+def test_streaming_dedup_state_expires_past_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's contract, pinned end-to-end: a
+    duplicate arriving while the digest is in state is suppressed, but one
+    arriving after the watermark expired the digest is emitted AGAIN (the
+    duplicates-arrive-close-together contract — state is bounded, not a
+    forever-set). Like window eviction, state expiry lags the watermark by
+    one batch (the watermark computed from batch N takes effect in N+1 and
+    expiry happens at the end of the batch that runs with it), so four
+    mtime-ordered batches: the original, an advance, a filler during which
+    the digest expires, then the re-arrival."""
+    import datetime as dt
+    import glob
+    import shutil
+    import time
+
+    from polars_numba_spark.streaming import streaming_exact_dedup
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, "ts timestamp, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / ("stage_" + name)))
+        part = glob.glob(str(tmp_path / ("stage_" + name) / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / name))
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    write_file([(t(9, 0), "dup"), (t(9, 0, ), "dup"), (t(9, 0), "other")], "a.parquet")
+    time.sleep(1.1)
+    write_file([(t(12, 0), "advance")], "b.parquet")  # watermark → 11:59
+    time.sleep(1.1)
+    write_file([(t(12, 0), "filler")], "b2.parquet")  # expiry runs this batch
+    time.sleep(1.1)
+    write_file([(t(12, 1), "dup")], "c.parquet")  # digest expired → re-emitted
+
+    stream = (
+        spark.readStream.schema("ts timestamp, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = streaming_exact_dedup(stream, "text", time_col="ts", watermark="1 minute")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("dedup_expiry")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert query.awaitTermination(120), "stream did not finish within timeout"
+    emitted = [r["text"] for r in spark.sql("SELECT * FROM dedup_expiry").collect()]
+    # batch A: "dup" once (in-state duplicate suppressed) + "other";
+    # batch C: "dup" again — its digest expired when the watermark passed
+    assert sorted(emitted) == ["advance", "dup", "dup", "filler", "other"], emitted
