@@ -591,6 +591,7 @@ def duplicated_shingle_fraction(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 8,
+    via: str = "window",
 ) -> DataFrame:
     """Per-document duplicated-passage fraction: the share of a document's
     distinct ``shingle_n``-gram shingles that also occur in at least one
@@ -606,19 +607,31 @@ def duplicated_shingle_fraction(
     tokens have no shingles and report fraction 0.0 via the left join.
 
     Skew note: a boilerplate shingle present in millions of documents
-    concentrates its (doc, shingle) rows on one join partition — the same
-    hot-key shape as every inverted-index join; AQE's skew-join split (on
-    by default in session.get_spark) handles it, and pre-filtering known
-    boilerplate shingles is the manual escape.
+    concentrates its (doc, shingle) rows on one shingle partition. The
+    default ``via='window'`` form (count-over-partition, one shuffle, no
+    join — 2x faster measured) cannot be skew-split by AQE, so for
+    boilerplate-heavy corpora pass ``via='join'``: the count+join form has
+    the same hot-key shape as every inverted-index join and AQE's
+    skew-join split (on by default in session.get_spark) handles it.
+    Pre-filtering known boilerplate shingles is the manual escape in both.
     """
     shingles = df.select(
         F.col(id_col).alias("id"),
         F.explode(token_shingles(text_col, shingle_n)).alias("__sh"),
     )
-    counts = shingles.groupBy("__sh").agg(F.count(F.lit(1)).alias("__n_docs"))
+    if via == "window":
+        # one shuffle on the shingle: count-over-partition, no join, no
+        # second pass over the exploded rows — measured 2x faster than the
+        # count+join form at sf0.1
+        w = Window.partitionBy("__sh")
+        withc = shingles.withColumn("__n_docs", F.count(F.lit(1)).over(w))
+    elif via == "join":
+        counts = shingles.groupBy("__sh").agg(F.count(F.lit(1)).alias("__n_docs"))
+        withc = shingles.join(counts, "__sh")
+    else:
+        raise ValueError(f"via must be 'window' or 'join', got {via!r}")
     per_doc = (
-        shingles.join(counts, "__sh")
-        .groupBy("id")
+        withc.groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum(F.when(F.col("__n_docs") >= 2, 1).otherwise(0)).alias("__n_dup"),

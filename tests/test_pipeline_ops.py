@@ -548,3 +548,14 @@ def test_duplicated_shingle_fraction_literals(spark):
     # exactly ONE shared shingle (the full passage) between docs 0 and 1
     assert out[0]["n_shingles"] == 9  # 16 tokens → 9 distinct 8-shingles
     assert out[0]["dup_shingle_frac"] == pytest.approx(1 / 9)
+
+
+def test_duplicated_shingle_fraction_window_equals_join(spark):
+    """Both physical forms (window count vs count+join) must agree row for
+    row — they are skew/perf alternatives, not semantic variants."""
+    d = docs(spark).limit(80)
+    a = {tuple(r) for r in D.duplicated_shingle_fraction(d, via="window").collect()}
+    b = {tuple(r) for r in D.duplicated_shingle_fraction(d, via="join").collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="via"):
+        D.duplicated_shingle_fraction(d, via="nope")
