@@ -15,7 +15,7 @@ For pure-Spark hot paths where portability is irrelevant, swap in
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_BUCKETS = 10_000
@@ -109,3 +109,33 @@ def weighted_mix_by_hash(
         else thresh.otherwise(F.lit(int(default_fraction * HASH_BUCKETS)))
     )
     return df.where(bucket < thresh)
+
+
+def stratified_cap_by_hash(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key: str,
+) -> DataFrame:
+    """Deterministic per-group quota: keep at most ``n`` rows per group
+    (the "domain cap" curation step — no single source may dominate the
+    corpus), chosen by content-hash rank so the selection is reproducible
+    across runs and engines and stable under reordering. A row can still be
+    evicted when new rows hash below it — quotas are corpus-relative by
+    nature, unlike the threshold filters (:func:`sample_by_hash`), which
+    are per-row stable.
+
+    Shape: one shuffle on the group (window rank over the hash order with
+    the key as tie-break), filter to rank ≤ n. Group skew is bounded by the
+    groups themselves (a hot group's rows land one partition — the same
+    shape as any per-group top-k; pre-salting cannot apply because rank is
+    global per group).
+    """
+    if n < 1:
+        raise ValueError("n must be ≥ 1")
+    w = Window.partitionBy(group_col).orderBy(hash_bucket(key, 2**31), F.col(key))
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= n)
+        .drop("__rank")
+    )

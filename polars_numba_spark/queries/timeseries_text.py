@@ -263,6 +263,39 @@ def doc_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_source_caps",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {SAMPLING.sql_hash_bucket('doc_id', 2**31)}, doc_id
+               ) AS rnk
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, source FROM ranked WHERE rnk <= 10
+    )
+    SELECT source, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM kept GROUP BY source
+    """,
+)
+def doc_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota (the domain-cap curation step): keep at most 10
+    documents per source, selected by content-hash rank — deterministic
+    across runs and engines, which the oracle proves by reproducing the
+    exact kept set (id_sum pins membership, not just counts) from the same
+    md5 ranking in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    kept = SAMPLING.stratified_cap_by_hash(d, "source", 10, "doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+@register(
     "order_price_changes",
     oracle="""
     SELECT o_custkey, o_orderkey,

@@ -93,3 +93,26 @@ def test_weighted_mix_keeps_exact_subsets(spark):
     assert full.where("source = 'src0'").count() == n_src0  # 1.0 keeps all
     none = weighted_mix_by_hash(d, "doc_id", "source", {"src0": 0.0}, 0.0)
     assert none.count() == 0
+
+
+def test_stratified_cap_deterministic_and_bounded(spark):
+    from polars_numba_spark.operators.sampling import stratified_cap_by_hash
+    from polars_numba_spark.sources import load_table
+
+    d = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "source"
+    )
+    capped = stratified_cap_by_hash(d, "source", 3, "doc_id")
+    per_group = {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_group and all(n <= 3 for n in per_group.values())
+    # deterministic: identical kept set on re-run
+    again = {tuple(r) for r in stratified_cap_by_hash(d, "source", 3, "doc_id").collect()}
+    assert {tuple(r) for r in capped.collect()} == again
+    # a larger cap keeps a superset (ranking is stable)
+    bigger = {tuple(r) for r in stratified_cap_by_hash(d, "source", 5, "doc_id").collect()}
+    assert again <= bigger
+    with pytest.raises(ValueError):
+        stratified_cap_by_hash(d, "source", 0, "doc_id")
