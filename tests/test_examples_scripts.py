@@ -10,7 +10,9 @@ import pytest
 
 
 @pytest.mark.parametrize(
-    "script", ["example_fold.py", "example_scan.py", "example_pipeline.py"]
+    "script",
+    ["example_fold.py", "example_scan.py", "example_pipeline.py",
+     "example_multimodal.py"],
 )
 def test_example_runs(script):
     proc = subprocess.run(
