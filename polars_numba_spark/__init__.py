@@ -36,7 +36,7 @@ from polars_numba_spark.operators.fold import (
     grouped_fold,
     grouped_multi_fold,
 )
-from polars_numba_spark.operators.scan import collect_scan, grouped_scan
+from polars_numba_spark.operators.scan import collect_scan, grouped_multi_scan, grouped_scan
 from polars_numba_spark.operators.window import (
     running_agg,
     assoc_fold,
@@ -52,6 +52,7 @@ __all__ = [
     "collect_scan",
     "grouped_fold",
     "grouped_multi_fold",
+    "grouped_multi_scan",
     "grouped_scan",
     "running_agg",
     "assoc_fold",

@@ -28,7 +28,7 @@ from polars_numba_spark.operators.fold import (
     grouped_fold,
     grouped_multi_fold,
 )
-from polars_numba_spark.operators.scan import collect_scan, grouped_scan
+from polars_numba_spark.operators.scan import collect_scan, grouped_multi_scan, grouped_scan
 from polars_numba_spark.operators.window import assoc_fold, assoc_scan, running_agg
 
 
@@ -77,6 +77,10 @@ class PlumbaNamespace:
     def grouped_multi_fold(self, *args: Any, **kwargs: Any) -> DataFrame:
         """Several same-ordering folds in one shuffle+sort+kernel pass."""
         return grouped_multi_fold(self._df, *args, **kwargs)
+
+    def grouped_multi_scan(self, *args: Any, **kwargs: Any) -> DataFrame:
+        """Several same-ordering scans in one pass (N result columns)."""
+        return grouped_multi_scan(self._df, *args, **kwargs)
 
 
 def attach() -> None:

@@ -366,3 +366,128 @@ def grouped_scan(
             yield attach_result(pdf, result, mask)
 
     return prepared.mapInPandas(scan_partition, schema=out_schema)
+
+
+def grouped_multi_scan(
+    df: DataFrame,
+    group_by: str | Sequence[str],
+    specs: dict[str, dict],
+    order_by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Several independent running scans over the SAME keys and ordering in
+    ONE shuffle + sort + ``mapInPandas`` pass — every input row comes back
+    with one result column per spec.
+
+    Closes the multi-expression parity gap for scans (the reference
+    evaluates several scan ``Expr``s in one ``select``/``with_columns``;
+    separate :func:`grouped_scan` calls would need a join on (keys, row)
+    per extra scan). Specs are ``name → {function, initial_accumulator,
+    return_dtype, columns, extra_args}`` with a shared ``order_by``; each
+    spec keeps its own null rule (ITS null rows yield null for ITS column,
+    accumulator unchanged), accumulator carry, and result dtype.
+    """
+    keys = as_list(group_by)
+    if not keys:
+        raise ValueError("group_by must name at least one column")
+    if not specs:
+        raise ValueError("specs must contain at least one scan")
+    order_cols = as_list(order_by)
+    names = list(specs)
+
+    compiled: dict[str, dict] = {}
+    all_cols: list[str] = []
+    for name, spec in specs.items():
+        cols = resolve_input_columns(
+            df, spec.get("columns"), exclude=[*keys, *order_cols]
+        )
+        np_dtypes = input_numpy_dtypes(df, cols)
+        rd = spec["return_dtype"]
+        res_np, res_shape = result_dtype_and_shape(rd)
+        compiled[name] = dict(
+            step=compile_step_function(spec["function"]),
+            cols=cols,
+            dtypes=[np_dtypes[c] for c in cols],
+            scanner=get_scanner(len(cols)),
+            extra=tuple(spec.get("extra_args", ())),
+            acc0=spec["initial_accumulator"],
+            res_np=res_np,
+            res_shape=res_shape,
+            res_spark_type=(
+                rd.spark_type()
+                if isinstance(rd, SizedArray)
+                else normalize_spark_type(rd)
+            ),
+        )
+        for c in cols:
+            if c not in all_cols:
+                all_cols.append(c)
+
+    prepared = (
+        df.select(*keys, *all_cols, *order_cols)
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, *order_cols)
+    )
+    out_schema = T.StructType(
+        list(prepared.schema.fields)
+        + [T.StructField(n, compiled[n]["res_spark_type"]) for n in names]
+    )
+
+    _NULLABLE_PANDAS = {
+        "int8": "Int8", "int16": "Int16", "int32": "Int32", "int64": "Int64",
+        "bool": "boolean", "float32": "Float32", "float64": "Float64",
+    }
+
+    def result_column(meta: dict, result: np.ndarray, mask: np.ndarray, index):
+        if meta["res_shape"]:
+            return [None if m else row.tolist() for m, row in zip(mask, result)]
+        name = _NULLABLE_PANDAS.get(meta["res_np"].name)
+        if mask.any() and name:
+            arr = pd.array(result, dtype=name)
+            arr[mask] = pd.NA
+            return arr
+        series = pd.Series(result, index=index)
+        if mask.any():
+            series = series.astype(object)
+            series[mask] = None
+        return series
+
+    def scan_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        open_key: tuple | None = None
+        open_accs: dict[str, Any] = {n: compiled[n]["acc0"] for n in names}
+        for pdf in batches:
+            n_rows = len(pdf)
+            if not n_rows:
+                continue
+            per_spec: dict[str, tuple] = {}
+            for name in names:
+                meta = compiled[name]
+                mask = np.zeros(n_rows, dtype=bool)
+                for c in meta["cols"]:
+                    mask |= pdf[c].isna().to_numpy()
+                np_cols = [
+                    pdf[c].fillna(0).to_numpy().astype(meta["dtypes"][i], copy=False)
+                    for i, c in enumerate(meta["cols"])
+                ]
+                result = np.empty((n_rows,) + meta["res_shape"], dtype=meta["res_np"])
+                per_spec[name] = (mask, np_cols, result)
+            starts, ends = group_boundaries(pdf, keys)
+            for s, e in zip(starts, ends):
+                key = key_tuple(pdf, keys, s)
+                continuing = key == open_key
+                new_accs: dict[str, Any] = {}
+                for name in names:
+                    meta = compiled[name]
+                    mask, np_cols, result = per_spec[name]
+                    acc = open_accs[name] if continuing else meta["acc0"]
+                    new_accs[name] = meta["scanner"](
+                        meta["step"], acc, meta["extra"],
+                        result[s:e], mask[s:e], *[a[s:e] for a in np_cols],
+                    )
+                open_key, open_accs = key, new_accs
+            out = pdf.copy()
+            for name in names:
+                mask, _, result = per_spec[name]
+                out[name] = result_column(compiled[name], result, mask, out.index)
+            yield out
+
+    return prepared.mapInPandas(scan_partition, schema=out_schema)

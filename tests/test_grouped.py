@@ -439,3 +439,115 @@ def test_grouped_multi_fold_batch_boundary_carry(spark):
     for user in expected_capped:
         assert out[user]["capped"] == pytest.approx(expected_capped[user], abs=1e-9)
         assert out[user]["total"] == pytest.approx(expected_total[user], abs=1e-9)
+
+
+def test_grouped_multi_scan_matches_separate_scans(spark, user_purchases):
+    """Fused multi-scan (one shuffle+sort+pass, N result columns) must
+    reproduce N separate grouped_scan calls exactly — per-spec null rules
+    and carries included."""
+    from polars_numba_spark.operators.scan import grouped_multi_scan
+
+    specs = {
+        "capped": dict(function=cap_step, initial_accumulator=0.0,
+                       return_dtype="double", columns=["amt"],
+                       extra_args=(1000.0,)),
+        "running_total": dict(function=sum_step, initial_accumulator=0.0,
+                              return_dtype="double", columns=["amt"]),
+    }
+    fused = {
+        (r["user"], r["ord"]): (r["capped"], r["running_total"])
+        for r in grouped_multi_scan(user_purchases, "user", specs, order_by="ord").collect()
+    }
+    for i, (name, spec) in enumerate(specs.items()):
+        sep = {
+            (r["user"], r["ord"]): r[name]
+            for r in grouped_scan(
+                user_purchases, "user", spec["function"],
+                spec["initial_accumulator"], spec["return_dtype"],
+                columns=spec["columns"], order_by="ord",
+                extra_args=spec.get("extra_args", ()), result_name=name,
+            ).collect()
+        }
+        assert {k: v[i] for k, v in fused.items()} == sep, name
+    # plan: ONE kernel pass
+    out = grouped_multi_scan(user_purchases, "user", specs, order_by="ord")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    nodes = {ln.strip().lstrip("+-*: ") for ln in plan.splitlines() if "MapInPandas" in ln}
+    assert len(nodes) == 1
+
+
+def test_grouped_multi_scan_null_rule_is_per_spec(spark):
+    """A null in one spec's columns nulls THAT spec's output for the row
+    (accumulator unchanged) while the other spec still produces a value."""
+    from polars_numba_spark.operators.scan import grouped_multi_scan
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 10.0, 0), ("a", None, 20.0, 1), ("a", 3.0, None, 2)],
+        "user string, x double, y double, ord long",
+    )
+    rows = {
+        r["ord"]: r
+        for r in grouped_multi_scan(
+            df,
+            "user",
+            {
+                "sx": dict(function=sum_step, initial_accumulator=0.0,
+                           return_dtype="double", columns=["x"]),
+                "sy": dict(function=sum_step, initial_accumulator=0.0,
+                           return_dtype="double", columns=["y"]),
+            },
+            order_by="ord",
+        ).collect()
+    }
+    assert rows[0]["sx"] == 1.0 and rows[0]["sy"] == 10.0
+    assert rows[1]["sx"] is None and rows[1]["sy"] == 30.0
+    assert rows[2]["sx"] == 4.0 and rows[2]["sy"] is None
+
+
+def test_grouped_multi_scan_batch_boundary_carry(spark):
+    """600 rows / 3 users across tiny Arrow batches (PNS_TEST_TINY_BATCHES)
+    — fused scan carries every spec's accumulator independently."""
+    from polars_numba_spark.operators.scan import grouped_multi_scan
+
+    rows = []
+    for i in range(600):
+        user = f"u{i % 3}"
+        amt = float((i * 37) % 101) - 25.0
+        rows.append((user, None if i % 13 == 0 else amt, i))
+    df = spark.createDataFrame(rows, "user string, amt double, ord long")
+
+    expected: dict = {}
+    acc: dict = {}
+    for user, amt, ord_ in rows:
+        if amt is None:
+            expected[(user, ord_)] = (None, None)
+            continue
+        c, t = acc.get(user, (0.0, 0.0))
+        new = c + amt
+        c = c if new > 1000.0 or new < 0 else new
+        t = t + amt
+        acc[user] = (c, t)
+        expected[(user, ord_)] = (c, t)
+
+    got = {
+        (r["user"], r["ord"]): (r["capped"], r["total"])
+        for r in grouped_multi_scan(
+            df,
+            "user",
+            {
+                "capped": dict(function=cap_step, initial_accumulator=0.0,
+                               return_dtype="double", columns=["amt"],
+                               extra_args=(1000.0,)),
+                "total": dict(function=sum_step, initial_accumulator=0.0,
+                              return_dtype="double", columns=["amt"]),
+            },
+            order_by="ord",
+        ).collect()
+    }
+    assert len(got) == 600
+    for k, (ec, et) in expected.items():
+        gc, gt = got[k]
+        if ec is None:
+            assert gc is None and gt is None, k
+        else:
+            assert gc == pytest.approx(ec) and gt == pytest.approx(et), k
