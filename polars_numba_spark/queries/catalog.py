@@ -756,6 +756,60 @@ def capped_balance_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_running_multi_metrics",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(CASE WHEN value IS NULL THEN NULL ELSE
+               COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w, 0)
+           END AS BIGINT) AS run_balance_cents,
+           CAST(CASE WHEN value IS NULL THEN NULL ELSE
+               COUNT(value) OVER w
+           END AS BIGINT) AS run_event_count
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def user_running_multi_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO kernel scans in one fused pass (``grouped_multi_scan`` — the
+    multi-expression scan surface, round-4): per-user running balance and
+    running non-null event count share one shuffle+sort+kernel scan, each
+    with its own accumulator and null rule. Oracle: two independent SQL
+    window functions over the same frame."""
+    from polars_numba_spark.operators.scan import grouped_multi_scan
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+
+    def add(acc, cents):
+        return acc + cents
+
+    def count_rows(acc, cents):
+        return acc + 1
+
+    out = grouped_multi_scan(
+        e.select("user_id", "event_id", "ts", "cents"),
+        "user_id",
+        {
+            "run_balance_cents": dict(
+                function=add, initial_accumulator=0, return_dtype="long",
+                columns=["cents"],
+            ),
+            "run_event_count": dict(
+                function=count_rows, initial_accumulator=0, return_dtype="long",
+                columns=["cents"],
+            ),
+        },
+        order_by=["ts", "event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "run_balance_cents", "run_event_count"
+    )
+
+
+@register(
     "user_activity_with_fold",
     oracle="""
     WITH RECURSIVE ev AS (
