@@ -67,7 +67,12 @@ def main() -> None:
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if subset:  # iteration aid: bench only the named queries
         wanted = [q.strip() for q in subset.split(",") if q.strip()]
-        queries = {k: queries[k] for k in wanted if k in queries}
+        unknown = [q for q in wanted if q not in queries]
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_QUERIES names not in the catalog: {unknown}"
+            )
+        queries = {k: queries[k] for k in wanted}
 
     def scrub_session() -> None:
         """Per-query hygiene: next query starts from a clean block manager."""

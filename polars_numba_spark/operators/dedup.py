@@ -67,12 +67,19 @@ def exact_dedup(
     duplicates, while the aggregate partial-combines map-side — at corpus
     scale the exchange carries one candidate row per digest per mapper,
     which for high-duplication corpora is a fraction of the input.
+
+    The ordering key is null-safe: bare ``min_by`` ignores rows whose
+    ordering value is null, so a digest group of all-null ids would yield
+    an all-NULL representative. Ordering by ``(id IS NULL, id)`` sorts
+    nulls LAST and always keeps a real row, matching the window form's
+    nulls-last row_number.
     """
     cols = df.columns
+    order_key = F.struct(F.col(id_col).isNull(), F.col(id_col))
     return (
         df.withColumn("__digest", exact_dedup_key(text_col))
         .groupBy("__digest")
-        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__rep"))
+        .agg(F.min_by(F.struct(*cols), order_key).alias("__rep"))
         .select(*[F.col(f"__rep.{c}").alias(c) for c in cols])
     )
 

@@ -332,6 +332,13 @@ def grouped_multi_fold(
             if c not in all_cols:
                 all_cols.append(c)
 
+    reserved = set(keys) | set(order_cols) | set(all_cols)
+    colliding = sorted(set(names) & reserved)
+    if colliding:
+        raise ValueError(
+            f"fold result names collide with key/order/input columns: {colliding}"
+        )
+
     key_fields = [f for f in df.schema.fields if f.name in keys]
     res_fields = []
     for name, spec in specs.items():
@@ -452,9 +459,16 @@ def agg_with_fold(
     if dupes:
         raise ValueError(f"duplicate result/key names: {sorted(dupes)}")
 
-    out = df.groupBy(*keys).agg(
-        *[expr.alias(name) for name, expr in native_aggs.items()]
-    )
+    if native_aggs:
+        out = df.groupBy(*keys).agg(
+            *[expr.alias(name) for name, expr in native_aggs.items()]
+        )
+    elif not folds:
+        raise ValueError("agg_with_fold needs at least one native agg or fold")
+    else:
+        # folds-only call: GroupedData.agg() requires >=1 expression, so the
+        # first fold result seeds `out` and the rest join onto it below.
+        out = None
 
     # fuse folds by shared ordering: one kernel pass per distinct order_by
     by_order: dict[tuple, dict[str, dict]] = {}
@@ -482,5 +496,5 @@ def agg_with_fold(
                 for n, s in group.items()
             }
             folded = grouped_multi_fold(df, keys, specs, order_by=list(ob))
-        out = join_on_keys(out, folded)
+        out = folded if out is None else join_on_keys(out, folded)
     return out

@@ -422,6 +422,13 @@ def grouped_multi_scan(
             if c not in all_cols:
                 all_cols.append(c)
 
+    reserved = set(keys) | set(order_cols) | set(all_cols)
+    colliding = sorted(set(names) & reserved)
+    if colliding:
+        raise ValueError(
+            f"scan result names collide with key/order/input columns: {colliding}"
+        )
+
     prepared = (
         df.select(*keys, *all_cols, *order_cols)
         .repartition(*keys)

@@ -273,17 +273,15 @@ def unigram_logprob_scores(
     (sort-merge) join on the token instead, or pre-truncate the vocabulary
     (rare tokens share one OOV bucket) to keep the broadcast path.
     """
-    from pyspark.sql import Window
-
     occurrences = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("__tok")
     )
     vocab = occurrences.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
-    # total corpus tokens carried in-plan (window over the tiny vocab rows,
-    # not a driver collect)
-    vocab = vocab.withColumn(
-        "__total", F.sum("__cnt").over(Window.partitionBy())
-    ).withColumn(
+    # total corpus tokens carried in-plan as a broadcast 1-row aggregate —
+    # NOT a global Window.partitionBy(), which would funnel the whole
+    # vocabulary through a single partition at web-scale vocabularies.
+    total = vocab.agg(F.sum("__cnt").alias("__total"))
+    vocab = vocab.crossJoin(F.broadcast(total)).withColumn(
         "__logp",
         F.round(
             F.log(F.col("__cnt").cast("double") / F.col("__total").cast("double")), 9

@@ -551,3 +551,63 @@ def test_grouped_multi_scan_batch_boundary_carry(spark):
             assert gc is None and gt is None, k
         else:
             assert gc == pytest.approx(ec) and gt == pytest.approx(et), k
+
+
+def test_agg_with_fold_folds_only(spark, user_purchases):
+    """A folds-only call (no native aggregates) must work: GroupedData.agg()
+    requires >=1 expression, so the first fold result seeds the output."""
+    from polars_numba_spark import agg_with_fold
+
+    out = agg_with_fold(
+        user_purchases,
+        "user",
+        native_aggs={},
+        folds={
+            "capped": dict(
+                function=cap_step, initial_accumulator=0.0,
+                return_dtype="double", columns=["amt"],
+                order_by="ord", extra_args=(1000.0,),
+            ),
+            "total": dict(
+                function=sum_step, initial_accumulator=0.0,
+                return_dtype="double", columns=["amt"], order_by="ord",
+            ),
+        },
+    )
+    rows = {r["user"]: r for r in out.collect()}
+    assert rows["alice"]["capped"] == 610.0
+    assert rows["bob"]["total"] == 17.5
+
+
+def test_agg_with_fold_rejects_empty_call(spark, user_purchases):
+    from polars_numba_spark import agg_with_fold
+
+    with pytest.raises(ValueError, match="at least one"):
+        agg_with_fold(user_purchases, "user", native_aggs={}, folds={})
+
+
+def test_grouped_multi_fold_rejects_input_name_collision(spark, user_purchases):
+    """A spec named like a key/order/input column would duplicate a field in
+    the output schema and fail late with a confusing Arrow error — reject
+    it up front."""
+    from polars_numba_spark.operators.fold import grouped_multi_fold
+
+    with pytest.raises(ValueError, match="collide"):
+        grouped_multi_fold(
+            user_purchases, "user",
+            {"amt": dict(function=sum_step, initial_accumulator=0.0,
+                         return_dtype="double", columns=["amt"])},
+            order_by="ord",
+        )
+
+
+def test_grouped_multi_scan_rejects_input_name_collision(spark, user_purchases):
+    from polars_numba_spark.operators.scan import grouped_multi_scan
+
+    with pytest.raises(ValueError, match="collide"):
+        grouped_multi_scan(
+            user_purchases, "user",
+            {"ord": dict(function=sum_step, initial_accumulator=0.0,
+                         return_dtype="double", columns=["amt"])},
+            order_by="ord",
+        )

@@ -90,6 +90,20 @@ def test_exact_dedup_removes_injected_duplicates(spark):
     assert kept.agg(F.max("doc_id")).collect()[0][0] < 100000
 
 
+def test_exact_dedup_null_ids_keep_real_row(spark):
+    """min_by ignores null ordering values — the null-safe (is_null, id)
+    ordering key must still keep a real row when a digest group's ids are
+    all NULL, and prefer non-null ids when mixed."""
+    df = spark.createDataFrame(
+        [(None, "dup text"), (None, "dup text"), (7, "dup text"),
+         (None, "only nulls"), (None, "only nulls")],
+        "doc_id int, text string",
+    )
+    kept = {r["text"]: r["doc_id"] for r in D.exact_dedup(df).collect()}
+    assert kept["dup text"] == 7          # non-null id preferred
+    assert "only nulls" in kept           # all-null group keeps a row
+
+
 def test_minhash_pairs_are_high_jaccard(spark):
     """Everything the LSH+verify pipeline emits really has jaccard ≥ τ
     (verification step), and it finds the obviously-identical pair."""
