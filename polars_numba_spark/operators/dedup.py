@@ -26,9 +26,12 @@ oracle — it anchors the approximate variants' correctness in tests.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_numba_spark.operators._prep import as_list
 from polars_numba_spark.operators.text import (
     distinct_tokens,
     fingerprint,
@@ -150,6 +153,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     portable: bool = False,
     shingle_n: int | None = None,
+    block_by: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded minhash LSH.
 
@@ -161,6 +165,11 @@ def minhash_lsh_candidates(
     n tokens have no shingles and are excluded up front (an empty set has
     no similarity evidence — and would otherwise bucket together on the
     null signature, a skew bomb).
+
+    ``block_by`` names extra per-document blocking columns (e.g. a source
+    or language partition): they join the band-bucket key, so candidates
+    only form INSIDE a block — composite blocking, the same equi-join
+    shape with a finer bucket.
     """
     rows_per_band = num_hashes // bands
     # Signature via EXPLODE → codegen'd hash → map-side MIN aggregation —
@@ -174,8 +183,10 @@ def minhash_lsh_candidates(
     # one shuffle on id, so signature cost parallelizes past the input
     # file count. min over the same token multiset ⇒ values identical to
     # the expression form (pinned in tests).
+    blocks = as_list(block_by) if block_by else []
     tok = df.select(
         F.col(id_col).alias("id"),
+        *blocks,
         F.explode(_token_sets(text_col, shingle_n)).alias("tok"),
     )
     # (documents with an empty token/shingle set simply vanish at the
@@ -187,7 +198,7 @@ def minhash_lsh_candidates(
         def h(i: int) -> Column:
             return F.xxhash64(F.col("tok"), F.lit(i))
 
-    sig = tok.groupBy("id").agg(
+    sig = tok.groupBy("id", *blocks).agg(
         *[F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
 
@@ -201,6 +212,7 @@ def minhash_lsh_candidates(
 
     banded = sig.select(
         "id",
+        *blocks,
         F.explode(
             F.array(
                 *[
@@ -212,18 +224,20 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_hash")
+    ).select("id", *blocks, "band.band_idx", "band.band_hash")
     # NB: the self-join reads `banded` twice, but both sides are the same
     # plan — Catalyst's ReuseExchange serves the agg shuffle once.
     left = banded.alias("l")
     right = banded.alias("r")
+    cond = (
+        (F.col("l.band_idx") == F.col("r.band_idx"))
+        & (F.col("l.band_hash") == F.col("r.band_hash"))
+        & (F.col("l.id") < F.col("r.id"))
+    )
+    for c in blocks:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
     return (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
+        left.join(right, cond)
         .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
         .distinct()
     )

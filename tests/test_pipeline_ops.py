@@ -90,6 +90,24 @@ def test_exact_dedup_removes_injected_duplicates(spark):
     assert kept.agg(F.max("doc_id")).collect()[0][0] < 100000
 
 
+def test_minhash_block_by_restricts_pairs_to_block(spark):
+    """block_by adds the blocking column to the band-bucket join key:
+    identical texts in different blocks must NOT pair."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps", "a"),
+         (2, "the quick brown fox jumps", "a"),
+         (3, "the quick brown fox jumps", "b")],
+        "doc_id long, text string, source string",
+    )
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in D.minhash_lsh_candidates(
+            df, num_hashes=16, bands=4, block_by="source"
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
 def test_exact_dedup_null_ids_keep_real_row(spark):
     """min_by ignores null ordering values — the null-safe (is_null, id)
     ordering key must still keep a real row when a digest group's ids are

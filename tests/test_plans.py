@@ -163,3 +163,16 @@ def test_unigram_logprob_broadcasts_vocabulary(spark):
     never sort-merge: corpus rows may be billions, vocab is not."""
     df = q(spark, "doc_unigram_logprob")
     assert plans.has_broadcast_join(df)
+
+
+def test_jaccard_differential_is_banded_not_all_pairs(spark):
+    """Round-5 rewrite of the exact-Jaccard differential: candidates must
+    come from the banded (band_idx, band_hash, source) equi-join — a join
+    whose only equi-key is the bare source blocking column is the O(n²)
+    hot-block shape this replaced, and a nested loop is worse."""
+    df = q(spark, "dedup_jaccard_pairs")
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    # the band hash participates in a join key somewhere in the plan
+    assert "band_hash" in s

@@ -63,3 +63,67 @@ def test_sql_fold_matches_dataframe_operator(spark):
         ).collect()
     }
     assert sql_out == api_out == {"alice": 610.0, "bob": 17.5}
+
+
+def test_sql_scan_size_guard_fails_over_threshold(spark):
+    """The SQL spelling is row-at-a-time Python — a user pushing real
+    volume through it must get a hard pointer at the vectorized operator,
+    not a silently slow query."""
+    import pytest
+
+    def add(acc, v):
+        return acc + v
+
+    register_scan_udtf(
+        spark, "sql_guarded_scan", add, 0.0,
+        input_cols=["v"], key_cols=["k"],
+        return_schema="k string, v double, scan double",
+        max_rows_per_group=5,
+    )
+    spark.createDataFrame(
+        [("a", float(i), i) for i in range(10)], "k string, v double, ord long"
+    ).createOrReplaceTempView("sql_guard_t")
+    with pytest.raises(Exception, match="grouped_scan"):
+        spark.sql(
+            "SELECT * FROM sql_guarded_scan(TABLE(sql_guard_t) PARTITION BY k ORDER BY ord)"
+        ).collect()
+
+
+def test_sql_scan_size_guard_none_disables(spark):
+    def add(acc, v):
+        return acc + v
+
+    register_scan_udtf(
+        spark, "sql_unguarded_scan", add, 0.0,
+        input_cols=["v"], key_cols=["k"],
+        return_schema="k string, v double, scan double",
+        max_rows_per_group=None,
+    )
+    spark.createDataFrame(
+        [("a", 1.0, i) for i in range(10)], "k string, v double, ord long"
+    ).createOrReplaceTempView("sql_unguard_t")
+    rows = spark.sql(
+        "SELECT * FROM sql_unguarded_scan(TABLE(sql_unguard_t) PARTITION BY k ORDER BY ord)"
+    ).collect()
+    assert len(rows) == 10
+
+
+def test_sql_fold_size_guard_fails_over_threshold(spark):
+    import pytest
+
+    def add(acc, v):
+        return acc + v
+
+    register_fold_udtf(
+        spark, "sql_guarded_fold", add, 0.0,
+        input_cols=["v"], key_cols=["k"],
+        return_schema="k string, fold double",
+        max_rows_per_group=5,
+    )
+    spark.createDataFrame(
+        [("a", 1.0, i) for i in range(10)], "k string, v double, ord long"
+    ).createOrReplaceTempView("sql_fguard_t")
+    with pytest.raises(Exception, match="grouped_fold"):
+        spark.sql(
+            "SELECT * FROM sql_guarded_fold(TABLE(sql_fguard_t) PARTITION BY k ORDER BY ord)"
+        ).collect()
