@@ -607,12 +607,100 @@ def dedup_keep_list(
     return labeled.withColumn("keep", F.col("id") == F.col("component"))
 
 
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """True ExactSubstr passage dedup: the maximal duplicated token SPANS
+    of every document — each span is a run of token positions covered by
+    at least one ``shingle_n``-gram that occurs at ≥2 (document, position)
+    sites corpus-wide (within-document repeats count, as in Lee et al.'s
+    deduplicate-text-datasets ExactSubstr). Returns one row per span:
+    ``(id, span_start, span_end, span_tokens)`` with ``span_end``
+    exclusive, positions 0-based.
+
+    Sorted-shingle run-merging stands in for the suffix array: positioned
+    shingles → corpus-wide occurrence counts (map-side-combined) →
+    inverted-index join back (AQE skew-split handles boilerplate
+    shingles) → per-document gaps-and-islands merge (a shingle at ``pos``
+    covers ``[pos, pos+n)``; a new island starts when ``pos`` jumps past
+    ``prev_pos + n``). Every stage is a scan, a counted aggregate, an
+    equi-join, or a per-document window — nothing quadratic, nothing
+    driver-side; the window partitions by document so its state is bounded
+    by document length, not corpus size.
+
+    This supersedes :func:`duplicated_shingle_fraction` as the
+    passage-dedup primitive (that one reports a per-document scalar
+    fraction of duplicated shingles; this one reproduces the spans a
+    passage-removal pass would actually cut).
+    """
+    from polars_numba_spark.operators.text import positioned_token_shingles
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(positioned_token_shingles(text_col, shingle_n)).alias(
+            "pos", "__sh"
+        ),
+    )
+    counts = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__n"))
+    dup = sh.join(counts.where(F.col("__n") >= 2), "__sh").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = (
+        dup.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("pos") > F.col("__prev") + shingle_n),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__island", F.sum("__new").over(w))
+    )
+    return (
+        islands.groupBy("id", "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + shingle_n).alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def _choose_shingle_via(
+    shingles: DataFrame, skew_threshold: float, sample_fraction: float
+) -> str:
+    """The via='auto' sketch: hottest-shingle share of a seeded sample of
+    the exploded shingle rows. Above ``skew_threshold`` the corpus is
+    boilerplate-heavy and a single window partition would hold that share
+    of ALL rows → the AQE-skew-splittable 'join' form; otherwise the
+    2x-faster 'window' form."""
+    sampled = (
+        shingles.sample(fraction=sample_fraction, seed=7)
+        .groupBy("__sh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("mx"), F.sum("__n").alias("tot"))
+        .collect()[0]
+    )
+    hot_share = (sampled["mx"] or 0) / sampled["tot"] if sampled["tot"] else 0.0
+    return "join" if hot_share > skew_threshold else "window"
+
+
 def duplicated_shingle_fraction(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 8,
-    via: str = "window",
+    via: str = "auto",
+    skew_threshold: float = 0.05,
+    sample_fraction: float = 0.02,
 ) -> DataFrame:
     """Per-document duplicated-passage fraction: the share of a document's
     distinct ``shingle_n``-gram shingles that also occur in at least one
@@ -629,17 +717,28 @@ def duplicated_shingle_fraction(
 
     Skew note: a boilerplate shingle present in millions of documents
     concentrates its (doc, shingle) rows on one shingle partition. The
-    default ``via='window'`` form (count-over-partition, one shuffle, no
-    join — 2x faster measured) cannot be skew-split by AQE, so for
-    boilerplate-heavy corpora pass ``via='join'``: the count+join form has
-    the same hot-key shape as every inverted-index join and AQE's
-    skew-join split (on by default in session.get_spark) handles it.
-    Pre-filtering known boilerplate shingles is the manual escape in both.
+    ``via='window'`` form (count-over-partition, one shuffle, no join —
+    2x faster measured) cannot be skew-split by AQE; the ``via='join'``
+    count+join form has the same hot-key shape as every inverted-index
+    join and AQE's skew-join split (on by default in session.get_spark)
+    handles it. Pre-filtering known boilerplate shingles is the manual
+    escape in both.
+
+    The default ``via='auto'`` (round 5) picks between them with a cheap
+    sketch: one partial-aggregated count over a ``sample_fraction`` sample
+    of the exploded shingles; if the hottest shingle carries more than
+    ``skew_threshold`` of sampled instances (a share a single window
+    partition would have to hold), the skew-splittable join form is
+    chosen. The sketch is ONE eager sample-sized job at plan-construction
+    time — pass an explicit ``via`` to skip it (the documented pattern:
+    `operators/similarity.py` sizes buckets the same way behind ``n_rows=``).
     """
     shingles = df.select(
         F.col(id_col).alias("id"),
         F.explode(token_shingles(text_col, shingle_n)).alias("__sh"),
     )
+    if via == "auto":
+        via = _choose_shingle_via(shingles, skew_threshold, sample_fraction)
     if via == "window":
         # one shuffle on the shingle: count-over-partition, no join, no
         # second pass over the exploded rows — measured 2x faster than the

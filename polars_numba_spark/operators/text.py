@@ -79,6 +79,21 @@ def sql_token_shingles(c: str, n: int = 8) -> str:
     return SQL_TOKEN_SHINGLES.format(t=SQL_TOKENS.format(c=c), m=n - 1)
 
 
+def positioned_token_shingles(col: Column | str, n: int = 8) -> Column:
+    """All n-gram shingles IN ORDER, duplicates kept — the element's array
+    index is its 0-based token start position. The positional unit for
+    exact-substring span extraction (:func:`~polars_numba_spark.operators.
+    dedup.duplicated_spans`), where :func:`token_shingles`' distinct set
+    would lose both position and within-document repeats."""
+    t = tokens(col)
+    size = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), size - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set. Two documents that are token-permutations of each other get

@@ -98,7 +98,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_json_props",                # JSON extraction
     "user_event_type_pivot",            # pivot
     "events_daily_windows",             # tumbling event-time windows
-    "user_sessions",                    # session windows (gaps-and-islands oracle)
+    "streaming_user_sessions",          # session windows as a REAL streaming job (complete-mode availableNow)
     "order_price_quantiles",            # exact percentiles
     "formats_csv_jsonl_roundtrip",      # CSV/JSONL source round-trip
     "streaming_scan_user_balance",      # stateful streaming kernel scan (real job)
@@ -106,7 +106,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_exact_digests",
     "user_activity_with_fold",           # agg_with_fold composition (native aggs + kernel fold)
     "dedup_jaccard_pairs",
-    "dedup_minhash_portable",
+    "doc_unigram_logprob",              # CCNet-style LM quality proxy (decimal-exact cross-engine ln)
     "dedup_simhash_portable",
     "embedding_topk_bruteforce",
     "embedding_near_dup_pairs",
@@ -114,8 +114,8 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_token_stats",
     "doc_language_id",
     "doc_repetition_stats",             # Gopher-style repetition quality filters
-    "doc_chunks",
-    "doc_train_valid_test_split",
+    "doc_duplicated_spans",             # true ExactSubstr passage spans (round-5 flagship)
+    "doc_source_caps",
     "multimodal_image_dims",
     "rolling_hour_user_value",
     "parallel_scan_running_balance",    # two-pass parallel prefix scan
@@ -131,6 +131,15 @@ _DRIVER_PRIORITY: list[str] = [
 # expression-context composition surface, r3 verdict missing #3) and
 # top_bigrams → doc_repetition_stats (bigram machinery still evidenced by
 # the repetition stats; per-doc repetition is the stronger pipeline signal).
+# Swapped in round 5 (r4 verdict next-round #5 — every evictee remains
+# oracled and local-gated): user_sessions → streaming_user_sessions (the
+# session-window family is now gated end-to-end as a streaming job; the
+# batch gaps-and-islands twin stays local), dedup_minhash_portable →
+# doc_unigram_logprob (the minhash pipeline remains driver-gated through
+# dedup_jaccard_pairs, which round 5 rebuilt on the identical portable
+# banding + exact-Jaccard verify), doc_chunks → doc_duplicated_spans (the
+# round-5 ExactSubstr span extractor), doc_train_valid_test_split →
+# doc_source_caps (same sampling module, fresh code path).
 
 
 def _prioritized(mapping: dict) -> dict:

@@ -257,6 +257,46 @@ def doc_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_duplicated_spans",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), pos_sh AS (
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+               array_to_string(t[i : i + 7], ' ') AS sh
+        FROM toks, UNNEST(range(1, greatest(length(t) - 7, 0) + 1)) AS u(i)
+    ), dup_sh AS (
+        SELECT sh FROM pos_sh GROUP BY sh HAVING COUNT(*) >= 2
+    ), dup AS (
+        SELECT p.doc_id, p.pos FROM pos_sh p JOIN dup_sh USING (sh)
+    ), isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                      OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS new_isl
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), grouped AS (
+        SELECT doc_id, pos,
+               SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl
+    )
+    SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+           CAST(MAX(pos) + 8 AS INTEGER) AS span_end,
+           CAST(MAX(pos) + 8 - MIN(pos) AS INTEGER) AS span_tokens
+    FROM grouped GROUP BY doc_id, island
+    """,
+)
+def doc_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True ExactSubstr passage dedup (round-5 upgrade of the shingle
+    fraction): the maximal duplicated token spans per document, via
+    positioned 8-shingles → corpus occurrence counts → gaps-and-islands
+    run-merging. The DuckDB oracle rebuilds the spans independently
+    (positions from UNNEST(range), the same window-island merge)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.duplicated_spans(d, "text", "doc_id", shingle_n=8)
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     WITH durations AS (

@@ -90,6 +90,87 @@ def test_exact_dedup_removes_injected_duplicates(spark):
     assert kept.agg(F.max("doc_id")).collect()[0][0] < 100000
 
 
+def test_shingle_fraction_auto_picks_join_on_boilerplate(spark):
+    """The via='auto' sketch must route a boilerplate-heavy corpus (one
+    shingle dominating the instance mass) to the AQE-skew-splittable join
+    form, and a diverse corpus to the 2x-faster window form — and both
+    forms must agree with auto's output."""
+    boiler = "this footer is identical boilerplate on every single page"
+    heavy = spark.createDataFrame(
+        [(i, boiler) for i in range(200)], "doc_id long, text string"
+    )
+    import random
+    rng = random.Random(11)
+    diverse = spark.createDataFrame(
+        [(i, " ".join(f"w{rng.randrange(10**9)}" for _ in range(12)))
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as SF
+
+    from polars_numba_spark.operators.dedup import (
+        _choose_shingle_via,
+        duplicated_shingle_fraction,
+    )
+    from polars_numba_spark.operators.text import token_shingles
+
+    def exploded(df):
+        return df.select(
+            SF.col("doc_id").alias("id"),
+            SF.explode(token_shingles("text", 8)).alias("__sh"),
+        )
+
+    # sample_fraction=1.0 makes the sketch deterministic at test scale
+    assert _choose_shingle_via(exploded(heavy), 0.05, 1.0) == "join"
+    assert _choose_shingle_via(exploded(diverse), 0.05, 1.0) == "window"
+
+    # and the two physical forms agree on the skewed corpus
+    def rows(df, via):
+        return sorted(
+            (r["doc_id"], r["n_shingles"], r["dup_shingle_frac"])
+            for r in duplicated_shingle_fraction(
+                df, via=via, sample_fraction=1.0
+            ).collect()
+        )
+
+    assert rows(heavy, "auto") == rows(heavy, "join") == rows(heavy, "window")
+
+
+def test_duplicated_spans_extracts_merged_runs(spark):
+    """ExactSubstr semantics on a constructed corpus: a 10-token passage
+    shared by two documents yields ONE merged span covering its full
+    10-token extent in each (three overlapping duplicated 8-shingles merge
+    into one island), unique text yields no span, and span_end is
+    exclusive."""
+    shared = "p q r s t u v w x y"          # 10 tokens, appears in docs 1+2
+    df = spark.createDataFrame(
+        [(1, shared + " alpha beta gamma delta"),
+         (2, "one two three four " + shared),
+         (3, "totally unique words nothing here repeats at all ok")],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in D.duplicated_spans(df, shingle_n=8).collect()
+    }
+    assert spans == {(1, 0, 10, 10), (2, 4, 14, 10)}
+
+
+def test_duplicated_spans_counts_within_document_repeats(spark):
+    """A passage repeated INSIDE one document is duplicated (>=2 corpus
+    positions), matching deduplicate-text-datasets' ExactSubstr."""
+    passage = "a b c d e f g h"             # exactly 8 tokens
+    df = spark.createDataFrame(
+        [(1, passage + " filler words here " + passage)],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["span_start"], r["span_end"])
+        for r in D.duplicated_spans(df, shingle_n=8).collect()
+    }
+    assert spans == {(0, 8), (11, 19)}
+
+
 def test_minhash_block_by_restricts_pairs_to_block(spark):
     """block_by adds the blocking column to the band-bucket join key:
     identical texts in different blocks must NOT pair."""
