@@ -675,13 +675,22 @@ def duplicated_spans(
 
 
 def _choose_shingle_via(
-    shingles: DataFrame, skew_threshold: float, sample_fraction: float
+    shingles: DataFrame, skew_threshold: float | None, sample_fraction: float
 ) -> str:
     """The via='auto' sketch: hottest-shingle share of a seeded sample of
-    the exploded shingle rows. Above ``skew_threshold`` the corpus is
-    boilerplate-heavy and a single window partition would hold that share
-    of ALL rows → the AQE-skew-splittable 'join' form; otherwise the
-    2x-faster 'window' form."""
+    the exploded shingle rows. The window form hash-partitions by shingle,
+    so the hazard is ONE key out-massing a fair partition share — the
+    default threshold is partition-relative (one fair share:
+    ``1 / spark.sql.shuffle.partitions``), not an absolute corpus share: a
+    key that alone fills a fair share makes its partition a straggler on
+    top of the other keys hashed there. Above it, the AQE-skew-splittable
+    'join' form; otherwise the 2x-faster 'window' form. Pass an explicit
+    ``skew_threshold`` share to override."""
+    if skew_threshold is None:
+        parts = int(
+            shingles.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        skew_threshold = 1.0 / max(parts, 1)
     sampled = (
         shingles.sample(fraction=sample_fraction, seed=7)
         .groupBy("__sh")
@@ -699,7 +708,7 @@ def duplicated_shingle_fraction(
     id_col: str = "doc_id",
     shingle_n: int = 8,
     via: str = "auto",
-    skew_threshold: float = 0.05,
+    skew_threshold: float | None = None,
     sample_fraction: float = 0.02,
 ) -> DataFrame:
     """Per-document duplicated-passage fraction: the share of a document's
@@ -726,9 +735,9 @@ def duplicated_shingle_fraction(
 
     The default ``via='auto'`` (round 5) picks between them with a cheap
     sketch: one partial-aggregated count over a ``sample_fraction`` sample
-    of the exploded shingles; if the hottest shingle carries more than
-    ``skew_threshold`` of sampled instances (a share a single window
-    partition would have to hold), the skew-splittable join form is
+    of the exploded shingles; if the hottest shingle out-masses a fair
+    partition share (``skew_threshold`` defaults partition-relative — see
+    :func:`_choose_shingle_via`), the skew-splittable join form is
     chosen. The sketch is ONE eager sample-sized job at plan-construction
     time — pass an explicit ``via`` to skip it (the documented pattern:
     `operators/similarity.py` sizes buckets the same way behind ``n_rows=``).

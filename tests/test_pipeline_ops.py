@@ -120,9 +120,10 @@ def test_shingle_fraction_auto_picks_join_on_boilerplate(spark):
             SF.explode(token_shingles("text", 8)).alias("__sh"),
         )
 
-    # sample_fraction=1.0 makes the sketch deterministic at test scale
-    assert _choose_shingle_via(exploded(heavy), 0.05, 1.0) == "join"
-    assert _choose_shingle_via(exploded(diverse), 0.05, 1.0) == "window"
+    # sample_fraction=1.0 makes the sketch deterministic at test scale;
+    # None = partition-relative default (1 / shuffle.partitions)
+    assert _choose_shingle_via(exploded(heavy), None, 1.0) == "join"
+    assert _choose_shingle_via(exploded(diverse), None, 1.0) == "window"
 
     # and the two physical forms agree on the skewed corpus
     def rows(df, via):

@@ -1,0 +1,240 @@
+"""Scale/skew soak harness (round 5): measure, don't assert, the 100-TB
+posture.
+
+Two synthetic stress variants of an existing SF directory:
+
+- **replicated xN**: id-offset union of documents / embeddings / events
+  (text, vectors and values unchanged — every document gains N-1 exact
+  copies, so dedup TRUE-PAIR volume grows ~N^2 while the bucketed paths
+  must stay ~linear in their non-pair work). Other tables are copied
+  verbatim so any catalog query runs against the directory.
+- **skewed**: same shape as the source but with deliberate hot keys —
+  40% of events land on one user_id (grouped fold/scan state soak) and
+  30% of documents share one boilerplate text (hot-shingle soak for the
+  passage operators and the via='auto' router).
+
+`run_soak` times a fixed set of heavy catalog queries (the full-corpus
+ones — subset-filtered queries like dedup_clusters would not see the
+replicas) at 1x and Nx and reports the wall-clock ratio per query. A
+bucketed/blocked path should scale ≤ ~linear in the INPUT (ratio ≲ N plus
+the true-pair mass, which for dedup outputs legitimately grows ~N^2 — the
+report therefore also records output rows at both scales so a superlinear
+ratio can be attributed to result volume, not plan shape).
+
+Usage:
+    python tools/scale_soak.py               # sf0.1, 10x, writes SCALE.md
+    python tools/scale_soak.py --factor 3 --sf-dir /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# queries with no doc_id/vec_id subset filter — the replicas are visible
+SOAK_QUERIES = [
+    "dedup_exact_digests",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "doc_duplicated_passages",
+    "doc_duplicated_spans",
+    "embedding_topk_bruteforce",
+    "embedding_near_dup_pairs",
+    "kernel_fold_event_cents",
+    "kernel_scan_user_balance_cents",
+]
+
+REPLICATED_TABLES = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+}
+ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+ID_OFFSET = 10_000_000  # replica k adds k * ID_OFFSET to the id column
+
+BOILERPLATE = (
+    "this page is part of the archive please do not reproduce without "
+    "permission all rights reserved contact the webmaster for takedown "
+    "requests terms of service apply to every visitor of this site"
+)
+
+
+def build_replicated(
+    spark: SparkSession, src_dir: str, out_dir: str, factor: int
+) -> None:
+    """Id-offset union xfactor for the three pipeline tables; verbatim
+    copies of the rest (single-file parquet -> file copy, no Spark job)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for table in ALL_TABLES:
+        src = f"{src_dir}/{table}.parquet"
+        dst = out / f"{table}.parquet"
+        if table not in REPLICATED_TABLES:
+            if not dst.exists():
+                shutil.copy(src, dst)
+            continue
+        id_col = REPLICATED_TABLES[table]
+        base = spark.read.parquet(src)
+        replicas = [
+            base.withColumn(
+                id_col, (F.col(id_col) + F.lit(k * ID_OFFSET)).cast("long")
+            )
+            for k in range(factor)
+        ]
+        functools.reduce(DataFrame.unionByName, replicas).write.mode(
+            "overwrite"
+        ).parquet(str(dst))
+
+
+def build_skewed(spark: SparkSession, src_dir: str, out_dir: str) -> None:
+    """Hot-key variant: 40% of events on one user, 30% of documents one
+    boilerplate text. Same row counts as the source."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for table in ALL_TABLES:
+        src = f"{src_dir}/{table}.parquet"
+        dst = out / f"{table}.parquet"
+        if table == "events":
+            spark.read.parquet(src).withColumn(
+                "user_id",
+                F.when(
+                    F.pmod(F.xxhash64("event_id"), F.lit(10)) < 4, F.lit(42)
+                )
+                .otherwise(F.col("user_id"))
+                .cast("long"),
+            ).write.mode("overwrite").parquet(str(dst))
+        elif table == "documents":
+            spark.read.parquet(src).withColumn(
+                "text",
+                F.when(
+                    F.pmod(F.col("doc_id"), F.lit(10)) < 3, F.lit(BOILERPLATE)
+                ).otherwise(F.col("text")),
+            ).write.mode("overwrite").parquet(str(dst))
+        elif not dst.exists():
+            shutil.copy(src, dst)
+
+
+def _time_query(spark: SparkSession, name: str, sf_dir: str) -> tuple[float, int]:
+    """(best-of-2 warm seconds, output rows). The count() pass also returns
+    result volume so superlinear wall-clock can be attributed."""
+    from polars_numba_spark.plans.checkpoint import release_session_checkpoints
+    from polars_numba_spark.queries import catalog
+
+    fn = catalog.spark_queries()[name]
+    n_rows = fn(spark, sf_dir).count()  # warm + volume
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+        release_session_checkpoints(spark)
+        spark.catalog.clearCache()
+    return best, n_rows
+
+
+def run_soak(
+    spark: SparkSession,
+    base_dir: str,
+    big_dir: str,
+    factor: int,
+    queries: list[str] | None = None,
+) -> dict:
+    results = {}
+    for name in queries or SOAK_QUERIES:
+        t1, n1 = _time_query(spark, name, base_dir)
+        tn, nn = _time_query(spark, name, big_dir)
+        results[name] = {
+            "sec_1x": round(t1, 3),
+            f"sec_{factor}x": round(tn, 3),
+            "ratio": round(tn / t1, 2) if t1 > 0 else None,
+            "rows_1x": n1,
+            f"rows_{factor}x": nn,
+        }
+        print(json.dumps({name: results[name]}), flush=True)
+    return results
+
+
+def run_skew(spark: SparkSession, base_dir: str, skew_dir: str) -> dict:
+    """Skew soak: the grouped kernel paths and both physical forms of the
+    shingle-fraction operator on the hot-key variant, vs the uniform base."""
+    from polars_numba_spark.operators.dedup import (
+        _choose_shingle_via,
+        duplicated_shingle_fraction,
+    )
+    from polars_numba_spark.operators.text import token_shingles
+    from polars_numba_spark.sources import load_table
+
+    results = {}
+    for name in ("kernel_fold_event_cents", "kernel_scan_user_balance_cents"):
+        tu, _ = _time_query(spark, name, base_dir)
+        ts, _ = _time_query(spark, name, skew_dir)
+        results[name] = {"uniform_sec": round(tu, 3), "skew_sec": round(ts, 3)}
+        print(json.dumps({name: results[name]}), flush=True)
+
+    docs = load_table(spark, "documents", skew_dir)
+    shingles = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(token_shingles("text", 8)).alias("__sh"),
+    )
+    chosen = _choose_shingle_via(shingles, 0.05, 0.1)
+    forms = {}
+    for via in ("window", "join"):
+        t0 = time.perf_counter()
+        duplicated_shingle_fraction(docs, via=via).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        forms[via] = round(time.perf_counter() - t0, 3)
+    results["duplicated_shingle_fraction"] = {
+        "auto_choice_on_skew": chosen,
+        **{f"{k}_sec": v for k, v in forms.items()},
+    }
+    print(json.dumps({"duplicated_shingle_fraction": results["duplicated_shingle_fraction"]}), flush=True)
+    return results
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--out", default="/root/repo/.scale")
+    ap.add_argument("--queries", default=None, help="comma-separated subset")
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+
+    from polars_numba_spark import get_spark
+
+    spark = get_spark(app_name="scale-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    big_dir = f"{args.out}/x{args.factor}"
+    skew_dir = f"{args.out}/skew"
+    if not args.skip_build:
+        print("building replicated variant...", flush=True)
+        build_replicated(spark, args.sf_dir, big_dir, args.factor)
+        print("building skewed variant...", flush=True)
+        build_skewed(spark, args.sf_dir, skew_dir)
+
+    queries = args.queries.split(",") if args.queries else None
+    soak = run_soak(spark, args.sf_dir, big_dir, args.factor, queries)
+    skew = run_skew(spark, args.sf_dir, skew_dir)
+    print(json.dumps({"soak": soak, "skew": skew}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
