@@ -895,5 +895,6 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 from polars_numba_spark.queries import pipeline  # noqa: E402,F401
 from polars_numba_spark.queries import relational  # noqa: E402,F401
 from polars_numba_spark.queries import tpch_extra  # noqa: E402,F401
+from polars_numba_spark.queries import tpch_partsupp  # noqa: E402,F401
 from polars_numba_spark.queries import timeseries_text  # noqa: E402,F401
 from polars_numba_spark.queries import io_streaming  # noqa: E402,F401

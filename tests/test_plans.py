@@ -165,6 +165,28 @@ def test_unigram_logprob_broadcasts_vocabulary(spark):
     assert plans.has_broadcast_join(df)
 
 
+def test_q2_broadcasts_dimension_stack(spark):
+    """Q2's supplier→nation→region dimension stack must reach partsupp as
+    one broadcast, and the part filter side is broadcast too."""
+    assert plans.has_broadcast_join(q(spark, "q2_min_cost_supplier"))
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark):
+    """The NOT-IN supplier exclusion must plan as a broadcast anti join."""
+    s = plans.explain_string(q(spark, "q16_part_supplier_counts"))
+    assert "BroadcastHashJoin" in s and "LeftAnti" in s
+
+
+def test_q20_lineitem_filter_reaches_scan(spark):
+    """Q20's shipdate year filter must be pushed to the lineitem scan —
+    at 100 TB the lineitem aggregate is the dominant cost and must never
+    read the unfiltered table."""
+    df = q(spark, "q20_promotion_suppliers")
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pushed
+    assert plans.has_broadcast_join(df)
+
+
 def test_jaccard_differential_is_banded_not_all_pairs(spark):
     """Round-5 rewrite of the exact-Jaccard differential: candidates must
     come from the banded (band_idx, band_hash, source) equi-join — a join

@@ -51,3 +51,12 @@ def test_soak_harness_end_to_end(spark, tmp_path):
         "window",
         "join",
     )
+
+    md_path = tmp_path / "SCALE.md"
+    scale_soak.write_scale_md(
+        results, skew_results, factor=2, sf_dir=SRC, path=str(md_path)
+    )
+    text = md_path.read_text()
+    assert "dedup_exact_digests" in text
+    assert "kernel_fold_event_cents" in text
+    assert "x2" in text or "2x" in text

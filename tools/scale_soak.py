@@ -42,7 +42,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# queries with no doc_id/vec_id subset filter — the replicas are visible
+# queries with no doc_id/vec_id subset filter — the replicas are visible.
+# (embedding_near_dup_pairs is deliberately ABSENT: the catalog entry is the
+# vec_id<1000 capped exact differential, blind to the id-offset replicas —
+# the production bucketed operator is soaked directly by run_neardup_soak.)
 SOAK_QUERIES = [
     "dedup_exact_digests",
     "dedup_jaccard_pairs",
@@ -51,7 +54,6 @@ SOAK_QUERIES = [
     "doc_duplicated_passages",
     "doc_duplicated_spans",
     "embedding_topk_bruteforce",
-    "embedding_near_dup_pairs",
     "kernel_fold_event_cents",
     "kernel_scan_user_balance_cents",
 ]
@@ -169,6 +171,37 @@ def run_soak(
     return results
 
 
+def run_neardup_soak(
+    spark: SparkSession, base_dir: str, big_dir: str, factor: int
+) -> dict:
+    """Soak the PRODUCTION bucketed embedding near-dup operator over the
+    full table at both scales (the catalog's oracled entry is the capped
+    exact differential and cannot see the replicas)."""
+    from polars_numba_spark.operators import similarity as S
+    from polars_numba_spark.sources import load_table
+
+    out = {}
+    for label, d in (("1x", base_dir), (f"{factor}x", big_dir)):
+        e = load_table(spark, "embeddings", d)
+        df = S.embedding_near_dup_pairs(e, threshold=0.4, n_planes=6, n_tables=4)
+        n = df.count()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            S.embedding_near_dup_pairs(
+                e, threshold=0.4, n_planes=6, n_tables=4
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[f"sec_{label}"] = round(best, 3)
+        out[f"rows_{label}"] = n
+    out["ratio"] = (
+        round(out[f"sec_{factor}x"] / out["sec_1x"], 2) if out["sec_1x"] else None
+    )
+    result = {"embedding_near_dup_pairs_operator": out}
+    print(json.dumps(result), flush=True)
+    return result
+
+
 def run_skew(spark: SparkSession, base_dir: str, skew_dir: str) -> dict:
     """Skew soak: the grouped kernel paths and both physical forms of the
     shingle-fraction operator on the hot-key variant, vs the uniform base."""
@@ -207,6 +240,67 @@ def run_skew(spark: SparkSession, base_dir: str, skew_dir: str) -> dict:
     return results
 
 
+def write_scale_md(
+    soak: dict, skew: dict, factor: int, sf_dir: str, path: str
+) -> None:
+    """Render the measured curves as the committed SCALE.md artifact."""
+    lines = [
+        "# SCALE.md — measured scaling curves (round 5)",
+        "",
+        f"Input: `{sf_dir}` replicated **x{factor}** by id-offset union of",
+        "documents/embeddings/events (every document gains exact copies, so",
+        "dedup TRUE-PAIR output legitimately grows ~N² while the bucketed",
+        "non-pair work must stay ~linear). Harness: `tools/scale_soak.py`,",
+        "local[32], warm session, best-of-2 noop-sink runs per point.",
+        "",
+        "## Replicated soak",
+        "",
+        "A time ratio ≲ N means the plan scales linearly in the input; a",
+        "larger ratio is attributable to output volume when the rows ratio",
+        "grows faster than N (exact-duplicate pair mass), and to plan shape",
+        "otherwise.",
+        "",
+        f"| query | sec 1x | sec {factor}x | time ratio | rows 1x | rows {factor}x | rows ratio |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, r in soak.items():
+        rows_ratio = (
+            round(r[f"rows_{factor}x"] / r["rows_1x"], 1)
+            if r["rows_1x"]
+            else float("inf")
+        )
+        lines.append(
+            f"| {name} | {r['sec_1x']} | {r[f'sec_{factor}x']} | "
+            f"**{r['ratio']}x** | {r['rows_1x']} | {r[f'rows_{factor}x']} | "
+            f"{rows_ratio}x |"
+        )
+    lines += [
+        "",
+        "## Skew soak",
+        "",
+        "Hot-key variant of the same SF: 40% of events on one user_id, 30%",
+        "of documents one boilerplate text. Same row counts as the uniform",
+        "base — any slowdown is pure key-distribution hazard.",
+        "",
+        "| query | uniform sec | skewed sec |",
+        "|---|---|---|",
+    ]
+    for name, r in skew.items():
+        if "uniform_sec" in r:
+            lines.append(f"| {name} | {r['uniform_sec']} | {r['skew_sec']} |")
+    dsf = skew.get("duplicated_shingle_fraction", {})
+    if dsf:
+        lines += [
+            "",
+            "`duplicated_shingle_fraction` on the skewed corpus: window form "
+            f"{dsf.get('window_sec')}s vs join form {dsf.get('join_sec')}s; "
+            f"`via='auto'` chose **{dsf.get('auto_choice_on_skew')}**.",
+        ]
+    lines.append("")
+    Path(path).write_text("\n".join(lines))
+    print(f"wrote {path}", flush=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -214,6 +308,7 @@ def main() -> int:
     ap.add_argument("--out", default="/root/repo/.scale")
     ap.add_argument("--queries", default=None, help="comma-separated subset")
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--scale-md", default=None, help="write SCALE.md here")
     args = ap.parse_args()
 
     from polars_numba_spark import get_spark
@@ -231,8 +326,11 @@ def main() -> int:
 
     queries = args.queries.split(",") if args.queries else None
     soak = run_soak(spark, args.sf_dir, big_dir, args.factor, queries)
+    soak.update(run_neardup_soak(spark, args.sf_dir, big_dir, args.factor))
     skew = run_skew(spark, args.sf_dir, skew_dir)
     print(json.dumps({"soak": soak, "skew": skew}))
+    if args.scale_md:
+        write_scale_md(soak, skew, args.factor, args.sf_dir, args.scale_md)
     return 0
 
 
