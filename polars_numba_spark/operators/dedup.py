@@ -612,6 +612,10 @@ def duplicated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 8,
+    via: str = "auto",
+    skew_threshold: float | None = None,
+    sample_fraction: float = 0.02,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """True ExactSubstr passage dedup: the maximal duplicated token SPANS
     of every document — each span is a run of token positions covered by
@@ -622,14 +626,30 @@ def duplicated_spans(
     exclusive, positions 0-based.
 
     Sorted-shingle run-merging stands in for the suffix array: positioned
-    shingles → corpus-wide occurrence counts (map-side-combined) →
-    inverted-index join back (AQE skew-split handles boilerplate
-    shingles) → per-document gaps-and-islands merge (a shingle at ``pos``
-    covers ``[pos, pos+n)``; a new island starts when ``pos`` jumps past
-    ``prev_pos + n``). Every stage is a scan, a counted aggregate, an
-    equi-join, or a per-document window — nothing quadratic, nothing
-    driver-side; the window partitions by document so its state is bounded
-    by document length, not corpus size.
+    shingles → corpus-wide occurrence marking → per-document
+    gaps-and-islands merge (a shingle at ``pos`` covers ``[pos, pos+n)``;
+    a new island starts when ``pos`` jumps past ``prev_pos + n``). Every
+    stage is a scan, a counted aggregate/window, an equi-join, or a
+    per-document window — nothing quadratic, nothing driver-side; the
+    island window partitions by document so its state is bounded by
+    document length, not corpus size.
+
+    Occurrence marking follows the same ``via`` scheme as
+    :func:`duplicated_shingle_fraction` (round-5 unification):
+    ``'window'`` counts over ``Window.partitionBy(shingle)`` — ONE pass
+    over the exploded shingles and one shuffle, but not AQE-skew-
+    splittable; ``'join'`` is the count-aggregate + inverted-index join
+    back — a second pass and shuffle, but boilerplate hot shingles get
+    AQE's skew-join split; ``'auto'`` (default) picks via the
+    :func:`_choose_shingle_via` sample sketch (one eager sample-sized job
+    at plan-construction time — pass an explicit ``via`` to skip it).
+
+    ``hash_shingles=True`` replaces the shingle string with its
+    ``xxhash64`` before the shuffle — ~6× fewer shuffle bytes per row at
+    ``shingle_n=8`` prose shingles, at a ~``n_shingles²/2⁶⁵`` false-dup
+    collision risk (≈1e-9 even at 10¹⁰ distinct shingles). Default off so
+    the operator is exact by construction; turn it on for the 100-TB
+    production pass, where the shuffle width dominates.
 
     This supersedes :func:`duplicated_shingle_fraction` as the
     passage-dedup primitive (that one reports a per-document scalar
@@ -644,8 +664,23 @@ def duplicated_spans(
             "pos", "__sh"
         ),
     )
-    counts = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__n"))
-    dup = sh.join(counts.where(F.col("__n") >= 2), "__sh").select("id", "pos")
+    if hash_shingles:
+        sh = sh.withColumn("__sh", F.xxhash64("__sh"))
+    if via == "auto":
+        via = _choose_shingle_via(sh, skew_threshold, sample_fraction)
+    if via == "window":
+        dup = (
+            sh.withColumn(
+                "__n", F.count(F.lit(1)).over(Window.partitionBy("__sh"))
+            )
+            .where(F.col("__n") >= 2)
+            .select("id", "pos")
+        )
+    elif via == "join":
+        counts = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__n"))
+        dup = sh.join(counts.where(F.col("__n") >= 2), "__sh").select("id", "pos")
+    else:
+        raise ValueError(f"via must be 'window', 'join', or 'auto', got {via!r}")
     w = Window.partitionBy("id").orderBy("pos")
     islands = (
         dup.withColumn("__prev", F.lag("pos").over(w))

@@ -172,6 +172,36 @@ def test_duplicated_spans_counts_within_document_repeats(spark):
     assert spans == {(0, 8), (11, 19)}
 
 
+def test_duplicated_spans_forms_agree(spark):
+    """The round-5 single-pass window form, the AQE-skew-splittable join
+    form, auto routing, and the hashed-shingle scale path all extract the
+    SAME spans — the via= scheme changes the physical plan, never the
+    answer."""
+    shared = "p q r s t u v w x y z zz"
+    df = spark.createDataFrame(
+        [(1, shared + " alpha beta gamma delta"),
+         (2, "one two three four " + shared),
+         (3, "totally unique words nothing here repeats at all ok fine"),
+         (4, shared)],
+        "doc_id long, text string",
+    )
+
+    def spans(**kw):
+        return sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+            for r in D.duplicated_spans(
+                df, shingle_n=8, sample_fraction=1.0, **kw
+            ).collect()
+        )
+
+    base = spans(via="join")
+    assert base  # the corpus genuinely has duplicated passages
+    assert spans(via="window") == base
+    assert spans(via="auto") == base
+    assert spans(via="window", hash_shingles=True) == base
+    assert spans(via="join", hash_shingles=True) == base
+
+
 def test_minhash_block_by_restricts_pairs_to_block(spark):
     """block_by adds the blocking column to the band-bucket join key:
     identical texts in different blocks must NOT pair."""
