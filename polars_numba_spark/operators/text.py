@@ -343,3 +343,56 @@ def redact_pii(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def tfidf_top_terms(df, text_col="text", id_col="doc_id", top_k=3):
+    """Top-``top_k`` TF-IDF terms per document: term frequency × ln(N/df),
+    the classic keyword/topic signal a curation pipeline uses for corpus
+    inspection and per-domain term drift. Returns
+    ``(id, term, rank, tf, tfidf)``, rank 1-based, score rounded to 9
+    decimals BEFORE ranking so the ordering itself is rounding-stable
+    cross-engine (ties break on the term string).
+
+    Shape: one explode pass → (doc, term) counts (map-side combined) →
+    document frequencies derived FROM that aggregate (no second pass over
+    the corpus) → equi-join on the term → per-document top-k window. The
+    corpus size joins in as a broadcast 1-row aggregate — same pattern as
+    :func:`unigram_logprob_scores`, never a global window. All shuffles
+    key on (doc, term), term, or doc — scale-stable; the vocabulary-wide
+    join is the standard inverted-index shape (AQE skew-split covers hot
+    stopword terms).
+    """
+    from pyspark.sql import DataFrame, Window  # noqa: F401 (DataFrame for type)
+
+    occ = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = occ.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.col("__n_docs").cast("double") / F.col("df").cast("double")
+                ),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            F.col("rank").cast("int").alias("rank"),
+            "tf",
+            "tfidf",
+        )
+    )

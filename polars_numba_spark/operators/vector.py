@@ -314,3 +314,72 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    pairs via k-means clustering + WITHIN-CLUSTER pairwise cosine. Returns
+    ``(a_id, b_id, cluster, cosine_sim)`` for every same-cluster pair with
+    cosine ≥ ``threshold`` (``a_id < b_id``).
+
+    This is the published algorithm's exact shape: the clusters exist to
+    bound the quadratic — pairwise comparison never crosses a cluster
+    boundary, so cost is Σ|cluster|² instead of n². At corpus scale ``k``
+    grows with n (SemDeDup used k=50,000 on LAION) keeping |cluster| ≈ n/k
+    bounded, which makes the pair stage ~linear; the cluster-label
+    equi-join is the standard inverted-index shape and uneven clusters get
+    AQE's skew-join split. Train k-means on a hash-sample and assign the
+    full corpus once, as :func:`kmeans_iterations` documents.
+
+    Downstream policy (what SemDeDup calls keeping one point per duplicate
+    group) is :func:`semantic_dedup_keep`.
+    """
+    assignments, _ = kmeans_iterations(df, k, iterations, vec_col, id_col)
+    v = df.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("__v")
+    ).withColumn("__vn", norm(F.col("__v")))
+    m = v.join(
+        assignments.select(F.col(id_col).alias("id"), "assigned"), "id"
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.assigned") == F.col("b.assigned"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.assigned").alias("cluster"),
+            cosine_with_norms(
+                F.col("a.__v"), F.col("b.__v"), F.col("a.__vn"), F.col("b.__vn")
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup's keep policy over :func:`semantic_dedup_pairs` output:
+    drop every point that has a LOWER-id near-duplicate in its cluster
+    (i.e. every id appearing as ``b_id``), keep the rest — one survivor
+    per duplicate chain, deterministic. A left-anti join: linear, no
+    window, no driver state."""
+    return df.join(
+        pairs.select(F.col("b_id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )

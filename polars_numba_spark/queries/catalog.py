@@ -110,8 +110,8 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_simhash_portable",
     "embedding_topk_bruteforce",
     "embedding_near_dup_pairs",
-    "label_centroids",                  # IVF centroid training (exploded rows)
-    "doc_token_stats",
+    "semantic_dedup_pairs",             # SemDeDup: kmeans-bounded cosine pairs (full unrolled oracle)
+    "doc_tfidf_top_terms",              # per-doc TF-IDF keywords (round-9-ranked window)
     "doc_language_id",
     "doc_repetition_stats",             # Gopher-style repetition quality filters
     "doc_duplicated_spans",             # true ExactSubstr passage spans (round-5 flagship)
@@ -139,7 +139,13 @@ _DRIVER_PRIORITY: list[str] = [
 # dedup_jaccard_pairs, which round 5 rebuilt on the identical portable
 # banding + exact-Jaccard verify), doc_chunks → doc_duplicated_spans (the
 # round-5 ExactSubstr span extractor), doc_train_valid_test_split →
-# doc_source_caps (same sampling module, fresh code path).
+# doc_source_caps (same sampling module, fresh code path). Second round-5
+# rotation (new operators — every evictee remains oracled and local-gated):
+# label_centroids → semantic_dedup_pairs (the decimal-exact centroid recipe
+# is still driver-evidenced INSIDE the SemDeDup oracle's cent1 stage, which
+# shares the kmeans CTE spelling) and doc_token_stats → doc_tfidf_top_terms
+# (token counting still evidenced by doc_repetition_stats/doc_unigram_logprob;
+# TF-IDF gates the new vocabulary-join + ranked-window path).
 
 
 def _prioritized(mapping: dict) -> dict:

@@ -163,6 +163,44 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_tfidf_top_terms",
+    oracle=r"""
+    WITH occ AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM occ GROUP BY doc_id, tok
+    ), dfreq AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT doc_id, tok, tf,
+               ROUND(tf * LN(CAST((SELECT n_docs FROM n) AS DOUBLE)
+                             / CAST(df AS DOUBLE)), 9) AS tfidf
+        FROM tf JOIN dfreq USING (tok)
+    )
+    SELECT doc_id, tok AS term, CAST(rank AS INTEGER) AS rank, tf, tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, tok
+        ) AS rank FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the keyword/topic-drift signal
+    next to the quality scores. Ranking happens on the ROUND-9 score so
+    the ordering is rounding-stable cross-engine; document frequencies
+    derive from the (doc, term) aggregate (one corpus pass), corpus size
+    joins in as a broadcast 1-row aggregate
+    (operators/text.py::tfidf_top_terms)."""
+    d = _t(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(d, "text", "doc_id", top_k=3)
+
+
+@register(
     "doc_pii_scrub",
     oracle=r"""
     WITH injected AS (
@@ -893,9 +931,11 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "kmeans_assignments",
-    oracle="""
+# Two unrolled Lloyd iterations (k=8, deterministic first-k-ids seeding) as
+# DuckDB CTEs ending in `a2 (vec_id, assigned)` — shared by the
+# kmeans_assignments oracle and the semantic_dedup_pairs oracle (round 5),
+# so the clustering recipe exists in exactly ONE SQL spelling.
+_KMEANS2_CTES = """
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
     ), seeds AS (
@@ -930,8 +970,12 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v, cent1 c
       ) WHERE rn = 1
     )
-    SELECT vec_id, assigned FROM a2
-    """,
+"""
+
+
+@register(
+    "kmeans_assignments",
+    oracle=_KMEANS2_CTES + "\n    SELECT vec_id, assigned FROM a2",
 )
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations of k-means (k=8, deterministic seeding) over the
@@ -946,6 +990,41 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     assignments, _ = kmeans_iterations(e, k=8, iterations=2)
     return assignments.orderBy("vec_id").select("vec_id", "assigned")
+
+
+@register(
+    "semantic_dedup_pairs",
+    oracle=_KMEANS2_CTES
+    + """
+    , pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             CAST(a.assigned AS INTEGER) AS cluster
+      FROM a2 a JOIN a2 b
+        ON a.assigned = b.assigned AND a.vec_id < b.vec_id
+    )
+    SELECT p.a_id, p.b_id, p.cluster,
+           list_cosine_similarity(va.emb, vb.emb) AS cosine_sim
+    FROM pairs p
+    JOIN v va ON va.vec_id = p.a_id
+    JOIN v vb ON vb.vec_id = p.b_id
+    WHERE list_cosine_similarity(va.emb, vb.emb) >= 0.3
+    """,
+)
+def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end with a FULL oracle: k-means
+    clusters (2 unrolled Lloyd iterations via the shared ``_KMEANS2_CTES``
+    recipe — the centroid-mean stage inside it is the same decimal-exact
+    spelling label_centroids gates) bound the pairwise stage to
+    within-cluster, then cosine ≥ 0.3 pairs survive. The published
+    algorithm's exact shape: clusters exist to bound the quadratic; at
+    corpus scale k grows with n so |cluster| stays bounded and the pair
+    stage is ~linear (operators/vector.py:semantic_dedup_pairs)."""
+    from polars_numba_spark.operators.vector import semantic_dedup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(e, k=8, iterations=2, threshold=0.3).select(
+        "a_id", "b_id", F.col("cluster").cast("int").alias("cluster"), "cosine_sim"
+    )
 
 
 @register("embedding_ivf_recall")  # approximate + iterative — self-evaluating

@@ -703,3 +703,78 @@ def test_duplicated_shingle_fraction_window_equals_join(spark):
     assert a == b
     with pytest.raises(ValueError, match="via"):
         D.duplicated_shingle_fraction(d, via="nope")
+
+
+# --- semantic dedup (SemDeDup) --------------------------------------------
+
+
+def test_semantic_dedup_pairs_within_cluster_only(spark):
+    """Two tight direction-clusters: near-parallel vectors pair, the
+    cross-cluster (orthogonal) combinations never appear even though the
+    operator scores all WITHIN-cluster pairs."""
+    from polars_numba_spark.operators.vector import semantic_dedup_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.05, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.99, 0.05]),   # near-dup of 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup_pairs(df, k=2, iterations=2, threshold=0.9).collect()
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert got == {(0, 1), (2, 3)}
+    assert all(r["cosine_sim"] >= 0.9 for r in pairs)
+
+
+def test_semantic_dedup_keep_drops_higher_id_of_each_pair(spark):
+    """The keep policy removes exactly the ids that have a lower-id
+    near-duplicate (every b_id), keeping one survivor per chain."""
+    from polars_numba_spark.operators.vector import (
+        semantic_dedup_keep,
+        semantic_dedup_pairs,
+    )
+
+    # seeding is first-k ids, so ids 0/1 ARE the k=2 seeds: 0 anchors the
+    # x-axis cluster (with 2 and 3 as its near-dup chain), 1 anchors y alone
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),      # unique: kept
+        (2, [0.999, 0.01]),
+        (3, [0.998, 0.02]),   # chain 0-2-3: keep only 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup_pairs(df, k=2, iterations=1, threshold=0.99)
+    kept = sorted(
+        r["vec_id"] for r in semantic_dedup_keep(df, pairs).collect()
+    )
+    assert kept == [0, 1]
+
+
+# --- TF-IDF ----------------------------------------------------------------
+
+
+def test_tfidf_top_terms_ranks_distinctive_terms_first(spark):
+    """A term unique to one doc (df=1) outscores corpus-wide terms
+    (df=N → idf=0), and rank/tf/score come back deterministic."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common yak yak"),
+            (3, "common llama"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["tfidf"])
+        for r in X.tfidf_top_terms(df, "text", "doc_id", top_k=2).collect()
+    }
+    idf1 = round(math.log(3.0 / 1.0), 9)
+    # doc 2: 'yak' tf=2 df=1 -> 2*ln(3); 'common' idf=0 -> 0.0
+    assert rows[(2, 1)] == ("yak", 2, round(2 * math.log(3.0), 9))
+    assert rows[(1, 1)] == ("zebra", 1, idf1)
+    assert rows[(3, 1)] == ("llama", 1, idf1)
+    # ties at tfidf=0.0 break on the term string
+    assert rows[(1, 2)][0] == "common"
