@@ -607,6 +607,47 @@ def dedup_keep_list(
     return labeled.withColumn("keep", F.col("id") == F.col("component"))
 
 
+def _duplicated_shingle_positions(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    via: str,
+    skew_threshold: float | None,
+    sample_fraction: float,
+    hash_shingles: bool,
+) -> DataFrame:
+    """``(id, pos)`` of every shingle start whose ``shingle_n``-gram occurs
+    at ≥2 (document, position) sites corpus-wide — the shared marking stage
+    behind :func:`duplicated_spans` and :func:`remove_duplicated_passages`.
+    ``via``/``hash_shingles`` semantics are documented on
+    :func:`duplicated_spans`."""
+    from polars_numba_spark.operators.text import positioned_token_shingles
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(positioned_token_shingles(text_col, shingle_n)).alias(
+            "pos", "__sh"
+        ),
+    )
+    if hash_shingles:
+        sh = sh.withColumn("__sh", F.xxhash64("__sh"))
+    if via == "auto":
+        via = _choose_shingle_via(sh, skew_threshold, sample_fraction)
+    if via == "window":
+        return (
+            sh.withColumn(
+                "__n", F.count(F.lit(1)).over(Window.partitionBy("__sh"))
+            )
+            .where(F.col("__n") >= 2)
+            .select("id", "pos")
+        )
+    if via == "join":
+        counts = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__n"))
+        return sh.join(counts.where(F.col("__n") >= 2), "__sh").select("id", "pos")
+    raise ValueError(f"via must be 'window', 'join', or 'auto', got {via!r}")
+
+
 def duplicated_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -656,31 +697,10 @@ def duplicated_spans(
     fraction of duplicated shingles; this one reproduces the spans a
     passage-removal pass would actually cut).
     """
-    from polars_numba_spark.operators.text import positioned_token_shingles
-
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(positioned_token_shingles(text_col, shingle_n)).alias(
-            "pos", "__sh"
-        ),
+    dup = _duplicated_shingle_positions(
+        df, text_col, id_col, shingle_n, via, skew_threshold,
+        sample_fraction, hash_shingles,
     )
-    if hash_shingles:
-        sh = sh.withColumn("__sh", F.xxhash64("__sh"))
-    if via == "auto":
-        via = _choose_shingle_via(sh, skew_threshold, sample_fraction)
-    if via == "window":
-        dup = (
-            sh.withColumn(
-                "__n", F.count(F.lit(1)).over(Window.partitionBy("__sh"))
-            )
-            .where(F.col("__n") >= 2)
-            .select("id", "pos")
-        )
-    elif via == "join":
-        counts = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__n"))
-        dup = sh.join(counts.where(F.col("__n") >= 2), "__sh").select("id", "pos")
-    else:
-        raise ValueError(f"via must be 'window', 'join', or 'auto', got {via!r}")
     w = Window.partitionBy("id").orderBy("pos")
     islands = (
         dup.withColumn("__prev", F.lag("pos").over(w))
@@ -705,6 +725,72 @@ def duplicated_spans(
             "span_start",
             "span_end",
             (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def remove_duplicated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+    via: str = "auto",
+    skew_threshold: float | None = None,
+    sample_fraction: float = 0.02,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """The passage-removal pass itself (ExactSubstr dedup's *cut* step):
+    drop every token position covered by a duplicated ``shingle_n``-gram
+    and rebuild the document from the survivors. Returns
+    ``(id, n_tokens_kept, clean_text)`` — ``clean_text`` is the kept
+    tokens of the NORMALIZED token stream (lowercased, single-space
+    joined), the space ExactSubstr pipelines operate in; documents whose
+    every token is covered come back with ``n_tokens_kept=0`` and ``''``.
+
+    Shape on top of :func:`_duplicated_shingle_positions`: duplicated
+    starts expand to their covered positions (``explode(sequence(pos,
+    pos+n-1))`` — linear in removed tokens), an anti-join drops them from
+    the positioned token stream, and the per-document rebuild is one
+    ``collect_list(struct(pos, tok))`` aggregate sorted in-expression —
+    state bounded by document length, not corpus size. Same ``via=`` /
+    ``hash_shingles`` routing as :func:`duplicated_spans`.
+    """
+    from polars_numba_spark.operators.text import tokens
+
+    dup = _duplicated_shingle_positions(
+        df, text_col, id_col, shingle_n, via, skew_threshold,
+        sample_fraction, hash_shingles,
+    )
+    rm = dup.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (shingle_n - 1))
+        ).alias("pos"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    kept = toks.join(rm, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_tokens_kept"), F.lit(0)).alias("n_tokens_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
 

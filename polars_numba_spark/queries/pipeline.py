@@ -335,6 +335,52 @@ def doc_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_remove_passages",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), pos_sh AS (
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+               array_to_string(t[i : i + 7], ' ') AS sh
+        FROM toks, UNNEST(range(1, greatest(length(t) - 7, 0) + 1)) AS u(i)
+    ), dup_sh AS (
+        SELECT sh FROM pos_sh GROUP BY sh HAVING COUNT(*) >= 2
+    ), dup AS (
+        SELECT p.doc_id, p.pos FROM pos_sh p JOIN dup_sh USING (sh)
+    ), rm AS (
+        SELECT DISTINCT doc_id, pos + k AS pos
+        FROM dup, UNNEST(range(0, 8)) AS r(k)
+    ), alltok AS (
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, t[i] AS tok
+        FROM toks, UNNEST(range(1, length(t) + 1)) AS u(i)
+    ), kept AS (
+        SELECT a.doc_id, a.pos, a.tok
+        FROM alltok a LEFT JOIN rm ON a.doc_id = rm.doc_id AND a.pos = rm.pos
+        WHERE rm.doc_id IS NULL
+    )
+    SELECT d.doc_id,
+           COALESCE(k.cnt, 0) AS n_tokens_kept,
+           COALESCE(k.txt, '') AS clean_text
+    FROM documents d LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS cnt,
+               string_agg(tok, ' ' ORDER BY pos) AS txt
+        FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+)
+def doc_remove_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr's CUT step: every token position covered by a duplicated
+    8-shingle is dropped and the document rebuilt from the survivors in the
+    normalized token space. The oracle rebuilds the removal set and the
+    string independently (UNNEST-positioned tokens, string_agg ORDER BY
+    pos) — the whole passage-dedup story is now gated end to end:
+    fraction → spans → removal (operators/dedup.py::remove_duplicated_passages)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.remove_duplicated_passages(d, "text", "doc_id", shingle_n=8)
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     WITH durations AS (

@@ -778,3 +778,37 @@ def test_tfidf_top_terms_ranks_distinctive_terms_first(spark):
     assert rows[(3, 1)] == ("llama", 1, idf1)
     # ties at tfidf=0.0 break on the term string
     assert rows[(1, 2)][0] == "common"
+
+
+def test_remove_duplicated_passages_cuts_covered_tokens(spark):
+    """The shared 10-token passage is cut from both documents; unique
+    suffix/prefix tokens survive; the all-unique doc is untouched (modulo
+    token-space normalization)."""
+    shared = "p q r s t u v w x y"          # 10 tokens in docs 1+2
+    df = spark.createDataFrame(
+        [(1, shared + " alpha beta gamma delta"),
+         (2, "one two three four " + shared),
+         (3, "totally unique words nothing here repeats at all ok")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens_kept"], r["clean_text"])
+        for r in D.remove_duplicated_passages(df, shingle_n=8).collect()
+    }
+    assert got[1] == (4, "alpha beta gamma delta")
+    assert got[2] == (4, "one two three four")
+    assert got[3] == (9, "totally unique words nothing here repeats at all ok")
+
+
+def test_remove_duplicated_passages_fully_covered_doc(spark):
+    """A document that is one big duplicated passage empties out but stays
+    in the output with n_tokens_kept=0."""
+    t = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens_kept"], r["clean_text"])
+        for r in D.remove_duplicated_passages(df, shingle_n=8).collect()
+    }
+    assert got == {1: (0, ""), 2: (0, "")}
