@@ -198,3 +198,40 @@ def test_jaccard_differential_is_banded_not_all_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in s
     # the band hash participates in a join key somewhere in the plan
     assert "band_hash" in s
+
+
+def test_semantic_dedup_pairwise_is_cluster_equi_join(spark):
+    """SemDeDup's pair stage must equi-join on the cluster label (the whole
+    point of clustering is bounding the quadratic) — a nested loop over all
+    vector pairs means the label fell out of the join condition. The only
+    nested-loop joins allowed are the k-means broadcast crosses against the
+    k-row centroid table (every vector scores every centroid BY DESIGN —
+    broadcast, k rows)."""
+    df = q(spark, "semantic_dedup_pairs")
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+    # the vector-pair join keys on the cluster label; cosine + id< are the
+    # residual condition
+    assert "Left keys [1]: [assigned" in s
+    # any nested-loop in the plan is a broadcast cross (centroid scoring),
+    # never a shuffled/unbroadcast pair loop
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in s or \
+        "BroadcastNestedLoopJoin" not in s
+
+
+def test_tfidf_corpus_size_is_broadcast(spark):
+    """The corpus-size 1-row aggregate joins in via broadcast — never a
+    shuffled join against a single row, and never a global window."""
+    df = q(spark, "doc_tfidf_top_terms")
+    assert plans.has_broadcast_join(df)
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+
+
+def test_remove_passages_no_cartesian(spark):
+    """Passage removal is anti-join + aggregate — position expansion must
+    stay an explode, never a joined range blow-up."""
+    df = q(spark, "doc_remove_passages")
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
