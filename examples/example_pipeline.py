@@ -61,7 +61,30 @@ def main() -> None:
     near_dups = minhash_dedup_pairs(docs, threshold=0.9)
     print("near-dup pairs (jaccard ≥ 0.9):", near_dups.count())
 
+    # passage-level dedup: duplicated spans, then the removal pass
+    from polars_numba_spark.operators.dedup import (
+        duplicated_spans,
+        remove_duplicated_passages,
+    )
+
+    spans = duplicated_spans(docs, shingle_n=8, via="join")
+    cleaned = remove_duplicated_passages(docs, shingle_n=8, via="join")
+    print("duplicated passage spans:", spans.count())
+    assert cleaned.count() == docs.count()  # removal never drops documents
+
     emb = load_table(spark, "embeddings", SF)
+
+    # SemDeDup: cluster-bounded semantic near-dup pairs + keep policy
+    from polars_numba_spark.operators.vector import (
+        semantic_dedup_keep,
+        semantic_dedup_pairs,
+    )
+
+    sem_pairs = semantic_dedup_pairs(emb, k=4, iterations=2, threshold=0.3)
+    sem_kept = semantic_dedup_keep(emb, sem_pairs)
+    print("semantic near-dup pairs:", sem_pairs.count(), "kept:", sem_kept.count())
+    assert sem_kept.count() <= emb.count()
+
     topk = brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=3)
     assert topk.count() == 9
     print("top-3 neighbors per query:")
