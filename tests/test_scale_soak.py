@@ -60,3 +60,14 @@ def test_soak_harness_end_to_end(spark, tmp_path):
     assert "dedup_exact_digests" in text
     assert "kernel_fold_event_cents" in text
     assert "x2" in text or "2x" in text
+
+
+def test_semdedup_soak_scales_k_with_corpus(spark, tmp_path):
+    """The SemDeDup soak must run the production recipe — k grows with the
+    replication factor so cluster size stays bounded."""
+    big = str(tmp_path / "x2")
+    scale_soak.build_replicated(spark, SRC, big, factor=2)
+    out = scale_soak.run_semdedup_soak(spark, SRC, big, factor=2)
+    r = out["semantic_dedup_pairs_operator"]
+    assert r["k_2x"] == 2 * r["k_1x"]
+    assert r["sec_2x"] > 0 and r["ratio"] is not None

@@ -53,6 +53,13 @@ SOAK_QUERIES = [
     "dedup_simhash_pairs",
     "doc_duplicated_passages",
     "doc_duplicated_spans",
+    "doc_remove_passages",
+    "doc_tfidf_top_terms",
+    # semantic_dedup_pairs is deliberately ABSENT: the catalog entry pins
+    # k=8 for the unrolled oracle, and fixed-k SemDeDup is quadratic by
+    # construction (cluster size grows with n). The production recipe —
+    # k scaling with the corpus so |cluster| stays bounded — is soaked by
+    # run_semdedup_soak.
     "embedding_topk_bruteforce",
     "kernel_fold_event_cents",
     "kernel_scan_user_balance_cents",
@@ -202,6 +209,39 @@ def run_neardup_soak(
     return result
 
 
+def run_semdedup_soak(
+    spark: SparkSession, base_dir: str, big_dir: str, factor: int
+) -> dict:
+    """Soak SemDeDup THE WAY IT SCALES: k grows with the corpus so cluster
+    size (and with it the within-cluster pair stage) stays bounded — the
+    operator docstring's production recipe. The catalog entry's fixed k=8
+    exists for the unrolled oracle and is quadratic by construction."""
+    from polars_numba_spark.operators.vector import semantic_dedup_pairs
+    from polars_numba_spark.sources import load_table
+
+    out = {}
+    for label, d, k in (("1x", base_dir, 8), (f"{factor}x", big_dir, 8 * factor)):
+        e = load_table(spark, "embeddings", d)
+        df = semantic_dedup_pairs(e, k=k, iterations=2, threshold=0.3)
+        n = df.count()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            semantic_dedup_pairs(
+                e, k=k, iterations=2, threshold=0.3
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[f"sec_{label}"] = round(best, 3)
+        out[f"rows_{label}"] = n
+        out[f"k_{label}"] = k
+    out["ratio"] = (
+        round(out[f"sec_{factor}x"] / out["sec_1x"], 2) if out["sec_1x"] else None
+    )
+    result = {"semantic_dedup_pairs_operator": out}
+    print(json.dumps(result), flush=True)
+    return result
+
+
 def run_skew(spark: SparkSession, base_dir: str, skew_dir: str) -> dict:
     """Skew soak: the grouped kernel paths and both physical forms of the
     shingle-fraction operator on the hot-key variant, vs the uniform base."""
@@ -327,6 +367,7 @@ def main() -> int:
     queries = args.queries.split(",") if args.queries else None
     soak = run_soak(spark, args.sf_dir, big_dir, args.factor, queries)
     soak.update(run_neardup_soak(spark, args.sf_dir, big_dir, args.factor))
+    soak.update(run_semdedup_soak(spark, args.sf_dir, big_dir, args.factor))
     skew = run_skew(spark, args.sf_dir, skew_dir)
     print(json.dumps({"soak": soak, "skew": skew}))
     if args.scale_md:
