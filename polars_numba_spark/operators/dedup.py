@@ -624,16 +624,19 @@ def _duplicated_shingle_positions(
     :func:`duplicated_spans`."""
     from polars_numba_spark.operators.text import positioned_token_shingles
 
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(positioned_token_shingles(text_col, shingle_n)).alias(
-            "pos", "__sh"
-        ),
-    )
+    def _explode(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(positioned_token_shingles(text_col, shingle_n)).alias(
+                "pos", "__sh"
+            ),
+        )
+
+    sh = _explode(df)
     if hash_shingles:
         sh = sh.withColumn("__sh", F.xxhash64("__sh"))
     if via == "auto":
-        via = _choose_shingle_via(sh, skew_threshold, sample_fraction)
+        via = _choose_shingle_via(df, _explode, skew_threshold, sample_fraction)
     if via == "window":
         return (
             sh.withColumn(
@@ -796,24 +799,37 @@ def remove_duplicated_passages(
 
 
 def _choose_shingle_via(
-    shingles: DataFrame, skew_threshold: float | None, sample_fraction: float
+    df: DataFrame,
+    explode_fn,
+    skew_threshold: float | None,
+    sample_fraction: float,
 ) -> str:
-    """The via='auto' sketch: hottest-shingle share of a seeded sample of
-    the exploded shingle rows. The window form hash-partitions by shingle,
-    so the hazard is ONE key out-massing a fair partition share — the
-    default threshold is partition-relative (one fair share:
+    """The via='auto' sketch: hottest-shingle share of the shingles of a
+    seeded DOCUMENT sample. Sampling happens BEFORE the explode — the
+    round-5 first cut sampled the exploded rows, which forced a full
+    explode pass just to throw 98% of it away (measured ~2× on the whole
+    query at sf0.1); sampling documents first makes the sketch job
+    genuinely sample-sized, and a shingle's instance share is preserved
+    under document sampling in expectation.
+
+    The window form hash-partitions by shingle, so the hazard is ONE key
+    out-massing a fair partition share — the default threshold is
+    partition-relative (one fair share:
     ``1 / spark.sql.shuffle.partitions``), not an absolute corpus share: a
     key that alone fills a fair share makes its partition a straggler on
     top of the other keys hashed there. Above it, the AQE-skew-splittable
     'join' form; otherwise the 2x-faster 'window' form. Pass an explicit
-    ``skew_threshold`` share to override."""
+    ``skew_threshold`` share to override.
+
+    ``explode_fn`` maps a document frame to its exploded shingle rows with
+    the shingle in column ``__sh`` (the caller's own explode shape)."""
     if skew_threshold is None:
         parts = int(
-            shingles.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
         skew_threshold = 1.0 / max(parts, 1)
     sampled = (
-        shingles.sample(fraction=sample_fraction, seed=7)
+        explode_fn(df.sample(fraction=sample_fraction, seed=7))
         .groupBy("__sh")
         .agg(F.count(F.lit(1)).alias("__n"))
         .agg(F.max("__n").alias("mx"), F.sum("__n").alias("tot"))
@@ -855,20 +871,24 @@ def duplicated_shingle_fraction(
     escape in both.
 
     The default ``via='auto'`` (round 5) picks between them with a cheap
-    sketch: one partial-aggregated count over a ``sample_fraction`` sample
-    of the exploded shingles; if the hottest shingle out-masses a fair
+    sketch: one partial-aggregated count over the shingles of a
+    ``sample_fraction`` DOCUMENT sample (sampled before the explode, so
+    the sketch job is sample-sized); if the hottest shingle out-masses a fair
     partition share (``skew_threshold`` defaults partition-relative — see
     :func:`_choose_shingle_via`), the skew-splittable join form is
     chosen. The sketch is ONE eager sample-sized job at plan-construction
     time — pass an explicit ``via`` to skip it (the documented pattern:
     `operators/similarity.py` sizes buckets the same way behind ``n_rows=``).
     """
-    shingles = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(token_shingles(text_col, shingle_n)).alias("__sh"),
-    )
+    def _explode(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col).alias("id"),
+            F.explode(token_shingles(text_col, shingle_n)).alias("__sh"),
+        )
+
+    shingles = _explode(df)
     if via == "auto":
-        via = _choose_shingle_via(shingles, skew_threshold, sample_fraction)
+        via = _choose_shingle_via(df, _explode, skew_threshold, sample_fraction)
     if via == "window":
         # one shuffle on the shingle: count-over-partition, no join, no
         # second pass over the exploded rows — measured 2x faster than the

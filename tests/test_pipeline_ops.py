@@ -122,8 +122,8 @@ def test_shingle_fraction_auto_picks_join_on_boilerplate(spark):
 
     # sample_fraction=1.0 makes the sketch deterministic at test scale;
     # None = partition-relative default (1 / shuffle.partitions)
-    assert _choose_shingle_via(exploded(heavy), None, 1.0) == "join"
-    assert _choose_shingle_via(exploded(diverse), None, 1.0) == "window"
+    assert _choose_shingle_via(heavy, exploded, None, 1.0) == "join"
+    assert _choose_shingle_via(diverse, exploded, None, 1.0) == "window"
 
     # and the two physical forms agree on the skewed corpus
     def rows(df, via):

@@ -260,11 +260,14 @@ def run_skew(spark: SparkSession, base_dir: str, skew_dir: str) -> dict:
         print(json.dumps({name: results[name]}), flush=True)
 
     docs = load_table(spark, "documents", skew_dir)
-    shingles = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(token_shingles("text", 8)).alias("__sh"),
-    )
-    chosen = _choose_shingle_via(shingles, 0.05, 0.1)
+
+    def _explode(d):
+        return d.select(
+            F.col("doc_id").alias("id"),
+            F.explode(token_shingles("text", 8)).alias("__sh"),
+        )
+
+    chosen = _choose_shingle_via(docs, _explode, 0.05, 0.1)
     forms = {}
     for via in ("window", "join"):
         t0 = time.perf_counter()
