@@ -129,3 +129,86 @@ def test_agg_with_fold_matches_python(spark, rows):
         for v in non_null:
             acc = step2(acc, v)
         assert got[g]["f2"] == pytest.approx(acc)
+
+
+# --- ExactSubstr passage dedup vs a pure-Python model ----------------------
+
+# Small alphabet + short docs force heavy genuine shingle collisions —
+# the regime where span merging and removal have their corners (overlapping
+# islands, within-doc repeats, fully-covered docs, sub-n docs).
+_word = st.sampled_from(["aa", "bb", "cc", "dd"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=6)
+_N = 3  # shingle width for the property tests
+
+
+def _py_dup_positions(texts, n=_N):
+    """(doc_idx, pos) of every n-gram occurring at >=2 (doc, pos) sites."""
+    from collections import Counter
+
+    occ = []
+    for d, t in enumerate(texts):
+        toks = t.strip().lower().split() if t.strip() else [""]
+        for p in range(len(toks) - n + 1):
+            occ.append((d, p, " ".join(toks[p : p + n])))
+    counts = Counter(sh for _, _, sh in occ)
+    return {(d, p) for d, p, sh in occ if counts[sh] >= 2}
+
+
+def _py_spans(texts, n=_N):
+    spans = set()
+    dup = _py_dup_positions(texts, n)
+    for d in range(len(texts)):
+        poss = sorted(p for dd, p in dup if dd == d)
+        i = 0
+        while i < len(poss):
+            j = i
+            while j + 1 < len(poss) and poss[j + 1] <= poss[j] + n:
+                j += 1
+            spans.add((d, poss[i], poss[j] + n))
+            i = j + 1
+    return spans
+
+
+def _py_removed(texts, n=_N):
+    out = {}
+    dup = _py_dup_positions(texts, n)
+    for d, t in enumerate(texts):
+        toks = t.strip().lower().split() if t.strip() else [""]
+        covered = set()
+        for dd, p in dup:
+            if dd == d:
+                covered.update(range(p, p + n))
+        kept = [tok for i, tok in enumerate(toks) if i not in covered]
+        out[d] = (len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_corpus)
+def test_duplicated_spans_matches_python_model(spark, texts):
+    from polars_numba_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(df, shingle_n=_N, via="join").collect()
+    }
+    assert got == _py_spans(texts)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_corpus)
+def test_remove_passages_matches_python_model(spark, texts):
+    from polars_numba_spark.operators.dedup import remove_duplicated_passages
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens_kept"], r["clean_text"])
+        for r in remove_duplicated_passages(df, shingle_n=_N, via="join").collect()
+    }
+    assert got == _py_removed(texts)
