@@ -212,3 +212,41 @@ def test_remove_passages_matches_python_model(spark, texts):
         for r in remove_duplicated_passages(df, shingle_n=_N, via="join").collect()
     }
     assert got == _py_removed(texts)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_corpus)
+def test_tfidf_top_terms_matches_python_model(spark, texts):
+    """TF-IDF ranking vs a pure-Python model: same round-9 scores, same
+    (score desc, term asc) ordering, same top-k cut."""
+    from polars_numba_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["tfidf"])
+        for r in tfidf_top_terms(df, "text", "doc_id", top_k=2).collect()
+    }
+
+    from collections import Counter
+
+    n_docs = len(texts)
+    toks = {
+        d: (t.strip().lower().split() if t.strip() else [""])
+        for d, t in enumerate(texts)
+    }
+    tf = {d: Counter(ts) for d, ts in toks.items()}
+    dfreq = Counter(term for d in tf for term in tf[d])
+    expected = {}
+    for d in tf:
+        scored = sorted(
+            (
+                (term, c, round(c * math.log(n_docs / dfreq[term]), 9))
+                for term, c in tf[d].items()
+            ),
+            key=lambda x: (-x[2], x[0]),
+        )
+        for rank, (term, c, s) in enumerate(scored[:2], start=1):
+            expected[(d, rank)] = (term, c, s)
+    assert got == expected
