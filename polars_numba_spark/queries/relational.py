@@ -411,6 +411,66 @@ def recent_order_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "distinct_users_kmv",
+    oracle="""
+    WITH hashed AS (
+        SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
+        FROM events
+    ), h AS (
+        SELECT event_type,
+               CAST(CAST(('0x' || substr(md5(v), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+        FROM hashed
+    ), ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+    ), agg AS (
+        SELECT event_type, MAX(h) AS hk, COUNT(*) AS nk
+        FROM ranked WHERE rn <= 64 GROUP BY event_type
+    ), est AS (
+        SELECT event_type,
+               CASE WHEN nk < 64 THEN CAST(nk AS DOUBLE)
+                    ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)
+               END AS kmv_estimate
+        FROM agg
+    ), exact AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users FROM events
+        GROUP BY event_type
+    )
+    SELECT e.event_type, x.exact_users,
+           ROUND(e.kmv_estimate, 6) AS kmv_users,
+           ROUND(ABS(e.kmv_estimate - x.exact_users) / x.exact_users, 6)
+               AS rel_err
+    FROM est e JOIN exact x USING (event_type)
+    """,
+)
+def distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULLY-ORACLED cardinality sketch: K-Minimum-Values over
+    md5-derived hashes, estimate and relative error reproduced bit-for-bit
+    in DuckDB (operators/sketch.py::kmv_distinct). Complements
+    distinct_users_sketch, whose HLL++ side is engine-specific and
+    rows-only — approximate ≠ un-oracleable when the sketch is
+    deterministic and hash-portable."""
+    from polars_numba_spark.operators.sketch import kmv_distinct
+
+    e = _t(spark, sf_dir, "events")
+    est = kmv_distinct(e, "user_id", "event_type", k=64)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        F.round(F.col("kmv_estimate"), 6).alias("kmv_users"),
+        F.round(
+            F.abs(F.col("kmv_estimate") - F.col("exact_users"))
+            / F.col("exact_users"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
 @register("distinct_users_sketch")  # approx side is engine-specific — rows-only
 def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality sketch surface: HyperLogLog++ approx-distinct next to the

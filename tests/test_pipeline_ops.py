@@ -812,3 +812,21 @@ def test_remove_duplicated_passages_fully_covered_doc(spark):
         for r in D.remove_duplicated_passages(df, shingle_n=8).collect()
     }
     assert got == {1: (0, ""), 2: (0, "")}
+
+
+# --- KMV sketch ------------------------------------------------------------
+
+
+def test_kmv_distinct_exact_below_k_and_close_above(spark):
+    """Groups with fewer than k distinct values report the EXACT count
+    (the sketch holds every value); larger groups estimate within the
+    ~1/sqrt(k) KMV error band."""
+    from polars_numba_spark.operators.sketch import kmv_distinct
+
+    rows = [("small", i % 10) for i in range(200)] + [
+        ("big", i) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r["kmv_estimate"] for r in kmv_distinct(df, "v", "g", k=64).collect()}
+    assert got["small"] == 10.0
+    assert abs(got["big"] - 5000) / 5000 < 0.35  # 64-value sketch, ~12.5% rsd
