@@ -79,7 +79,6 @@ _DRIVER_PRIORITY: list[str] = [
     # TPC-H relational core (§2.B joins/agg/subqueries)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "q13_customer_order_distribution",
@@ -100,6 +99,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_daily_windows",             # tumbling event-time windows
     "streaming_user_sessions",          # session windows as a REAL streaming job (complete-mode availableNow)
     "order_price_quantiles",            # exact percentiles
+    "distinct_users_kmv",               # deterministic KMV cardinality sketch (full oracle)
     "formats_csv_jsonl_roundtrip",      # CSV/JSONL source round-trip
     "streaming_scan_user_balance",      # stateful streaming kernel scan (real job)
     # LLM-data-pipeline operators
@@ -145,7 +145,11 @@ _DRIVER_PRIORITY: list[str] = [
 # is still driver-evidenced INSIDE the SemDeDup oracle's cent1 stage, which
 # shares the kmeans CTE spelling) and doc_token_stats → doc_tfidf_top_terms
 # (token counting still evidenced by doc_repetition_stats/doc_unigram_logprob;
-# TF-IDF gates the new vocabulary-join + ranked-window path).
+# TF-IDF gates the new vocabulary-join + ranked-window path). Third round-5
+# swap: q4_order_priority → distinct_users_kmv (the sketch family gains its
+# first fully-oracled driver slot; q4's EXISTS-subquery shape remains
+# evidenced by q21_waiting_suppliers/q22_idle_rich_customers, and q4 stays
+# oracled + local-gated).
 
 
 def _prioritized(mapping: dict) -> dict:
