@@ -291,6 +291,46 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """Exact token/shingle-set CONTAINMENT for candidate pairs:
+    ``containment_a = |A∩B| / |A|`` and the symmetric ``containment_b`` —
+    the asymmetric-Jaccard face of dedup. A short document pasted inside a
+    long one has near-1.0 containment on the short side while its Jaccard
+    (|A∩B|/|A∪B|) stays low — the quote-expansion / boilerplate-embedding
+    case symmetric near-dup misses.
+
+    Same join shape and size-materialization as :func:`jaccard_pairs`.
+    Recall caveat when fed banded-minhash candidates: LSH band collision
+    tracks JACCARD, so high-containment/low-jaccard pairs (sizes very
+    different) collide with lower probability — full-recall containment
+    search needs size-stratified candidate generation; the banded form is
+    the cheap screen."""
+    toks = df.select(
+        F.col(id_col).alias("id"), _token_sets(text_col, shingle_n).alias("toks")
+    ).withColumn("n_toks", F.size("toks"))
+    a = toks.alias("ta")
+    b = toks.alias("tb")
+    joined = pairs.join(a, pairs.a_id == F.col("ta.id")).join(
+        b, pairs.b_id == F.col("tb.id")
+    )
+    size_a = F.col("ta.n_toks")
+    size_b = F.col("tb.n_toks")
+    union = F.size(F.array_union(F.col("ta.toks"), F.col("tb.toks")))
+    inter = (size_a + size_b - union).cast("double")
+    return joined.select(
+        "a_id",
+        "b_id",
+        (inter / size_a).alias("containment_a"),
+        (inter / size_b).alias("containment_b"),
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -531,6 +531,52 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_sort(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
+        FROM documents
+    ), sigs AS (
+        SELECT doc_id, source, t, [ {_JACCARD_SIG} ] AS sig FROM toks
+    ), banded AS (
+        {_JACCARD_BANDS}
+    ), cands AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.t AS ta, b.t AS tb
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.source = b.source AND a.doc_id < b.doc_id
+    ), scored AS (
+        SELECT a_id, b_id,
+               CAST(length(ta) + length(tb) - length(list_distinct(list_concat(ta, tb))) AS DOUBLE)
+                   / length(ta) AS containment_a,
+               CAST(length(ta) + length(tb) - length(list_distinct(list_concat(ta, tb))) AS DOUBLE)
+                   / length(tb) AS containment_b
+        FROM cands
+    )
+    SELECT a_id, b_id, containment_a, containment_b
+    FROM scored WHERE GREATEST(containment_a, containment_b) >= 0.9
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-Jaccard (containment) dedup over the same portable banded
+    candidates as dedup_jaccard_pairs: a document whose token set is ≥90%
+    inside another is flagged even when symmetric Jaccard stays low (the
+    quote-expansion case). Candidate generation, set arithmetic, and the
+    greatest() filter all reproduce independently in DuckDB
+    (operators/dedup.py::containment_pairs — recall caveat for banded
+    candidates documented there)."""
+    d = _t(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, portable=True, block_by="source"
+    )
+    scored = D.containment_pairs(d, cands)
+    return scored.where(
+        F.greatest(F.col("containment_a"), F.col("containment_b")) >= 0.9
+    )
+
+
 @register("dedup_minhash_pairs")  # Spark xxhash64 — no portable oracle
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline over 8-token SHINGLES (shingle →

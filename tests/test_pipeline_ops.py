@@ -830,3 +830,19 @@ def test_kmv_distinct_exact_below_k_and_close_above(spark):
     got = {r["g"]: r["kmv_estimate"] for r in kmv_distinct(df, "v", "g", k=64).collect()}
     assert got["small"] == 10.0
     assert abs(got["big"] - 5000) / 5000 < 0.35  # 64-value sketch, ~12.5% rsd
+
+
+def test_containment_catches_subset_pair_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment on the short
+    side is 1.0 while jaccard is far below a 0.8 near-dup threshold."""
+    short = "alpha beta gamma delta"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+    r = D.containment_pairs(df, pairs).collect()[0]
+    assert r["containment_a"] == 1.0
+    assert r["containment_b"] < 0.2
+    j = D.jaccard_pairs(df, pairs).collect()[0]["jaccard"]
+    assert j < 0.2
