@@ -331,6 +331,80 @@ def containment_pairs(
     )
 
 
+def containment_join(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """COMPLETE containment search via prefix filtering (the SSJoin/PPJoin
+    family, Chaudhuri et al. 2006 / Xiao et al. 2008): every directional
+    pair with ``|A∩B| / |A| ≥ threshold`` is found — no LSH recall loss.
+
+    The filter: sort each document's token set by global rarity (ascending
+    document frequency, ties on the token string — a total, deterministic
+    order). If A is ≥t-contained in B, fewer than ``|A|·(1-t) + 1`` of A's
+    tokens can be outside B — so among A's ``⌊|A|·(1-t)⌋ + 1`` RAREST
+    tokens (its prefix), at least one is shared with B. Candidates are
+    therefore (A.prefix-token = B.any-token) equi-join hits, then exact
+    containment verifies. Completeness needs the prefix side to probe the
+    full index, which is why only A takes a prefix.
+
+    Scale shape: the prefix join's fan-out per prefix token is that
+    token's document frequency — and prefix tokens are each document's
+    RAREST, so hot stopwords never enter the probe side (they still sit in
+    the index side, where they are join targets only for documents rare
+    enough to need them). One df-count aggregate, one rarity sort per doc
+    (array_sort, in-expression), one equi-join, one verify join — all
+    standard shuffles; AQE covers residual token skew.
+
+    Returns directional rows ``(a_id, b_id, containment_a, containment_b)``
+    with ``containment_a ≥ threshold`` (a_id ≠ b_id; a pair contained both
+    ways appears twice, once per direction).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), _token_sets(text_col, shingle_n).alias("toks")
+    ).withColumn("n_toks", F.size("toks"))
+    occ = toks.select("id", F.explode("toks").alias("tok"))
+    dfreq = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    # rarity-sorted token array: ascending (df, token) — total order
+    ranked = (
+        occ.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__df"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ).alias("sorted_toks")
+        )
+    )
+    # prefix length = (max tokens allowed outside B) + 1. The required
+    # overlap is ceil(n·t) computed with an epsilon guard: n·t in binary
+    # floating point lands an ulp above the exact product for e.g.
+    # t=0.9, n=10 (9.000000000000002 → ceil 10, silently shrinking the
+    # prefix below completeness). Both engines evaluate the SAME literal
+    # expression, so the guarded integers agree exactly.
+    n = F.size("sorted_toks")
+    required = F.ceil(n * F.lit(threshold) - F.lit(1e-9)).cast("int")
+    prefix_len = n - required + 1
+    prefixes = ranked.select(
+        F.col("id").alias("a_id"),
+        F.explode(F.slice("sorted_toks", 1, prefix_len)).alias("tok"),
+    )
+    index = occ.select(F.col("id").alias("b_id"), "tok")
+    cands = (
+        prefixes.join(index, "tok")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    scored = containment_pairs(df, cands, text_col, id_col, shingle_n)
+    return scored.where(F.col("containment_a") >= threshold)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",

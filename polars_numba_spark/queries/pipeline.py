@@ -577,6 +577,59 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment_complete",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {X.sql_token_shingles('text', 8)} AS t
+        FROM documents WHERE doc_id < 300
+    ), occ AS (
+        SELECT doc_id, UNNEST(t) AS tok FROM toks
+    ), dfreq AS (
+        SELECT tok, COUNT(*) AS df FROM occ GROUP BY tok
+    ), ranked AS (
+        SELECT doc_id, list(o.tok ORDER BY d.df, o.tok) AS sorted_toks
+        FROM occ o JOIN dfreq d ON o.tok = d.tok GROUP BY doc_id
+    ), prefixes AS (
+        SELECT doc_id AS a_id,
+               UNNEST(sorted_toks[1 : CAST(len(sorted_toks)
+                   - CEIL(len(sorted_toks) * 0.9 - 1e-9) + 1 AS INTEGER)]) AS tok
+        FROM ranked
+    ), cands AS (
+        SELECT DISTINCT p.a_id, o.doc_id AS b_id
+        FROM prefixes p JOIN occ o ON p.tok = o.tok
+        WHERE p.a_id <> o.doc_id
+    ), scored AS (
+        SELECT c.a_id, c.b_id,
+               CAST(len(ta.t) + len(tb.t) - len(list_distinct(list_concat(ta.t, tb.t))) AS DOUBLE)
+                   / len(ta.t) AS containment_a,
+               CAST(len(ta.t) + len(tb.t) - len(list_distinct(list_concat(ta.t, tb.t))) AS DOUBLE)
+                   / len(tb.t) AS containment_b
+        FROM cands c
+        JOIN toks ta ON ta.doc_id = c.a_id
+        JOIN toks tb ON tb.doc_id = c.b_id
+    )
+    SELECT a_id, b_id, containment_a, containment_b
+    FROM scored WHERE containment_a >= 0.9
+    """,
+)
+def dedup_containment_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE prefix-filtered containment search (SSJoin/PPJoin family)
+    over 8-token SHINGLE sets: every directional pair where ≥90% of A's
+    shingles appear in B, no LSH recall loss — the answer to
+    dedup_containment_pairs' banded-recall caveat (shingles, not unigrams:
+    unigram containment saturates on shared vocabulary — the r2 minhash
+    lesson). The oracle rebuilds the whole algorithm independently (rarity
+    sort via list(... ORDER BY df, tok), the epsilon-guarded prefix
+    length, the prefix⋈index candidate join, exact verify). Capped to
+    doc_id < 300 — like the other portable twins, this is the bit-exact
+    differential; the operator itself
+    (operators/dedup.py::containment_join) runs uncapped and its
+    completeness is pinned against brute force in pytest."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return D.containment_join(d, threshold=0.9, shingle_n=8)
+
+
 @register("dedup_minhash_pairs")  # Spark xxhash64 — no portable oracle
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline over 8-token SHINGLES (shingle →

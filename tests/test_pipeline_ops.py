@@ -846,3 +846,27 @@ def test_containment_catches_subset_pair_jaccard_misses(spark):
     assert r["containment_b"] < 0.2
     j = D.jaccard_pairs(df, pairs).collect()[0]["jaccard"]
     assert j < 0.2
+
+
+def test_containment_join_is_complete_vs_brute_force(spark):
+    """Prefix filtering must find EVERY >=0.9-contained directional pair
+    that brute-force all-pairs containment finds on the sf0.001 corpus."""
+    d = docs(spark)
+    ids = d.select("doc_id")
+    all_pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    )
+    brute = {
+        (r["a_id"], r["b_id"])
+        for r in D.containment_pairs(d, all_pairs)
+        .where(F.col("containment_a") >= 0.9)
+        .collect()
+    }
+    assert brute, "corpus should contain >=0.9-contained pairs"
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in D.containment_join(d, threshold=0.9).collect()
+    }
+    assert got == brute  # complete AND precise (verify step)
