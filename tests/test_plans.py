@@ -235,3 +235,13 @@ def test_remove_passages_no_cartesian(spark):
     s = plans.explain_string(df)
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_containment_join_is_prefix_equi_join(spark):
+    """The complete containment search must candidate-generate through the
+    prefix-token equi-join — a nested loop or cartesian means the prefix
+    tokens fell out of the join condition."""
+    df = q(spark, "dedup_containment_complete")
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
