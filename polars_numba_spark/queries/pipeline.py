@@ -1172,6 +1172,37 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_dedup_keeplist",
+    oracle=_KMEANS2_CTES
+    + """
+    , dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM a2 a JOIN a2 b ON a.assigned = b.assigned AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      WHERE list_cosine_similarity(va.emb, vb.emb) >= 0.3
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def semantic_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's KEEP POLICY gated end to end: every vector with a
+    lower-id near-duplicate in its cluster is dropped, the survivors come
+    back — the full pipeline (cluster → within-cluster pairs → keep) in
+    one oracled query (operators/vector.py::semantic_dedup_keep; the
+    DuckDB side rebuilds the drop set through the shared k-means CTE)."""
+    from polars_numba_spark.operators.vector import (
+        semantic_dedup_keep,
+        semantic_dedup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(e, k=8, iterations=2, threshold=0.3)
+    return semantic_dedup_keep(e, pairs).select("vec_id", "label")
+
+
 @register("embedding_ivf_recall")  # approximate + iterative — self-evaluating
 def embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index end-to-end: k-means cells (2 Lloyd iterations) → nprobe=3
