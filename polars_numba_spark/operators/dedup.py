@@ -243,6 +243,30 @@ def minhash_lsh_candidates(
     )
 
 
+def _joined_pair_sets(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int | None,
+):
+    """Shared candidate-scoring scaffold for :func:`jaccard_pairs` and
+    :func:`containment_pairs`: (a_id, b_id) pairs joined to both sides'
+    token/shingle sets. Returns ``(joined, size_a, size_b)`` — set size is
+    materialized ONCE as a per-doc column so prune filters and score
+    projections read an explicit int instead of relying on Catalyst CSE of
+    repeated ``F.size``."""
+    toks = df.select(
+        F.col(id_col).alias("id"), _token_sets(text_col, shingle_n).alias("toks")
+    ).withColumn("n_toks", F.size("toks"))
+    a = toks.alias("ta")
+    b = toks.alias("tb")
+    joined = pairs.join(a, pairs.a_id == F.col("ta.id")).join(
+        b, pairs.b_id == F.col("tb.id")
+    )
+    return joined, F.col("ta.n_toks"), F.col("tb.n_toks")
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -260,19 +284,9 @@ def jaccard_pairs(
     a pure optimization (never changes results for a ≥ τ filter downstream),
     and the kind that matters when the candidate set is 10⁸ pairs.
     """
-    # token-set size is materialized ONCE as a per-doc column — the prune
-    # filter and the jaccard projection both read it, so the plan carries an
-    # explicit int instead of relying on Catalyst CSE of repeated F.size
-    toks = df.select(
-        F.col(id_col).alias("id"), _token_sets(text_col, shingle_n).alias("toks")
-    ).withColumn("n_toks", F.size("toks"))
-    a = toks.alias("ta")
-    b = toks.alias("tb")
-    joined = pairs.join(a, pairs.a_id == F.col("ta.id")).join(
-        b, pairs.b_id == F.col("tb.id")
+    joined, size_a, size_b = _joined_pair_sets(
+        df, pairs, text_col, id_col, shingle_n
     )
-    size_a = F.col("ta.n_toks")
-    size_b = F.col("tb.n_toks")
     if prune_threshold is not None:
         joined = joined.where(
             F.least(size_a, size_b)
@@ -305,22 +319,16 @@ def containment_pairs(
     (|A∩B|/|A∪B|) stays low — the quote-expansion / boilerplate-embedding
     case symmetric near-dup misses.
 
-    Same join shape and size-materialization as :func:`jaccard_pairs`.
-    Recall caveat when fed banded-minhash candidates: LSH band collision
-    tracks JACCARD, so high-containment/low-jaccard pairs (sizes very
-    different) collide with lower probability — full-recall containment
-    search needs size-stratified candidate generation; the banded form is
-    the cheap screen."""
-    toks = df.select(
-        F.col(id_col).alias("id"), _token_sets(text_col, shingle_n).alias("toks")
-    ).withColumn("n_toks", F.size("toks"))
-    a = toks.alias("ta")
-    b = toks.alias("tb")
-    joined = pairs.join(a, pairs.a_id == F.col("ta.id")).join(
-        b, pairs.b_id == F.col("tb.id")
+    Shares :func:`_joined_pair_sets` with :func:`jaccard_pairs` — one join
+    shape, one size-materialization to maintain. Recall caveat when fed
+    banded-minhash candidates: LSH band collision tracks JACCARD, so
+    high-containment/low-jaccard pairs (sizes very different) collide with
+    lower probability — full-recall containment search is
+    :func:`containment_join` (prefix filtering); the banded form is the
+    cheap screen."""
+    joined, size_a, size_b = _joined_pair_sets(
+        df, pairs, text_col, id_col, shingle_n
     )
-    size_a = F.col("ta.n_toks")
-    size_b = F.col("tb.n_toks")
     union = F.size(F.array_union(F.col("ta.toks"), F.col("tb.toks")))
     inter = (size_a + size_b - union).cast("double")
     return joined.select(

@@ -40,17 +40,22 @@ def kmv_distinct(
     by: str | Sequence[str],
     k: int = 64,
 ) -> DataFrame:
-    """Per-group KMV distinct-count estimate: ``(group cols, kmv_users)``.
+    """Per-group KMV distinct-count estimate:
+    ``(group cols, kmv_estimate)``.
 
     The k-th smallest of the distinct md5-hash values estimates the
     cardinality as ``(k-1) * 2^60 / h_k`` (uniform order statistics); a
     group with fewer than k distinct values reports its exact count (the
-    sketch holds every value). Deterministic: same input ⇒ same estimate,
-    in every engine with md5.
+    sketch holds every value). NULL values are excluded up front —
+    ``COUNT(DISTINCT)`` semantics, and necessary for engine parity: a
+    null hash would sort NULLS-FIRST into Spark's top-k but NULLS-LAST in
+    other engines, silently corrupting the estimate. Deterministic: same
+    input ⇒ same estimate, in every engine with md5.
     """
     keys = as_list(by)
     hashed = (
-        df.select(*keys, F.col(value_col).cast("string").alias("__v"))
+        df.where(F.col(value_col).isNotNull())
+        .select(*keys, F.col(value_col).cast("string").alias("__v"))
         .distinct()
         .select(*keys, md5_long(F.col("__v")).alias("__h"))
     )

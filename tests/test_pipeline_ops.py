@@ -870,3 +870,14 @@ def test_containment_join_is_complete_vs_brute_force(spark):
         for r in D.containment_join(d, threshold=0.9).collect()
     }
     assert got == brute  # complete AND precise (verify step)
+
+
+def test_kmv_distinct_ignores_nulls(spark):
+    """NULL values are excluded (COUNT(DISTINCT) semantics) — a null hash
+    must never occupy a top-k slot."""
+    from polars_numba_spark.operators.sketch import kmv_distinct
+
+    rows = [("g", i) for i in range(10)] + [("g", None)] * 5
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = kmv_distinct(df, "v", "g", k=64).collect()[0]
+    assert got["kmv_estimate"] == 10.0

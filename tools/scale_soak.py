@@ -178,6 +178,46 @@ def run_soak(
     return results
 
 
+def _time_operator(spark: SparkSession, build) -> tuple[float, int]:
+    """The `_time_query` protocol (count warm-up + best-of-2 noop sinks +
+    per-run session hygiene) for an operator-level DataFrame factory — ONE
+    timing implementation, so operator soaks measure under the same cache
+    conditions as the catalog-query numbers they sit next to in SCALE.md."""
+    from polars_numba_spark.plans.checkpoint import release_session_checkpoints
+
+    n = build().count()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+        release_session_checkpoints(spark)
+        spark.catalog.clearCache()
+    return best, n
+
+
+def _operator_soak(
+    spark: SparkSession,
+    name: str,
+    points: list[tuple[str, object, dict]],
+    factor: int,
+) -> dict:
+    """Run `_time_operator` at each (label, build, extra_fields) point and
+    report the cross-scale ratio under ``name``."""
+    out = {}
+    for label, build, extra in points:
+        best, n = _time_operator(spark, build)
+        out[f"sec_{label}"] = round(best, 3)
+        out[f"rows_{label}"] = n
+        out.update(extra)
+    out["ratio"] = (
+        round(out[f"sec_{factor}x"] / out["sec_1x"], 2) if out["sec_1x"] else None
+    )
+    result = {name: out}
+    print(json.dumps(result), flush=True)
+    return result
+
+
 def run_neardup_soak(
     spark: SparkSession, base_dir: str, big_dir: str, factor: int
 ) -> dict:
@@ -187,26 +227,18 @@ def run_neardup_soak(
     from polars_numba_spark.operators import similarity as S
     from polars_numba_spark.sources import load_table
 
-    out = {}
-    for label, d in (("1x", base_dir), (f"{factor}x", big_dir)):
+    def build(d):
         e = load_table(spark, "embeddings", d)
-        df = S.embedding_near_dup_pairs(e, threshold=0.4, n_planes=6, n_tables=4)
-        n = df.count()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            S.embedding_near_dup_pairs(
-                e, threshold=0.4, n_planes=6, n_tables=4
-            ).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        out[f"sec_{label}"] = round(best, 3)
-        out[f"rows_{label}"] = n
-    out["ratio"] = (
-        round(out[f"sec_{factor}x"] / out["sec_1x"], 2) if out["sec_1x"] else None
+        return lambda: S.embedding_near_dup_pairs(
+            e, threshold=0.4, n_planes=6, n_tables=4
+        )
+
+    return _operator_soak(
+        spark,
+        "embedding_near_dup_pairs_operator",
+        [("1x", build(base_dir), {}), (f"{factor}x", build(big_dir), {})],
+        factor,
     )
-    result = {"embedding_near_dup_pairs_operator": out}
-    print(json.dumps(result), flush=True)
-    return result
 
 
 def run_semdedup_soak(
@@ -219,27 +251,19 @@ def run_semdedup_soak(
     from polars_numba_spark.operators.vector import semantic_dedup_pairs
     from polars_numba_spark.sources import load_table
 
-    out = {}
-    for label, d, k in (("1x", base_dir, 8), (f"{factor}x", big_dir, 8 * factor)):
+    def build(d, k):
         e = load_table(spark, "embeddings", d)
-        df = semantic_dedup_pairs(e, k=k, iterations=2, threshold=0.3)
-        n = df.count()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            semantic_dedup_pairs(
-                e, k=k, iterations=2, threshold=0.3
-            ).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        out[f"sec_{label}"] = round(best, 3)
-        out[f"rows_{label}"] = n
-        out[f"k_{label}"] = k
-    out["ratio"] = (
-        round(out[f"sec_{factor}x"] / out["sec_1x"], 2) if out["sec_1x"] else None
+        return lambda: semantic_dedup_pairs(e, k=k, iterations=2, threshold=0.3)
+
+    return _operator_soak(
+        spark,
+        "semantic_dedup_pairs_operator",
+        [
+            ("1x", build(base_dir, 8), {"k_1x": 8}),
+            (f"{factor}x", build(big_dir, 8 * factor), {f"k_{factor}x": 8 * factor}),
+        ],
+        factor,
     )
-    result = {"semantic_dedup_pairs_operator": out}
-    print(json.dumps(result), flush=True)
-    return result
 
 
 def run_skew(spark: SparkSession, base_dir: str, skew_dir: str) -> dict:
