@@ -441,3 +441,68 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView(sink)
     return spark.read.parquet(staged)
+
+
+@register(
+    "streaming_users_kmv",
+    oracle="""
+    WITH vals AS (
+        SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
+        FROM events WHERE user_id IS NOT NULL
+    ), hashed AS (
+        SELECT DISTINCT event_type,
+               CAST(CAST(('0x' || substr(md5(v), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+        FROM vals
+    ), ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+    ), agg AS (
+        SELECT event_type, MAX(h) AS hk, COUNT(*) AS nk
+        FROM ranked WHERE rn <= 64 GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND(CASE WHEN nk < 64 THEN CAST(nk AS DOUBLE)
+                      ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)
+                 END, 6) AS kmv_users
+    FROM agg
+    """,
+)
+def streaming_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING sketch face, fully oracled: per-event-type KMV
+    distinct-user estimate maintained as bounded applyInPandasWithState
+    state (k smallest distinct hashes — ≤ k longs per key, unlike exact
+    streaming COUNT DISTINCT), run as a real availableNow job → parquet
+    sink. The merge is associative, so the final state — and therefore the
+    estimate DuckDB independently rebuilds — is batch-split invariant
+    (forced multi-batch equivalence pinned in tests/test_streaming.py).
+    Hash-level distinct matches streaming_kmv_distinct's state semantics
+    (streaming/stateful.py)."""
+    from polars_numba_spark.streaming import streaming_kmv_distinct
+
+    stream = load_stream(spark, "events", sf_dir).select("event_type", "user_id")
+    est = streaming_kmv_distinct(stream, "user_id", "event_type", k=64)
+    run_id = uuid.uuid4().hex[:8]
+    out_dir = _fresh_dir(_scratch_dir("kmv_out", sf_dir), run_id)
+    ckpt = os.path.join(tempfile.gettempdir(), f"pns_ckpt_kmv_{run_id}")
+    query = (
+        est.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await(query, "streaming_users_kmv")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    sink = spark.read.parquet(out_dir)
+    # the last emitted row per key carries the final state's estimate
+    return (
+        sink.groupBy("event_type")
+        .agg(
+            F.max_by("kmv_estimate", "batches_seen").alias("__est")
+        )
+        .select("event_type", F.round(F.col("__est"), 6).alias("kmv_users"))
+    )

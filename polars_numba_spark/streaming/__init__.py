@@ -3,6 +3,7 @@
 from polars_numba_spark.streaming.stateful import (
     streaming_exact_dedup,
     streaming_grouped_fold,
+    streaming_kmv_distinct,
     streaming_grouped_scan,
     windowed_rollup,
 )
@@ -10,6 +11,7 @@ from polars_numba_spark.streaming.stateful import (
 __all__ = [
     "streaming_exact_dedup",
     "streaming_grouped_fold",
+    "streaming_kmv_distinct",
     "streaming_grouped_scan",
     "windowed_rollup",
 ]

@@ -259,3 +259,74 @@ def streaming_exact_dedup(
         out = out.withWatermark(time_col, watermark)
         return out.dropDuplicatesWithinWatermark(["__digest"]).drop("__digest")
     return out.dropDuplicates(["__digest"]).drop("__digest")
+
+
+def streaming_kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    keys: str | Sequence[str],
+    k: int = 64,
+) -> DataFrame:
+    """Streaming K-Minimum-Values distinct-count estimate per key: the
+    stateful face of :mod:`polars_numba_spark.operators.sketch`.
+
+    State per key is the k smallest DISTINCT md5-derived 60-bit hashes
+    seen so far — a BOUNDED accumulator (≤ k longs, unlike exact
+    streaming COUNT(DISTINCT) whose state grows with cardinality), and
+    the merge (union → keep k smallest) is associative and commutative,
+    so the final state is independent of how the stream was micro-batched
+    (pinned by a forced multi-batch test). Each batch emits the key's
+    current ``(kmv_estimate, batches_seen)``; readers take the row with
+    the highest ``batches_seen`` per key (``max_by``) for the final
+    estimate.
+
+    Hashing matches ``operators/dedup.py::md5_long`` (first 15 hex chars
+    of md5 of the value's string form) so the estimate reproduces in any
+    engine with md5 — the catalog entry's DuckDB oracle rebuilds it.
+    Nulls are excluded (COUNT(DISTINCT) semantics). State dedups at HASH
+    level (values are not retained), identical to the oracle's
+    hash-distinct spelling; under md5-60bit collisions this undercounts
+    by the collision count, same as the batch sketch.
+    """
+    import hashlib
+
+    from polars_numba_spark.operators._prep import as_list
+
+    key_list = as_list(keys)
+    dtypes = dict(df.dtypes)
+    key_schema = ", ".join(f"{c} {dtypes[c]}" for c in key_list)
+    out_schema = f"{key_schema}, kmv_estimate double, batches_seen long"
+    state_schema = "hashes array<long>, batches long"
+    space = float(1 << 60)
+
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        hashes: set = set()
+        batches = 0
+        if state.exists:
+            stored, batches = state.get
+            hashes = set(stored)
+        fresh = set()
+        for pdf in pdfs:
+            col = pdf[value_col].dropna()
+            fresh.update(col.astype(str).tolist())
+        for v in fresh:
+            hashes.add(int(hashlib.md5(v.encode()).hexdigest()[:15], 16))
+        top = sorted(hashes)[:k]
+        batches += 1
+        state.update((top, batches))
+        if len(top) < k:
+            est = float(len(top))
+        else:
+            est = (k - 1) * space / float(top[-1])
+        data = {c: [kv] for c, kv in zip(key_list, key)}
+        data["kmv_estimate"] = [est]
+        data["batches_seen"] = [batches]
+        yield pd.DataFrame(data)
+
+    return df.groupBy(*key_list).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

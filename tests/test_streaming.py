@@ -298,3 +298,51 @@ def test_streaming_dedup_state_expires_past_watermark(spark, tmp_path):
     # batch A: "dup" once (in-state duplicate suppressed) + "other";
     # batch C: "dup" again — its digest expired when the watermark passed
     assert sorted(emitted) == ["advance", "dup", "dup", "filler", "other"], emitted
+
+
+def test_streaming_kmv_batch_split_invariant(spark, tmp_path):
+    """The KMV state merge (union -> keep k smallest) is associative, so a
+    forced 3-batch run (maxFilesPerTrigger=1) must land on the SAME final
+    estimate as the batch kmv_distinct over the union of the files."""
+    from polars_numba_spark.operators.sketch import kmv_distinct
+    from polars_numba_spark.streaming import streaming_kmv_distinct
+
+    src = tmp_path / "src"
+    batch = load_table(spark, "events", SF).select("event_type", "user_id")
+    # three disjoint slices, one file each -> three micro-batches
+    for i in range(3):
+        batch.where(F.pmod(F.col("user_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    expected = {
+        r["event_type"]: round(r["kmv_estimate"], 6)
+        for r in kmv_distinct(
+            spark.read.parquet(str(src)), "user_id", "event_type", k=32
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    out = streaming_kmv_distinct(stream, "user_id", "event_type", k=32)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("kmv_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert query.awaitTermination(120), "stream did not finish in time"
+        got = {
+            r["event_type"]: round(r["est"], 6)
+            for r in spark.sql(
+                "SELECT event_type, max_by(kmv_estimate, batches_seen) AS est "
+                "FROM kmv_stream GROUP BY event_type"
+            ).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS kmv_stream")
+    assert got == expected
