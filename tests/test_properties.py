@@ -250,3 +250,71 @@ def test_tfidf_top_terms_matches_python_model(spark, texts):
         for rank, (term, c, s) in enumerate(scored[:2], start=1):
             expected[(d, rank)] = (term, c, s)
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=30)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_kmv_distinct_matches_python_model(spark, vals):
+    """KMV estimate vs a pure-Python model: same md5-60bit hashing, same
+    k-smallest truncation, same (k-1)·2⁶⁰/h_k estimator, nulls excluded."""
+    import hashlib
+
+    from polars_numba_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long").withColumn(
+        "g", __import__("pyspark").sql.functions.lit("g")
+    )
+    K = 8
+    hashes = sorted(
+        {
+            int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            for v in vals
+            if v is not None
+        }
+    )[:K]
+    if not hashes:
+        expected = None  # no non-null rows -> empty result
+    elif len(hashes) < K:
+        expected = float(len(hashes))
+    else:
+        expected = (K - 1) * float(1 << 60) / hashes[-1]
+
+    rows = kmv_distinct(df, "v", "g", k=K).collect()
+    if expected is None:
+        assert rows == []
+    else:
+        assert rows[0]["kmv_estimate"] == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_corpus)
+def test_containment_join_matches_python_model(spark, texts):
+    """Prefix-filtered containment vs brute-force python sets: identical
+    directional pair sets at threshold 0.9 (completeness AND precision),
+    on collision-heavy small-alphabet corpora."""
+    from polars_numba_spark.operators.dedup import containment_join
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    sets = {
+        d: set(t.strip().lower().split() if t.strip() else [""])
+        for d, t in enumerate(texts)
+    }
+    expected = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a != b and sets[a] and len(sets[a] & sets[b]) / len(sets[a]) >= 0.9
+    }
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in containment_join(df, threshold=0.9).collect()
+    }
+    assert got == expected
