@@ -267,8 +267,10 @@ def test_kmv_distinct_matches_python_model(spark, vals):
 
     from polars_numba_spark.operators.sketch import kmv_distinct
 
+    from pyspark.sql import functions as F
+
     df = spark.createDataFrame([(v,) for v in vals], "v long").withColumn(
-        "g", __import__("pyspark").sql.functions.lit("g")
+        "g", F.lit("g")
     )
     K = 8
     hashes = sorted(
