@@ -82,12 +82,23 @@ def load_stream(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) ->
     conversion applies identically)."""
     batch = load_table(spark, name, sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", f"{name}.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # the file-stream source only accepts DIRECTORIES; pathGlobFilter only
+    # matches LEAF file names. So: a table materialized as a parquet
+    # directory (part-files inside, e.g. the scale-soak builds) streams by
+    # its own path, while a single-file table (the testdata layout, where
+    # the glob form is the only one the source accepts) streams the parent
+    # filtered to that file. The old glob-always form silently streamed
+    # ZERO rows for directory-shaped tables.
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
