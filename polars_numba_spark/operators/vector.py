@@ -323,11 +323,19 @@ def semantic_dedup_pairs(
     threshold: float = 0.5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_to: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
     pairs via k-means clustering + WITHIN-CLUSTER pairwise cosine. Returns
     ``(a_id, b_id, cluster, cosine_sim)`` for every same-cluster pair with
     cosine ≥ ``threshold`` (``a_id < b_id``).
+
+    ``round_to`` rounds the cosine to that many decimals BEFORE the
+    threshold comparison (and in the emitted column): cross-engine
+    differentials compare row SETS, and a last-ulp difference at exactly
+    the threshold would flip a pair's membership on one engine only —
+    rounding collapses the boundary (the round-before-rank pattern
+    ``tfidf_top_terms`` uses). ``None`` keeps the raw double.
 
     This is the published algorithm's exact shape: the clusters exist to
     bound the quadratic — pairwise comparison never crosses a cluster
@@ -350,6 +358,11 @@ def semantic_dedup_pairs(
     )
     a = m.alias("a")
     b = m.alias("b")
+    cos = cosine_with_norms(
+        F.col("a.__v"), F.col("b.__v"), F.col("a.__vn"), F.col("b.__vn")
+    )
+    if round_to is not None:
+        cos = F.round(cos, round_to)
     return (
         a.join(
             b,
@@ -360,9 +373,7 @@ def semantic_dedup_pairs(
             F.col("a.id").alias("a_id"),
             F.col("b.id").alias("b_id"),
             F.col("a.assigned").alias("cluster"),
-            cosine_with_norms(
-                F.col("a.__v"), F.col("b.__v"), F.col("a.__vn"), F.col("b.__vn")
-            ).alias("cosine_sim"),
+            cos.alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )

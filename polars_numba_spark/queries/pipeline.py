@@ -1148,11 +1148,11 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.assigned = b.assigned AND a.vec_id < b.vec_id
     )
     SELECT p.a_id, p.b_id, p.cluster,
-           list_cosine_similarity(va.emb, vb.emb) AS cosine_sim
+           ROUND(list_cosine_similarity(va.emb, vb.emb), 9) AS cosine_sim
     FROM pairs p
     JOIN v va ON va.vec_id = p.a_id
     JOIN v vb ON vb.vec_id = p.b_id
-    WHERE list_cosine_similarity(va.emb, vb.emb) >= 0.3
+    WHERE ROUND(list_cosine_similarity(va.emb, vb.emb), 9) >= 0.3
     """,
 )
 def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1167,7 +1167,9 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_numba_spark.operators.vector import semantic_dedup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(e, k=8, iterations=2, threshold=0.3).select(
+    return semantic_dedup_pairs(
+        e, k=8, iterations=2, threshold=0.3, round_to=9
+    ).select(
         "a_id", "b_id", F.col("cluster").cast("int").alias("cluster"), "cosine_sim"
     )
 
@@ -1181,7 +1183,7 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM a2 a JOIN a2 b ON a.assigned = b.assigned AND a.vec_id < b.vec_id
       JOIN v va ON va.vec_id = a.vec_id
       JOIN v vb ON vb.vec_id = b.vec_id
-      WHERE list_cosine_similarity(va.emb, vb.emb) >= 0.3
+      WHERE ROUND(list_cosine_similarity(va.emb, vb.emb), 9) >= 0.3
     )
     SELECT e.vec_id, e.label FROM embeddings e
     WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
@@ -1199,7 +1201,7 @@ def semantic_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    pairs = semantic_dedup_pairs(e, k=8, iterations=2, threshold=0.3)
+    pairs = semantic_dedup_pairs(e, k=8, iterations=2, threshold=0.3, round_to=9)
     return semantic_dedup_keep(e, pairs).select("vec_id", "label")
 
 

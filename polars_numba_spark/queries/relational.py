@@ -416,7 +416,7 @@ def recent_order_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hashed AS (
         SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ), h AS (
         SELECT event_type,
                CAST(CAST(('0x' || substr(md5(v), 1, 15)) AS UBIGINT) AS BIGINT) AS h

@@ -292,6 +292,10 @@ def streaming_kmv_distinct(
 
     from polars_numba_spark.operators._prep import as_list
 
+    # Cast to string JVM-side (exactly the batch sketch's spelling): a null
+    # in an integral pandas column would coerce it to float64 and stringify
+    # survivors as '123.0', silently diverging from md5_long's '123'.
+    df = df.withColumn(value_col, F.col(value_col).cast("string"))
     key_list = as_list(keys)
     dtypes = dict(df.dtypes)
     key_schema = ", ".join(f"{c} {dtypes[c]}" for c in key_list)

@@ -881,3 +881,40 @@ def test_kmv_distinct_ignores_nulls(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     got = kmv_distinct(df, "v", "g", k=64).collect()[0]
     assert got["kmv_estimate"] == 10.0
+
+
+def test_kmv_partials_bound_the_shuffle(spark):
+    """The round-6 bounded-state contract: the rows crossing the group-by
+    shuffle are the mapInPandas partials, and a partition holding far more
+    than k distinct values must contribute at most k rows per group — the
+    sketch no longer pays exact-COUNT-DISTINCT shuffle volume."""
+    from polars_numba_spark.operators.sketch import kmv_distinct, kmv_partials
+
+    k, n_parts, n_distinct = 16, 4, 2000
+    rows = [("g", i) for i in range(n_distinct)] + [("h", i) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, v long").repartition(n_parts)
+    partials = kmv_partials(df, "v", ["g"], k)
+    # ≤ k rows per group per partition; group "h" (5 distinct) sends ≤5/part
+    assert partials.count() <= k * n_parts * 2
+    per_part = (
+        partials.groupBy(F.spark_partition_id().alias("pid"), "g")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per_part <= k
+    # and the bounded computation still produces the exact KMV estimate:
+    # k-th smallest distinct md5 hash, (k-1)*2^60/h_k
+    import hashlib
+
+    hashes = sorted(
+        int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        for v in range(n_distinct)
+    )
+    expect = (k - 1) * float(1 << 60) / float(hashes[k - 1])
+    got = {
+        r["g"]: r["kmv_estimate"]
+        for r in kmv_distinct(df, "v", "g", k=k).collect()
+    }
+    assert got["g"] == expect
+    assert got["h"] == 5.0

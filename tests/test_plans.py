@@ -245,3 +245,14 @@ def test_containment_join_is_prefix_equi_join(spark):
     s = plans.explain_string(df)
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_kmv_shuffle_sits_above_bounded_partial(spark):
+    """distinct_users_kmv's one exchange must sit ABOVE the mapInPandas
+    partial (the shuffle carries ≤k hashes per group per partition), with
+    map-side partial_collect_set combining the partials further."""
+    df = q(spark, "distinct_users_kmv")
+    s = plans.explain_string(df)
+    assert "MapInPandas" in s
+    assert s.index("Exchange") < s.index("MapInPandas")  # root prints first
+    assert "partial_collect_set" in s
