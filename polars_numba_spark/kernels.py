@@ -65,19 +65,24 @@ def _codegen(template: str, n: int) -> Callable:
     src = template.format(n=n, args=args, items=items)
     namespace: dict[str, Any] = {}
     exec(src, namespace)
-    return maybe_jit(namespace[f"_folder{n}" if "folder" in template else f"_scanner{n}"])
+    return namespace[f"_folder{n}" if "folder" in template else f"_scanner{n}"]
 
 
-_FOLDERS = {n: _codegen(_FOLDER_TEMPLATE, n) for n in range(1, MAX_ARITY + 1)}
-_SCANNERS = {n: _codegen(_SCANNER_TEMPLATE, n) for n in range(1, MAX_ARITY + 1)}
+# Raw (never-jitted) kernels index plain Python lists — the SQL UDTF path
+# buffers Row objects and feeds lists; jitted kernels need typed arrays.
+_FOLDERS_RAW = {n: _codegen(_FOLDER_TEMPLATE, n) for n in range(1, MAX_ARITY + 1)}
+_SCANNERS_RAW = {n: _codegen(_SCANNER_TEMPLATE, n) for n in range(1, MAX_ARITY + 1)}
+_FOLDERS = {n: maybe_jit(f) for n, f in _FOLDERS_RAW.items()}
+_SCANNERS = {n: maybe_jit(f) for n, f in _SCANNERS_RAW.items()}
 
 
-def get_folder(num_args: int) -> Callable:
+def get_folder(num_args: int, jit: bool = True) -> Callable:
     """Arity dispatch with the reference's exact error behavior
-    (`__init__.py:263-309`)."""
+    (`__init__.py:263-309`). ``jit=False`` returns the raw Python kernel
+    (list-capable — the SQL UDTF path)."""
     if num_args == 0:
         raise ValueError("You must pass in at least one column name")
-    folder = _FOLDERS.get(num_args)
+    folder = (_FOLDERS if jit else _FOLDERS_RAW).get(num_args)
     if folder is None:
         raise RuntimeError(
             f"You passed in {num_args} columns, but currently "
@@ -87,11 +92,12 @@ def get_folder(num_args: int) -> Callable:
     return folder
 
 
-def get_scanner(num_args: int) -> Callable:
-    """Arity dispatch for scanners (`__init__.py:629-670`)."""
+def get_scanner(num_args: int, jit: bool = True) -> Callable:
+    """Arity dispatch for scanners (`__init__.py:629-670`). ``jit=False``
+    returns the raw Python kernel (list-capable — the SQL UDTF path)."""
     if num_args == 0:
         raise ValueError("You must pass in at least one column name")
-    scanner = _SCANNERS.get(num_args)
+    scanner = (_SCANNERS if jit else _SCANNERS_RAW).get(num_args)
     if scanner is None:
         raise RuntimeError(
             f"You passed in {num_args} columns, but currently "

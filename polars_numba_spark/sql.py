@@ -8,10 +8,14 @@ functions give them a pure-SQL spelling:
 Spark instantiates the UDTF once per partition key, feeds rows in the
 declared order, and ``terminate`` fires at group end — exactly the grouped
 fold/scan lifecycle. Semantics match the DataFrame operators (same null
-rules); execution is row-at-a-time Python, so this surface is for SQL
-ergonomics and moderate volumes — the vectorized mapInPandas operators
-remain the scale path (measured ~3.5× slower at sf0.1: BASELINE.md
-"UDTF overhead" note).
+rules). Since round 6 ``eval`` only BUFFERS each row's key/input values
+(one append — no per-row kernel call, no per-row generator) and
+``terminate`` runs the same codegen'd kernel the vectorized operators use
+(``kernels.get_scanner/get_folder(jit=False)``) once over the buffered
+columns, then emits the output rows. What remains per-row is Spark's PTF
+protocol itself (pickle-per-row transport and one ``eval`` call per row),
+which bounds the gain — measured numbers in BASELINE.md "UDTF overhead";
+the vectorized Arrow-batched operators remain the scale path.
 
 Because a user typing the SQL form gets the slow path silently, both
 registrars carry a size guard: ``max_rows_per_group`` (default 10M) fails
@@ -27,13 +31,17 @@ from typing import Any, Callable, Sequence
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import udtf
 
-from polars_numba_spark.kernels import compile_step_function
+from polars_numba_spark.kernels import (
+    compile_step_function,
+    get_folder,
+    get_scanner,
+)
 
 
 def _guard_message(name: str, limit: int, vectorized: str) -> str:
     return (
         f"UDTF '{name}' exceeded max_rows_per_group={limit}: the SQL "
-        f"spelling runs row-at-a-time Python (~3.5x slower than the "
+        f"spelling pays Spark's per-row PTF transport (~2x slower than the "
         f"vectorized kernel). Use polars_numba_spark.{vectorized} for this "
         f"volume, or re-register with max_rows_per_group=None to override."
     )
@@ -63,23 +71,33 @@ def register_scan_udtf(
     acc0 = initial_accumulator
     limit = max_rows_per_group
 
+    scanner = get_scanner(len(cols), jit=False)
+    all_cols = list(key_cols) + list(input_cols)
+
     @udtf(returnType=return_schema)
     class _Scan:
         def __init__(self) -> None:
-            self.acc = acc0
-            self.n_rows = 0
+            self.rows: list[tuple] = []
 
         def eval(self, row):
-            self.n_rows += 1
-            if limit is not None and self.n_rows > limit:
+            if limit is not None and len(self.rows) >= limit:
                 raise RuntimeError(_guard_message(name, limit, "grouped_scan"))
-            values = [row[c] for c in cols]
-            if any(v is None for v in values):
-                out = None
+            self.rows.append(tuple(row[c] for c in all_cols))
+
+        def terminate(self):
+            rows = self.rows
+            if not rows:
+                return
+            nk = len(keys)
+            data = list(zip(*rows))[nk:]  # C-speed column transpose
+            if len(data) == 1:
+                is_null = [v is None for v in data[0]]
             else:
-                self.acc = function(self.acc, *extra, *values)
-                out = self.acc
-            yield tuple(row[k] for k in keys) + tuple(values) + (out,)
+                is_null = [any(v is None for v in vs) for vs in zip(*data)]
+            result: list = [None] * len(rows)
+            scanner(function, acc0, extra, result, is_null, *data)
+            for r, null, out in zip(rows, is_null, result):
+                yield r + (None if null else out,)
 
     spark.udtf.register(name, _Scan)
 
@@ -108,11 +126,13 @@ def register_fold_udtf(
     acc0 = initial_accumulator
     limit = max_rows_per_group
 
+    folder = get_folder(len(cols), jit=False)
+
     @udtf(returnType=return_schema)
     class _Fold:
         def __init__(self) -> None:
-            self.acc = acc0
             self.key: tuple | None = None
+            self.rows: list[tuple] = []
             self.n_rows = 0
 
         def eval(self, row):
@@ -121,14 +141,15 @@ def register_fold_udtf(
                 raise RuntimeError(_guard_message(name, limit, "grouped_fold"))
             if self.key is None:
                 self.key = tuple(row[k] for k in keys)
-            values = [row[c] for c in cols]
-            if not any(v is None for v in values):
-                self.acc = function(self.acc, *extra, *values)
-            return
-            yield  # generator protocol, no per-row output
+            values = tuple(row[c] for c in cols)
+            if not any(v is None for v in values):  # fold null rule
+                self.rows.append(values)
 
         def terminate(self):
-            if self.key is not None:
-                yield self.key + (self.acc,)
+            if self.key is None:
+                return
+            data = [[r[j] for r in self.rows] for j in range(len(cols))]
+            acc = folder(function, acc0, extra, *data) if self.rows else acc0
+            yield self.key + (acc,)
 
     spark.udtf.register(name, _Fold)
