@@ -69,7 +69,6 @@ _DRIVER_PRIORITY: list[str] = [
     # fold/scan kernel surface (SURVEY §2.A)
     "global_longest_hot_streak",        # A1 collect_fold, single ordered stream
     "kernel_fold_event_cents",          # A2 grouped fold
-    "kernel_scan_running_max",          # A3 collect_scan
     "kernel_scan_user_balance_cents",   # A4 grouped scan
     "kernel_fold_two_columns",          # A9 arity>1 dispatch
     "capped_balance_per_user",          # flagship non-assoc fold (recursive-CTE oracle)
@@ -83,8 +82,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q6_revenue_forecast",
     "q13_customer_order_distribution",
     "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q22_idle_rich_customers",
     # host-engine operator families (§2.B)
     "orders_rank_in_customer",          # window rank
     "nation_order_rollup",              # grouping sets
@@ -92,7 +89,6 @@ _DRIVER_PRIORITY: list[str] = [
     "asof_last_signup_before_purchase", # as-of join
     "recent_order_pressure",            # range/interval join
     "repeat_customers_setops",          # INTERSECT/EXCEPT
-    "part_supplier_distinct",           # distinct aggregation
     "scalar_function_zoo",              # 15 bit-exact scalar functions
     "events_json_props",                # JSON extraction
     "user_event_type_pivot",            # pivot
@@ -100,21 +96,25 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_user_sessions",          # session windows as a REAL streaming job (complete-mode availableNow)
     "order_price_quantiles",            # exact percentiles
     "distinct_users_kmv",               # deterministic KMV cardinality sketch (full oracle)
+    "streaming_users_kmv",              # BOUNDED <=k-longs streaming sketch state (real job)
     "formats_csv_jsonl_roundtrip",      # CSV/JSONL source round-trip
     "streaming_scan_user_balance",      # stateful streaming kernel scan (real job)
     # LLM-data-pipeline operators
     "dedup_exact_digests",
     "user_activity_with_fold",           # agg_with_fold composition (native aggs + kernel fold)
     "dedup_jaccard_pairs",
+    "dedup_containment_complete",       # prefix-filtered SSJoin (round-5, now hard-gated)
     "doc_unigram_logprob",              # CCNet-style LM quality proxy (decimal-exact cross-engine ln)
     "dedup_simhash_portable",
     "embedding_topk_bruteforce",
     "embedding_near_dup_pairs",
     "semantic_dedup_pairs",             # SemDeDup: kmeans-bounded cosine pairs (full unrolled oracle)
+    "semantic_dedup_keeplist",          # SemDeDup keep policy end-to-end (rebuild aggregate)
     "doc_tfidf_top_terms",              # per-doc TF-IDF keywords (round-9-ranked window)
     "doc_language_id",
     "doc_repetition_stats",             # Gopher-style repetition quality filters
     "doc_duplicated_spans",             # true ExactSubstr passage spans (round-5 flagship)
+    "doc_remove_passages",              # ExactSubstr removal + document rebuild
     "doc_source_caps",
     "multimodal_image_dims",
     "rolling_hour_user_value",
@@ -150,6 +150,20 @@ _DRIVER_PRIORITY: list[str] = [
 # first fully-oracled driver slot; q4's EXISTS-subquery shape remains
 # evidenced by q21_waiting_suppliers/q22_idle_rich_customers, and q4 stays
 # oracled + local-gated).
+# Swapped in round 6 (r5 verdict next-round #3 — every evictee remains
+# oracled and local-gated): kernel_scan_running_max →
+# dedup_containment_complete (collect_scan remains driver-gated through
+# parallel_scan_running_balance + kernel_scan_multi_output; the new entry
+# hard-gates the round-5 prefix-filtered SSJoin), q19_disjunctive_predicates
+# → doc_remove_passages (disjunctive pushdown remains plan-asserted in
+# tests/test_plans.py; the new entry gates the ExactSubstr removal +
+# document-rebuild aggregate), q22_idle_rich_customers → streaming_users_kmv
+# (the EXISTS/anti-join shape remains evidenced by q21 + q4 locally and
+# customers_without_orders in-window; the new entry gates the bounded
+# streaming sketch as a real job), part_supplier_distinct →
+# semantic_dedup_keeplist (COUNT(DISTINCT) aggregation remains
+# driver-evidenced inside distinct_users_kmv's exact_users column; the new
+# entry gates SemDeDup's keep policy end to end).
 
 
 def _prioritized(mapping: dict) -> dict:
