@@ -172,6 +172,9 @@ def grouped_fold(
     order_by: str | Sequence[str] | None = None,
     extra_args: Sequence[Any] = (),
     result_name: str = "fold",
+    skew_check: bool | float = False,
+    combine: Callable | None = None,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Per-group sequential fold → one row per group (keys + result).
 
@@ -190,15 +193,87 @@ def grouped_fold(
     Scale notes: the shuffle is on the group keys (Catalyst hash partition);
     each group must fit one Python worker's memory — inherent to
     ``applyInPandas``. For skewed keys, pre-salt + two-level fold only works
-    for associative steps (see ``window.assoc_fold``); for non-associative
-    steps skew is a data-model problem, documented, not hidden.
+    for decomposable steps — declare one with ``combine=``; for
+    non-associative steps skew is a data-model problem, documented, not
+    hidden.
+
+    ``skew_check`` (round 6): ``True`` or a share in (0, 1) runs a sampled
+    hottest-key sketch at plan-construction time (one sample-sized job —
+    the ``_choose_shingle_via`` pattern; ``True`` means one fair reducer
+    share, ``1/shuffle.partitions``). If the hottest group exceeds the
+    threshold: with ``combine=`` declared the fold AUTO-SALTS — a
+    two-level fold over ``(keys, salt)`` partials merged by folding
+    ``combine`` over each key's partials — otherwise it warns, pointing at
+    the escape hatches. The salted path requires ``combine`` to be
+    insensitive to how the group's rows were split (with ``order_by``:
+    each salted subset folds in the declared order, but subsets interleave
+    arbitrarily), ``initial_accumulator`` to be ``combine``'s identity,
+    and the accumulator to survive the cast to ``return_dtype`` between
+    levels (numeric/array accumulators do).
     """
+    from pyspark.sql import functions as F
+
     step = compile_step_function(function)
     keys = as_list(group_by)
     if not keys:
         raise ValueError("group_by must name at least one column")
     order_cols = as_list(order_by)
     cols = resolve_input_columns(df, columns, exclude=[*keys, *order_cols])
+
+    if skew_check:
+        from polars_numba_spark.operators.skew import (
+            fair_share_threshold,
+            hot_key_share,
+        )
+
+        threshold = (
+            skew_check
+            if isinstance(skew_check, float) and not isinstance(skew_check, bool)
+            else fair_share_threshold(df)
+        )
+        share, hot = hot_key_share(df, keys)
+        if share > threshold:
+            if combine is None:
+                import warnings
+
+                warnings.warn(
+                    f"grouped_fold skew: sampled hottest group {hot} holds "
+                    f"~{share:.0%} of rows (threshold {threshold:.1%}); one "
+                    "Python worker folds it sequentially. If the step is "
+                    "decomposable, pass combine= to auto-salt; if it is "
+                    "associative, window.assoc_fold / skew.salted_agg stay "
+                    "JVM-side; otherwise hot-key state is inherent to the "
+                    "declared semantics.",
+                    stacklevel=2,
+                )
+            else:
+                salt_src = [F.col(c) for c in (order_cols or cols)]
+                salted = df.withColumn(
+                    "__fold_salt",
+                    F.pmod(F.xxhash64(*salt_src), F.lit(salt_buckets)).cast(
+                        "int"
+                    ),
+                )
+                partials = grouped_fold(
+                    salted,
+                    [*keys, "__fold_salt"],
+                    function,
+                    initial_accumulator,
+                    return_dtype,
+                    columns=cols,
+                    order_by=order_by,
+                    extra_args=extra_args,
+                    result_name="__p",
+                )
+                return grouped_fold(
+                    partials,
+                    keys,
+                    combine,
+                    initial_accumulator,
+                    return_dtype,
+                    columns=["__p"],
+                    result_name=result_name,
+                )
     np_dtypes = input_numpy_dtypes(df, cols)
     folder = get_folder(len(cols))
     extra = tuple(extra_args)

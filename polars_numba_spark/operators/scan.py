@@ -269,9 +269,17 @@ def grouped_scan(
     order_by: str | Sequence[str] | None = None,
     extra_args: Sequence[Any] = (),
     result_name: str = "scan",
+    skew_check: bool | float = False,
 ) -> DataFrame:
     """Per-group running scan → one output row per input row (all input
     columns plus ``result_name``), parallel across groups.
+
+    ``skew_check`` (round 6): ``True`` (one fair reducer share) or an
+    explicit share runs the sampled hottest-key sketch and WARNS when a
+    group exceeds it — a scan emits one output per input row in order, so
+    salting cannot help a non-associative step; the parallel escape
+    hatches are ``assoc_scan`` (JVM window) and ``collect_scan(combine=)``
+    (two-pass parallel prefix), both pointed at in the warning.
 
     Parity: ref expression ``scan`` `__init__.py:743-799` used per group
     (`examples_scan.py:72-82`). In Polars, ``group_by().agg(scan)`` yields a
@@ -288,6 +296,33 @@ def grouped_scan(
         raise ValueError("group_by must name at least one column")
     order_cols = as_list(order_by)
     cols = resolve_input_columns(df, columns, exclude=[*keys, *order_cols])
+
+    if skew_check:
+        from polars_numba_spark.operators.skew import (
+            fair_share_threshold,
+            hot_key_share,
+        )
+
+        threshold = (
+            skew_check
+            if isinstance(skew_check, float) and not isinstance(skew_check, bool)
+            else fair_share_threshold(df)
+        )
+        share, hot = hot_key_share(df, keys)
+        if share > threshold:
+            import warnings
+
+            warnings.warn(
+                f"grouped_scan skew: sampled hottest group {hot} holds "
+                f"~{share:.0%} of rows (threshold {threshold:.1%}); one "
+                "Python worker scans it sequentially. For associative "
+                "steps use window.assoc_scan (JVM window); for "
+                "decomposable steps collect_scan(combine=) runs a two-pass "
+                "parallel prefix; otherwise hot-key state is inherent to "
+                "the declared semantics.",
+                stacklevel=2,
+            )
+
     np_dtypes = input_numpy_dtypes(df, cols)
     scanner = get_scanner(len(cols))
     extra = tuple(extra_args)

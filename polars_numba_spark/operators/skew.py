@@ -57,3 +57,37 @@ def salted_agg(
         partial(column).alias("__partial")
     )
     return partials.groupBy(*keys).agg(final("__partial").alias(result_name))
+
+
+def hot_key_share(
+    df: DataFrame,
+    keys: Sequence[str],
+    sample_fraction: float = 0.02,
+    seed: int = 7,
+) -> tuple[float, object]:
+    """Sampled hottest-key sketch: ``(share, key_struct)`` — the hottest
+    group's share of sampled rows. One sample-sized job at
+    plan-construction time (the ``_choose_shingle_via`` pattern from
+    ``dedup``); a key's row share is preserved under uniform row sampling
+    in expectation. Used by the grouped kernels' ``skew_check``."""
+    counts = (
+        df.sample(fraction=sample_fraction, seed=seed)
+        .groupBy(*list(keys))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    row = counts.agg(
+        F.max("__n").alias("mx"),
+        F.sum("__n").alias("tot"),
+        F.max_by(F.struct(*list(keys)), "__n").alias("key"),
+    ).collect()[0]
+    if not row["tot"]:
+        return 0.0, None
+    return row["mx"] / row["tot"], row["key"]
+
+
+def fair_share_threshold(df: DataFrame) -> float:
+    """One fair reducer share: ``1 / spark.sql.shuffle.partitions`` — a
+    key holding more than this makes its partition a straggler on top of
+    whatever else hashes there (same rationale as the shingle router)."""
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return 1.0 / max(parts, 1)

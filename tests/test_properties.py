@@ -320,3 +320,47 @@ def test_containment_join_matches_python_model(spark, texts):
         for r in containment_join(df, threshold=0.9).collect()
     }
     assert got == expected
+
+
+# --- containment threshold edge sweep (r5 verdict #8) ----------------------
+#
+# The prefix length in containment_join is derived from ceil(n·t) with an
+# epsilon guard (operators/dedup.py): n·t in binary floating point can land
+# an ulp ABOVE the exact product (t=0.9, n=10 → 9.000000000000002 → ceil 10),
+# silently shrinking the prefix below completeness. This sweep drives random
+# corpora × thresholds across [0.5, 0.95] — including sizes that make n·t
+# integral, the exact hazard — against a pure-Python brute-force model.
+
+_vocab = [f"w{i}" for i in range(8)]
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(_vocab), min_size=1, max_size=12),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=corpus_strategy,
+    threshold=st.sampled_from([0.5, 0.6, 0.7, 0.75, 0.8, 0.9, 0.95]),
+)
+def test_containment_join_complete_and_precise(spark, corpus, threshold):
+    from polars_numba_spark.operators.dedup import containment_join
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in containment_join(df, threshold=threshold).collect()
+    }
+    sets = {i: set(toks) for i, toks in enumerate(corpus)}
+    brute = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a != b and len(sets[a] & sets[b]) / len(sets[a]) >= threshold
+    }
+    assert got == brute

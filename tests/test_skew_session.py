@@ -97,3 +97,85 @@ def test_aqe_skew_join_split_engages(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --- grouped-kernel skew routing (r5 verdict #6) ---------------------------
+
+
+def _hot_df(spark, n=4000):
+    """90% of rows on one key — far above any fair reducer share."""
+    rows = [(("hot" if i % 10 else f"cold{i}"), i % 97, i) for i in range(n)]
+    return spark.createDataFrame(rows, "g string, v long, ord long")
+
+
+def _add(acc, v):
+    return acc + v
+
+
+def test_grouped_fold_skew_check_warns_without_combine(spark):
+    import warnings
+
+    from polars_numba_spark.operators.fold import grouped_fold
+
+    df = _hot_df(spark)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        grouped_fold(
+            df, "g", _add, 0, "long", columns=["v"], order_by="ord",
+            skew_check=True,
+        )
+        msgs = [str(w.message) for w in caught]
+    assert any("grouped_fold skew" in m and "hot" in m for m in msgs)
+
+
+def test_grouped_fold_skew_check_quiet_on_uniform_keys(spark):
+    import warnings
+
+    from polars_numba_spark.operators.fold import grouped_fold
+
+    rows = [(f"g{i % 50}", i, i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v long, ord long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        grouped_fold(
+            df, "g", _add, 0, "long", columns=["v"], skew_check=True
+        )
+        msgs = [str(w.message) for w in caught]
+    assert not any("grouped_fold skew" in m for m in msgs)
+
+
+def test_grouped_fold_auto_salts_with_combine(spark):
+    """combine= declared + hot key detected → the two-level salted fold
+    engages (two mapInPandas stages in the plan) and the result matches
+    the unsalted fold exactly."""
+    from polars_numba_spark import plans
+    from polars_numba_spark.operators.fold import grouped_fold
+
+    df = _hot_df(spark)
+    plain = grouped_fold(df, "g", _add, 0, "long", columns=["v"])
+    salted = grouped_fold(
+        df, "g", _add, 0, "long", columns=["v"],
+        skew_check=True, combine=_add,
+    )
+    s = plans.explain_string(salted, "simple")
+    assert s.count("MapInPandas") == 2  # partial fold + merge fold
+    assert "__fold_salt" in s
+    got_plain = {r["g"]: r["fold"] for r in plain.collect()}
+    got_salted = {r["g"]: r["fold"] for r in salted.collect()}
+    assert got_salted == got_plain
+
+
+def test_grouped_scan_skew_check_warns(spark):
+    import warnings
+
+    from polars_numba_spark.operators.scan import grouped_scan
+
+    df = _hot_df(spark)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        grouped_scan(
+            df, "g", _add, 0, "long", columns=["v"], order_by="ord",
+            skew_check=True,
+        )
+        msgs = [str(w.message) for w in caught]
+    assert any("grouped_scan skew" in m and "assoc_scan" in m for m in msgs)

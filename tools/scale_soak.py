@@ -110,6 +110,56 @@ def build_replicated(
         ).parquet(str(dst))
 
 
+def build_mutated(
+    spark: SparkSession, src_dir: str, out_dir: str, factor: int
+) -> None:
+    """Non-degenerate containment variant (r5 verdict #4): documents
+    replicated xfactor with ~30% of token VALUES perturbed per replica.
+
+    The perturbation hashes (token, replica) — no position — so a replica
+    mutates consistently: a passage shared between docs A and B in the
+    source mutates IDENTICALLY in replica k of both, so every original
+    containment pair re-appears once per replica and true-pair mass grows
+    ~linearly. Cross-replica pairs die (different replicas perturb
+    differently; an 8-token shingle survives two independent 30%
+    perturbations with p≈0.49^8), unlike the exact-copy build where every
+    replica pair is a true pair and the soak would measure O(N²) output
+    mass instead of plan shape."""
+    from polars_numba_spark.operators.text import tokens
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    base = spark.read.parquet(f"{src_dir}/documents.parquet")
+    reps = []
+    for k in range(factor):
+        if k == 0:
+            reps.append(base)
+            continue
+        mutated = base.withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    tokens("text"),
+                    lambda t: F.when(
+                        F.pmod(
+                            F.xxhash64(F.concat(t, F.lit(f"#rep{k}"))),
+                            F.lit(10),
+                        )
+                        < 3,
+                        F.concat(t, F.lit(f"m{k}")),
+                    ).otherwise(t),
+                ),
+            ),
+        ).withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(k * ID_OFFSET)).cast("long")
+        )
+        reps.append(mutated)
+    functools.reduce(DataFrame.unionByName, reps).write.mode(
+        "overwrite"
+    ).parquet(str(out / "documents.parquet"))
+
+
 def build_skewed(spark: SparkSession, src_dir: str, out_dir: str) -> None:
     """Hot-key variant: 40% of events on one user, 30% of documents one
     boilerplate text. Same row counts as the source."""
@@ -266,6 +316,27 @@ def run_semdedup_soak(
     )
 
 
+def run_containment_soak(
+    spark: SparkSession, base_dir: str, mut_dir: str, factor: int
+) -> dict:
+    """Soak the complete prefix-filtered containment search on the MUTATED
+    replica build (see build_mutated) — true pairs ~linear in input, so
+    the curve measures the prefix join's fan-out, not answer mass."""
+    from polars_numba_spark.operators.dedup import containment_join
+    from polars_numba_spark.sources import load_table
+
+    def build(d):
+        docs = load_table(spark, "documents", d)
+        return lambda: containment_join(docs, threshold=0.9)
+
+    return _operator_soak(
+        spark,
+        "containment_join_operator",
+        [("1x", build(base_dir), {}), (f"{factor}x", build(mut_dir), {})],
+        factor,
+    )
+
+
 def run_skew(spark: SparkSession, base_dir: str, skew_dir: str) -> dict:
     """Skew soak: the grouped kernel paths and both physical forms of the
     shingle-fraction operator on the hot-key variant, vs the uniform base."""
@@ -385,16 +456,20 @@ def main() -> int:
 
     big_dir = f"{args.out}/x{args.factor}"
     skew_dir = f"{args.out}/skew"
+    mut_dir = f"{args.out}/mut{args.factor}"
     if not args.skip_build:
         print("building replicated variant...", flush=True)
         build_replicated(spark, args.sf_dir, big_dir, args.factor)
         print("building skewed variant...", flush=True)
         build_skewed(spark, args.sf_dir, skew_dir)
+        print("building mutated variant...", flush=True)
+        build_mutated(spark, args.sf_dir, mut_dir, args.factor)
 
     queries = args.queries.split(",") if args.queries else None
     soak = run_soak(spark, args.sf_dir, big_dir, args.factor, queries)
     soak.update(run_neardup_soak(spark, args.sf_dir, big_dir, args.factor))
     soak.update(run_semdedup_soak(spark, args.sf_dir, big_dir, args.factor))
+    soak.update(run_containment_soak(spark, args.sf_dir, mut_dir, args.factor))
     skew = run_skew(spark, args.sf_dir, skew_dir)
     print(json.dumps({"soak": soak, "skew": skew}))
     if args.scale_md:
