@@ -40,8 +40,10 @@ from polars_numba_spark.sources import load_stream
 from polars_numba_spark.sources.formats import (
     read_csv,
     read_jsonl,
+    read_orc,
     write_csv,
     write_jsonl,
+    write_orc,
     write_partitioned_parquet,
 )
 from polars_numba_spark.streaming import windowed_rollup
@@ -103,6 +105,45 @@ def formats_csv_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_DSUM.format(x="o_totalprice")).alias("total_price"),
             F.max("o_orderdate").alias("last_order"),
         )
+    )
+
+
+@register(
+    "formats_orc_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           {_DSUM.format(x='l_extendedprice')} AS total_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    WHERE l_orderkey < 5000 AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def formats_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip differential (round 6 — ORC ships inside spark-sql,
+    no external jar): parquet slice → ORC write → read back → aggregate,
+    with the ship-date filter applied ON THE ORC READ so ORC's own
+    predicate pushdown is on the hot path (plan-asserted in
+    tests/test_plans.py). The oracle computes the identical aggregate
+    straight off parquet — the hash proves the columnar codec round-trips
+    doubles and timestamps bit-exactly."""
+    base = _scratch_dir("orc", sf_dir)
+    l = (  # noqa: E741
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 5000)
+        .select("l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_quantity", "l_shipdate")
+    )
+    write_orc(l, f"{base}/lineitem_orc")
+    back = read_orc(spark, f"{base}/lineitem_orc").where(
+        F.col("l_shipdate") >= "1995-01-01"
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr(_DSUM.format(x="l_extendedprice")).alias("total_price"),
+        F.expr(
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("total_qty"),
     )
 
 

@@ -5,9 +5,12 @@ this engine's I/O surface is Spark's DataSource V2, wrapped thinly so schema
 discipline is kept explicit — at 100 TB, schema inference is a full extra
 scan, so every reader here takes or derives an explicit schema.
 
-Formats: parquet (primary, in tables.py), CSV, JSON-lines, and a
-partitioned-parquet writer for hive-style layout (partition pruning on
-read). ORC/Avro exist in Spark but their jars are not in this container.
+Formats: parquet (primary, in tables.py), CSV, JSON-lines, ORC (built
+into spark-sql — columnar, predicate-pushdown-capable, the
+Hive-ecosystem interchange format), and a partitioned-parquet writer for
+hive-style layout (partition pruning on read). Avro is NOT available
+(external spark-avro module, not in this container — verified: the
+DataSource lookup fails).
 """
 
 from __future__ import annotations
@@ -42,6 +45,27 @@ def read_jsonl(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.schema(schema).json(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """ORC reader. Schema is optional here (ORC files carry their schema
+    like parquet — no inference scan), but passing one still pins the
+    contract and prunes the read to the named columns."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
 
 
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:

@@ -48,3 +48,16 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     assert back.count() == docs.where(F.col("lang") == "en").count()
     # and the pruned scan reads only the en partition directory
     assert "lang=en" not in text or True
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from polars_numba_spark.sources.formats import read_orc, write_orc
+
+    nation = load_table(spark, "nation", SF)
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path)
+    back = read_orc(spark, path, nation.schema)
+    assert back.schema == nation.schema
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in nation.collect()
+    )

@@ -256,3 +256,11 @@ def test_kmv_shuffle_sits_above_bounded_partial(spark):
     assert "MapInPandas" in s
     assert s.index("Exchange") < s.index("MapInPandas")  # root prints first
     assert "partial_collect_set" in s
+
+
+def test_orc_roundtrip_pushes_filter_into_orc_scan(spark):
+    """The ship-date predicate must reach the ORC scan itself — ORC
+    carries min/max stripe statistics exactly for this."""
+    df = q(spark, "formats_orc_roundtrip")
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pushed

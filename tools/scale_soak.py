@@ -337,6 +337,40 @@ def run_containment_soak(
     )
 
 
+def run_kmv_soak(
+    spark: SparkSession, base_dir: str, big_dir: str, factor: int
+) -> dict:
+    """Soak the bounded-state batch KMV sketch (round 6): time the
+    operator at both scales AND count the rows its mapInPandas partial
+    stage sends into the group-by shuffle — the bounded-shuffle contract
+    is ≤ k × n_partitions per group, independent of distinct count."""
+    from polars_numba_spark.operators.sketch import kmv_distinct, kmv_partials
+    from polars_numba_spark.sources import load_table
+
+    def build(d):
+        e = load_table(spark, "events", d)
+        return lambda: kmv_distinct(e, "user_id", "event_type", k=64)
+
+    out = _operator_soak(
+        spark,
+        "kmv_distinct_operator",
+        [("1x", build(base_dir), {}), (f"{factor}x", build(big_dir), {})],
+        factor,
+    )
+    shuffle_rows = {}
+    for label, d in (("1x", base_dir), (f"{factor}x", big_dir)):
+        e = load_table(spark, "events", d)
+        shuffle_rows[f"shuffle_rows_{label}"] = kmv_partials(
+            e, "user_id", ["event_type"], 64
+        ).count()
+        shuffle_rows[f"distinct_{label}"] = (
+            e.select("event_type", "user_id").distinct().count()
+        )
+    out["kmv_distinct_operator"].update(shuffle_rows)
+    print(json.dumps({"kmv_shuffle_bound": shuffle_rows}), flush=True)
+    return out
+
+
 def run_skew(spark: SparkSession, base_dir: str, skew_dir: str) -> dict:
     """Skew soak: the grouped kernel paths and both physical forms of the
     shingle-fraction operator on the hot-key variant, vs the uniform base."""
@@ -470,6 +504,7 @@ def main() -> int:
     soak.update(run_neardup_soak(spark, args.sf_dir, big_dir, args.factor))
     soak.update(run_semdedup_soak(spark, args.sf_dir, big_dir, args.factor))
     soak.update(run_containment_soak(spark, args.sf_dir, mut_dir, args.factor))
+    soak.update(run_kmv_soak(spark, args.sf_dir, big_dir, args.factor))
     skew = run_skew(spark, args.sf_dir, skew_dir)
     print(json.dumps({"soak": soak, "skew": skew}))
     if args.scale_md:
