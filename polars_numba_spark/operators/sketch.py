@@ -95,6 +95,115 @@ def kmv_partials(
     return hashed.mapInPandas(_partial_topk_fn(keys, k), schema=hashed.schema)
 
 
+def _mg_partial_fn(keys: list[str], value_col: str, k: int):
+    """Per-partition bounded Misra-Gries partial: emit, per group, the
+    ≤k candidate values whose MG counter is still positive after the
+    whole partition has streamed through.
+
+    Mergeable-summaries bound (Agarwal et al. 2012): combining batch
+    counts then subtracting the (k+1)-th largest counter decrements every
+    item by a total ≤ m_p/(k+1) across the partition, so any value with
+    true partition frequency > m_p/(k+1) survives. State is ≤k counters
+    per group per partition regardless of the distinct count."""
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[tuple, pd.Series] = {}
+        template: pd.DataFrame | None = None
+        for pdf in batches:
+            if template is None:
+                template = pdf.iloc[:0]
+            if len(pdf) == 0:
+                continue
+            for gkey, sub in pdf.groupby(keys, sort=False, dropna=False):
+                if not isinstance(gkey, tuple):
+                    gkey = (gkey,)
+                vc = sub[value_col].dropna().value_counts()
+                prev = state.get(gkey)
+                s = vc if prev is None else prev.add(vc, fill_value=0)
+                if len(s) > k:
+                    dec = s.nlargest(k + 1).iloc[-1]
+                    s = s - dec
+                    s = s[s > 0]
+                state[gkey] = s
+        if template is None or not state:
+            return
+        out: dict[str, list] = {}
+        for i, key_col in enumerate(keys):
+            out[key_col] = [
+                gkey[i] for gkey, s in state.items() for _ in range(len(s))
+            ]
+        out[value_col] = [v for s in state.values() for v in s.index]
+        yield pd.DataFrame(out).astype(template.dtypes.to_dict(), errors="ignore")
+
+    return partial
+
+
+def heavy_hitter_candidates(
+    df: DataFrame, value_col: str, keys: list[str], k: int
+) -> DataFrame:
+    """The bounded candidate stage of :func:`heavy_hitters`, exposed so
+    tests can pin the contract directly: per input partition, at most k
+    candidate values per group reach the shuffle — independent of the
+    group's distinct count."""
+    cols = df.select(*keys, value_col)
+    return cols.mapInPandas(
+        _mg_partial_fn(keys, value_col, k), schema=cols.schema
+    ).distinct()
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    by: str | Sequence[str],
+    k: int = 100,
+) -> DataFrame:
+    """EXACT per-group heavy hitters — every value occurring in more than
+    a 1/k share of its group — at a bounded shuffle cost:
+    ``(group cols, value_col, cnt, share)``.
+
+    Two passes, the classic distributed frequent-items shape:
+
+    1. **Bounded candidate pass**: a per-partition Misra-Gries summary
+       (≤k counters per group per partition, ``mapInPandas``) whose
+       survivors are a SUPERSET of the true heavy hitters — any value
+       with global share > 1/k has, by pigeonhole, partition frequency
+       > m_p/(k+1) somewhere, and the MG bound keeps such values alive.
+       The shuffle carries ≤ k × n_partitions candidate rows per group,
+       never the full distinct-value set.
+    2. **Exact recount**: a broadcast semi-join keeps only candidate
+       rows, a JVM aggregate counts them exactly, and the 1/k-share
+       filter drops the false positives the MG pass over-admitted.
+
+    The output is therefore EXACT (same rows and counts as a full
+    ``GROUP BY`` + ``HAVING cnt*k > total``) — fully oracle-able — while
+    the only unbounded aggregate is the cheap per-group total. NULL
+    values are excluded (COUNT semantics). ``share`` is rounded to 6
+    decimals for cross-engine hash stability.
+    """
+    keys = as_list(by)
+    cands = heavy_hitter_candidates(
+        df.where(F.col(value_col).isNotNull()), value_col, keys, k
+    )
+    totals = df.where(F.col(value_col).isNotNull()).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__total")
+    )
+    exact = (
+        df.join(F.broadcast(cands), on=[*keys, value_col], how="left_semi")
+        .groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.join(F.broadcast(totals), on=keys)
+        .where(F.col("cnt") * F.lit(k) > F.col("__total"))
+        .select(
+            *keys,
+            value_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+        )
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     value_col: str,

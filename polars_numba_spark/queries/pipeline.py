@@ -201,6 +201,42 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_heavy_tokens",
+    oracle=r"""
+    WITH occ AS (
+        SELECT lang,
+               UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    ), totals AS (
+        SELECT lang, COUNT(*) AS total FROM occ GROUP BY lang
+    ), counts AS (
+        SELECT lang, token, COUNT(*) AS cnt FROM occ GROUP BY lang, token
+    )
+    SELECT c.lang, c.token, c.cnt,
+           ROUND(CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share
+    FROM counts c JOIN totals t USING (lang)
+    WHERE c.cnt * 40 > t.total
+    """,
+)
+def doc_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-language heavy-hitter tokens (> 1/40 share of the
+    language's token occurrences) — the stopword/boilerplate-discovery
+    signal, computed by the two-pass bounded-shuffle frequent-items
+    operator (operators/sketch.py::heavy_hitters): a per-partition
+    Misra-Gries candidate pass (≤k counters per group per partition — the
+    shuffle never carries the full token vocabulary) followed by an exact
+    broadcast-semi-join recount. The oracle is the unbounded GROUP BY +
+    HAVING spelling — the two must match row-for-row because pass 2 is
+    exact and the MG candidate set provably contains every true heavy
+    hitter."""
+    from polars_numba_spark.operators.sketch import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    occ = d.select("lang", F.explode(X.tokens("text")).alias("token"))
+    return heavy_hitters(occ, "token", "lang", k=40)
+
+
+@register(
     "doc_pii_scrub",
     oracle=r"""
     WITH injected AS (

@@ -918,3 +918,73 @@ def test_kmv_partials_bound_the_shuffle(spark):
     }
     assert got["g"] == expect
     assert got["h"] == 5.0
+
+
+# --- heavy hitters (two-pass exact frequent items) -------------------------
+
+
+def test_heavy_hitters_matches_unbounded_groupby(spark):
+    """The two-pass bounded-shuffle computation must equal the unbounded
+    GROUP BY + HAVING cnt*k > total spelling exactly — rows, counts, and
+    shares — on a zipf-ish skewed corpus spread over several partitions."""
+    import numpy as np
+
+    from polars_numba_spark.operators.sketch import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    vals = (rng.zipf(1.5, size=4000) % 500).tolist()
+    rows = [("a" if i % 3 else "b", int(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, v long").repartition(8)
+
+    k = 25
+    got = {
+        (r["g"], r["v"]): (r["cnt"], r["share"])
+        for r in heavy_hitters(df, "v", "g", k=k).collect()
+    }
+
+    from collections import Counter
+
+    expect = {}
+    for g in ("a", "b"):
+        sub = [v for (gg, v) in rows if gg == g]
+        total = len(sub)
+        for v, c in Counter(sub).items():
+            if c * k > total:
+                expect[(g, v)] = (c, round(c / total, 6))
+    assert expect, "seed must produce at least one heavy hitter"
+    assert got == expect
+
+
+def test_heavy_hitter_candidates_bounded_per_partition(spark):
+    """The MG candidate pass sends ≤k rows per group per partition into
+    the shuffle even when the partition holds far more distinct values —
+    the frequent-items analogue of the KMV bounded-shuffle contract."""
+    from polars_numba_spark.operators.sketch import _mg_partial_fn
+
+    import pandas as pd
+
+    k = 8
+    # one partition's stream: 3000 distinct singletons + one hot value
+    pdfs = [
+        pd.DataFrame({"g": ["x"] * 1000, "v": list(range(i * 1000, (i + 1) * 1000))})
+        for i in range(3)
+    ]
+    pdfs.append(pd.DataFrame({"g": ["x"] * 500, "v": [42] * 500}))
+    out = list(_mg_partial_fn(["g"], "v", k)(iter(pdfs)))
+    assert len(out) == 1 and len(out[0]) <= k
+    assert 42 in set(out[0]["v"])  # the true heavy hitter survives
+
+
+def test_heavy_hitters_ignores_nulls(spark):
+    """NULL values are excluded from candidates, counts, and the group
+    total (COUNT semantics)."""
+    from polars_numba_spark.operators.sketch import heavy_hitters
+
+    rows = [("g", 1)] * 6 + [("g", 2)] * 3 + [("g", None)] * 11
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["v"]: (r["cnt"], r["share"])
+        for r in heavy_hitters(df, "v", "g", k=2).collect()
+    }
+    # totals exclude nulls: total=9, threshold cnt*2>9 → only v=1 (6>4.5)
+    assert got == {1: (6, round(6 / 9, 6))}
