@@ -656,3 +656,105 @@ def document_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@register(
+    "orders_merge_upsert",
+    oracle="""
+    WITH changelog AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(NULL AS INTEGER) AS __seq, CAST(NULL AS VARCHAR) AS __op
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'X' AS o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice, 1 AS __seq, 'U' AS __op
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+               2 AS __seq, 'D' AS __op
+        FROM orders WHERE o_orderkey % 97 = 0
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_orderkey ORDER BY __seq DESC NULLS LAST
+        ) AS rn FROM changelog
+    )
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(o_totalprice, 6) AS o_totalprice
+    FROM ranked
+    WHERE rn = 1 AND (__op IS NULL OR __op <> 'D')
+    """,
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO without a table format (operators/cdc.py::merge_upsert):
+    a base snapshot plus a deterministic derived changelog — a price/status
+    update wave (orderkey % 10, seq 1) and a delete wave (orderkey % 97,
+    seq 2) — compacted by one last-write-wins window pass. Updated rows
+    carry the new status, deleted keys vanish, everything else passes
+    through; a later delete beats an earlier update on keys divisible by
+    both. No join: one hash shuffle on the merge key."""
+    from polars_numba_spark.operators.cdc import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    upd = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        )
+        .withColumn("__seq", F.lit(1))
+        .withColumn("__op", F.lit("U"))
+    )
+    dels = (
+        o.where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+        )
+        .withColumn("__seq", F.lit(2))
+        .withColumn("__op", F.lit("D"))
+    )
+    snap = merge_upsert(
+        base,
+        upd.unionByName(dels),
+        keys="o_orderkey",
+        seq_col="__seq",
+        op_col="__op",
+    )
+    return snap.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+    )
+
+
+@register(
+    "user_state_scd2",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           LEAD(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to,
+           LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL AS is_current
+    FROM events WHERE event_type IN ('signup', 'purchase')
+    """,
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history (operators/cdc.py::scd2_history): each signup/purchase
+    version of a user's state annotated with its validity interval — the
+    next version's timestamp closes the current one, the open interval is
+    the current row. One lead() window, one shuffle on the key."""
+    from polars_numba_spark.operators.cdc import scd2_history
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    hist = scd2_history(e, keys="user_id", seq_col="ts", tiebreak="event_id")
+    return hist.select(
+        "user_id", "event_id", "event_type", "valid_from", "valid_to", "is_current"
+    )
