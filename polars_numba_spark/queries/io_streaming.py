@@ -547,3 +547,56 @@ def streaming_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", F.round(F.col("__est"), 6).alias("kmv_users"))
     )
+
+
+@register(
+    "streaming_enriched_segments",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join, the standard streaming-enrichment shape: the
+    event stream joins a static broadcast customer dimension per
+    micro-batch (stateless — no join state, the dim is re-read/broadcast
+    each batch), then rolls up per (segment, event_type) in complete mode.
+    Bounded input ⇒ the final sink state equals the batch join+aggregate,
+    which the oracle computes independently. At cluster scale the dim-side
+    broadcast is exactly how a 100-TB stream enriches against a
+    1000-row-to-1-GB dimension without shuffling the stream."""
+    from polars_numba_spark.sources import load_table
+
+    stream = load_stream(spark, "events", sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+    dim = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey, "inner"
+    )
+    out = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+    run_id = uuid.uuid4().hex[:8]
+    sink = f"pns_stream_enrich_{run_id}"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await(query, "streaming_enriched_segments")
+        staged = _fresh_dir(_scratch_dir("enrich_out", sf_dir), run_id)
+        spark.table(sink).write.mode("overwrite").parquet(staged)
+    finally:
+        spark.catalog.dropTempView(sink)
+    return spark.read.parquet(staged)
