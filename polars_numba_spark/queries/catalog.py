@@ -68,9 +68,7 @@ def register(name: str, oracle: str | None = None):
 _DRIVER_PRIORITY: list[str] = [
     # fold/scan kernel surface (SURVEY §2.A)
     "global_longest_hot_streak",        # A1 collect_fold, single ordered stream
-    "kernel_fold_event_cents",          # A2 grouped fold
-    "kernel_scan_user_balance_cents",   # A4 grouped scan
-    "kernel_fold_two_columns",          # A9 arity>1 dispatch
+    "kernel_fold_two_columns",          # A9 arity>1 dispatch (grouped fold)
     "capped_balance_per_user",          # flagship non-assoc fold (recursive-CTE oracle)
     "kernel_scan_multi_output",         # A10 tuple→SizedArray accumulator
     "parallel_fold_total_cents",        # collect_fold(combine=) parallel path
@@ -107,11 +105,10 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_unigram_logprob",              # CCNet-style LM quality proxy (decimal-exact cross-engine ln)
     "dedup_simhash_portable",
     "embedding_topk_bruteforce",
-    "embedding_near_dup_pairs",
     "semantic_dedup_pairs",             # SemDeDup: kmeans-bounded cosine pairs (full unrolled oracle)
     "semantic_dedup_keeplist",          # SemDeDup keep policy end-to-end (rebuild aggregate)
     "doc_tfidf_top_terms",              # per-doc TF-IDF keywords (round-9-ranked window)
-    "doc_language_id",
+    "doc_heavy_tokens",                 # EXACT heavy hitters via bounded MG candidates (round 6)
     "doc_repetition_stats",             # Gopher-style repetition quality filters
     "doc_duplicated_spans",             # true ExactSubstr passage spans (round-5 flagship)
     "doc_remove_passages",              # ExactSubstr removal + document rebuild
@@ -119,6 +116,9 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_image_dims",
     "rolling_hour_user_value",
     "parallel_scan_running_balance",    # two-pass parallel prefix scan
+    "orders_merge_upsert",              # CDC merge/upsert snapshot (round 6)
+    "user_state_scd2",                  # SCD2 validity intervals (round 6)
+    "streaming_enriched_segments",      # stream-static broadcast enrichment (round 6, real job)
     "training_data_pipeline",
 ]
 # Swapped OUT of the window in round 3 (r2 verdict #5 — both remain oracled
@@ -164,6 +164,20 @@ _DRIVER_PRIORITY: list[str] = [
 # semantic_dedup_keeplist (COUNT(DISTINCT) aggregation remains
 # driver-evidenced inside distinct_users_kmv's exact_users column; the new
 # entry gates SemDeDup's keep policy end to end).
+# Second round-6 rotation (the new round-6 operator families — every evictee
+# remains oracled and local-gated): kernel_fold_event_cents →
+# orders_merge_upsert (grouped fold stays driver-gated through
+# kernel_fold_two_columns + capped_balance_per_user + user_activity_with_fold;
+# the new entry gates the CDC merge/upsert window pass),
+# kernel_scan_user_balance_cents → user_state_scd2 (grouped scan stays gated
+# through kernel_scan_multi_output + streaming_scan_user_balance; the new
+# entry gates SCD2 validity intervals), embedding_near_dup_pairs →
+# doc_heavy_tokens (the cosine-pair family stays gated through
+# semantic_dedup_pairs and the bucketed operator is soak-measured in
+# SCALE.md; the new entry gates the bounded Misra-Gries frequent-items
+# pass), doc_language_id → streaming_enriched_segments (text-quality stays
+# gated through doc_repetition_stats + doc_unigram_logprob; the new entry
+# gates the stream-static broadcast enrichment join as a real job).
 
 
 def _prioritized(mapping: dict) -> dict:
