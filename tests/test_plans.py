@@ -264,3 +264,28 @@ def test_orc_roundtrip_pushes_filter_into_orc_scan(spark):
     df = q(spark, "formats_orc_roundtrip")
     pushed = " ".join(plans.pushed_filters(df))
     assert "l_shipdate" in pushed
+
+
+def test_cdc_snapshot_and_scd2_single_shuffle(spark):
+    """The CDC window passes must be ONE hash exchange on the merge keys —
+    no join in merge_upsert (the union feeds the window directly), and
+    scd2's lead() rides the same single shuffle."""
+    for name in ("orders_merge_upsert", "user_state_scd2"):
+        df = q(spark, name)
+        s = plans.explain_string(df)
+        assert "Join" not in s, name
+        assert plans.count_exchanges(df) <= 1, name
+
+
+def test_heavy_hitters_recount_is_broadcast_join_over_bounded_candidates(spark):
+    """doc_heavy_tokens' exact recount must broadcast the MG candidate set
+    (a ≤k×P-row frame, never shuffled against the corpus) and the group
+    totals; the only shuffles are the candidate distinct and the final
+    per-candidate count — the full token vocabulary never crosses a
+    shuffle as groupBy keys of an unbounded aggregate."""
+    df = q(spark, "doc_heavy_tokens")
+    s = plans.explain_string(df)
+    assert "MapInPandas" in s                      # the bounded MG partial
+    assert s.count("BroadcastExchange") >= 2       # candidates + totals
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
