@@ -247,3 +247,83 @@ def kmv_distinct(
         )
         .alias("kmv_estimate"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    by: str | Sequence[str],
+    probs: Sequence[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bounded-state per-group quantile estimates from a fixed-bin
+    histogram: ``(group cols, prob, quantile_est)``.
+
+    Spark's ``approx_percentile`` (GK) and DuckDB's ``approx_quantile``
+    (t-digest) are engine-specific — no cross-engine oracle possible. A
+    fixed [lo, hi) equi-width histogram is the deterministic mergeable
+    alternative: the aggregate carries ≤ ``n_bins`` counter rows per group
+    through the shuffle regardless of row count (map-side partial
+    aggregation collapses each partition to its bin counts first — the
+    shuffle never carries values, unlike sort-based exact percentile),
+    the merge is counter addition, and the estimate — linear
+    interpolation inside the first bin whose cumulative count reaches
+    ``p·total`` — is the SAME arithmetic in any engine, so the whole
+    thing oracles exactly.
+
+    Error bound: estimates are exact-rank within one bin width
+    ((hi-lo)/n_bins); values outside [lo, hi) clamp into the edge bins.
+    ``probs`` must lie in (0, 1]. NULL values are excluded (aggregate
+    semantics).
+    """
+    from pyspark.sql import Window
+
+    keys = as_list(by)
+    width = (hi - lo) / n_bins
+    bin_col = (
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+            ),
+        )
+        .cast("int")
+        .alias("__bin")
+    )
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, bin_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = counts.select(
+        *keys,
+        "__bin",
+        "__n",
+        F.sum("__n").over(w_cum).alias("__cum"),
+        F.sum("__n").over(w_all).alias("__total"),
+    )
+    p = F.explode(
+        F.array(*[F.lit(float(x)) for x in probs])
+    ).alias("prob")
+    exploded = cum.select(*keys, "__bin", "__n", "__cum", "__total", p)
+    target = F.col("prob") * F.col("__total").cast("double")
+    hit = exploded.where(
+        (F.col("__cum").cast("double") >= target)
+        & ((F.col("__cum") - F.col("__n")).cast("double") < target)
+    )
+    frac = (target - (F.col("__cum") - F.col("__n")).cast("double")) / F.col(
+        "__n"
+    ).cast("double")
+    est = F.lit(lo) + F.lit(width) * (F.col("__bin").cast("double") + frac)
+    return hit.select(
+        *keys, "prob", F.round(est, round_to).alias("quantile_est")
+    )

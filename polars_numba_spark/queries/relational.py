@@ -758,3 +758,62 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "user_id", "event_id", "event_type", "valid_from", "valid_to", "is_current"
     )
+
+
+@register(
+    "order_price_hist_quantiles",
+    oracle="""
+    WITH binned AS (
+        SELECT o_orderpriority,
+               CAST(LEAST(255, GREATEST(0,
+                   FLOOR((o_totalprice - 1000.0) / 1949.21875))) AS INTEGER)
+                   AS bin
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), counts AS (
+        SELECT o_orderpriority, bin, COUNT(*) AS n
+        FROM binned GROUP BY 1, 2
+    ), cum AS (
+        SELECT o_orderpriority, bin, n,
+               CAST(SUM(n) OVER (
+                   PARTITION BY o_orderpriority ORDER BY bin
+               ) AS BIGINT) AS c,
+               CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+                   AS total
+        FROM counts
+    ), exploded AS (
+        SELECT *, UNNEST([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                          CAST(0.99 AS DOUBLE)]) AS prob
+        FROM cum
+    )
+    SELECT o_orderpriority, prob,
+           ROUND(1000.0 + 1949.21875 * (CAST(bin AS DOUBLE)
+               + (prob * CAST(total AS DOUBLE) - CAST(c - n AS DOUBLE))
+                 / CAST(n AS DOUBLE)), 6) AS quantile_est
+    FROM exploded
+    WHERE CAST(c AS DOUBLE) >= prob * CAST(total AS DOUBLE)
+      AND CAST(c - n AS DOUBLE) < prob * CAST(total AS DOUBLE)
+    """,
+)
+def order_price_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state histogram quantiles
+    (operators/sketch.py::histogram_quantiles): p50/p90/p99 of order price
+    per priority from a 256-bin equi-width histogram. Unlike the
+    sort-based exact percentile (order_price_quantiles, which shuffles
+    every value), the aggregate ships ≤256 counter rows per group —
+    map-side partials collapse each partition to its bin counts first —
+    and unlike approx_percentile/t-digest the estimator is deterministic
+    arithmetic that DuckDB reproduces exactly. Width 1949.21875 =
+    (500000-1000)/256, an exact binary double, so FLOOR agrees bit-for-bit
+    cross-engine."""
+    from polars_numba_spark.operators.sketch import histogram_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    return histogram_quantiles(
+        o,
+        "o_totalprice",
+        "o_orderpriority",
+        probs=(0.5, 0.9, 0.99),
+        lo=1000.0,
+        hi=500000.0,
+        n_bins=256,
+    )

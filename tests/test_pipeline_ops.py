@@ -988,3 +988,68 @@ def test_heavy_hitters_ignores_nulls(spark):
     }
     # totals exclude nulls: total=9, threshold cnt*2>9 → only v=1 (6>4.5)
     assert got == {1: (6, round(6 / 9, 6))}
+
+
+# --- histogram quantiles (bounded-state deterministic sketch) ---------------
+
+
+def test_histogram_quantiles_within_one_bin_of_exact(spark):
+    """The histogram estimate must land within one bin width of the true
+    quantile, and be exactly reproducible from the numpy model of the
+    same binning arithmetic."""
+    import numpy as np
+
+    from polars_numba_spark.operators.sketch import histogram_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(0.0, 100.0, size=5000)
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "g string, v double"
+    )
+    lo, hi, n_bins = 0.0, 100.0, 50
+    width = (hi - lo) / n_bins
+    got = {
+        r["prob"]: r["quantile_est"]
+        for r in histogram_quantiles(
+            df, "v", "g", probs=(0.5, 0.9), lo=lo, hi=hi, n_bins=n_bins
+        ).collect()
+    }
+    for p in (0.5, 0.9):
+        true_q = float(np.quantile(vals, p))
+        assert abs(got[p] - true_q) <= width, (p, got[p], true_q)
+    # exact numpy model of the same arithmetic
+    bins = np.clip(np.floor((vals - lo) / width), 0, n_bins - 1).astype(int)
+    counts = np.bincount(bins, minlength=n_bins)
+    cum = np.cumsum(counts)
+    for p in (0.5, 0.9):
+        target = p * len(vals)
+        b = int(np.searchsorted(cum, target))
+        prev = cum[b] - counts[b]
+        expect = lo + width * (b + (target - prev) / counts[b])
+        assert got[p] == round(expect, 6)
+
+
+def test_histogram_quantiles_clamps_out_of_range_and_skips_nulls(spark):
+    from polars_numba_spark.operators.sketch import histogram_quantiles
+
+    rows = [("g", -50.0), ("g", 150.0), ("g", None)] + [
+        ("g", 10.0 * i) for i in range(1, 10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = histogram_quantiles(
+        df, "v", "g", probs=(1.0,), lo=0.0, hi=100.0, n_bins=10
+    ).collect()
+    # p=1.0 lands in the top bin (the clamped 150.0); nulls never counted
+    assert len(got) == 1
+    assert 90.0 <= got[0]["quantile_est"] <= 100.0
+
+
+def test_histogram_quantiles_has_partial_aggregation(spark):
+    """The bin-count aggregate must plan map-side partials — that is the
+    bounded-shuffle claim (each partition ships its ≤n_bins counters)."""
+    from polars_numba_spark import plans
+    from polars_numba_spark.operators.sketch import histogram_quantiles
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    out = histogram_quantiles(df, "v", "g", probs=(0.5,), lo=0.0, hi=10.0)
+    assert plans.has_partial_aggregation(out)
