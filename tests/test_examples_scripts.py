@@ -12,7 +12,8 @@ import pytest
 @pytest.mark.parametrize(
     "script",
     ["example_fold.py", "example_scan.py", "example_pipeline.py",
-     "example_multimodal.py", "example_dedup_sketch.py"],
+     "example_multimodal.py", "example_dedup_sketch.py",
+     "example_cdc_sketch.py"],
 )
 def test_example_runs(script):
     proc = subprocess.run(
