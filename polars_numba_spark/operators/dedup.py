@@ -409,6 +409,15 @@ def containment_join(
         .select("a_id", "b_id")
         .distinct()
     )
+    # The candidate rows are two longs — tiny in BYTES — so AQE's
+    # size-based coalescing collapses the distinct's output to a handful
+    # of partitions; the verify projection downstream is compute-heavy
+    # PER ROW (array set ops), and in the 10x soak that serialized the
+    # whole verify onto 4 cores with one straggler. An explicit
+    # numPartitions is respected by AQE; the extra shuffle moves 16
+    # bytes/row and buys back every core for the verify stage.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    cands = cands.repartition(par, "a_id", "b_id")
     scored = containment_pairs(df, cands, text_col, id_col, shingle_n)
     return scored.where(F.col("containment_a") >= threshold)
 
