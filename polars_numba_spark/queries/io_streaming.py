@@ -600,3 +600,62 @@ def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView(sink)
     return spark.read.parquet(staged)
+
+
+@register(
+    "streaming_user_latest_state",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           CAST(ts AS TIMESTAMP) AS last_ts
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn FROM events
+    ) WHERE rn = 1
+    """,
+)
+def streaming_user_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC: the last-write-wins snapshot maintained as BOUNDED
+    keyed state (one row per live key —
+    streaming/stateful.py::streaming_latest_snapshot), run as a real
+    availableNow job. The winner-merge is associative/commutative so the
+    final snapshot is micro-batch-split invariant; the oracle is the batch
+    window spelling over the same changelog."""
+    from polars_numba_spark.streaming import streaming_latest_snapshot
+
+    stream = load_stream(spark, "events", sf_dir).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    snap = streaming_latest_snapshot(
+        stream, keys="user_id", seq_col="ts", tiebreak="event_id"
+    )
+    run_id = uuid.uuid4().hex[:8]
+    out_dir = _fresh_dir(_scratch_dir("lww_out", sf_dir), run_id)
+    ckpt = os.path.join(tempfile.gettempdir(), f"pns_ckpt_lww_{run_id}")
+    query = (
+        snap.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await(query, "streaming_user_latest_state")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    sink = spark.read.parquet(out_dir)
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "event_type", "ts"), "batches_seen"
+            ).alias("__s")
+        )
+        .select(
+            "user_id",
+            F.col("__s.event_id").alias("last_event_id"),
+            F.col("__s.event_type").alias("last_type"),
+            F.col("__s.ts").alias("last_ts"),
+        )
+    )

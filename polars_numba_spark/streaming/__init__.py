@@ -4,6 +4,7 @@ from polars_numba_spark.streaming.stateful import (
     streaming_exact_dedup,
     streaming_grouped_fold,
     streaming_kmv_distinct,
+    streaming_latest_snapshot,
     streaming_grouped_scan,
     windowed_rollup,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_grouped_fold",
     "streaming_kmv_distinct",
+    "streaming_latest_snapshot",
     "streaming_grouped_scan",
     "windowed_rollup",
 ]

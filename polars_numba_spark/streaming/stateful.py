@@ -334,3 +334,73 @@ def streaming_kmv_distinct(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_latest_snapshot(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    seq_col: str,
+    tiebreak: str | Sequence[str] = (),
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Streaming last-write-wins snapshot: the CDC face of
+    :mod:`polars_numba_spark.operators.cdc` as keyed state. Per key, state
+    is ONE row — the current winner under ``(seq_col, *tiebreak)`` — so
+    state is bounded at one row per live key regardless of changelog
+    volume, and the winner-merge (newer beats older) is associative and
+    commutative: the final snapshot is independent of how the stream was
+    micro-batched.
+
+    Each batch emits the key's current winning row plus ``batches_seen``;
+    readers take ``max_by(..., batches_seen)`` per key for the final
+    snapshot (the streaming_kmv_distinct read protocol). ``seq_col`` and
+    ``tiebreak`` must be non-null and are compared with Python ``>`` on
+    tuples — same total order as the batch operator's
+    ``desc_nulls_last`` when no nulls are present.
+    """
+    key_list = as_list(keys)
+    tb_list = as_list(tiebreak)
+    if value_cols is None:
+        value_cols = [c for c in df.columns if c not in key_list]
+    vals = list(value_cols)
+    for c in (seq_col, *tb_list):
+        if c not in vals:
+            vals.append(c)
+    df = df.select(*key_list, *vals)
+    dtypes = dict(df.dtypes)
+    key_schema = ", ".join(f"{c} {dtypes[c]}" for c in key_list)
+    val_schema = ", ".join(f"{c} {dtypes[c]}" for c in vals)
+    out_schema = f"{key_schema}, {val_schema}, batches_seen long"
+    state_schema = f"{val_schema}, batches long"
+    order_cols = [seq_col, *tb_list]
+
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        best: tuple | None = None
+        batches = 0
+        if state.exists:
+            stored = state.get
+            best, batches = tuple(stored[:-1]), stored[-1]
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            top = pdf.sort_values(order_cols, ascending=False).iloc[0]
+            cand = tuple(top[c] for c in vals)
+            if best is None or tuple(
+                cand[vals.index(c)] for c in order_cols
+            ) > tuple(best[vals.index(c)] for c in order_cols):
+                best = cand
+        batches += 1
+        state.update((*best, batches))
+        data = {c: [kv] for c, kv in zip(key_list, key)}
+        for c, v in zip(vals, best):
+            data[c] = [v]
+        data["batches_seen"] = [batches]
+        yield pd.DataFrame(data)
+
+    return df.groupBy(*key_list).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

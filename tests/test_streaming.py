@@ -346,3 +346,57 @@ def test_streaming_kmv_batch_split_invariant(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS kmv_stream")
     assert got == expected
+
+
+def test_streaming_latest_snapshot_batch_split_invariant(spark, tmp_path):
+    """The last-write-wins merge (newer beats older) is associative and
+    commutative, so a forced 3-batch run must land on the SAME snapshot as
+    the batch latest_snapshot over the union of the files — including when
+    the winning row arrives in an EARLY batch."""
+    from polars_numba_spark.operators.cdc import latest_snapshot
+    from polars_numba_spark.streaming import streaming_latest_snapshot
+
+    src = tmp_path / "lww_src"
+    batch = load_table(spark, "events", SF).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    # slice by event_id mod 3: winners land in arbitrary batches
+    for i in range(3):
+        batch.where(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    expected = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in latest_snapshot(
+            spark.read.parquet(str(src)), "user_id", "ts", tiebreak="event_id"
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    out = streaming_latest_snapshot(
+        stream, keys="user_id", seq_col="ts", tiebreak="event_id"
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("lww_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "lww_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert query.awaitTermination(120), "stream did not finish in time"
+        got = {
+            r["user_id"]: (r["event_id"], r["event_type"])
+            for r in spark.sql(
+                "SELECT user_id, max_by(event_id, batches_seen) AS event_id, "
+                "max_by(event_type, batches_seen) AS event_type "
+                "FROM lww_stream GROUP BY user_id"
+            ).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lww_stream")
+    assert got == expected
