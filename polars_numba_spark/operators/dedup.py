@@ -402,7 +402,17 @@ def containment_join(
         F.col("id").alias("a_id"),
         F.explode(F.slice("sorted_toks", 1, prefix_len)).alias("tok"),
     )
-    index = occ.select(F.col("id").alias("b_id"), "tok")
+    # The prefix⋈index join is the EXPLOSIVE stage (its output is the
+    # candidate fan-out), but AQE sizes its width from input BYTES: with a
+    # broadcast prefix side the stage inherits the index side's (tiny,
+    # coalesced) partitioning and the whole fan-out + partial distinct ran
+    # on 4 cores in the 10x soak. Repartitioning the big side by the join
+    # key to defaultParallelism pins the stage width; the shuffle it adds
+    # moves (id, token) pairs — linear in corpus size.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    index = occ.select(F.col("id").alias("b_id"), "tok").repartition(
+        par, "tok"
+    )
     cands = (
         prefixes.join(index, "tok")
         .where(F.col("a_id") != F.col("b_id"))
@@ -416,7 +426,6 @@ def containment_join(
     # whole verify onto 4 cores with one straggler. An explicit
     # numPartitions is respected by AQE; the extra shuffle moves 16
     # bytes/row and buys back every core for the verify stage.
-    par = df.sparkSession.sparkContext.defaultParallelism
     cands = cands.repartition(par, "a_id", "b_id")
     scored = containment_pairs(df, cands, text_col, id_col, shingle_n)
     return scored.where(F.col("containment_a") >= threshold)
