@@ -249,6 +249,7 @@ def _joined_pair_sets(
     text_col: str,
     id_col: str,
     shingle_n: int | None,
+    verify_partitions: int | None = None,
 ):
     """Shared candidate-scoring scaffold for :func:`jaccard_pairs` and
     :func:`containment_pairs`: (a_id, b_id) pairs joined to both sides'
@@ -259,6 +260,18 @@ def _joined_pair_sets(
     toks = df.select(
         F.col(id_col).alias("id"), _token_sets(text_col, shingle_n).alias("toks")
     ).withColumn("n_toks", F.size("toks"))
+    # Candidate rows are two longs — tiny in BYTES, heavy in downstream
+    # COMPUTE (per-pair array set ops). AQE coalesces post-shuffle stages
+    # by bytes, so an upstream distinct/band-join can hand this scaffold a
+    # handful of partitions and serialize the verify onto as many cores
+    # (observed in the containment 10x soak: 4 tasks, ~12 min straggler).
+    # An explicit numPartitions is exempt from AQE coalescing; the extra
+    # shuffle moves 16 bytes per candidate. Opt-in (verify_partitions):
+    # measured a 28% win on the large banded-jaccard candidate set and a
+    # 20% LOSS on minhash's few-hundred-pair set — callers know their
+    # candidate mass.
+    if verify_partitions is not None:
+        pairs = pairs.repartition(verify_partitions, "a_id", "b_id")
     a = toks.alias("ta")
     b = toks.alias("tb")
     joined = pairs.join(a, pairs.a_id == F.col("ta.id")).join(
@@ -274,6 +287,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     prune_threshold: float | None = None,
     shingle_n: int | None = None,
+    verify_partitions: int | None = None,
 ) -> DataFrame:
     """Exact distinct-token (or n-shingle, with ``shingle_n``) Jaccard for
     given (a_id, b_id) candidate pairs.
@@ -285,7 +299,7 @@ def jaccard_pairs(
     and the kind that matters when the candidate set is 10⁸ pairs.
     """
     joined, size_a, size_b = _joined_pair_sets(
-        df, pairs, text_col, id_col, shingle_n
+        df, pairs, text_col, id_col, shingle_n, verify_partitions
     )
     if prune_threshold is not None:
         joined = joined.where(
@@ -311,6 +325,7 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int | None = None,
+    verify_partitions: int | None = None,
 ) -> DataFrame:
     """Exact token/shingle-set CONTAINMENT for candidate pairs:
     ``containment_a = |A∩B| / |A|`` and the symmetric ``containment_b`` —
@@ -327,7 +342,7 @@ def containment_pairs(
     :func:`containment_join` (prefix filtering); the banded form is the
     cheap screen."""
     joined, size_a, size_b = _joined_pair_sets(
-        df, pairs, text_col, id_col, shingle_n
+        df, pairs, text_col, id_col, shingle_n, verify_partitions
     )
     union = F.size(F.array_union(F.col("ta.toks"), F.col("tb.toks")))
     inter = (size_a + size_b - union).cast("double")
@@ -419,15 +434,11 @@ def containment_join(
         .select("a_id", "b_id")
         .distinct()
     )
-    # The candidate rows are two longs — tiny in BYTES — so AQE's
-    # size-based coalescing collapses the distinct's output to a handful
-    # of partitions; the verify projection downstream is compute-heavy
-    # PER ROW (array set ops), and in the 10x soak that serialized the
-    # whole verify onto 4 cores with one straggler. An explicit
-    # numPartitions is respected by AQE; the extra shuffle moves 16
-    # bytes/row and buys back every core for the verify stage.
-    cands = cands.repartition(par, "a_id", "b_id")
-    scored = containment_pairs(df, cands, text_col, id_col, shingle_n)
+    # Widen the verify too (the same narrow-stage hazard one stage later):
+    # the complete search's candidate mass warrants it by construction.
+    scored = containment_pairs(
+        df, cands, text_col, id_col, shingle_n, verify_partitions=par
+    )
     return scored.where(F.col("containment_a") >= threshold)
 
 

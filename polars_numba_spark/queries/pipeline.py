@@ -562,9 +562,15 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = D.minhash_lsh_candidates(
         d, num_hashes=16, bands=4, portable=True, block_by="source"
     )
-    return D.jaccard_pairs(d, cands, prune_threshold=0.8).where(
-        F.col("jaccard") >= 0.8
-    )
+    # verify_partitions: the banded candidate set here is large (~139k
+    # verified pairs at sf0.1) and the verify is per-pair set arithmetic —
+    # widening it past AQE's byte-based coalescing measured 7.2s → 5.2s.
+    return D.jaccard_pairs(
+        d,
+        cands,
+        prune_threshold=0.8,
+        verify_partitions=spark.sparkContext.defaultParallelism,
+    ).where(F.col("jaccard") >= 0.8)
 
 
 @register(
@@ -607,7 +613,9 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = D.minhash_lsh_candidates(
         d, num_hashes=16, bands=4, portable=True, block_by="source"
     )
-    scored = D.containment_pairs(d, cands)
+    scored = D.containment_pairs(
+        d, cands, verify_partitions=spark.sparkContext.defaultParallelism
+    )
     return scored.where(
         F.greatest(F.col("containment_a"), F.col("containment_b")) >= 0.9
     )
