@@ -76,7 +76,6 @@ _DRIVER_PRIORITY: list[str] = [
     # TPC-H relational core (§2.B joins/agg/subqueries)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "q13_customer_order_distribution",
     "q18_large_volume_orders",
@@ -119,6 +118,7 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_merge_upsert",              # CDC merge/upsert snapshot (round 6)
     "user_state_scd2",                  # SCD2 validity intervals (round 6)
     "streaming_enriched_segments",      # stream-static broadcast enrichment (round 6, real job)
+    "streaming_signup_purchase_join",   # stream-STREAM watermarked interval join (round 6, real job)
     "training_data_pipeline",
 ]
 # Swapped OUT of the window in round 3 (r2 verdict #5 — both remain oracled

@@ -659,3 +659,72 @@ def streaming_user_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__s.ts").alias("last_ts"),
         )
     )
+
+
+@register(
+    "streaming_signup_purchase_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           s.event_id AS signup_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(s.ts AS TIMESTAMP) AS signup_ts
+    FROM events p JOIN events s
+      ON p.user_id = s.user_id
+     AND p.event_type = 'purchase' AND s.event_type = 'signup'
+     AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY
+    """,
+)
+def streaming_signup_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: purchases matched to each signup by
+    the same user within the preceding 7 days, both sides live streams
+    with watermarks bounding the join state (each side buffers only rows
+    younger than watermark + interval — the mechanism that keeps a
+    perpetual two-stream join's state finite at cluster scale). Bounded
+    input ⇒ the emitted append-mode rows equal the batch interval join,
+    which the oracle computes independently."""
+    purchases = (
+        load_stream(spark, "events", sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    signups = (
+        load_stream(spark, "events", sf_dir)
+        .where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "1 hour")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("signup_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("signup_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 7 DAYS")
+        ),
+        "inner",
+    ).select("purchase_id", "user_id", "signup_id", "purchase_ts", "signup_ts")
+    run_id = uuid.uuid4().hex[:8]
+    out_dir = _fresh_dir(_scratch_dir("ssjoin_out", sf_dir), run_id)
+    ckpt = os.path.join(tempfile.gettempdir(), f"pns_ckpt_ssj_{run_id}")
+    query = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await(query, "streaming_signup_purchase_join")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir)
