@@ -118,7 +118,7 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_merge_upsert",              # CDC merge/upsert snapshot (round 6)
     "user_state_scd2",                  # SCD2 validity intervals (round 6)
     "streaming_enriched_segments",      # stream-static broadcast enrichment (round 6, real job)
-    "streaming_signup_purchase_join",   # stream-STREAM watermarked interval join (round 6, real job)
+    "streaming_signup_conversion_outer",  # stream-STREAM LEFT OUTER interval join: watermark-evicted unmatched rows via sentinel punctuation (round 6, real job; inner twin stays local-gated)
     "training_data_pipeline",
 ]
 # Swapped OUT of the window in round 3 (r2 verdict #5 — both remain oracled

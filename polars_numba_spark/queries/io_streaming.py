@@ -25,6 +25,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -728,3 +729,126 @@ def streaming_signup_purchase_join(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "streaming_signup_conversion_outer",
+    oracle="""
+    SELECT s.event_id AS signup_id, s.user_id,
+           CAST(s.ts AS TIMESTAMP) AS signup_ts,
+           p.event_id AS purchase_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = s.user_id
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+    """,
+)
+def streaming_signup_conversion_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every signup, matched to the
+    purchases the same user made in the following 7 days — signups that
+    never converted emit a null-purchase row. The outer side makes the
+    WATERMARK itself load-bearing: Spark may only emit an unmatched signup
+    once both watermarks prove no matching purchase can still arrive
+    (signup_ts + 7 days < watermark), at which point the buffered row is
+    evicted — the state-finiteness contract for a perpetual outer join.
+
+    A file-backed bounded stream never advances the watermark past its own
+    tail, so the honest tail of unmatched signups would stay unemitted
+    forever. The standard fix is PUNCTUATION: stage the events plus two
+    far-future sentinel rows in strictly later files (``maxFilesPerTrigger``
+    splits them into their own micro-batches) — sentinel A advances the
+    watermark past every real row's eviction horizon, sentinel B drives the
+    one further micro-batch in which that advanced watermark actually
+    evicts and emits. Sentinels use user_id = -1 and are filtered from the
+    sink read; at cluster scale the same barrier is an ordinary heartbeat
+    topic. With the barrier, append-mode output equals the batch LEFT JOIN
+    the oracle runs."""
+    run_id = uuid.uuid4().hex[:8]
+    staging = _fresh_dir(_scratch_dir("ssouter_stage", sf_dir), run_id)
+    out_dir = _fresh_dir(_scratch_dir("ssouter_out", sf_dir), run_id)
+
+    events = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase")
+    ).select("event_id", "user_id", "event_type", "ts")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    n_real_files = 4
+    (
+        events.repartition(n_real_files)
+        .write.mode("overwrite")
+        .parquet(os.path.join(staging, "real"))
+    )
+    # Two sentinel batches in strictly later files: A moves the watermark
+    # past max_ts + 7d eviction horizon, B triggers the evicting batch.
+    import datetime as _dt
+
+    def _sentinel(tag: str, days: int, bump: int) -> None:
+        pdf = spark.createDataFrame(
+            [(-1, -1, "signup", max_ts + _dt.timedelta(days=days)),
+             (-1, -1, "purchase", max_ts + _dt.timedelta(days=days))],
+            schema=events.schema,
+        )
+        path = os.path.join(staging, tag)
+        pdf.coalesce(1).write.mode("overwrite").parquet(path)
+        # file-source batch order is modification-time order; force strict
+        # ordering regardless of filesystem timestamp resolution
+        now = time.time()
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (now + bump, now + bump))
+
+    _sentinel("sentinel_a", 40, 60)
+    _sentinel("sentinel_b", 80, 120)
+
+    reader = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", str(n_real_files))
+    )
+    stream = reader.parquet(os.path.join(staging, "*"))
+    signups = (
+        stream.where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "10 minutes")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")
+        ),
+        "leftOuter",
+    ).select("signup_id", "user_id", "signup_ts", "purchase_id", "purchase_ts")
+    ckpt = os.path.join(tempfile.gettempdir(), f"pns_ckpt_sso_{run_id}")
+    # Stream-stream join keeps 4 state stores per partition; pin the state
+    # partition count to the staging width for this bounded-input query
+    # (cluster callers size it to real key cardinality instead).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(query, "streaming_signup_conversion_outer")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir).where(F.col("user_id") >= 0)

@@ -400,3 +400,51 @@ def test_streaming_latest_snapshot_batch_split_invariant(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS lww_stream")
     assert got == expected
+
+
+def test_stream_stream_outer_join_emits_unmatched(spark):
+    """The LEFT OUTER stream-stream join must emit BOTH faces: matched
+    signup→purchase pairs AND null-purchase rows for signups that never
+    converted — the latter only exist if the sentinel punctuation actually
+    advances the watermark past the bounded stream's tail (without it, the
+    unmatched tail stays buffered in the join state forever and the result
+    silently equals the inner join)."""
+    from polars_numba_spark.queries.io_streaming import (
+        streaming_signup_conversion_outer,
+    )
+
+    got = streaming_signup_conversion_outer(spark, SF).toPandas()
+
+    ev = load_table(spark, "events", SF).where(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = (
+        s.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("signup_ts"))
+            & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")),
+            "left",
+        )
+        .select("signup_id", "user_id", "signup_ts", "purchase_id", "purchase_ts")
+        .toPandas()
+    )
+    assert len(got) == len(want)
+    n_unmatched = int(want["purchase_id"].isna().sum())
+    assert n_unmatched > 0, "corpus has no unmatched signups — test is vacuous"
+    assert int(got["purchase_id"].isna().sum()) == n_unmatched
+    key = lambda df: sorted(  # noqa: E731
+        zip(df["signup_id"].tolist(),
+            [None if x != x else int(x) for x in df["purchase_id"]])
+    )
+    assert key(got) == key(want)
