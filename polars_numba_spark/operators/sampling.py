@@ -139,3 +139,69 @@ def stratified_cap_by_hash(
         .where(F.col("__rank") <= n)
         .drop("__rank")
     )
+
+
+def es_sample_key(key: Column | str, weight: Column | str, salt: str) -> Column:
+    """Efraimidis–Spirakis sampling key: ln(u)/w with u = (H(salt:key)+1)/2^60
+    ∈ (0, 1], rounded to 9 decimals (the cross-engine ulp guard every
+    ln-carrying oracle here uses). Taking the k LARGEST keys per group is an
+    exact weighted sample without replacement — P(row drawn next) ∝ weight —
+    because u^(1/w) order equals ln(u)/w order and log-form avoids the
+    underflow of u^(1/w) at large weights."""
+    c = F.col(key) if isinstance(key, str) else key
+    w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    return F.round(F.log(u) / w, 9)
+
+
+def sql_es_sample_key(key_expr: str, weight_expr: str, salt: str) -> str:
+    """The identical ES key in DuckDB SQL (oracle fragment)."""
+    h = (
+        f"CAST(CAST(('0x' || substr(md5('{salt}:' || CAST({key_expr} AS VARCHAR)),"
+        f" 1, 15)) AS UBIGINT) AS BIGINT)"
+    )
+    return (
+        f"ROUND(LN(({h} + 1) / 1152921504606846976.0)"
+        f" / CAST({weight_expr} AS DOUBLE), 9)"
+    )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key: str,
+    weight: str,
+    k: int,
+    group_col: str | None = None,
+    salt: str = "es",
+) -> DataFrame:
+    """Exact-k weighted sample WITHOUT replacement per group (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir"): each row
+    draws key = u^(1/weight) from a deterministic content-hash uniform and
+    the k largest keys per group win. Deterministic (same corpus ⇒ same
+    sample, any engine with md5 — oracle-checkable), single-pass, and
+    reservoir-friendly: at cluster scale the same key supports a
+    per-partition bounded top-k partial (exactly the KMV two-level shape)
+    so the shuffle carries ≤ k rows per partition per group.
+
+    Rows with NULL keys or non-positive/NULL weights are excluded — the ES
+    key is undefined there (a zero-weight row has draw probability 0 anyway).
+    Ties after the 9-decimal round break by ``key`` for cross-engine rank
+    stability.
+    """
+    if k < 1:
+        raise ValueError("k must be ≥ 1")
+    eligible = df.where(F.col(key).isNotNull() & (F.col(weight) > 0))
+    parts = [group_col] if group_col else []
+    w = Window.partitionBy(*parts).orderBy(
+        es_sample_key(key, weight, salt).desc(), F.col(key)
+    )
+    return (
+        eligible.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .drop("__rank")
+    )

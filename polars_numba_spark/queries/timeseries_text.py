@@ -296,6 +296,38 @@ def doc_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               {SAMPLING.sql_es_sample_key('doc_id', 'n_chars', 'mix1')} AS es_key
+        FROM documents
+        WHERE doc_id IS NOT NULL AND n_chars > 0
+    ), ranked AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY es_key DESC, doc_id
+               ) AS rn
+        FROM keyed
+    )
+    SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 5
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sample without replacement per source (Efraimidis–
+    Spirakis): 5 documents per source drawn with probability ∝ n_chars —
+    the length-weighted curriculum-sampling step — from a deterministic
+    content-hash uniform, so the SAMPLE ITSELF is cross-engine
+    reproducible: the oracle re-draws it in DuckDB from the same md5-based
+    ES keys and the hash compares exact membership row by row."""
+    d = _t(spark, sf_dir, "documents")
+    kept = SAMPLING.weighted_sample_k(
+        d, "doc_id", "n_chars", k=5, group_col="source", salt="mix1"
+    )
+    return kept.select("source", "doc_id", "n_chars")
+
+
+@register(
     "order_price_changes",
     oracle="""
     SELECT o_custkey, o_orderkey,

@@ -116,3 +116,66 @@ def test_stratified_cap_deterministic_and_bounded(spark):
     assert again <= bigger
     with pytest.raises(ValueError):
         stratified_cap_by_hash(d, "source", 0, "doc_id")
+
+
+def _es_model(rows, k, salt):
+    """Pure-Python Efraimidis–Spirakis replica of weighted_sample_k: same
+    md5-derived uniform, same ln(u)/w key, same 9-decimal round, same
+    (key DESC, id ASC) tie-break. rows = [(id, weight, group)]."""
+    import hashlib as _h
+    import math
+    from collections import defaultdict
+
+    per_group = defaultdict(list)
+    for rid, w, g in rows:
+        if rid is None or w is None or w <= 0:
+            continue
+        h = int(_h.md5(f"{salt}:{rid}".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / float(1 << 60)
+        per_group[g].append((round(math.log(u) / float(w), 9), rid))
+    kept = set()
+    for g, lst in per_group.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        kept.update(rid for _, rid in lst[:k])
+    return kept
+
+
+def test_weighted_sample_matches_python_model(spark):
+    from polars_numba_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, (i % 7) + 1, f"g{i % 3}") for i in range(200)]
+    # nulls and non-positive weights must be excluded, not crash
+    rows += [(None, 5, "g0"), (900, 0, "g1"), (901, None, "g2"), (902, -3, "g0")]
+    df = spark.createDataFrame(rows, "id long, w long, g string")
+    got = {
+        r["id"]
+        for r in weighted_sample_k(df, "id", "w", k=9, group_col="g", salt="t1")
+        .select("id")
+        .collect()
+    }
+    want = _es_model(rows, 9, "t1")
+    assert got == want
+    assert len(got) == 27  # exactly k per group, 3 groups
+
+
+def test_weighted_sample_weight_proportionality(spark):
+    """Statistical sanity: across many salts, a row with 20× the weight of
+    its peers must win far more often — the 'weighted' in weighted sampling,
+    pinned loosely enough to be deterministic-stable (the salts are fixed,
+    so this never flakes)."""
+    from polars_numba_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, 20 if i == 0 else 1, "g") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, w long, g string")
+    wins = 0
+    for s in range(30):
+        kept = {
+            r["id"]
+            for r in weighted_sample_k(
+                df, "id", "w", k=1, group_col="g", salt=f"s{s}"
+            ).collect()
+        }
+        wins += 1 if 0 in kept else 0
+    # P(win) = 20/59 ≈ 0.34 per draw; 30 fixed salts gave 11. A uniform
+    # sampler (P=1/40) would all but never reach even 3.
+    assert wins >= 5
