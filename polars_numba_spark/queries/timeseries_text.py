@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from polars_numba_spark.operators import sampling as SAMPLING
 from polars_numba_spark.operators import text as X
 from polars_numba_spark.operators.chunking import chunk_documents
+from polars_numba_spark.operators.packing import sql_pack_sequences
 from polars_numba_spark.operators.text import tokens
 from polars_numba_spark.operators.timeseries import (
     gap_fill_interpolate,
@@ -325,6 +326,45 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "n_chars", k=5, group_col="source", salt="mix1"
     )
     return kept.select("source", "doc_id", "n_chars")
+
+
+PACKING_SQL = sql_pack_sequences(
+    "documents", "doc_id", "(n_chars + 3) // 4", 2048, 8
+)
+
+
+@register(
+    "doc_sequence_packing",
+    oracle=f"""
+    SELECT shard, seq_index,
+           COUNT(*) AS n_docs,
+           CAST(SUM(id) AS BIGINT) AS id_sum,
+           CAST(SUM(size) AS BIGINT) AS tokens_started,
+           CAST(MAX(offset_in_seq) AS BIGINT) AS last_offset
+    FROM ({PACKING_SQL})
+    GROUP BY shard, seq_index
+    """,
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (the GPT-pretraining layout):
+    documents hash-sharded, deterministically ordered, cumulatively summed
+    and cut into 2048-token sequences — per-sequence stats (doc membership
+    pinned by id_sum, offsets by last_offset) reproduce bit-for-bit in
+    DuckDB because the assignment is pure integer arithmetic. Token counts
+    use the chars/4 proxy; the operator takes any size column (e.g. real
+    BPE counts) unchanged."""
+    from polars_numba_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.expr("(n_chars + 3) div 4")
+    )
+    packed = pack_sequences(d, "doc_id", "n_tokens", capacity=2048, n_shards=8)
+    return packed.groupBy("shard", "seq_index").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_tokens").alias("tokens_started"),
+        F.max("offset_in_seq").alias("last_offset"),
+    )
 
 
 @register(
