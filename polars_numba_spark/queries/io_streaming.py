@@ -46,6 +46,7 @@ from polars_numba_spark.sources.formats import (
     write_jsonl,
     write_orc,
     write_partitioned_parquet,
+    write_sorted_parquet,
 )
 from polars_numba_spark.streaming import windowed_rollup
 
@@ -172,6 +173,46 @@ def formats_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.expr(_DSUM.format(x="o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "formats_sorted_skipping",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           {_DSUM.format(x='l_extendedprice')} AS total_price,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_order,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_order
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def formats_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping end-to-end: lineitem rewritten once through
+    ``write_sorted_parquet`` (range-partitioned + sorted by l_shipdate, so
+    row-group min/max stats tile the time axis), then a one-month range
+    filter reads it back — the predicate reaches the parquet reader
+    (PushedFilters, plan-asserted) where footer stats eliminate every
+    non-overlapping row group before any page I/O. The oracle aggregates
+    the same month straight off the original table, so the hash proves the
+    sorted rewrite lost nothing. tests/test_formats.py additionally checks
+    the footers: ≲2 of 32 row groups overlap the month, i.e. the layout
+    makes the scan ~16× narrower regardless of file count."""
+    base = _scratch_dir("sorted", sf_dir)
+    l = _t(spark, sf_dir, "lineitem").select(  # noqa: E741
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_shipdate"
+    )
+    write_sorted_parquet(l, f"{base}/lineitem_sorted", "l_shipdate")
+    back = spark.read.parquet(f"{base}/lineitem_sorted").where(
+        (F.col("l_shipdate") >= "1995-03-01") & (F.col("l_shipdate") < "1995-04-01")
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr(_DSUM.format(x="l_extendedprice")).alias("total_price"),
+        F.min("l_orderkey").alias("min_order"),
+        F.max("l_orderkey").alias("max_order"),
     )
 
 

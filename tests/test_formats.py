@@ -61,3 +61,55 @@ def test_orc_roundtrip(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in nation.collect()
     )
+
+
+def test_sorted_layout_row_groups_are_skippable(spark, tmp_path):
+    """write_sorted_parquet must produce the zone-map property it promises:
+    a range predicate's footer-stats overlap is a small fraction of the row
+    groups (the reader skips the rest), and the filter is actually pushed
+    to the scan so the skip happens."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from polars_numba_spark.sources.formats import write_sorted_parquet
+
+    l = load_table(spark, "lineitem", "/root/testdata/sf0.01").select(
+        "l_orderkey", "l_shipdate"
+    )
+    path = str(tmp_path / "sorted")
+    write_sorted_parquet(l, path, "l_shipdate", n_files=16)
+
+    lo, hi = "1995-03-01", "1995-04-01"
+    back = spark.read.parquet(path).where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    # predicate reaches the reader
+    pushed = " ".join(plans.pushed_filters(back))
+    assert "l_shipdate" in pushed
+
+    # footer stats: row groups whose [min,max] overlaps the month
+    import datetime as dt
+
+    lo_ts = dt.datetime(1995, 3, 1)
+    hi_ts = dt.datetime(1995, 4, 1)
+    total = overlapping = 0
+    col_idx = None
+    for f in Path(path).glob("*.parquet"):
+        meta = pq.ParquetFile(str(f)).metadata
+        if col_idx is None:
+            names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+            col_idx = names.index("l_shipdate")
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(col_idx).statistics
+            total += 1
+            mn = st.min.replace(tzinfo=None) if st.min.tzinfo else st.min
+            mx = st.max.replace(tzinfo=None) if st.max.tzinfo else st.max
+            if mx >= lo_ts and mn < hi_ts:
+                overlapping += 1
+    assert total >= 16
+    # the month spans ~1.4% of the 7-year shipdate range; sorted tiling
+    # means at most a couple of row groups can straddle it
+    assert overlapping <= 2, (overlapping, total)
+    # and the kept rows are exactly the batch filter's rows
+    want = l.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).count()
+    assert back.count() == want
