@@ -757,17 +757,23 @@ def streaming_signup_purchase_join(spark: SparkSession, sf_dir: str) -> DataFram
     run_id = uuid.uuid4().hex[:8]
     out_dir = _fresh_dir(_scratch_dir("ssjoin_out", sf_dir), run_id)
     ckpt = os.path.join(tempfile.gettempdir(), f"pns_ckpt_ssj_{run_id}")
-    query = (
-        joined.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # 4 state stores per stream-stream-join partition: pin the state
+    # partition count for this bounded run (cluster callers size it to key
+    # cardinality), same as the other stateful streaming queries.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        query = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
         _await(query, "streaming_signup_purchase_join")
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out_dir)
 
@@ -821,13 +827,20 @@ def streaming_signup_conversion_outer(spark: SparkSession, sf_dir: str) -> DataF
     )
     # Two sentinel batches in strictly later files: A moves the watermark
     # past max_ts + 7d eviction horizon, B triggers the evicting batch.
+    # Built JVM-side (spark.range + literals): a 2-row Python-list
+    # createDataFrame is an RDD-backed local relation whose WRITE spawns a
+    # Python worker — measured 4.5s per sentinel vs 0.2s for this form.
     import datetime as _dt
 
     def _sentinel(tag: str, days: int, bump: int) -> None:
-        pdf = spark.createDataFrame(
-            [(-1, -1, "signup", max_ts + _dt.timedelta(days=days)),
-             (-1, -1, "purchase", max_ts + _dt.timedelta(days=days))],
-            schema=events.schema,
+        ts = max_ts + _dt.timedelta(days=days)
+        pdf = spark.range(2).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.when(F.col("id") == 0, F.lit("signup"))
+            .otherwise(F.lit("purchase"))
+            .alias("event_type"),
+            F.lit(ts).alias("ts"),
         )
         path = os.path.join(staging, tag)
         pdf.coalesce(1).write.mode("overwrite").parquet(path)
