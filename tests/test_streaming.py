@@ -448,3 +448,78 @@ def test_stream_stream_outer_join_emits_unmatched(spark):
             [None if x != x else int(x) for x in df["purchase_id"]])
     )
     assert key(got) == key(want)
+
+
+def test_stream_stream_join_state_is_evicted(spark, tmp_path):
+    """The watermark must BOUND the join state, not just gate output: after
+    the sentinel advances it, the state stores shed the buffered real rows.
+    Asserted from the engine's own state-operator metrics (numRowsTotal per
+    micro-batch), not inferred from output."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    staging = str(tmp_path / "stage")
+    rows = []
+    t0 = dt.datetime(2020, 1, 1)
+    for i in range(500):
+        rows.append((i, i % 50, "signup", t0 + dt.timedelta(minutes=i)))
+        rows.append((1000 + i, i % 50, "purchase", t0 + dt.timedelta(minutes=i, seconds=30)))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts timestamp")
+    df.coalesce(2).write.parquet(os.path.join(staging, "real"))
+    sent = spark.range(2).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.when(F.col("id") == 0, F.lit("signup")).otherwise(F.lit("purchase")).alias("event_type"),
+        F.lit(t0 + dt.timedelta(days=400)).alias("ts"),
+    )
+    for tag, bump in [("sa", 60), ("sb", 120)]:
+        p = os.path.join(staging, tag)
+        sent.coalesce(1).write.parquet(p)
+        now = _time.time()
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (now + bump, now + bump))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(os.path.join(staging, "*"))
+    )
+    s = (
+        stream.where(F.col("event_type") == "signup")
+        .select(F.col("event_id").alias("signup_id"), "user_id", F.col("ts").alias("signup_ts"))
+        .withWatermark("signup_ts", "10 minutes")
+    )
+    p = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    j = s.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    q = (
+        j.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    totals = [
+        sop["numRowsTotal"]
+        for pr in q.recentProgress
+        for sop in pr["stateOperators"]
+        if pr["stateOperators"]
+    ]
+    assert totals, "no state-operator metrics captured"
+    peak, final = max(totals), totals[-1]
+    # real rows buffered at peak; after the sentinel batches only the
+    # sentinels themselves (and nothing from the real window) may remain
+    assert peak >= 1000, totals
+    assert final <= 4, totals
