@@ -328,6 +328,95 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("source", "doc_id", "n_chars")
 
 
+@register(
+    "doc_leakage_safe_split",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, md5(text) AS digest,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS gkey
+        FROM documents
+    ), b AS (
+        SELECT doc_id, digest, {SAMPLING.sql_hash_bucket('gkey')} AS bucket
+        FROM g
+    )
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'valid'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT digest) AS n_groups,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM b GROUP BY 1
+    """,
+)
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: a document's split is decided
+    by its EXACT-DUP GROUP (min doc_id over the content digest), not its
+    own id, so duplicated text can never straddle train and test — the
+    contamination a per-row split silently allows. One window shuffle on
+    the digest; membership pinned cross-engine by id_sum per split."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").withColumn("digest", F.md5("text"))
+    d = d.withColumn(
+        "gkey", F.min("doc_id").over(Window.partitionBy("digest"))
+    )
+    out = SAMPLING.split_by_hash(
+        d, "gkey", {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("digest").alias("n_groups"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+@register(
+    "doc_token_budget",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source, doc_id, (n_chars + 3) // 4 AS n_tokens,
+               ROUND({X.sql_quality('text')}, 9) AS q
+        FROM documents
+    ), c AS (
+        SELECT source, doc_id, n_tokens, q,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY q DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM scored
+    )
+    SELECT source, doc_id, q, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 1500
+    """,
+)
+def doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: per source, take documents in
+    descending quality order until a 1500-token budget is spent (strict
+    prefix rule — the first overflowing doc and everything after it is
+    dropped, so the kept set is a deterministic function of the corpus).
+    Quality rounds to 9 decimals BEFORE ranking (round-before-rank) and
+    ties break by doc_id, so the kept membership — returned row by row —
+    reproduces exactly in DuckDB. One window shuffle per source."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.expr("(n_chars + 3) div 4").alias("n_tokens"),
+        F.round(X.quality_score("text"), 9).alias("q"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("q"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= 1500)
+        .select("source", "doc_id", "q", "cum_tokens")
+    )
+
+
 PACKING_SQL = sql_pack_sequences(
     "documents", "doc_id", "(n_chars + 3) // 4", 2048, 8
 )

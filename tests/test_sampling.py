@@ -179,3 +179,32 @@ def test_weighted_sample_weight_proportionality(spark):
     # P(win) = 20/59 ≈ 0.34 per draw; 30 fixed salts gave 11. A uniform
     # sampler (P=1/40) would all but never reach even 3.
     assert wins >= 5
+
+
+def test_leakage_safe_split_coassigns_duplicates(spark):
+    """Exact-duplicate texts must land in ONE split — the invariant that
+    makes the split leakage-safe; a per-row hash split violates it (checked
+    here too, as the motivating negative)."""
+    from pyspark.sql import Window
+
+    rows = [(i, f"text {i % 40}") for i in range(400)]  # 10 copies each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = df.withColumn("digest", F.md5("text")).withColumn(
+        "gkey", F.min("doc_id").over(Window.partitionBy("digest"))
+    )
+    out = split_by_hash(d, "gkey", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    per_digest = (
+        out.groupBy("digest")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_digest)
+    # the motivating negative: splitting by doc_id straddles dup groups
+    naive = split_by_hash(d, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    straddled = (
+        naive.groupBy("digest")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddled > 0
