@@ -1,0 +1,85 @@
+"""One-pass column profiling: the stats a 100 TB table is worth knowing
+before any query touches it (null fractions, cardinalities, ranges).
+
+The whole profile is ONE aggregate job — every column's statistics are
+computed in the same map-side-combining pass over the scan, then the
+single result row is exploded into one row per column. No per-column
+scans, no shuffle beyond the one-row final combine; at cluster scale the
+cost is exactly one read of the table.
+
+Per column: row/null counts, distinct count, and an orderable summary
+(``min_d``/``max_d`` as doubles): numeric columns report their value
+range, timestamps their epoch-microsecond range (exact in a double up to
+~year 2255), strings their LENGTH range (string value min/max would hang
+cross-engine comparison on collation; length is collation-free). The
+distinct count is exact by default — the deterministic, oracle-checkable
+choice — with ``distinct='approx'`` switching to HLL
+(``approx_count_distinct``) for the cluster-scale profile where exact
+per-column distincts would shuffle every value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _summary_cols(field: T.StructField) -> tuple:
+    c = F.col(field.name)
+    dt = field.dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        v = F.unix_micros(c).cast("double")
+    elif isinstance(dt, T.NumericType):
+        v = c.cast("double")
+    elif isinstance(dt, T.StringType):
+        v = F.length(c).cast("double")
+    else:  # arrays/maps/structs/binary: no orderable scalar summary
+        v = F.lit(None).cast("double")
+    return F.min(v), F.max(v)
+
+
+def profile_table(df: DataFrame, distinct: str = "exact") -> DataFrame:
+    """Profile every column of ``df`` in one aggregate pass. Returns one
+    row per column: ``column, dtype, n_rows, n_nulls, n_distinct, min_d,
+    max_d`` (see module docstring for the summary encoding)."""
+    if distinct not in ("exact", "approx"):
+        raise ValueError("distinct must be 'exact' or 'approx'")
+    ndv = F.countDistinct if distinct == "exact" else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in df.schema.fields:
+        mn, mx = _summary_cols(f)
+        aggs.append(
+            F.struct(
+                F.count(F.when(F.col(f.name).isNull(), 1)).alias("n_nulls"),
+                ndv(f.name).alias("n_distinct"),
+                mn.alias("min_d"),
+                mx.alias("max_d"),
+            ).alias(f"__p_{f.name}")
+        )
+    row = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(f.name).alias("column"),
+                F.lit(f.dataType.simpleString()).alias("dtype"),
+                F.col(f"__p_{f.name}.n_nulls").alias("n_nulls"),
+                F.col(f"__p_{f.name}.n_distinct").alias("n_distinct"),
+                F.col(f"__p_{f.name}.min_d").alias("min_d"),
+                F.col(f"__p_{f.name}.max_d").alias("max_d"),
+            )
+            for f in df.schema.fields
+        ]
+    )
+    return (
+        row.select(F.col("__n").alias("n_rows"), F.explode(per_col).alias("p"))
+        .select(
+            "p.column",
+            "p.dtype",
+            "n_rows",
+            "p.n_nulls",
+            "p.n_distinct",
+            "p.min_d",
+            "p.max_d",
+        )
+    )

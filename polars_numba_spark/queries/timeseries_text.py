@@ -417,6 +417,43 @@ def doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COL = """
+    SELECT '{name}' AS column, '{dtype}' AS dtype,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({name}) AS n_nulls,
+           COUNT(DISTINCT {name}) AS n_distinct,
+           CAST(MIN({summary}) AS DOUBLE) AS min_d,
+           CAST(MAX({summary}) AS DOUBLE) AS max_d
+    FROM events
+"""
+
+
+@register(
+    "events_profile",
+    oracle=" UNION ALL ".join(
+        _PROFILE_COL.format(name=n, dtype=d, summary=s)
+        for n, d, s in [
+            ("event_id", "bigint", "event_id"),
+            ("ts", "timestamp", "epoch_us(ts)"),
+            ("user_id", "bigint", "user_id"),
+            ("event_type", "string", "length(event_type)"),
+            ("value", "double", "value"),
+            ("props", "string", "length(props)"),
+        ]
+    ),
+)
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the events table: null counts, exact
+    distinct counts and orderable ranges (values for numerics, epoch
+    micros for timestamps, lengths for strings) for every column in a
+    single aggregate job — the before-you-query table summary that at
+    100 TB must cost exactly one scan. The oracle recomputes each
+    column's row independently in DuckDB."""
+    from polars_numba_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "events"))
+
+
 PACKING_SQL = sql_pack_sequences(
     "documents", "doc_id", "(n_chars + 3) // 4", 2048, 8
 )

@@ -126,3 +126,38 @@ def write_sorted_parquet(
         )
     finally:
         spark.conf.set(conf_key, prev)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Small-file compaction (the lakehouse maintenance pass): rewrite a
+    fragmented parquet directory into ``ceil(total_bytes /
+    target_file_bytes)`` files. Streaming sinks and frequent small batch
+    writes leave thousands of KB-sized files; at 100 TB the scan then
+    pays one task + one footer read PER FILE, and the driver pays the
+    listing — compaction restores files ≈ ``maxPartitionBytes`` so every
+    scan task gets one full split. Returns the target file count.
+
+    Sizing uses a local directory listing (this engine's testbed is local
+    files); on an object store, size from the FileSystem/catalog listing
+    instead — the rewrite itself is identical."""
+    import math
+    import os as _os
+
+    total = sum(
+        e.stat().st_size
+        for e in _os.scandir(src_dir)
+        if e.is_file() and e.name.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    (
+        spark.read.parquet(src_dir)
+        .repartition(n)
+        .write.mode("overwrite")
+        .parquet(dst_dir)
+    )
+    return n

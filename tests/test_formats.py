@@ -113,3 +113,29 @@ def test_sorted_layout_row_groups_are_skippable(spark, tmp_path):
     # and the kept rows are exactly the batch filter's rows
     want = l.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).count()
     assert back.count() == want
+
+
+def test_compact_parquet_restores_file_count(spark, tmp_path):
+    from polars_numba_spark.sources.formats import compact_parquet
+
+    o = load_table(spark, "orders", "/root/testdata/sf0.01").select(
+        "o_orderkey", "o_totalprice"
+    )
+    frag = str(tmp_path / "frag")
+    o.repartition(64).write.parquet(frag)
+    import os
+
+    n_frag = sum(1 for f in os.listdir(frag) if f.endswith(".parquet"))
+    assert n_frag == 64
+    compacted = str(tmp_path / "compact")
+    total = sum(
+        e.stat().st_size for e in os.scandir(frag)
+        if e.is_file() and e.name.endswith(".parquet")
+    )
+    n = compact_parquet(spark, frag, compacted, target_file_bytes=total // 4 + 1)
+    n_out = sum(1 for f in os.listdir(compacted) if f.endswith(".parquet"))
+    assert n_out == n <= 4
+    # contents survive byte-exactly
+    a = spark.read.parquet(compacted).orderBy("o_orderkey").toPandas()
+    b = o.orderBy("o_orderkey").toPandas()
+    assert a.equals(b)
