@@ -454,6 +454,78 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "split_contamination_audit",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, text,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS gkey
+        FROM documents
+    ), assigned AS (
+        SELECT doc_id, text, 'naive' AS policy,
+               CASE WHEN {SAMPLING.sql_hash_bucket('doc_id')} < 9000
+                    THEN 'train' ELSE 'test' END AS split
+        FROM g
+        UNION ALL
+        SELECT doc_id, text, 'group_safe' AS policy,
+               CASE WHEN {SAMPLING.sql_hash_bucket('gkey')} < 9000
+                    THEN 'train' ELSE 'test' END AS split
+        FROM g
+    ), sh AS (
+        SELECT DISTINCT policy, split, UNNEST({X.sql_token_shingles('text')}) AS s
+        FROM assigned
+    )
+    SELECT a.policy, COUNT(DISTINCT a.s) AS shared_shingles
+    FROM sh a JOIN sh b
+      ON a.policy = b.policy AND a.s = b.s
+     AND a.split = 'train' AND b.split = 'test'
+    GROUP BY a.policy
+    """,
+)
+def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test contamination, MEASURED, under two split policies: the
+    naive per-document hash split and the leakage-safe per-exact-dup-group
+    split (`doc_leakage_safe_split`). Counts distinct 8-token shingles
+    present in BOTH train and test — the overlap an eval-set
+    decontamination pass would have to remove. The group-safe policy's
+    number is strictly lower (exact dups can no longer straddle); both
+    numbers reproduce in DuckDB from the same md5 buckets and shingles.
+    Shape: shingle explode → distinct (policy, split, shingle) → self-join
+    on the shingle (equi-join, shuffle on the shingle key) → count."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "gkey", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    )
+    split_of = lambda key: F.when(  # noqa: E731
+        SAMPLING.hash_bucket(key) < 9000, F.lit("train")
+    ).otherwise(F.lit("test"))
+    assigned = d.select(
+        "text", F.lit("naive").alias("policy"), split_of("doc_id").alias("split")
+    ).unionByName(
+        d.select(
+            "text",
+            F.lit("group_safe").alias("policy"),
+            split_of("gkey").alias("split"),
+        )
+    )
+    sh = (
+        assigned.select(
+            "policy", "split", F.explode(X.token_shingles("text")).alias("s")
+        )
+        .distinct()
+    )
+    tr = sh.where(F.col("split") == "train").select("policy", "s")
+    te = sh.where(F.col("split") == "test").select(
+        F.col("policy").alias("p2"), F.col("s").alias("s2")
+    )
+    return (
+        tr.join(te, (tr.policy == te.p2) & (tr.s == te.s2))
+        .groupBy("policy")
+        .agg(F.countDistinct("s").alias("shared_shingles"))
+    )
+
+
 PACKING_SQL = sql_pack_sequences(
     "documents", "doc_id", "(n_chars + 3) // 4", 2048, 8
 )
