@@ -394,3 +394,66 @@ def semantic_dedup_keep(
         id_col,
         "left_anti",
     )
+
+
+def int8_scales(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension symmetric int8 scales: ``scale_j = max_j(|x_j|) / 127``
+    over the whole corpus, as a ONE-ROW frame ``(scales: array<double>)``
+    for broadcasting. One posexplode + per-dim max aggregation — a single
+    linear pass, shuffle of dim-many rows only."""
+    dims = df.select(F.posexplode(as_double(vec_col)).alias("dim", "x"))
+    per_dim = dims.groupBy("dim").agg(F.max(F.abs(F.col("x"))).alias("m"))
+    return per_dim.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "m")), lambda a, b: a.dim - b.dim
+            ),
+            lambda s: s.m / F.lit(127.0),
+        ).alias("scales")
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    scales: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q",
+) -> DataFrame:
+    """Quantize a float vector column to ``array<tinyint>`` with the
+    per-dimension scales from :func:`int8_scales` (broadcast — scan-side,
+    no shuffle). 4× smaller than float32 in memory and on the wire: at
+    100 TB of embeddings this is what makes brute-force rerank tiers and
+    in-memory IVF cells fit. Zero-scale dimensions (constant-0 across the
+    corpus) quantize to 0."""
+    q = F.zip_with(
+        as_double(vec_col),
+        F.col("__scales"),
+        lambda x, s: F.when(s > 0, F.round(x / s)).otherwise(F.lit(0.0)),
+    )
+    return (
+        df.crossJoin(F.broadcast(scales.select(F.col("scales").alias("__scales"))))
+        .withColumn(out_col, q.cast("array<tinyint>"))
+        .drop("__scales")
+    )
+
+
+def dequantize_int8(
+    df: DataFrame,
+    scales: DataFrame,
+    q_col: str = "q",
+    out_col: str = "embedding_dq",
+) -> DataFrame:
+    """Reconstruct approximate float vectors from int8 codes (``q_j *
+    scale_j``) — the search-time form: scores computed on dequantized
+    vectors differ from full-precision scores only by the quantization
+    error the recall report measures."""
+    dq = F.zip_with(
+        F.col(q_col).cast("array<double>"),
+        F.col("__scales"),
+        lambda qv, s: qv * s,
+    )
+    return (
+        df.crossJoin(F.broadcast(scales.select(F.col("scales").alias("__scales"))))
+        .withColumn(out_col, dq)
+        .drop("__scales")
+    )

@@ -1271,6 +1271,57 @@ def embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_exact", "n_hits", (F.col("n_hits") / F.col("n_exact")).alias("recall_at_5"))
 
 
+@register("embedding_int8_recall")  # self-evaluating — quantized vs exact
+def embedding_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization end-to-end: per-dimension symmetric scales (one
+    aggregate pass) → array<tinyint> codes (4× smaller — the form a
+    100 TB embedding corpus is actually stored and shipped in) →
+    dequantized brute-force top-5 for 10 queries → recall@5 and mean
+    |cosine error| vs full precision, computed in-plan. Self-reporting
+    like the IVF/LSH recall queries: the quality of an approximation is
+    itself the result."""
+    from polars_numba_spark.operators.vector import (
+        dequantize_int8,
+        int8_scales,
+        quantize_int8,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    scales = int8_scales(e)
+    dq = dequantize_int8(quantize_int8(e, scales), scales).select(
+        "vec_id", F.col("embedding_dq").alias("embedding")
+    )
+    q = dq.where(F.col("vec_id") < 10)
+    approx = S.brute_force_topk(dq, q, k=5).select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("an"),
+        F.col("cosine_sim").alias("approx_sim"),
+    )
+    exact = S.brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.aq) & (exact.neighbor_id == approx.an),
+        "inner",
+    )
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(
+            hits.agg(
+                F.count(F.lit(1)).alias("n_hits"),
+                F.avg(F.abs(F.col("cosine_sim") - F.col("approx_sim"))).alias(
+                    "mean_abs_cos_err"
+                ),
+            )
+        )
+        .select(
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_exact")).alias("recall_at_5"),
+            "mean_abs_cos_err",
+        )
+    )
+
+
 _PORTABLE16_SIG, _PORTABLE16_BANDS = _minhash_band_sql(16, 4)
 
 

@@ -73,3 +73,29 @@ def test_ivf_topk_recall_beats_probe_fraction(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6  # scoring ~3/8 of the corpus; structure should beat that
+
+
+def test_int8_quantization_roundtrip_error_bounded(spark):
+    from polars_numba_spark.operators.vector import (
+        dequantize_int8,
+        int8_scales,
+        quantize_int8,
+    )
+    from polars_numba_spark.sources import load_table
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    scales = int8_scales(e)
+    [srow] = scales.collect()
+    assert all(s >= 0 for s in srow["scales"])
+    qdf = quantize_int8(e, scales)
+    assert dict(qdf.dtypes)["q"] == "array<tinyint>"
+    joined = (
+        dequantize_int8(qdf, scales)
+        .select("vec_id", "embedding", "embedding_dq")
+        .collect()
+    )
+    max_scale = max(srow["scales"])
+    for r in joined:
+        for x, xd in zip(r["embedding"], r["embedding_dq"]):
+            # |error| <= scale/2 per dimension (round-to-nearest)
+            assert abs(float(x) - xd) <= max_scale / 2 + 1e-12
