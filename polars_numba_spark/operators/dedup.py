@@ -145,6 +145,101 @@ def minhash_signature(
     return F.array(*[min_hash(i) for i in range(num_hashes)])
 
 
+def _banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    portable: bool,
+    shingle_n: int | None,
+    blocks: list[str],
+) -> DataFrame:
+    """(id, blocks..., band_idx, band_hash): the banded-minhash signature
+    table both the self-join (:func:`minhash_lsh_candidates`) and the
+    delta-vs-corpus join (:func:`minhash_lsh_candidates_delta`) consume.
+    See minhash_lsh_candidates for why the signature runs explode→codegen
+    hash→map-side MIN, not the higher-order-function array form."""
+    rows_per_band = num_hashes // bands
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        *blocks,
+        F.explode(_token_sets(text_col, shingle_n)).alias("tok"),
+    )
+    if portable:
+        def h(i: int) -> Column:
+            return md5_long(F.concat(F.col("tok"), F.lit(f"#{i}")))
+    else:
+        def h(i: int) -> Column:
+            return F.xxhash64(F.col("tok"), F.lit(i))
+
+    sig = tok.groupBy("id", *blocks).agg(
+        *[F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+    def band_hash(b: int) -> Column:
+        elems = [
+            F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        if portable:  # md5 over comma-joined values — DuckDB-reproducible
+            return F.md5(F.concat_ws(",", *[e.cast("string") for e in elems]))
+        return F.xxhash64(*elems)
+
+    return sig.select(
+        "id",
+        *blocks,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        band_hash(b).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", *blocks, "band.band_idx", "band.band_hash")
+
+
+def minhash_lsh_candidates_delta(
+    corpus: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup candidates: NEW-batch documents against an
+    existing corpus — the delta-ingest shape. A pipeline that re-runs
+    corpus×corpus dedup on every ingest pays the full banding self-join
+    each time; the delta form bands the (small) new batch, BROADCASTS its
+    band table, and equi-joins it against the corpus's bands — no
+    corpus-side self-join, no shuffle of the corpus beyond its own
+    signature aggregation (which an ingest pipeline persists between
+    batches — here it is recomputed, the join shape is what scales).
+    Returns (a_id, b_id) with a_id from the corpus, b_id from the new
+    batch; identical ids are excluded (re-ingested unchanged docs)."""
+    bc = _banded_signatures(
+        corpus, text_col, id_col, num_hashes, bands, portable, shingle_n, []
+    ).alias("c")
+    bn = _banded_signatures(
+        new, text_col, id_col, num_hashes, bands, portable, shingle_n, []
+    ).alias("n")
+    return (
+        bc.join(
+            F.broadcast(bn),
+            (F.col("c.band_idx") == F.col("n.band_idx"))
+            & (F.col("c.band_hash") == F.col("n.band_hash"))
+            & (F.col("c.id") != F.col("n.id")),
+        )
+        .select(F.col("c.id").alias("a_id"), F.col("n.id").alias("b_id"))
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -171,7 +266,6 @@ def minhash_lsh_candidates(
     only form INSIDE a block — composite blocking, the same equi-join
     shape with a finer bucket.
     """
-    rows_per_band = num_hashes // bands
     # Signature via EXPLODE → codegen'd hash → map-side MIN aggregation —
     # not the array-expression form (minhash_signature). Two scale reasons,
     # both measured: (1) higher-order functions are INTERPRETED and escape
@@ -182,49 +276,13 @@ def minhash_lsh_candidates(
     # plain codegen'd xxhash64/md5 and reduce via partial min BEFORE the
     # one shuffle on id, so signature cost parallelizes past the input
     # file count. min over the same token multiset ⇒ values identical to
-    # the expression form (pinned in tests).
+    # the expression form (pinned in tests). Documents with an empty
+    # token/shingle set simply vanish at the explode — no similarity
+    # evidence, no null-signature skew bucket.
     blocks = as_list(block_by) if block_by else []
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        *blocks,
-        F.explode(_token_sets(text_col, shingle_n)).alias("tok"),
+    banded = _banded_signatures(
+        df, text_col, id_col, num_hashes, bands, portable, shingle_n, blocks
     )
-    # (documents with an empty token/shingle set simply vanish at the
-    # explode — no similarity evidence, no null-signature skew bucket)
-    if portable:
-        def h(i: int) -> Column:
-            return md5_long(F.concat(F.col("tok"), F.lit(f"#{i}")))
-    else:
-        def h(i: int) -> Column:
-            return F.xxhash64(F.col("tok"), F.lit(i))
-
-    sig = tok.groupBy("id", *blocks).agg(
-        *[F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
-    )
-
-    def band_hash(b: int) -> Column:
-        elems = [
-            F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        if portable:  # md5 over comma-joined values — DuckDB-reproducible
-            return F.md5(F.concat_ws(",", *[e.cast("string") for e in elems]))
-        return F.xxhash64(*elems)
-
-    banded = sig.select(
-        "id",
-        *blocks,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        band_hash(b).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", *blocks, "band.band_idx", "band.band_hash")
     # NB: the self-join reads `banded` twice, but both sides are the same
     # plan — Catalyst's ReuseExchange serves the agg shuffle once.
     left = banded.alias("l")

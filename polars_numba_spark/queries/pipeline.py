@@ -1369,6 +1369,53 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_sort(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
+        FROM documents WHERE doc_id < 300
+    ), sigs AS (
+        SELECT doc_id, t, [ {_PORTABLE16_SIG} ] AS sig FROM toks
+    ), banded AS (
+        {_PORTABLE16_BANDS}
+    ), cands AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.t AS ta, b.t AS tb
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id >= 60 AND b.doc_id < 60
+    )
+    SELECT a_id, b_id,
+           CAST(length(ta) + length(tb) - length(list_distinct(list_concat(ta, tb))) AS DOUBLE)
+           / length(list_distinct(list_concat(ta, tb))) AS jaccard
+    FROM cands
+    WHERE CAST(length(ta) + length(tb) - length(list_distinct(list_concat(ta, tb))) AS DOUBLE)
+          / length(list_distinct(list_concat(ta, tb))) >= 0.8
+    """,
+)
+def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup: a new ingest batch (doc_id < 60)
+    checked against the existing corpus (60 ≤ doc_id < 300) — the
+    delta-ingest shape. The new batch's band table is broadcast against
+    the corpus's bands (minhash_lsh_candidates_delta): no corpus×corpus
+    self-join, which is what makes per-ingest dedup affordable at 100 TB
+    (the corpus signature table would be persisted between ingests; the
+    join shape is what this query pins). Same md5 minhash + exact-Jaccard
+    verify as dedup_minhash_portable, reproduced stage by stage in
+    DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 300))
+    new = d.where(F.col("doc_id") < 60)
+    cands = D.minhash_lsh_candidates_delta(
+        corpus, new, num_hashes=16, bands=4, portable=True
+    )
+    d_all = d.where(F.col("doc_id") < 300)
+    return D.jaccard_pairs(d_all, cands, prune_threshold=0.8).where(
+        F.col("jaccard") >= 0.8
+    )
+
+
+@register(
     "dedup_simhash_portable",
     oracle="""
     WITH toks AS (

@@ -289,3 +289,14 @@ def test_heavy_hitters_recount_is_broadcast_join_over_bounded_candidates(spark):
     assert s.count("BroadcastExchange") >= 2       # candidates + totals
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_incremental_dedup_broadcasts_the_new_batch(spark):
+    """dedup_incremental_pairs must join the corpus bands against a
+    BROADCAST of the new batch's bands — the delta-ingest contract; a
+    corpus-side self-join or cartesian would defeat the point."""
+    df = q(spark, "dedup_incremental_pairs")
+    s = plans.explain_string(df)
+    assert "BroadcastExchange" in s
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
