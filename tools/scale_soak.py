@@ -514,3 +514,38 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def run_incremental_soak(
+    spark: SparkSession, base_dir: str, big_dir: str, factor: int
+) -> dict:
+    """Fixed-size ingest batch (the 60 docs with original ids < 60 — id
+    offsets keep replicas out) near-dup-checked against a corpus that
+    grows ×factor: the delta-ingest contract says wall-clock tracks the
+    CORPUS (banding is linear, the broadcast join fans out per bucket),
+    never corpus²; output grows ~linearly on the replicated build (each
+    new doc gains its replicas as true pairs)."""
+    from polars_numba_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates_delta,
+    )
+
+    def build(sf_dir):
+        def make():
+            d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            new = d.where(F.col("doc_id") < 60)
+            corpus = d.where(F.col("doc_id") >= 60)
+            cands = minhash_lsh_candidates_delta(
+                corpus, new, num_hashes=32, bands=8
+            )
+            return jaccard_pairs(d, cands, prune_threshold=0.8).where(
+                F.col("jaccard") >= 0.8
+            )
+        return make
+
+    return _operator_soak(
+        spark,
+        "incremental_dedup_fixed_batch",
+        [("1x", build(base_dir), {}), (f"{factor}x", build(big_dir), {})],
+        factor,
+    )
