@@ -76,9 +76,9 @@ _DRIVER_PRIORITY: list[str] = [
     # TPC-H relational core (§2.B joins/agg/subqueries)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q6_revenue_forecast",
-    "q13_customer_order_distribution",
-    "q18_large_volume_orders",
+    "dedup_incremental_pairs",          # delta-ingest minhash vs corpus, broadcast batch (round 6)
+    "doc_sequence_packing",             # concat-then-chunk packing, integer-exact membership (round 6)
+    "events_profile",                   # one-pass column profiler (round 6)
     # host-engine operator families (§2.B)
     "orders_rank_in_customer",          # window rank
     "nation_order_rollup",              # grouping sets
@@ -178,6 +178,20 @@ _DRIVER_PRIORITY: list[str] = [
 # pass), doc_language_id → streaming_enriched_segments (text-quality stays
 # gated through doc_repetition_stats + doc_unigram_logprob; the new entry
 # gates the stream-static broadcast enrichment join as a real job).
+# Third round-6 rotation (late-round additions — every evictee remains
+# oracled and local-gated): q5_local_supplier_volume →
+# streaming_signup_conversion_outer (multi-way join shape stays evidenced by
+# q1/q3 in-window and the full TPC-H suite locally; the new entry gates the
+# stream-stream LEFT OUTER join with sentinel punctuation as a real job),
+# q6_revenue_forecast → dedup_incremental_pairs (scan-filter-agg stays
+# trivially evidenced everywhere; the new entry gates the broadcast
+# delta-ingest minhash face), q13_customer_order_distribution →
+# doc_sequence_packing (left-join+agg stays evidenced by
+# customers_without_orders + q3; the new entry gates the packing cumsum's
+# integer-exact membership), q18_large_volume_orders → events_profile
+# (having-subquery joins stay evidenced by q3/q21 locally; the new entry
+# gates the one-pass column profiler whose six per-column rows each carry
+# exact distincts, null counts and range summaries).
 
 
 def _prioritized(mapping: dict) -> dict:
