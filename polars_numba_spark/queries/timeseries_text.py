@@ -472,8 +472,12 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 'train' ELSE 'test' END AS split
         FROM g
     ), sh AS (
-        SELECT DISTINCT policy, split, UNNEST({X.sql_token_shingles('text')}) AS s
-        FROM assigned
+        SELECT DISTINCT policy, split,
+               CAST(CAST(('0x' || substr(md5(s0), 1, 15)) AS UBIGINT) AS BIGINT) AS s
+        FROM (
+            SELECT policy, split, UNNEST({X.sql_token_shingles('text')}) AS s0
+            FROM assigned
+        )
     )
     SELECT a.policy, COUNT(DISTINCT a.s) AS shared_shingles
     FROM sh a JOIN sh b
@@ -490,8 +494,12 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination pass would have to remove. The group-safe policy's
     number is strictly lower (exact dups can no longer straddle); both
     numbers reproduce in DuckDB from the same md5 buckets and shingles.
-    Shape: shingle explode → distinct (policy, split, shingle) → self-join
-    on the shingle (equi-join, shuffle on the shingle key) → count."""
+    Shape: ONE shingle explode (the heavy pass — shared across policies
+    via a join to the narrow per-doc policy map, not re-exploded per
+    policy) → ONE grouped aggregation on (policy, shingle) computing
+    membership flags for both splits → filter both-present → count. No
+    shingle self-join at all (the naive spelling's distinct + equi-join
+    was ~2× this cost), and the flag aggregation combines map-side."""
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents").withColumn(
@@ -500,29 +508,36 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     split_of = lambda key: F.when(  # noqa: E731
         SAMPLING.hash_bucket(key) < 9000, F.lit("train")
     ).otherwise(F.lit("test"))
-    assigned = d.select(
-        "text", F.lit("naive").alias("policy"), split_of("doc_id").alias("split")
+    polmap = d.select(
+        "doc_id", F.lit("naive").alias("policy"), split_of("doc_id").alias("split")
     ).unionByName(
         d.select(
-            "text",
+            "doc_id",
             F.lit("group_safe").alias("policy"),
             split_of("gkey").alias("split"),
         )
     )
-    sh = (
-        assigned.select(
-            "policy", "split", F.explode(X.token_shingles("text")).alias("s")
+    from polars_numba_spark.operators.dedup import md5_long
+
+    # Shingles shuffle as 60-bit md5 longs, not ~50-byte strings (~6×
+    # less shuffle volume); the hash is the SAME portable md5 the oracle
+    # applies, so the count is identical in both engines. Collisions at
+    # ~1M distinct shingles: p ≈ 4e-7 — and identical cross-engine anyway.
+    sh_doc = d.select(
+        "doc_id", F.explode(X.token_shingles("text")).alias("s0")
+    ).select("doc_id", md5_long(F.col("s0")).alias("s"))
+    flags = (
+        sh_doc.join(polmap, "doc_id")
+        .groupBy("policy", "s")
+        .agg(
+            F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("tr"),
+            F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias("te"),
         )
-        .distinct()
-    )
-    tr = sh.where(F.col("split") == "train").select("policy", "s")
-    te = sh.where(F.col("split") == "test").select(
-        F.col("policy").alias("p2"), F.col("s").alias("s2")
     )
     return (
-        tr.join(te, (tr.policy == te.p2) & (tr.s == te.s2))
+        flags.where((F.col("tr") == 1) & (F.col("te") == 1))
         .groupBy("policy")
-        .agg(F.countDistinct("s").alias("shared_shingles"))
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
     )
 
 
