@@ -83,3 +83,43 @@ def profile_table(df: DataFrame, distinct: str = "exact") -> DataFrame:
             "p.max_d",
         )
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+    n_mads: float = 3.0,
+) -> DataFrame:
+    """Median/MAD outlier flagging — the robust alternative to mean/stddev
+    z-scores (one wild value shifts a mean; it cannot shift a median).
+    Flags rows where ``|x - median| > n_mads * 1.4826 * MAD`` (1.4826 =
+    the normal-consistency constant), optionally per group.
+
+    Two grouped EXACT-percentile aggregations (median, then MAD of the
+    residuals) broadcast back onto the scan — group counts are small by
+    definition, so both joins are broadcasts and the data itself is never
+    shuffled. Exact percentile over a group does collect that group's
+    values into one aggregation buffer; at extreme per-group cardinality
+    swap in approx_percentile with the same plan shape (the flag then
+    inherits the sketch's rank error). Returns the input plus ``med``,
+    ``mad``, ``is_outlier``."""
+    keys = [by] if by else []
+    g = lambda frame: frame.groupBy(*keys) if keys else frame.groupBy()  # noqa: E731
+    med = g(df).agg(F.expr(f"percentile({value_col}, 0.5)").alias("med"))
+    with_med = df.join(F.broadcast(med), on=keys) if keys else df.crossJoin(
+        F.broadcast(med)
+    )
+    mad = g(
+        with_med.withColumn("__resid", F.abs(F.col(value_col) - F.col("med")))
+    ).agg(F.expr("percentile(__resid, 0.5)").alias("mad"))
+    out = (
+        with_med.join(F.broadcast(mad), on=keys)
+        if keys
+        else with_med.crossJoin(F.broadcast(mad))
+    )
+    thresh = float(n_mads) * 1.4826
+    return out.withColumn(
+        "is_outlier",
+        F.abs(F.col(value_col) - F.col("med")) > F.lit(thresh) * F.col("mad"),
+    )

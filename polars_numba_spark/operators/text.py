@@ -396,3 +396,80 @@ def tfidf_top_terms(df, text_col="text", id_col="doc_id", top_k=3):
             "tfidf",
         )
     )
+
+
+def bigram_logprob_scores(
+    df, text_col: str = "text", id_col: str = "doc_id", lam: float = 0.7,
+    broadcast_vocab: bool = True,
+):
+    """Interpolated bigram language-model quality proxy: per-document mean
+    of ``log(λ·P(t|prev) + (1-λ)·P(t))`` under the corpus's own counts —
+    the KenLM-shaped upgrade of :func:`unigram_logprob_scores` (word order
+    now matters: shuffled text keeps its unigram score but craters here).
+    A document's FIRST token has no context and scores unigram-only.
+
+    Same determinism contract as the unigram scorer: every probability is
+    assembled from identical double arithmetic in both engines, the log
+    rounds to 9 decimals per token, and the per-doc sum accumulates as an
+    exact DECIMAL (order-independent).
+
+    Scale shape: positions via posexplode; context via lag() over the
+    per-doc window (shuffles on the doc id — reused by the final per-doc
+    aggregation); bigram/unigram/context counts are three map-side-
+    combined shuffles on their keys, joined back broadcast by default
+    (``broadcast_vocab=False`` for sort-merge joins when the bigram
+    vocabulary outgrows a broadcast). Linear passes only."""
+    from pyspark.sql import Window
+
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    occ = occ.withColumn("prev", F.lag("tok").over(w))
+
+    uni = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    total = uni.agg(F.sum("c1").alias("ctot"))
+    uni = uni.crossJoin(F.broadcast(total)).select(
+        "tok",
+        (F.col("c1").cast("double") / F.col("ctot").cast("double")).alias("pu"),
+    )
+    big = occ.where(F.col("prev").isNotNull())
+    c2 = big.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2"))
+    cp = big.groupBy("prev").agg(F.count(F.lit(1)).alias("cprev"))
+    c2 = c2.join(cp, "prev").select(
+        "prev",
+        F.col("tok").alias("btok"),
+        (F.col("c2").cast("double") / F.col("cprev").cast("double")).alias("pb"),
+    )
+    maybe_b = F.broadcast if broadcast_vocab else (lambda x: x)
+    scored = (
+        occ.join(maybe_b(uni), "tok")
+        .join(
+            maybe_b(c2),
+            (occ.prev == c2.prev) & (occ.tok == c2.btok),
+            "left",
+        )
+        .withColumn(
+            "__p",
+            F.when(
+                F.col("pb").isNotNull(),
+                F.lit(lam) * F.col("pb") + F.lit(1.0 - lam) * F.col("pu"),
+            ).otherwise(F.col("pu")),
+        )
+        .withColumn("__logp", F.round(F.log("__p"), 9))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__logp").cast("decimal(28,12)")).alias("__sum"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            (
+                F.col("__sum").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("avg_bigram_logprob"),
+        )
+    )

@@ -162,6 +162,66 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.unigram_logprob_scores(d, "text", "doc_id")
 
 
+_BIGRAM_LAM = 0.7
+
+
+@register(
+    "doc_bigram_logprob",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, UNNEST(range(1, len(t) + 1)) AS i, t FROM toks
+    ), occ AS (
+        SELECT doc_id, i, t[i] AS tok,
+               CASE WHEN i > 1 THEN t[i - 1] END AS prev
+        FROM pos
+    ), uni AS (
+        SELECT tok, COUNT(*) AS c1 FROM occ GROUP BY tok
+    ), pu AS (
+        SELECT tok,
+               CAST(c1 AS DOUBLE) / CAST(SUM(c1) OVER () AS DOUBLE) AS pu
+        FROM uni
+    ), big AS (
+        SELECT prev, tok FROM occ WHERE prev IS NOT NULL
+    ), c2 AS (
+        SELECT prev, tok, COUNT(*) AS c2 FROM big GROUP BY prev, tok
+    ), cp AS (
+        SELECT prev, COUNT(*) AS cprev FROM big GROUP BY prev
+    ), pb AS (
+        SELECT c2.prev, c2.tok,
+               CAST(c2.c2 AS DOUBLE) / CAST(cp.cprev AS DOUBLE) AS pb
+        FROM c2 JOIN cp USING (prev)
+    ), scored AS (
+        SELECT o.doc_id,
+               ROUND(LN(CASE WHEN p.pb IS NOT NULL
+                             THEN {_BIGRAM_LAM!r} * p.pb
+                                  + {1.0 - _BIGRAM_LAM!r} * u.pu
+                             ELSE u.pu END), 9) AS logp
+        FROM occ o
+        JOIN pu u ON u.tok = o.tok
+        LEFT JOIN pb p ON p.prev = o.prev AND p.tok = o.tok
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(logp AS DECIMAL(28,12))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_bigram_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated BIGRAM LM quality proxy (word order now matters —
+    shuffled text keeps its unigram score but craters here): per-doc mean
+    of log(0.7·P(t|prev) + 0.3·P(t)) under the corpus's own counts; the
+    first token of a document scores unigram-only. Same round-9 +
+    decimal-sum determinism contract as the unigram scorer; the
+    interpolation weights are embedded from the SAME Python floats on
+    both sides (1.0 - 0.7 is NOT the double 0.3 — repr round-trips it).
+    See operators/text.py::bigram_logprob_scores for the plan shape."""
+    d = _t(spark, sf_dir, "documents")
+    return X.bigram_logprob_scores(d, "text", "doc_id", lam=_BIGRAM_LAM)
+
+
 @register(
     "doc_tfidf_top_terms",
     oracle=r"""

@@ -541,6 +541,47 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_price_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+        FROM orders GROUP BY o_orderpriority
+    ), mad AS (
+        SELECT o.o_orderpriority,
+               quantile_cont(ABS(o.o_totalprice - m.med), 0.5) AS mad
+        FROM orders o JOIN med m USING (o_orderpriority)
+        GROUP BY o.o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (
+               WHERE ABS(o.o_totalprice - m.med) > 4.4478 * d.mad
+           ) AS n_outliers,
+           m.med AS med, d.mad AS mad
+    FROM orders o
+    JOIN med m USING (o_orderpriority)
+    JOIN mad d ON d.o_orderpriority = o.o_orderpriority
+    GROUP BY o.o_orderpriority, m.med, d.mad
+    """,
+)
+def order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier counts per order priority: the
+    data-cleaning filter that survives wild values, via two exact grouped
+    percentiles broadcast back onto the scan (operators/profile.py::
+    robust_outliers — the data itself never shuffles). percentile ≡
+    quantile_cont bit-for-bit and the 3-MAD threshold is one shared
+    double literal, so counts, medians and MADs all hash-match."""
+    from polars_numba_spark.operators.profile import robust_outliers
+
+    o = _t(spark, sf_dir, "orders")
+    flagged = robust_outliers(o, "o_totalprice", by="o_orderpriority", n_mads=3.0)
+    return flagged.groupBy("o_orderpriority", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+    ).select("o_orderpriority", "n_orders", "n_outliers", "med", "mad")
+
+
 PACKING_SQL = sql_pack_sequences(
     "documents", "doc_id", "(n_chars + 3) // 4", 2048, 8
 )

@@ -1053,3 +1053,27 @@ def test_histogram_quantiles_has_partial_aggregation(spark):
     df = spark.createDataFrame([("g", 1.0)], "g string, v double")
     out = histogram_quantiles(df, "v", "g", probs=(0.5,), lo=0.0, hi=10.0)
     assert plans.has_partial_aggregation(out)
+
+
+def test_bigram_logprob_penalizes_shuffled_word_order(spark):
+    """The interpolated bigram score must separate fluent word order from
+    a bag of the same words (identical unigram distribution): docs that
+    follow the corpus's dominant bigrams score higher than a
+    token-identical shuffle."""
+    from polars_numba_spark.operators import text as X
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    shuffled = "dog the over quick jumps lazy the brown fox"  # same multiset
+    rows = [(i, fluent) for i in range(9)] + [(100, shuffled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    big = {
+        r["doc_id"]: r["avg_bigram_logprob"]
+        for r in X.bigram_logprob_scores(df).collect()
+    }
+    uni = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in X.unigram_logprob_scores(df).collect()
+    }
+    assert uni[0] == uni[100]          # unigram is order-blind
+    assert big[0] > big[100]           # bigram is not
+    assert big[0] == big[8]            # deterministic
