@@ -128,3 +128,34 @@ def scd2_history(
         .withColumn("valid_to", nxt)
         .withColumn("is_current", nxt.isNull())
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    fingerprint: Column | str,
+) -> DataFrame:
+    """Snapshot diff: classify every key across two corpus versions as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` by comparing a
+    content fingerprint (pass ``F.md5("text")`` for documents) — the
+    audit a dataset release ships with, and the input to an incremental
+    pipeline that only reprocesses ``added``+``changed``.
+
+    One full-outer equi-join on the key; fingerprints are computed
+    scan-side on each branch so the join carries (key, digest) pairs, not
+    payloads. Returns (key, status)."""
+    fp = F.col(fingerprint) if isinstance(fingerprint, str) else fingerprint
+    o = old.select(F.col(key).alias("__k"), fp.alias("__fp_old"))
+    n = new.select(F.col(key).alias("__k2"), fp.alias("__fp_new"))
+    joined = o.join(n, o.__k == n.__k2, "full_outer")
+    status = (
+        F.when(F.col("__fp_old").isNull(), "added")
+        .when(F.col("__fp_new").isNull(), "removed")
+        .when(F.col("__fp_old") == F.col("__fp_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(
+        F.coalesce(F.col("__k"), F.col("__k2")).alias(key),
+        status.alias("status"),
+    )

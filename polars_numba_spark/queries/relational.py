@@ -817,3 +817,60 @@ def order_price_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi=500000.0,
         n_bins=256,
     )
+
+
+@register(
+    "doc_corpus_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, md5(text) AS fp FROM documents
+    ), v2 AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS fp
+        FROM documents WHERE doc_id % 17 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, md5(text || ' new') AS fp
+        FROM documents WHERE doc_id % 11 = 0
+    ), d AS (
+        SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN v1.fp IS NULL THEN 'added'
+                    WHEN v2.fp IS NULL THEN 'removed'
+                    WHEN v1.fp = v2.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT status, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM d GROUP BY status
+    """,
+)
+def doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-release audit: diff two corpus versions into added /
+    removed / changed / unchanged per doc (operators/cdc.py::corpus_diff
+    — one full-outer join on the key carrying only (id, md5) pairs). The
+    second version is built deterministically from the first inside the
+    query (drop %17, edit %13, add %11 under offset ids) so both engines
+    construct and diff identical snapshots; membership pinned by id_sum
+    per status."""
+    from polars_numba_spark.operators.cdc import corpus_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        d.where(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" new")).alias("text"),
+            )
+        )
+    )
+    diff = corpus_diff(d, v2, "doc_id", F.md5("text"))
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
