@@ -523,3 +523,61 @@ def test_stream_stream_join_state_is_evicted(spark, tmp_path):
     # sentinels themselves (and nothing from the real window) may remain
     assert peak >= 1000, totals
     assert final <= 4, totals
+
+
+def test_foreach_batch_upsert_sink_is_exactly_once(spark, tmp_path):
+    """The versioned-snapshot sink must (a) equal the batch last-write-wins
+    snapshot after a real streamed run, and (b) be IDEMPOTENT: replaying a
+    committed micro-batch (foreachBatch's at-least-once failure mode)
+    leaves the published state byte-identical."""
+    import os
+
+    from polars_numba_spark.operators.cdc import latest_snapshot
+    from polars_numba_spark.streaming.sinks import (
+        read_snapshot,
+        upsert_batch_handler,
+    )
+
+    events = load_table(spark, "events", SF).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    staging = str(tmp_path / "stage")
+    events.repartition(4).write.parquet(staging)
+
+    snap_dir = str(tmp_path / "snap")
+    handler = upsert_batch_handler(
+        spark, snap_dir, "user_id", "ts", tiebreak="event_id"
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
+        .parquet(staging)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    got = read_snapshot(spark, snap_dir).orderBy("user_id").toPandas()
+    want = (
+        latest_snapshot(events, "user_id", "ts", tiebreak="event_id")
+        .select(got.columns.tolist())
+        .orderBy("user_id")
+        .toPandas()
+    )
+    assert got.equals(want)
+
+    # replay the LAST committed batch verbatim: published state must not move
+    last = max(
+        int(n[1:]) for n in os.listdir(snap_dir)
+        if n.startswith("v") and n[1:].isdigit()
+    )
+    before = sorted(os.listdir(snap_dir))
+    handler(events.limit(50), last)          # replayed batch id
+    handler(events.limit(50), last - 1)      # stale batch id
+    assert sorted(os.listdir(snap_dir)) == before
+    again = read_snapshot(spark, snap_dir).orderBy("user_id").toPandas()
+    assert again.equals(want)
