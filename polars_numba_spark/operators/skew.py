@@ -91,3 +91,34 @@ def fair_share_threshold(df: DataFrame) -> float:
     whatever else hashes there (same rationale as the shingle router)."""
     parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     return 1.0 / max(parts, 1)
+
+
+def key_skew_report(
+    df: DataFrame, keys: str | Sequence[str], top_n: int = 10
+) -> DataFrame:
+    """EXACT skew report: the ``top_n`` heaviest keys with row counts and
+    corpus share — the measurement that decides between plain hash
+    partitioning, AQE skew-split, and salting (``salted_agg``) before a
+    big join or aggregate ships. One map-side-combined count per key plus
+    a top-n window over the (already aggregated, small) count table; the
+    1-row total rides a broadcast. Contrast :func:`hot_key_share`, the
+    sampled plan-time sketch — this is the exact, audit-grade face."""
+    from pyspark.sql import Window
+
+    key_list = as_list(keys)
+    counts = df.groupBy(*key_list).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    w = Window.orderBy(F.col("n_rows").desc(), *[F.col(k) for k in key_list])
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .crossJoin(F.broadcast(total))
+        .select(
+            *key_list,
+            "rank",
+            "n_rows",
+            (
+                F.col("n_rows").cast("double") / F.col("__total").cast("double")
+            ).alias("share"),
+        )
+    )

@@ -6,7 +6,7 @@ with an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polars_numba_spark.operators.asof import asof_join
@@ -874,3 +874,82 @@ def doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+@register(
+    "window_function_zoo",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER wt AS f_rank,
+           DENSE_RANK() OVER wt AS f_dense_rank,
+           PERCENT_RANK() OVER wt AS f_percent_rank,
+           CUME_DIST() OVER wt AS f_cume_dist,
+           NTILE(4) OVER wu AS f_ntile,
+           LAG(o_orderkey) OVER wu AS f_lag,
+           LEAD(o_orderkey) OVER wu AS f_lead,
+           FIRST_VALUE(o_orderkey) OVER wf AS f_first,
+           LAST_VALUE(o_orderkey) OVER wf AS f_last,
+           NTH_VALUE(o_orderkey, 2) OVER wf AS f_nth2
+    FROM orders WHERE o_orderkey < 5000
+    WINDOW
+        wt AS (PARTITION BY o_custkey
+               ORDER BY CAST(FLOOR(o_totalprice / 10000) AS BIGINT)),
+        wu AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+        wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function breadth in one pass: tie-aware ranks (rank /
+    dense_rank / percent_rank / cume_dist over a bucketed price that DOES
+    tie — their values are tie-deterministic), and order-dependent
+    functions (ntile / lag / lead / first / last / nth_value) over a
+    UNIQUE ordering plus an explicit unbounded frame — the split that
+    keeps every output engine-deterministic (order-dependent values over
+    a tied ordering would be legal but arbitrary). One shuffle on
+    o_custkey serves all three window specs."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
+    bucket = F.floor(F.col("o_totalprice") / 10000).cast("long")
+    wt = Window.partitionBy("o_custkey").orderBy(bucket)
+    wu = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wf = wu.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(wt).alias("f_rank"),
+        F.dense_rank().over(wt).alias("f_dense_rank"),
+        F.percent_rank().over(wt).alias("f_percent_rank"),
+        F.cume_dist().over(wt).alias("f_cume_dist"),
+        F.ntile(4).over(wu).alias("f_ntile"),
+        F.lag("o_orderkey").over(wu).alias("f_lag"),
+        F.lead("o_orderkey").over(wu).alias("f_lead"),
+        F.first("o_orderkey").over(wf).alias("f_first"),
+        F.last("o_orderkey").over(wf).alias("f_last"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("f_nth2"),
+    )
+
+
+@register(
+    "event_user_skew_report",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+    ), ranked AS (
+        SELECT user_id, n_rows,
+               ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) AS rank
+        FROM counts
+    )
+    SELECT user_id, rank, n_rows,
+           CAST(n_rows AS DOUBLE) / (SELECT CAST(SUM(n_rows) AS DOUBLE) FROM counts) AS share
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def event_user_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact key-skew audit: the 10 heaviest event users with row counts
+    and corpus share (operators/skew.py::key_skew_report) — the number
+    that decides between hash partitioning, AQE skew-split and salting
+    before a shuffle ships. The top-n window runs over the already-
+    aggregated per-key counts, never the raw rows."""
+    from polars_numba_spark.operators.skew import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "events"), "user_id", top_n=10)
