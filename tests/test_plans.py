@@ -300,3 +300,24 @@ def test_incremental_dedup_broadcasts_the_new_batch(spark):
     assert "BroadcastExchange" in s
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_packing_and_sample_are_single_window_no_join(spark):
+    """doc_sequence_packing and doc_weighted_sample are window-over-scan
+    shapes: no joins, no cartesians; the packing/sample decision must not
+    shuffle the data more than once per window spec."""
+    for name in ("doc_sequence_packing", "doc_weighted_sample"):
+        df = q(spark, name)
+        s = plans.explain_string(df)
+        assert "Join" not in s, name
+        assert "CartesianProduct" not in s, name
+
+
+def test_profiler_is_one_scan(spark):
+    """events_profile must read the table ONCE: a single scan node feeding
+    one aggregate — per-column statistics ride the same pass (the exact
+    multi-distinct uses Spark's Expand over that one scan, not re-scans)."""
+    df = q(spark, "events_profile")
+    s = plans.explain_string(df, mode="simple")
+    assert s.count("FileScan") == 1
+    assert "Join" not in s

@@ -364,3 +364,43 @@ def test_containment_join_complete_and_precise(spark, corpus, threshold):
         if a != b and len(sets[a] & sets[b]) / len(sets[a]) >= threshold
     }
     assert got == brute
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 400)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_pack_sequences_matches_python_model(spark, rows):
+    """Property: concat-then-chunk packing over random (id, size) corpora
+    equals the pure-Python replay of the same md5 shard/order hashes and
+    integer cumsum — including sizes larger than the capacity."""
+    import hashlib as _h
+
+    from polars_numba_spark.operators.packing import pack_sequences
+
+    cap = 100
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {
+        r["doc_id"]: (r["shard"], r["seq_index"], r["offset_in_seq"])
+        for r in pack_sequences(df, "doc_id", "n", cap, n_shards=3).collect()
+    }
+
+    def h(rid, m):
+        return int(_h.md5(str(rid).encode()).hexdigest()[:15], 16) % m
+
+    shards = {}
+    for rid, size in rows:
+        shards.setdefault(h(rid, 3), []).append((h(rid, 2**31), rid, size))
+    want = {}
+    for shard, lst in shards.items():
+        lst.sort()
+        cum = 0
+        for _, rid, size in lst:
+            want[rid] = (shard, cum // cap, cum % cap)
+            cum += size
+    assert got == want
