@@ -164,10 +164,10 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BIGRAM_LAM = 0.7
 
-
-@register(
-    "doc_bigram_logprob",
-    oracle=rf"""
+# The full bigram-scoring pipeline as one DuckDB subquery (doc_id,
+# n_tokens, avg_bigram_logprob) — shared by doc_bigram_logprob and the
+# perplexity-bucket mix so both oracles score with ONE spelling.
+_BIGRAM_SCORE_SQL = rf"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
         FROM documents
@@ -207,8 +207,10 @@ _BIGRAM_LAM = 0.7
            CAST(SUM(CAST(logp AS DECIMAL(28,12))) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) AS avg_bigram_logprob
     FROM scored GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("doc_bigram_logprob", oracle=_BIGRAM_SCORE_SQL)
 def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated BIGRAM LM quality proxy (word order now matters —
     shuffled text keeps its unigram score but craters here): per-doc mean
@@ -220,6 +222,56 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/text.py::bigram_logprob_scores for the plan shape."""
     d = _t(spark, sf_dir, "documents")
     return X.bigram_logprob_scores(d, "text", "doc_id", lam=_BIGRAM_LAM)
+
+
+@register(
+    "doc_perplexity_buckets",
+    oracle=f"""
+    WITH score AS ({_BIGRAM_SCORE_SQL}),
+    b AS (
+        SELECT doc_id, n_tokens, avg_bigram_logprob,
+               NTILE(4) OVER (ORDER BY avg_bigram_logprob DESC, doc_id) AS bucket
+        FROM score
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(avg_bigram_logprob) AS min_score,
+           MAX(avg_bigram_logprob) AS max_score
+    FROM b GROUP BY bucket
+    """,
+)
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank every document by its
+    bigram-LM score and cut the corpus into quartiles (head = most
+    fluent … tail = most atypical) — the partition a quality-curriculum
+    mix samples from at different rates. NTILE over (score DESC, doc_id)
+    is engine-deterministic because the scores themselves are (decimal
+    sums of round-9 logs, hash-proven by doc_bigram_logprob); bucket
+    MEMBERSHIP is pinned by id_sum. Both oracles score through the one
+    shared SQL spelling (_BIGRAM_SCORE_SQL).
+
+    The global NTILE runs over the per-doc SCORE table (1 row/doc), not
+    the corpus — still a single-partition sort; at billions of docs swap
+    in the distributed equivalent: repartitionByRange(score) +
+    percent_rank-by-offset (a range sort, the exact shape
+    parallel_scan_running_balance already demonstrates)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    scores = X.bigram_logprob_scores(d, "text", "doc_id", lam=_BIGRAM_LAM)
+    w = Window.orderBy(F.col("avg_bigram_logprob").desc(), "doc_id")
+    return (
+        scores.withColumn("bucket", F.ntile(4).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("avg_bigram_logprob").alias("min_score"),
+            F.max("avg_bigram_logprob").alias("max_score"),
+        )
+    )
 
 
 @register(
