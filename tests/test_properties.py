@@ -404,3 +404,79 @@ def test_pack_sequences_matches_python_model(spark, rows):
             want[rid] = (shard, cum // cap, cum % cap)
             cum += size
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 100_000),
+            st.integers(1, 1000),
+            st.sampled_from(["a", "b"]),
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 6),
+)
+@settings(max_examples=8, deadline=None)
+def test_weighted_sample_k_matches_python_model(spark, rows, k):
+    """Property: the ES weighted sample over random (id, weight, group)
+    corpora equals a pure-Python replay of the md5 uniform, ln(u)/w key,
+    9-decimal round and (key DESC, id ASC) tie-break."""
+    import hashlib as _h
+
+    from polars_numba_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(rows, "id long, w long, g string")
+    got = {
+        r["id"]
+        for r in weighted_sample_k(df, "id", "w", k=k, group_col="g", salt="hp")
+        .select("id")
+        .collect()
+    }
+    per_group: dict = {}
+    for rid, w, g in rows:
+        h = int(_h.md5(f"hp:{rid}".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / float(1 << 60)
+        per_group.setdefault(g, []).append((round(math.log(u) / float(w), 9), rid))
+    want = set()
+    for lst in per_group.values():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        want.update(rid for _, rid in lst[:k])
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False).map(lambda x: round(x, 3)),
+        min_size=3,
+        max_size=60,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_robust_outliers_matches_python_model(spark, vals):
+    """Property: median/MAD flags over random value lists equal a pure-
+    Python replay of the same linear-interpolated percentile and
+    threshold arithmetic."""
+    from polars_numba_spark.operators.profile import robust_outliers
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    got = {
+        r["id"]: r["is_outlier"]
+        for r in robust_outliers(df, "x", n_mads=3.0).collect()
+    }
+
+    def q50(xs):
+        s = sorted(xs)
+        n = len(s)
+        mid = (n - 1) / 2
+        lo, hi = int(mid), int(mid + 0.5)
+        return s[lo] if lo == hi else (s[lo] + s[hi]) / 2.0
+
+    med = q50(vals)
+    mad = q50([abs(v - med) for v in vals])
+    thresh = 3.0 * 1.4826
+    want = {i: abs(v - med) > thresh * mad for i, v in rows}
+    assert got == want
