@@ -1582,3 +1582,59 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("hamming") <= 2)
     )
+
+
+@register(
+    "doc_novelty_scores",
+    oracle=r"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               CAST(CAST(('0x' || substr(md5(s0), 1, 15)) AS UBIGINT) AS BIGINT) AS s
+        FROM (
+            SELECT doc_id,
+                   UNNEST(list_distinct(list_transform(
+                       range(1, greatest(length(string_split_regex(trim(lower(text)), '\s+')) - 7, 0) + 1),
+                       i -> array_to_string(string_split_regex(trim(lower(text)), '\s+')[i : i + 7], ' ')))) AS s0
+            FROM documents
+        )
+    ), cnt AS (
+        SELECT s, COUNT(*) AS n_docs FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE cnt.n_docs = 1) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) FILTER (WHERE cnt.n_docs = 1) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM sh JOIN cnt USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-document novelty: the fraction of a document's 8-token
+    shingles that appear in NO other document — the corpus-level
+    complement of the intra-doc repetition signals (doc_repetition_stats)
+    and the per-pair dedup scores: low novelty = boilerplate/template
+    text even when no single pair crosses a dedup threshold. Shingles
+    shuffle as portable 60-bit md5 longs (same trick as the contamination
+    audit); one count per shingle, one join back, one per-doc aggregate —
+    all map-side-combining equi-shuffles, never all-pairs."""
+    from polars_numba_spark.operators.dedup import md5_long
+    from polars_numba_spark.operators.text import token_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(token_shingles("text", 8)).alias("s0")
+    ).select("doc_id", md5_long(F.col("s0")).alias("s"))
+    cnt = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(cnt, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("n_docs") == 1).cast("long")).alias("n_unique"),
+            (
+                F.sum((F.col("n_docs") == 1).cast("double"))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("novelty"),
+        )
+    )
