@@ -58,68 +58,82 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate checks the FIRST 50 catalog entries in
-# insertion order. These 50 slots are spent deliberately: every entry below
-# is oracled (hash-checkable) and each covers a distinct operator family
-# from SURVEY.md §2 / the LLM-pipeline inventory. Rows-only queries
-# (approximate LSH, iterative clustering, Spark-hash minhash/simhash, HLL,
-# non-associative folds) sit AFTER the window — their portable/oracled twins
-# inside the window carry the hard signal, and they remain verified by the
-# local gate (tools/check_oracle.py) like everything else past slot 50.
+# insertion order. Rounds 1-6 spent these slots on one-per-operator-family
+# coverage; by the end of round 6 every family had at least one green driver
+# row but 50 of 141 catalog queries had NEVER passed through the driver's
+# hard gate (r6 verdict next-round #1). Round 7 therefore rotates the ENTIRE
+# window to exactly that never-checked set — every evictee already has a
+# green r1-r6 driver row and remains oracled + local-gated
+# (tools/check_oracle.py), so after this round every catalog query has a
+# driver record. 48 of the 50 are oracled (hash-checkable); the two
+# self-evaluating recall reports (embedding_near_dup_recall /
+# embedding_int8_recall) are rows-only BY CONSTRUCTION — their output IS the
+# approximate-vs-exact differential, so a rows-only driver record is the
+# strongest check that exists for them, and parking them outside the window
+# forever would leave them with no driver record at all.
+_ROWS_ONLY_WINDOW_ALLOWANCE = frozenset(
+    {"embedding_near_dup_recall", "embedding_int8_recall"}
+)
 _DRIVER_PRIORITY: list[str] = [
-    # fold/scan kernel surface (SURVEY §2.A)
-    "global_longest_hot_streak",        # A1 collect_fold, single ordered stream
-    "kernel_fold_two_columns",          # A9 arity>1 dispatch (grouped fold)
-    "capped_balance_per_user",          # flagship non-assoc fold (recursive-CTE oracle)
-    "kernel_scan_multi_output",         # A10 tuple→SizedArray accumulator
-    "parallel_fold_total_cents",        # collect_fold(combine=) parallel path
-    "sql_surface_running_balance",      # SQL UDTF spelling (Spark 4)
-    # TPC-H relational core (§2.B joins/agg/subqueries)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "dedup_incremental_pairs",          # delta-ingest minhash vs corpus, broadcast batch (round 6)
-    "doc_sequence_packing",             # concat-then-chunk packing, integer-exact membership (round 6)
-    "events_profile",                   # one-pass column profiler (round 6)
-    # host-engine operator families (§2.B)
-    "orders_rank_in_customer",          # window rank
-    "nation_order_rollup",              # grouping sets
-    "customers_without_orders",         # anti join
-    "asof_last_signup_before_purchase", # as-of join
-    "recent_order_pressure",            # range/interval join
-    "repeat_customers_setops",          # INTERSECT/EXCEPT
-    "scalar_function_zoo",              # 15 bit-exact scalar functions
-    "events_json_props",                # JSON extraction
-    "user_event_type_pivot",            # pivot
-    "events_daily_windows",             # tumbling event-time windows
-    "streaming_user_sessions",          # session windows as a REAL streaming job (complete-mode availableNow)
-    "order_price_quantiles",            # exact percentiles
-    "distinct_users_kmv",               # deterministic KMV cardinality sketch (full oracle)
-    "streaming_users_kmv",              # BOUNDED <=k-longs streaming sketch state (real job)
-    "formats_csv_jsonl_roundtrip",      # CSV/JSONL source round-trip
-    "streaming_scan_user_balance",      # stateful streaming kernel scan (real job)
-    # LLM-data-pipeline operators
-    "dedup_exact_digests",
-    "user_activity_with_fold",           # agg_with_fold composition (native aggs + kernel fold)
-    "dedup_jaccard_pairs",
-    "dedup_containment_complete",       # prefix-filtered SSJoin (round-5, now hard-gated)
-    "doc_unigram_logprob",              # CCNet-style LM quality proxy (decimal-exact cross-engine ln)
-    "dedup_simhash_portable",
-    "embedding_topk_bruteforce",
-    "semantic_dedup_pairs",             # SemDeDup: kmeans-bounded cosine pairs (full unrolled oracle)
-    "semantic_dedup_keeplist",          # SemDeDup keep policy end-to-end (rebuild aggregate)
-    "doc_tfidf_top_terms",              # per-doc TF-IDF keywords (round-9-ranked window)
-    "doc_heavy_tokens",                 # EXACT heavy hitters via bounded MG candidates (round 6)
-    "doc_repetition_stats",             # Gopher-style repetition quality filters
-    "doc_duplicated_spans",             # true ExactSubstr passage spans (round-5 flagship)
-    "doc_remove_passages",              # ExactSubstr removal + document rebuild
-    "doc_source_caps",
-    "multimodal_image_dims",
-    "rolling_hour_user_value",
-    "parallel_scan_running_balance",    # two-pass parallel prefix scan
-    "orders_merge_upsert",              # CDC merge/upsert snapshot (round 6)
-    "user_state_scd2",                  # SCD2 validity intervals (round 6)
-    "streaming_enriched_segments",      # stream-static broadcast enrichment (round 6, real job)
-    "streaming_signup_conversion_outer",  # stream-STREAM LEFT OUTER interval join: watermark-evicted unmatched rows via sentinel punctuation (round 6, real job; inner twin stays local-gated)
-    "training_data_pipeline",
+    # fold/scan kernel surface (SURVEY §2.A) — last uncovered face
+    "user_running_multi_metrics",       # fused multi-output grouped scan
+    # TPC-H relational suite — the 16 extras never driver-checked
+    "q2_min_cost_supplier",             # correlated scalar subquery + dim stack
+    "q7_nation_pair_volume",            # two-nation join symmetry
+    "q8_market_share",                  # 8-table join, conditional share
+    "q9_product_profit",                # LIKE-filtered profit rollup
+    "q10_returned_items",               # returned-flag revenue top-k
+    "q11_important_stock",              # HAVING vs global scalar subquery
+    "q12_late_shipment_priority",       # CASE-counted shipmode buckets
+    "q14_promo_revenue_share",          # conditional aggregate ratio
+    "q15_top_supplier",                 # view + max-equality subquery
+    "q16_part_supplier_counts",         # NOT IN + distinct-count agg
+    "q17_small_quantity_revenue",       # per-part avg correlated subquery
+    "q20_promotion_suppliers",          # nested IN-subquery chain
+    "q21_waiting_suppliers",            # EXISTS + NOT EXISTS self-joins
+    # window / analytic / stats faces
+    "window_function_zoo",              # 12 analytic functions, one frame each
+    "order_price_changes",              # lag/lead deltas
+    "order_price_distribution",         # ntile + cume_dist distribution
+    "order_price_hist_quantiles",       # mergeable histogram quantile sketch
+    "order_price_outliers",             # median/MAD robust outliers
+    "lineitem_price_moments",           # skewness/kurtosis exact moments
+    "events_hourly_heatmap",            # dow×hour dense grid
+    "events_unpivoted_flags",           # melt/unpivot
+    "document_length_histogram",        # log-scaled width buckets
+    "event_user_skew_report",           # hot-key skew diagnostic
+    "salted_event_type_totals",         # salted two-stage skew aggregate
+    "customer_name_fuzzy_pairs",        # blocked edit-distance fuzzy join
+    # text-quality / LM scoring
+    "doc_bigram_logprob",               # interpolated bigram LM score
+    "doc_perplexity_buckets",           # perplexity-proxy quality buckets
+    "doc_novelty_scores",               # corpus-wide unique-shingle fraction
+    "doc_pii_scrub",                    # regex PII redaction
+    "doc_duplicated_passages",          # passage-level duplicate summary
+    "doc_token_budget",                 # greedy token-budget selection
+    # dedup / decontamination faces
+    "dedup_containment_pairs",          # asymmetric containment (one-sided)
+    "decontamination_overlap",          # eval-vs-train n-gram overlap
+    "doc_corpus_diff",                  # snapshot diff (added/removed/changed)
+    "split_contamination_audit",        # cross-split shingle leakage audit
+    "doc_leakage_safe_split",           # cluster-aware split assignment
+    "doc_weighted_sample",              # deterministic weighted sampling
+    "doc_weighted_mix",                 # source-weighted mixture
+    # embeddings
+    "embedding_sign_stats",             # sign-bit summary over vectors
+    "embedding_near_dup_recall",        # rows-only: approx-vs-exact recall report
+    "embedding_int8_recall",            # rows-only: int8-quant recall report
+    # multimodal
+    "multimodal_frame_sample",          # deterministic frame sampling plumbing
+    # formats / sources
+    "formats_orc_roundtrip",            # ORC round-trip + predicate pushdown
+    "formats_partitioned_pruning",      # hive-partitioned pruning
+    "formats_sorted_skipping",          # sorted-parquet row-group skipping
+    # streaming faces never driver-checked (r6 verdict next-round #7)
+    "streaming_daily_rollup",           # watermarked tumbling daily rollup
+    "streaming_dedup_docs",             # streaming exact-dedup with state
+    "streaming_user_latest_state",      # latest-state upsert stream
+    "streaming_signup_purchase_join",   # stream-stream INNER interval join
 ]
 # Swapped OUT of the window in round 3 (r2 verdict #5 — both remain oracled
 # and local-gated): user_running_event_count (associative window fast path —
@@ -192,6 +206,14 @@ _DRIVER_PRIORITY: list[str] = [
 # (having-subquery joins stay evidenced by q3/q21 locally; the new entry
 # gates the one-pass column profiler whose six per-column rows each carry
 # exact distincts, null counts and range summaries).
+# Round 7: FULL-window rotation (r6 verdict next-round #1). All 50 slots go
+# to the 50 queries with no driver record after six rounds; every one of the
+# 50 evictees carries a green r1-r6 driver row (r6 itself was 50/50 green)
+# and stays oracled + local-gated. All 50 incoming queries were pre-verified
+# through tools/check_oracle.py at sf0.01 this round (50/50 match, including
+# dtype-sensitive compare). After the r7 driver run, the never-checked set
+# is empty: 139/141 queries have a hash-checked driver row and the two
+# self-evaluating recall reports have their (maximal) rows-only record.
 
 
 def _prioritized(mapping: dict) -> dict:

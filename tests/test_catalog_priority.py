@@ -19,15 +19,31 @@ def test_priority_names_all_registered():
     assert list(q)[:50] == catalog._DRIVER_PRIORITY
 
 
-def test_every_driver_slot_is_oracled():
+def test_every_driver_slot_is_oracled_or_allowed_rows_only():
+    """Every window slot must be hash-checkable, EXCEPT the explicitly
+    documented allowance: the two self-evaluating recall reports, whose
+    output IS an approx-vs-exact differential — rows-only is the strongest
+    driver record that exists for them (see _ROWS_ONLY_WINDOW_ALLOWANCE)."""
     oracles = catalog.oracle_queries()
-    unoracled = [n for n in catalog._DRIVER_PRIORITY if n not in oracles]
+    unoracled = [
+        n
+        for n in catalog._DRIVER_PRIORITY
+        if n not in oracles and n not in catalog._ROWS_ONLY_WINDOW_ALLOWANCE
+    ]
     assert unoracled == [], f"rows-only queries inside the driver window: {unoracled}"
 
 
-def test_rows_only_queries_sit_past_the_window():
+def test_rows_only_allowance_is_small_and_registered():
+    assert len(catalog._ROWS_ONLY_WINDOW_ALLOWANCE) <= 2
+    q = catalog.spark_queries()
+    oracles = catalog.oracle_queries()
+    for n in catalog._ROWS_ONLY_WINDOW_ALLOWANCE:
+        assert n in q and n not in oracles
+
+
+def test_rows_only_queries_sit_past_the_window_unless_allowed():
     q = catalog.spark_queries()
     oracles = catalog.oracle_queries()
     past_window = list(q)[50:]
     rows_only = [n for n in q if n not in oracles]
-    assert set(rows_only) <= set(past_window)
+    assert set(rows_only) <= set(past_window) | catalog._ROWS_ONLY_WINDOW_ALLOWANCE
