@@ -509,6 +509,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     portable: bool = False,
     shingle_n: int | None = None,
+    emit: str = "pairs",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verification.
 
@@ -518,7 +519,21 @@ def minhash_dedup_pairs(
     (the bound is implied by the ≥ threshold filter), candidate-verify cost
     is not. ``shingle_n`` applies the same shingling to BOTH the LSH stage
     and the verifier, so the verified jaccard is shingle-set jaccard.
+
+    ``emit`` is the output-mass contract (r6 verdict #3): ``'pairs'``
+    (default) returns the verified (a_id, b_id, jaccard) set — O(N²) on
+    duplicate-heavy corpora by construction; ``'keeplist'`` returns
+    (id, component, keep) per document via
+    :func:`minhash_dedup_keep_list` with star edges verified at
+    ``threshold`` — linear output, the production posture at 100 TB.
     """
+    if emit == "keeplist":
+        return minhash_dedup_keep_list(
+            df, text_col, id_col, num_hashes, bands, portable, shingle_n,
+            verify_threshold=threshold,
+        )
+    if emit != "pairs":
+        raise ValueError(f"emit must be 'pairs' or 'keeplist', got {emit!r}")
     cands = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, portable=portable,
         shingle_n=shingle_n,
@@ -640,30 +655,19 @@ def bits_for_corpus(
     return max(16, min(64, n_blocks * per_block))
 
 
-def simhash_dedup_pairs(
+def _simhash_blocked(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    bits: int | None = 32,
-    max_hamming: int = 3,
-    n_rows: int | None = None,
-    target_block_rows: int = 256,
+    text_col: str,
+    id_col: str,
+    bits: int | None,
+    max_hamming: int,
+    n_rows: int | None,
+    target_block_rows: int,
+    hash_fn=None,
 ) -> DataFrame:
-    """Near-dup pairs by simhash with Hamming-pigeonhole blocking.
-
-    The signature is split into ``max_hamming + 1`` bit-blocks; two
-    signatures within Hamming distance ≤ k differ in at most k blocks, so
-    they match EXACTLY on at least one — candidates are an equi-join per
-    (block_idx, block_value), then Hamming-verified. Round-1 verdict fix:
-    this replaces top-prefix bucketing, which (a) silently MISSED any pair
-    whose differing bits fell in the prefix, and (b) froze the bucket count
-    at 2^prefix_bits forever. Pigeonhole blocking is complete (every
-    ≤ max_hamming pair is found), and the per-block value space is
-    2^(bits/(k+1)) — ``bits=None`` sizes the signature to the corpus via
-    :func:`bits_for_corpus` (count once if ``n_rows`` not given), keeping
-    block occupancy ≈ ``target_block_rows`` as the corpus grows instead of
-    letting the within-block self-join degrade quadratically.
-    """
+    """(id, sig, blk{bi,bv}) exploded pigeonhole-block table shared by the
+    pair-emitting and keep-list-emitting simhash paths. One row per
+    (doc, block); candidates are whatever co-occurs per distinct blk."""
     if bits is None:
         if n_rows is None:
             n_rows = df.count()
@@ -681,7 +685,7 @@ def simhash_dedup_pairs(
 
     # signatures via the explode+aggregate twin (one codegen hash aggregate)
     # rather than the per-row expression — bit-identical, O(bits×) cheaper
-    sigs = simhash_signatures(df, text_col, id_col, bits)
+    sigs = simhash_signatures(df, text_col, id_col, bits, hash_fn)
     blocks = F.array(
         *[
             F.struct(
@@ -693,7 +697,47 @@ def simhash_dedup_pairs(
             for i in range(n_blocks)
         ]
     )
-    e = sigs.select("id", "sig", F.explode(blocks).alias("blk"))
+    return sigs.select("id", "sig", F.explode(blocks).alias("blk"))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int | None = 32,
+    max_hamming: int = 3,
+    n_rows: int | None = None,
+    target_block_rows: int = 256,
+    emit: str = "pairs",
+) -> DataFrame:
+    """Near-dup pairs by simhash with Hamming-pigeonhole blocking.
+
+    ``emit='keeplist'`` switches to :func:`simhash_dedup_keep_list` —
+    (id, component, keep) per document from Hamming-verified star edges,
+    linear output mass however duplicate-heavy the corpus (r6 verdict #3).
+
+    The signature is split into ``max_hamming + 1`` bit-blocks; two
+    signatures within Hamming distance ≤ k differ in at most k blocks, so
+    they match EXACTLY on at least one — candidates are an equi-join per
+    (block_idx, block_value), then Hamming-verified. Round-1 verdict fix:
+    this replaces top-prefix bucketing, which (a) silently MISSED any pair
+    whose differing bits fell in the prefix, and (b) froze the bucket count
+    at 2^prefix_bits forever. Pigeonhole blocking is complete (every
+    ≤ max_hamming pair is found), and the per-block value space is
+    2^(bits/(k+1)) — ``bits=None`` sizes the signature to the corpus via
+    :func:`bits_for_corpus` (count once if ``n_rows`` not given), keeping
+    block occupancy ≈ ``target_block_rows`` as the corpus grows instead of
+    letting the within-block self-join degrade quadratically.
+    """
+    if emit == "keeplist":
+        return simhash_dedup_keep_list(
+            df, text_col, id_col, bits, max_hamming, n_rows, target_block_rows
+        )
+    if emit != "pairs":
+        raise ValueError(f"emit must be 'pairs' or 'keeplist', got {emit!r}")
+    e = _simhash_blocked(
+        df, text_col, id_col, bits, max_hamming, n_rows, target_block_rows
+    )
     a = e.alias("a")
     b = e.alias("b")
     return (
@@ -809,6 +853,133 @@ def dedup_keep_list(
     pair graph, keep the smallest id per component (plus every unpaired
     document). Returns (id, keep: bool, component)."""
     comps = connected_components(pairs)
+    ids = df.select(F.col(id_col).alias("id"))
+    labeled = ids.join(comps, "id", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("id"))
+    )
+    return labeled.withColumn("keep", F.col("id") == F.col("component"))
+
+
+def _bucket_star_edges(buckets: DataFrame, bucket_cols: Sequence[str]) -> DataFrame:
+    """(a_id = bucket minimum, b_id = other member) STAR edges from a
+    candidate-bucket table — the pair-free emission core.
+
+    A bucket of k co-hashed documents contributes k-1 star edges instead of
+    the k(k-1)/2 pairs the self-join form emits, so total edge mass is
+    O(rows), linear in input, however duplicate-heavy the corpus (the r6
+    soak measured 46.8× output growth at 10× input for pair emission on a
+    mutated corpus — that growth is O(N²) by construction and no plan
+    fixes it; star emission caps it at the bucket-table size). The
+    transitive closure over stars equals the closure over within-bucket
+    cliques (a star spans exactly the members its clique spans), so
+    connected components — hence keep-lists — are IDENTICAL to clustering
+    the unverified pair graph. One window shuffle on the bucket key.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in bucket_cols])
+    return (
+        buckets.withColumn("__u", F.min("id").over(w))
+        .where(F.col("id") != F.col("__u"))
+        .select(F.col("__u").alias("a_id"), F.col("id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def minhash_dedup_keep_list(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+    shingle_n: int | None = None,
+    verify_threshold: float | None = None,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Keep/drop verdict per document straight from banded-minhash
+    candidates — the pair-free ``emit='keeplist'`` contract (r6 verdict
+    next-round #3): production dedup at 100 TB wants one canonical doc per
+    near-dup cluster, not the O(N²) pair set a duplicate-heavy corpus
+    implies (a 10k-copy boilerplate cluster is 5×10⁷ pairs but 10⁴-1 star
+    edges).
+
+    Default (``verify_threshold=None``) treats band-bucket co-membership as
+    the duplicate relation — the standard large-corpus LSH posture
+    (precision is tuned via the bands/num_hashes S-curve, not per-pair
+    verification; cf. Broder '97 resemblance clustering and the MMDS ch.3
+    banding analysis); components equal those of the unverified pair graph
+    exactly (see :func:`_bucket_star_edges`). With ``verify_threshold=τ``,
+    star edges are exact-Jaccard-verified first — O(rows) verifications
+    instead of O(pairs); surviving edges are a SUBSET of the verified pair
+    graph, so components REFINE the pair-graph components: every drop is
+    still justified by a chain of verified ≥τ edges, but border documents
+    whose only ≥τ edges are to non-representative bucket members may be
+    kept that pair clustering would drop — conservative in the safe
+    direction for dedup.
+
+    Returns (id, component, keep) for every input document.
+    """
+    banded = _banded_signatures(
+        df, text_col, id_col, num_hashes, bands, portable, shingle_n, []
+    )
+    star = _bucket_star_edges(banded, ["band_idx", "band_hash"])
+    if verify_threshold is not None:
+        star = (
+            jaccard_pairs(
+                df, star, text_col, id_col,
+                prune_threshold=verify_threshold, shingle_n=shingle_n,
+            )
+            .where(F.col("jaccard") >= verify_threshold)
+            .select("a_id", "b_id")
+        )
+    comps = connected_components(star, max_iterations)
+    ids = df.select(F.col(id_col).alias("id"))
+    labeled = ids.join(comps, "id", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("id"))
+    )
+    return labeled.withColumn("keep", F.col("id") == F.col("component"))
+
+
+def simhash_dedup_keep_list(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int | None = 32,
+    max_hamming: int = 3,
+    n_rows: int | None = None,
+    target_block_rows: int = 256,
+    hash_fn=None,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Simhash keep-list at pair-free cost: pigeonhole-block buckets →
+    star edges to each bucket's minimum id → Hamming-verify ONLY those
+    O(rows) edges → connected components → (id, component, keep).
+
+    Unlike the minhash variant, simhash buckets MUST verify: with
+    corpus-sized ``bits`` the per-block value space is tuned for occupancy
+    ≈ ``target_block_rows``, so bucket co-membership alone is a candidate
+    signal, not a duplicate verdict. Verifying star edges instead of all
+    within-bucket pairs keeps cost linear; every surviving edge is a true
+    ≤ ``max_hamming`` near-dup, so (as with the verified minhash path)
+    components refine the full pair-graph components — every dropped doc
+    is transitively hamming-verified against its representative, while a
+    duplicate pair whose members are both far from the bucket minimum may
+    stay split (they typically share another block's bucket, which links
+    them there). The conservative direction for dedup.
+    """
+    e = _simhash_blocked(
+        df, text_col, id_col, bits, max_hamming, n_rows, target_block_rows, hash_fn
+    )
+    # carry the bucket-min's signature through the same window pass so the
+    # Hamming verify needs no join back to the signature table
+    w = Window.partitionBy("blk")
+    star = (
+        e.withColumn("__m", F.min(F.struct("id", "sig")).over(w))
+        .where(F.col("id") != F.col("__m.id"))
+        .where(hamming64(F.col("sig"), F.col("__m.sig")) <= max_hamming)
+        .select(F.col("__m.id").alias("a_id"), F.col("id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    comps = connected_components(star, max_iterations)
     ids = df.select(F.col(id_col).alias("id"))
     labeled = ids.join(comps, "id", "left").withColumn(
         "component", F.coalesce(F.col("component"), F.col("id"))

@@ -327,3 +327,164 @@ def histogram_quantiles(
     return hit.select(
         *keys, "prob", F.round(est, round_to).alias("quantile_est")
     )
+
+
+# --- t-digest-style mergeable quantile sketch ------------------------------
+
+
+def _k1_boundaries(n_centroids: int) -> np.ndarray:
+    """Quantile-space bucket boundaries from the t-digest k1 scale function
+    (Dunning & Ertl 2019): k(q) = asin(2q-1), inverted at evenly spaced k
+    values. Buckets are narrow near q=0 and q=1 and wide in the middle —
+    the tail-accuracy property that distinguishes a t-digest from an
+    equal-weight strip. Deterministic: no randomness anywhere."""
+    j = np.arange(n_centroids + 1, dtype="float64") / n_centroids
+    return (np.sin(j * np.pi - np.pi / 2.0) + 1.0) / 2.0
+
+
+def _compress(
+    means: np.ndarray, weights: np.ndarray, n_centroids: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge sorted (mean, weight) centroids into ≤ n_centroids buckets cut
+    at k1 cumulative-weight boundaries. Deterministic given input order;
+    inputs MUST be sorted by mean."""
+    total = weights.sum()
+    if len(means) <= n_centroids or total == 0:
+        return means, weights
+    bounds = _k1_boundaries(n_centroids) * total
+    # bucket index per centroid from cumulative MIDPOINT weight: robust to
+    # boundary ties, every bucket cut falls between centroids
+    mid = np.cumsum(weights) - weights / 2.0
+    idx = np.clip(np.searchsorted(bounds, mid, side="right") - 1, 0, n_centroids - 1)
+    out_w = np.bincount(idx, weights=weights, minlength=n_centroids)
+    out_m = np.bincount(idx, weights=weights * means, minlength=n_centroids)
+    keep = out_w > 0
+    return out_m[keep] / out_w[keep], out_w[keep]
+
+
+def _tdigest_partial_fn(keys: list[str], value_col: str, n_centroids: int):
+    """Per-partition bounded t-digest partial: emit ≤ n_centroids
+    (mean, weight) rows per group per partition, whatever the row count.
+    Values accumulate per batch and compress whenever the buffer exceeds
+    8× the centroid budget — O(n_centroids) state per group."""
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+        def absorb(gkey, vals):
+            prev = state.get(gkey)
+            if prev is None:
+                m, w = vals, np.ones_like(vals)
+            else:
+                m = np.concatenate([prev[0], vals])
+                w = np.concatenate([prev[1], np.ones_like(vals)])
+            order = np.argsort(m, kind="stable")
+            m, w = m[order], w[order]
+            if len(m) > 8 * n_centroids:
+                m, w = _compress(m, w, n_centroids)
+            state[gkey] = (m, w)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for gkey, sub in pdf.groupby(keys, sort=False, dropna=False):
+                if not isinstance(gkey, tuple):
+                    gkey = (gkey,)
+                vals = sub[value_col].dropna().to_numpy(dtype="float64")
+                if len(vals):
+                    absorb(gkey, vals)
+        if not state:
+            return
+        out: dict[str, list] = {c: [] for c in keys}
+        out["__mean"], out["__weight"] = [], []
+        for gkey, (m, w) in state.items():
+            m, w = _compress(m, w, n_centroids)
+            for i, c in enumerate(keys):
+                out[c].extend([gkey[i]] * len(m))
+            out["__mean"].extend(m.tolist())
+            out["__weight"].extend(w.tolist())
+        yield pd.DataFrame(out)
+
+    return partial
+
+
+def tdigest_partials(
+    df: DataFrame, value_col: str, keys: list[str], n_centroids: int
+) -> DataFrame:
+    """The bounded partial stage of :func:`tdigest_quantiles`, exposed so
+    tests can pin the shuffle-volume contract: ≤ n_centroids rows per
+    group per input partition reach the merge shuffle."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    cols = df.select(*keys, value_col)
+    key_fields = [cols.schema[k] for k in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("__mean", DoubleType(), False),
+            StructField("__weight", DoubleType(), False),
+        ]
+    )
+    return cols.mapInPandas(
+        _tdigest_partial_fn(keys, value_col, n_centroids), schema=out_schema
+    )
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    value_col: str,
+    by: str | Sequence[str],
+    probs: Sequence[float],
+    n_centroids: int = 128,
+) -> DataFrame:
+    """Per-group quantile estimates from a mergeable t-digest-style sketch:
+    ``(group cols, prob, quantile_est)`` — the VALUE-ADAPTIVE complement
+    of :func:`histogram_quantiles` (r6 verdict next-round #8): no [lo, hi)
+    range must be known up front, and the k1 scale function concentrates
+    centroids in the tails where fixed-width bins are coarsest.
+
+    Scale shape mirrors :func:`kmv_distinct`: a ``mapInPandas`` partial
+    bounds per-partition state to ≤ n_centroids (mean, weight) pairs per
+    group — the t-digest merge property: a digest of digests is a valid
+    digest — so the shuffle carries ≤ n_centroids × n_partitions rows per
+    group regardless of row count; the per-group merge re-sorts and
+    re-compresses once, then interpolates each requested quantile between
+    cumulative-midpoint ranks. Estimates are deterministic for a fixed
+    partitioning; across different partitionings they vary within the
+    rank-error bound (pinned by tests/test_tdigest.py) — hence no DuckDB
+    oracle: the catalog face is a self-evaluating error report, the
+    pattern the KMV sketch's exact twin does not need but every
+    merge-order-dependent sketch (HLL, GK, t-digest) does.
+    """
+    keys = as_list(by)
+    probs = [float(p) for p in probs]
+    partials = tdigest_partials(df, value_col, keys, n_centroids)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["__mean"].to_numpy(), kind="stable")
+        m = pdf["__mean"].to_numpy()[order]
+        w = pdf["__weight"].to_numpy()[order]
+        m, w = _compress(m, w, n_centroids)
+        total = w.sum()
+        cum_mid = np.cumsum(w) - w / 2.0
+        ests = [
+            float(np.interp(p * total, cum_mid, m, left=m[0], right=m[-1]))
+            for p in probs
+        ]
+        head = pdf.iloc[:1][keys].reset_index(drop=True)
+        rep = pd.concat([head] * len(probs), ignore_index=True)
+        rep["prob"] = probs
+        rep["quantile_est"] = ests
+        return rep
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    key_fields = [partials.schema[k] for k in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("prob", DoubleType(), False),
+            StructField("quantile_est", DoubleType(), False),
+        ]
+    )
+    return partials.groupBy(*keys).applyInPandas(merge, schema=out_schema)

@@ -819,6 +819,44 @@ def order_price_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("order_price_tdigest_report")  # merge-order-dependent — rows-only
+def order_price_tdigest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating accuracy report for the t-digest-style mergeable
+    quantile sketch (operators/sketch.py::tdigest_quantiles, r6 verdict
+    next-round #8) — the VALUE-ADAPTIVE complement of the oracled
+    histogram estimator above: no [lo, hi) range assumed, k1-scale
+    centroids dense in the tails. Like every merge-order-dependent sketch
+    (HLL, GK, t-digest proper) its estimates cannot cross-engine oracle,
+    so — the distinct_users_sketch / recall-report pattern — the query
+    grades itself in-plan: each (priority, prob) row carries the estimate,
+    the rank it actually attains against the raw data, and whether the
+    |rank - prob| ≤ 1/n_centroids contract holds. Broadcast join: 15
+    estimate rows against the orders scan, one aggregate."""
+    from polars_numba_spark.operators.sketch import tdigest_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    est = tdigest_quantiles(
+        o, "o_totalprice", "o_orderpriority", probs=(0.5, 0.9, 0.99),
+        n_centroids=128,
+    )
+    joined = o.join(F.broadcast(est), "o_orderpriority")
+    report = joined.groupBy("o_orderpriority", "prob", "quantile_est").agg(
+        F.avg(
+            (F.col("o_totalprice") <= F.col("quantile_est")).cast("double")
+        ).alias("rank_attained")
+    )
+    return report.select(
+        "o_orderpriority",
+        "prob",
+        "quantile_est",
+        "rank_attained",
+        F.abs(F.col("rank_attained") - F.col("prob")).alias("rank_error"),
+        (
+            F.abs(F.col("rank_attained") - F.col("prob")) <= F.lit(1.0 / 128)
+        ).alias("within_bound"),
+    ).orderBy("o_orderpriority", "prob")
+
+
 @register(
     "doc_corpus_diff",
     oracle="""

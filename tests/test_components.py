@@ -62,3 +62,97 @@ def test_components_raises_on_iteration_cap(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iterations=3)
+
+
+def test_star_keeplist_components_equal_clique_components(spark):
+    """emit='keeplist' without verification must cluster IDENTICALLY to
+    connected components over the unverified candidate pair graph — a star
+    spans exactly the members its within-bucket clique spans."""
+    from polars_numba_spark.operators.dedup import (
+        minhash_dedup_keep_list,
+        minhash_lsh_candidates,
+    )
+    from polars_numba_spark.sources import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    star = minhash_dedup_keep_list(docs, num_hashes=16, bands=4, portable=True)
+    cands = minhash_lsh_candidates(docs, "text", "doc_id", 16, 4, portable=True)
+    clique = dedup_keep_list(docs, cands)
+    mismatches = (
+        star.alias("s")
+        .join(clique.alias("c"), "id")
+        .where(
+            (F.col("s.component") != F.col("c.component"))
+            | (F.col("s.keep") != F.col("c.keep"))
+        )
+        .count()
+    )
+    assert mismatches == 0
+    assert star.count() == docs.count()
+
+
+def test_verified_star_keeplist_refines_pair_clusters(spark):
+    """With verify_threshold, star keep-lists are a REFINEMENT of verified
+    pair-graph clusters: every doc dropped by the star path is also dropped
+    by (or co-clustered with) the pair path, never the reverse guarantee."""
+    from polars_numba_spark.operators.dedup import minhash_dedup_keep_list
+    from polars_numba_spark.sources import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").limit(60)
+    clone = docs.where(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 70000
+    )
+    with_dups = docs.union(clone)
+    star = minhash_dedup_keep_list(
+        with_dups, num_hashes=32, bands=8, portable=True, verify_threshold=0.95
+    )
+    pairs = minhash_dedup_pairs(
+        with_dups, num_hashes=32, bands=8, threshold=0.95, portable=True
+    )
+    pair_verdict = dedup_keep_list(with_dups, pairs)
+    rows_star = {r["id"]: r for r in star.collect()}
+    rows_pair = {r["id"]: r for r in pair_verdict.collect()}
+    # identical injected clones are exact dups (jaccard 1.0): both paths
+    # must drop each clone in favour of its original
+    for orig in range(5):
+        assert rows_star[orig]["keep"] and not rows_star[orig + 70000]["keep"]
+        assert rows_star[orig + 70000]["component"] == orig
+    # refinement: every star-dropped doc is also pair-dropped
+    for i, r in rows_star.items():
+        if not r["keep"]:
+            assert not rows_pair[i]["keep"]
+
+
+def test_simhash_keeplist_star_edges_are_hamming_verified(spark):
+    """Every doc the simhash keep-list drops must genuinely be within
+    max_hamming of its component representative chain — spot-check that
+    exact clones collapse and the verdict covers every input doc."""
+    from polars_numba_spark.operators.dedup import simhash_dedup_keep_list
+    from polars_numba_spark.sources import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").limit(50)
+    clone = docs.where(F.col("doc_id") < 4).withColumn(
+        "doc_id", F.col("doc_id") + 90000
+    )
+    with_dups = docs.union(clone)
+    verdict = simhash_dedup_keep_list(with_dups, bits=32, max_hamming=3)
+    rows = {r["id"]: r for r in verdict.collect()}
+    assert len(rows) == with_dups.count()
+    for orig in range(4):
+        assert rows[orig]["keep"] and not rows[orig + 90000]["keep"]
+        assert rows[orig + 90000]["component"] == orig
+
+
+def test_emit_dispatch_and_rejects_unknown(spark):
+    import pytest
+
+    from polars_numba_spark.operators.dedup import simhash_dedup_pairs
+    from polars_numba_spark.sources import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").limit(20)
+    kl = minhash_dedup_pairs(docs, emit="keeplist")
+    assert set(kl.columns) == {"id", "component", "keep"}
+    with pytest.raises(ValueError, match="emit"):
+        minhash_dedup_pairs(docs, emit="edges")
+    with pytest.raises(ValueError, match="emit"):
+        simhash_dedup_pairs(docs, emit="edges")

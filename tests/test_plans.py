@@ -321,3 +321,26 @@ def test_profiler_is_one_scan(spark):
     s = plans.explain_string(df, mode="simple")
     assert s.count("FileScan") == 1
     assert "Join" not in s
+
+
+def test_novelty_join_is_doc_granularity(spark):
+    """doc_novelty_scores (r6 verdict watch item): the r6 spelling joined
+    the corpus-wide shingle table back to its own counts, and the count
+    side's partial aggregate sits below its exchange so Catalyst can NEVER
+    ReuseExchange the two subtrees — the explode silently ran twice and
+    |shingles| rows crossed a third shuffle. The r7 reformulation credits
+    each unique shingle to min(doc_id) inside the per-shingle aggregate;
+    the only join left is doc_id-keyed between two doc-granularity
+    aggregates. Pin that: every join in the plan keys on doc_id and none
+    keys on the shingle hash column."""
+    df = q(spark, "doc_novelty_scores")
+    s = plans.explain_string(df)
+    import re
+
+    left_keys = re.findall(r"Left keys \[\d+\]: \[([^\]]*)\]", s)
+    assert left_keys, "expected exactly one join in the novelty plan"
+    for keys in left_keys:
+        assert "doc_id" in keys, f"join not doc_id-keyed: {keys}"
+        assert not re.search(r"\bs#", keys), f"shingle-mass join present: {keys}"
+    # a regression back to the join-back shape also shows as >1 join
+    assert len(left_keys) == 1

@@ -337,6 +337,51 @@ def run_containment_soak(
     )
 
 
+def run_keeplist_soak(
+    spark: SparkSession, base_dir: str, big_dir: str, factor: int
+) -> dict:
+    """Soak the PAIR-FREE emit='keeplist' contract (r6 verdict #3) on the
+    replicated (duplicate-heavy) build — the exact case where pair
+    emission's output is O(N²) by construction (the 46.8×/109.7M-pair
+    simhash line). Keep-list output is one row per input doc at any
+    duplicate density; the curve should track INPUT (~linear), decoupled
+    from true-pair mass."""
+    from polars_numba_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        simhash_dedup_pairs,
+    )
+    from polars_numba_spark.sources import load_table
+
+    def build_sim(d):
+        docs = load_table(spark, "documents", d)
+        return lambda: simhash_dedup_pairs(
+            docs, bits=32, max_hamming=3, emit="keeplist"
+        )
+
+    def build_min(d):
+        docs = load_table(spark, "documents", d)
+        return lambda: minhash_dedup_pairs(
+            docs, num_hashes=32, bands=8, threshold=0.8, shingle_n=8,
+            emit="keeplist",
+        )
+
+    out = _operator_soak(
+        spark,
+        "simhash_keeplist_operator",
+        [("1x", build_sim(base_dir), {}), (f"{factor}x", build_sim(big_dir), {})],
+        factor,
+    )
+    out.update(
+        _operator_soak(
+            spark,
+            "minhash_keeplist_operator",
+            [("1x", build_min(base_dir), {}), (f"{factor}x", build_min(big_dir), {})],
+            factor,
+        )
+    )
+    return out
+
+
 def run_kmv_soak(
     spark: SparkSession, base_dir: str, big_dir: str, factor: int
 ) -> dict:
