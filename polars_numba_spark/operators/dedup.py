@@ -965,9 +965,19 @@ def simhash_dedup_keep_list(
     duplicate pair whose members are both far from the bucket minimum may
     stay split (they typically share another block's bucket, which links
     them there). The conservative direction for dedup.
+
+    Tokenless documents (NULL or whitespace-only text) are excluded from
+    the block table and trivially kept as their own singleton component:
+    ``simhash_signatures`` would give them an all-zero signature (zero
+    contributions via ``explode_outer``), which co-buckets every empty doc
+    and Hamming-verifies at distance 0 — an artifact of the signature
+    encoding, not a content match. Pinned by
+    tests/test_components.py::test_simhash_keeplist_empty_docs_kept.
     """
+    tokenless = F.col(text_col).isNull() | (F.trim(F.col(text_col)) == "")
     e = _simhash_blocked(
-        df, text_col, id_col, bits, max_hamming, n_rows, target_block_rows, hash_fn
+        df.where(~tokenless),
+        text_col, id_col, bits, max_hamming, n_rows, target_block_rows, hash_fn,
     )
     # carry the bucket-min's signature through the same window pass so the
     # Hamming verify needs no join back to the signature table

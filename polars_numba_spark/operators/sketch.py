@@ -362,6 +362,41 @@ def _compress(
     return out_m[keep] / out_w[keep], out_w[keep]
 
 
+def _merge_digest_quantiles(
+    means: np.ndarray,
+    weights: np.ndarray,
+    n_centroids: int,
+    probs: Sequence[float],
+) -> list[float]:
+    """The per-group merge phase of :func:`tdigest_quantiles` as a pure
+    function (so tests/test_tdigest.py's Hypothesis sweep drives the REAL
+    merge code, not a re-implementation): sort incoming partial centroids
+    by mean, re-compress once to ≤ n_centroids buckets, then interpolate
+    each requested quantile between cumulative-midpoint ranks.
+
+    Adversarial rank-error envelope (property-pinned): for ANY value
+    distribution and ANY partitioning,
+    ``err ≤ π/C + max_duplicate_run_mass/2 + 1/(2n)`` — π/(2C) is the k1
+    scale function's max bucket mass per compression level (two levels:
+    partial + merge), a duplicate run of mass r makes the step-quantile
+    ambiguous within r/2 of its edges, and 1/(2n) is finite-sample rank
+    granularity. The tighter 1/C the catalog report asserts is an
+    EMPIRICAL property of continuous, duplicate-light data (orders
+    totalprice) — measured ~0.0014 there — not an adversarial guarantee:
+    duplicate-heavy corpora (k1 bucket straddling two duplicate runs takes
+    a mean between them) measurably exceed 1/C."""
+    order = np.argsort(means, kind="stable")
+    m = means[order]
+    w = weights[order]
+    m, w = _compress(m, w, n_centroids)
+    total = w.sum()
+    cum_mid = np.cumsum(w) - w / 2.0
+    return [
+        float(np.interp(p * total, cum_mid, m, left=m[0], right=m[-1]))
+        for p in probs
+    ]
+
+
 def _tdigest_partial_fn(keys: list[str], value_col: str, n_centroids: int):
     """Per-partition bounded t-digest partial: emit ≤ n_centroids
     (mean, weight) rows per group per partition, whatever the row count.
@@ -455,22 +490,24 @@ def tdigest_quantiles(
     oracle: the catalog face is a self-evaluating error report, the
     pattern the KMV sketch's exact twin does not need but every
     merge-order-dependent sketch (HLL, GK, t-digest) does.
+
+    A group whose value column is ENTIRELY null produces no output row at
+    all (its partial stage yields nothing), unlike exact-percentile faces
+    which surface the group with a null estimate — callers joining
+    estimates back per group should left-join and treat the missing group
+    as "no measurable values", or pre-filter such groups explicitly.
     """
     keys = as_list(by)
     probs = [float(p) for p in probs]
     partials = tdigest_partials(df, value_col, keys, n_centroids)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(pdf["__mean"].to_numpy(), kind="stable")
-        m = pdf["__mean"].to_numpy()[order]
-        w = pdf["__weight"].to_numpy()[order]
-        m, w = _compress(m, w, n_centroids)
-        total = w.sum()
-        cum_mid = np.cumsum(w) - w / 2.0
-        ests = [
-            float(np.interp(p * total, cum_mid, m, left=m[0], right=m[-1]))
-            for p in probs
-        ]
+        ests = _merge_digest_quantiles(
+            pdf["__mean"].to_numpy(),
+            pdf["__weight"].to_numpy(),
+            n_centroids,
+            probs,
+        )
         head = pdf.iloc[:1][keys].reset_index(drop=True)
         rep = pd.concat([head] * len(probs), ignore_index=True)
         rep["prob"] = probs

@@ -1233,8 +1233,11 @@ def dedup_minhash_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS t
         FROM documents WHERE doc_id < 150
     ), hashed AS (
+        -- tokenless docs (NULL/whitespace-only text) are excluded from the
+        -- block table and trivially kept, matching simhash_dedup_keep_list
         SELECT doc_id, UNNEST(list_transform(t, tok -> {_MD5INT_SQL.format(x='tok')})) AS h
         FROM toks
+        WHERE COALESCE(len(list_filter(t, tok -> tok <> '')), 0) > 0
     ), contribs AS (
         SELECT doc_id, i.i AS i,
                SUM(CASE WHEN ((h >> i.i) & 1) = 1 THEN 1 ELSE -1 END) AS contrib

@@ -834,10 +834,12 @@ def order_price_tdigest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate rows against the orders scan, one aggregate."""
     from polars_numba_spark.operators.sketch import tdigest_quantiles
 
+    n_centroids = 128  # single source for both the sketch and its 1/C bound
+
     o = _t(spark, sf_dir, "orders")
     est = tdigest_quantiles(
         o, "o_totalprice", "o_orderpriority", probs=(0.5, 0.9, 0.99),
-        n_centroids=128,
+        n_centroids=n_centroids,
     )
     joined = o.join(F.broadcast(est), "o_orderpriority")
     report = joined.groupBy("o_orderpriority", "prob", "quantile_est").agg(
@@ -852,7 +854,8 @@ def order_price_tdigest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_attained",
         F.abs(F.col("rank_attained") - F.col("prob")).alias("rank_error"),
         (
-            F.abs(F.col("rank_attained") - F.col("prob")) <= F.lit(1.0 / 128)
+            F.abs(F.col("rank_attained") - F.col("prob"))
+            <= F.lit(1.0 / n_centroids)
         ).alias("within_bound"),
     ).orderBy("o_orderpriority", "prob")
 

@@ -156,3 +156,34 @@ def test_emit_dispatch_and_rejects_unknown(spark):
         minhash_dedup_pairs(docs, emit="edges")
     with pytest.raises(ValueError, match="emit"):
         simhash_dedup_pairs(docs, emit="edges")
+
+
+def test_simhash_keeplist_empty_docs_kept(spark):
+    """Tokenless documents (NULL or whitespace-only text) must each stay a
+    singleton keep — their all-zero signature is an encoding artifact, not
+    a content match, so they are excluded from the block table rather than
+    co-bucketed and Hamming-merged at distance 0 (ADVICE r7)."""
+    from polars_numba_spark.operators.dedup import simhash_dedup_keep_list
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, ""),
+            (4, "   "),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in simhash_dedup_keep_list(docs, bits=16, max_hamming=2).collect()
+    }
+    assert len(rows) == 5
+    # the two real duplicates collapse
+    assert rows[1]["keep"] and not rows[2]["keep"]
+    assert rows[2]["component"] == 1
+    # every tokenless doc is its own kept singleton
+    for empty_id in (3, 4, 5):
+        assert rows[empty_id]["keep"]
+        assert rows[empty_id]["component"] == empty_id
