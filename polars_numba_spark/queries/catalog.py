@@ -65,16 +65,100 @@ def register(name: str, oracle: str | None = None):
 # window to exactly that never-checked set — every evictee already has a
 # green r1-r6 driver row and remains oracled + local-gated
 # (tools/check_oracle.py), so after this round every catalog query has a
-# driver record. 48 of the 50 are oracled (hash-checkable); the two
-# self-evaluating recall reports (embedding_near_dup_recall /
-# embedding_int8_recall) are rows-only BY CONSTRUCTION — their output IS the
-# approximate-vs-exact differential, so a rows-only driver record is the
-# strongest check that exists for them, and parking them outside the window
-# forever would leave them with no driver record at all.
+# driver record. That r7 plan went 48/50 hash-green + 2 rows-only
+# (CORRECTNESS_r07.json, zero errors); the full r7 window is retained below
+# as _DRIVER_PRIORITY_R7 for the rotation record.
+#
+# Round 8 closes the last driver-gate debt (r7 verdict next-round #1): the
+# five oracled queries still lacking a hash-green row, the new r8 keep-list
+# curation face, and the two never-rotated rows-only reports, then spends
+# the remaining 42 slots on per-family sentinels from prior windows
+# (ADVICE r7: a full rotation leaves every long-gated core path checked
+# only by the local gate) including the four unexplained r7 bench movers.
+# The rows-only allowance rotates with the window: the r7 pair
+# (embedding_near_dup_recall / embedding_int8_recall) got their maximal
+# rows-only record in r7 and park outside; this round's pair is the
+# t-digest and KMV/HLL self-evaluating reports, rows-only BY CONSTRUCTION —
+# their output IS the approx-vs-exact differential.
 _ROWS_ONLY_WINDOW_ALLOWANCE = frozenset(
-    {"embedding_near_dup_recall", "embedding_int8_recall"}
+    {"order_price_tdigest_report", "distinct_users_sketch"}
 )
 _DRIVER_PRIORITY: list[str] = [
+    # --- round 8 window ----------------------------------------------------
+    # The 8 hard-gate must-ins: the five oracled queries with no driver
+    # hash-green row after seven rounds (the two r7-new keep-lists were
+    # never in a window; the other three were checked only in r1 BEFORE
+    # their oracles existed), the new r8 end-to-end keep-list curation face,
+    # and the two never-rotated rows-only self-evaluating reports (the
+    # documented ≤2-slot allowance — their output IS the approx-vs-exact
+    # differential, so rows-only is the strongest record that exists).
+    "dedup_minhash_keeplist",           # pair-free minhash keep-list (r7-new)
+    "dedup_simhash_keeplist",           # pair-free simhash keep-list (r7-new)
+    "embedding_topk_lsh",               # LSH ANN top-k (oracled r3+)
+    "dedup_clusters",                   # LSH pairs -> components -> verdict
+    "kmeans_assignments",               # decimal-exact k-means assignment
+    "curated_corpus_neardup",           # r8-new: keep-list curation pipeline
+    "order_price_tdigest_report",       # rows-only: t-digest self-report
+    "distinct_users_sketch",            # rows-only: HLL-style self-report
+    # --- sentinels (ADVICE r7 #5): the remaining 42 slots re-check one
+    # previously-green query per long-gated core family, so a regression in
+    # folds/scans, TPC-H shapes, flagship dedup, embeddings, text pipeline,
+    # or streaming is caught by the driver this round, not only by the
+    # local replica gate. Includes the four unexplained r7 bench movers.
+    # fold/scan kernel surface
+    "kernel_fold_event_cents",
+    "kernel_scan_user_balance_cents",
+    "kernel_fold_two_columns",
+    "kernel_scan_multi_output",
+    "parallel_fold_total_cents",        # r7 mover (2.13x, no code change)
+    "parallel_scan_running_balance",
+    "capped_balance_per_user",
+    "user_activity_with_fold",
+    "sql_surface_running_balance",
+    # TPC-H / relational shapes
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q2_min_cost_supplier",             # r7 mover (2.11x, no code change)
+    "q7_nation_pair_volume",            # r7 mover (1.92x, no code change)
+    "q6_revenue_forecast",
+    "q13_customer_order_distribution",
+    "q18_large_volume_orders",
+    # window / analytic / timeseries
+    "orders_rank_in_customer",
+    "running_max_order_price",
+    "rolling_hour_user_value",
+    "gap_fill_user_value",
+    "user_sessions",
+    "global_longest_hot_streak",
+    "events_sessionize_stats",
+    # flagship dedup / ExactSubstr
+    "dedup_exact_digests",
+    "dedup_jaccard_pairs",
+    "dedup_containment_complete",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "dedup_incremental_pairs",
+    "doc_duplicated_spans",
+    "doc_remove_passages",
+    # embeddings / semantic dedup
+    "embedding_topk_bruteforce",
+    "semantic_dedup_pairs",
+    "semantic_dedup_keeplist",
+    "label_centroids",
+    "embedding_near_dup_pairs",
+    # text pipeline
+    "doc_bigram_logprob",               # r7 mover (2.26x, no code change)
+    "training_data_pipeline",
+    "doc_tfidf_top_terms",
+    "doc_unigram_logprob",
+    # streaming jobs
+    "streaming_scan_user_balance",
+    "streaming_user_sessions",
+]
+# The full round-7 window, retained as the rotation record (all 50 went
+# green in CORRECTNESS_r07.json; every member remains oracled + local-gated
+# and is pinned registered by tests/test_catalog_priority.py).
+_DRIVER_PRIORITY_R7: list[str] = [
     # fold/scan kernel surface (SURVEY §2.A) — last uncovered face
     "user_running_multi_metrics",       # fused multi-output grouped scan
     # TPC-H relational suite — the 16 extras never driver-checked

@@ -47,3 +47,12 @@ def test_rows_only_queries_sit_past_the_window_unless_allowed():
     past_window = list(q)[50:]
     rows_only = [n for n in q if n not in oracles]
     assert set(rows_only) <= set(past_window) | catalog._ROWS_ONLY_WINDOW_ALLOWANCE
+
+
+def test_r7_rotation_record_stays_registered():
+    """The retained round-7 window is a rotation record: every member must
+    still exist in the registry (a renamed query would silently orphan its
+    documented driver history)."""
+    q = catalog.spark_queries()
+    missing = [n for n in catalog._DRIVER_PRIORITY_R7 if n not in q]
+    assert missing == []

@@ -344,3 +344,34 @@ def test_novelty_join_is_doc_granularity(spark):
         assert not re.search(r"\bs#", keys), f"shingle-mass join present: {keys}"
     # a regression back to the join-back shape also shows as >1 join
     assert len(left_keys) == 1
+
+
+def test_curated_neardup_no_pair_materialization(spark):
+    """The keep-list curation face (r7 verdict next-round #5) must never
+    materialize the within-bucket pair set. Two pins, because the catalog
+    face's connected-components checkpoint truncates lineage: (a) the
+    whole-query plan has no nested-loop/cartesian anywhere; (b) the star
+    edge stage it is built on is a WINDOW over the band bucket — band_hash
+    appears in window/exchange partitioning, never as an equi-join key of
+    the banded table against itself (the pair path's signature shape)."""
+    df = q(spark, "curated_corpus_neardup")
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+    from polars_numba_spark.operators.dedup import (
+        _banded_signatures,
+        _bucket_star_edges,
+    )
+    from polars_numba_spark.sources import load_table
+
+    docs = load_table(spark, "documents", SF)
+    banded = _banded_signatures(docs, "text", "doc_id", 32, 8, True, None, [])
+    star = _bucket_star_edges(banded, ["band_idx", "band_hash"])
+    ss = plans.explain_string(star)
+    assert "Window" in ss
+    join_lines = [
+        ln for ln in ss.splitlines()
+        if ("Join" in ln or "join" in ln) and "band_hash" in ln
+    ]
+    assert join_lines == [], f"banded table self-joined on band_hash: {join_lines}"
