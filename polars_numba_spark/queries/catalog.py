@@ -128,7 +128,6 @@ _DRIVER_PRIORITY: list[str] = [
     "running_max_order_price",
     "rolling_hour_user_value",
     "gap_fill_user_value",
-    "user_sessions",
     "global_longest_hot_streak",
     "events_sessionize_stats",
     # flagship dedup / ExactSubstr
@@ -154,6 +153,7 @@ _DRIVER_PRIORITY: list[str] = [
     # streaming jobs
     "streaming_scan_user_balance",
     "streaming_user_sessions",
+    "streaming_neardup_keeplist",       # r8-new: incremental LSH keep-list
 ]
 # The full round-7 window, retained as the rotation record (all 50 went
 # green in CORRECTNESS_r07.json; every member remains oracled + local-gated
