@@ -329,3 +329,116 @@ def sample_frames(
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+# --- audio: real RIFF/WAVE header synthesis + parsing -----------------------
+# WAV is the audio analog of the PNG/JPEG/GIF parsers above: every field an
+# ASR-ingest pipeline needs (sample rate, channels, bit depth, duration)
+# lives in the fixed-layout fmt/data chunks — parseable with pure byte
+# arithmetic, no codec library, which is also the right scale posture:
+# corpus-wide audio stats must not decode 100 TB of PCM.
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, mime string, sample_rate int, n_channels int, "
+    "bits_per_sample int, duration_ms long, n_bytes int"
+)
+
+
+def _le32(col: Column) -> Column:
+    """Integer column → 4 little-endian bytes (via two guarded LE16s)."""
+    lo = _le16(col % 65536)
+    hi = _le16((col / 65536).cast("long"))
+    return F.concat(lo, hi)
+
+
+def synthesize_wav_payload(
+    sample_rate: Column, n_channels: Column, n_samples: Column
+) -> Column:
+    """Build a REAL minimal RIFF/WAVE container as a binary column — canonical
+    44-byte header (RIFF size, PCM fmt chunk with rate/channels/16-bit depth,
+    data chunk size) followed by zeroed PCM frames, entirely with codegen'd
+    expressions. The parser must recover every field FROM THE BYTES."""
+    bits = F.lit(16)
+    block_align = n_channels * 2  # 16-bit PCM
+    byte_rate = sample_rate * block_align
+    data_size = n_samples * block_align
+    return F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        _le32(data_size + 36),
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        _le32(F.lit(16)),          # fmt chunk size
+        _le16(F.lit(1)),           # PCM
+        _le16(n_channels),
+        _le32(sample_rate),
+        _le32(byte_rate),
+        _le16(block_align),
+        _le16(bits),
+        F.encode(F.lit("data"), "UTF-8"),
+        _le32(data_size),
+        # zeroed PCM frames, capped so a mistyped n_samples cannot build a
+        # gigabyte literal: the meta parser never reads past the header
+        F.unhex(F.repeat(F.lit("00"), F.least(data_size, F.lit(4096)).cast("int"))),
+    )
+
+
+def decode_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, n_channels, bits_per_sample, data_bytes) from a
+    RIFF/WAVE header, or None if the payload is not WAV. Walks the chunk
+    list (fmt may be preceded by LIST/fact chunks in real files) instead of
+    assuming the canonical 44-byte layout."""
+    if len(payload) < 36 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = channels = bits = None
+    data_bytes = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data_bytes = size  # declared size, even if frames are truncated
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data_bytes is None:
+        return None
+    return rate, channels, bits, data_bytes
+
+
+def extract_audio_meta(df: DataFrame) -> DataFrame:
+    """Audio metadata from real WAV headers only (no metadata smuggling, no
+    fallback): (doc_id, mime, sample_rate, n_channels, bits_per_sample,
+    duration_ms, n_bytes) with nulls for non-WAV payloads. Arrow-batched,
+    partition-parallel, shuffle-free — the same scale shape as
+    :func:`extract_image_dims`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "mime", "sample_rate", "n_channels",
+                "bits_per_sample", "duration_ms", "n_bytes",
+            )}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                meta = decode_wav_header(p)
+                rows["doc_id"].append(doc_id)
+                rows["n_bytes"].append(len(p))
+                if meta is None:
+                    for k in ("mime", "sample_rate", "n_channels",
+                              "bits_per_sample", "duration_ms"):
+                        rows[k].append(None)
+                    continue
+                rate, channels, bits, data_bytes = meta
+                frame = max(1, channels * (bits // 8))
+                rows["mime"].append("audio/wav")
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(channels)
+                rows["bits_per_sample"].append(bits)
+                rows["duration_ms"].append(
+                    (data_bytes // frame) * 1000 // max(1, rate)
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(run, AUDIO_META_SCHEMA)

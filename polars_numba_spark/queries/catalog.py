@@ -148,8 +148,10 @@ _DRIVER_PRIORITY: list[str] = [
     # text pipeline
     "doc_bigram_logprob",               # r7 mover (2.26x, no code change)
     "training_data_pipeline",
-    "doc_tfidf_top_terms",
     "doc_unigram_logprob",
+    # multimodal (r8-new face; tfidf stays oracled + local-gated, its
+    # vocabulary-join path remains driver-evidenced via doc_heavy_tokens r7)
+    "multimodal_audio_meta",            # r8-new: WAV header parse hard-gate
     # streaming jobs
     "streaming_scan_user_balance",
     "streaming_user_sessions",

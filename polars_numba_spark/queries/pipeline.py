@@ -1029,6 +1029,44 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_meta",
+    oracle="""
+    SELECT doc_id,
+           'audio/wav' AS mime,
+           CAST(8000 + (doc_id % 11) * 800 AS INTEGER) AS sample_rate,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS n_channels,
+           CAST(16 AS INTEGER) AS bits_per_sample,
+           CAST(((400 + (doc_id * 7) % 600) * 1000)
+                // (8000 + (doc_id % 11) * 800) AS BIGINT) AS duration_ms,
+           CAST(44 + (400 + (doc_id * 7) % 600) * (doc_id % 2 + 1) * 2
+                AS INTEGER) AS n_bytes
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container decoding through the hard gate — the WAV analog
+    of multimodal_image_dims: minimal-but-genuine RIFF/WAVE files are
+    synthesized in-plan (canonical header, little-endian fmt fields, PCM
+    frames), then the chunk-walking parser must recover sample rate /
+    channels / bit depth / duration FROM THE BYTES — the oracle computes
+    the embedded values independently, so a parser that misreads an offset,
+    endianness, or the frame-size arithmetic hash-mismatches. (Codec
+    decode would need an audio library absent here; header parsing is the
+    honest, scale-appropriate core — corpus-wide audio stats must not
+    decode the PCM. See operators/multimodal.py.)"""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    with_payload = d.select(
+        "doc_id",
+        M.synthesize_wav_payload(
+            (F.lit(8000) + (F.col("doc_id") % 11) * 800).cast("int"),
+            (F.col("doc_id") % 2 + 1).cast("int"),
+            (F.lit(400) + (F.col("doc_id") * 7) % 600).cast("int"),
+        ).alias("payload"),
+    )
+    return M.extract_audio_meta(with_payload)
+
+
+@register(
     "curated_corpus",
     oracle=f"""
     WITH scored AS (

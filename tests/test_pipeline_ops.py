@@ -1077,3 +1077,58 @@ def test_bigram_logprob_penalizes_shuffled_word_order(spark):
     assert uni[0] == uni[100]          # unigram is order-blind
     assert big[0] > big[100]           # bigram is not
     assert big[0] == big[8]            # deterministic
+
+
+def test_wav_header_parser_on_handcrafted_bytes():
+    """decode_wav_header must read rate/channels/bits/data-size from real
+    RIFF bytes — including non-canonical layouts where a LIST chunk
+    precedes fmt, and odd-sized chunks (word alignment)."""
+    import struct
+
+    from polars_numba_spark.operators import multimodal as M
+
+    def wav(rate, channels, bits, data, pre_chunks=b""):
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+            channels * bits // 8, bits,
+        )
+        body = (
+            pre_chunks
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    assert M.decode_wav_header(wav(44100, 2, 16, b"\x00" * 8)) == (44100, 2, 16, 8)
+    # LIST chunk before fmt, with an ODD size (word-alignment padding)
+    pre = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    assert M.decode_wav_header(wav(8000, 1, 8, b"\x00" * 10, pre)) == (8000, 1, 8, 10)
+    # declared data size survives truncated frames (streaming-safe field)
+    truncated = wav(16000, 1, 16, b"\x00" * 100)[:-60]
+    assert M.decode_wav_header(truncated) == (16000, 1, 16, 100)
+    assert M.decode_wav_header(b"plain text, not audio") is None
+    assert M.decode_wav_header(b"RIFF\x00\x00\x00\x00AVI ") is None
+
+
+def test_synthesized_wav_roundtrips_through_extractor(spark):
+    from pyspark.sql import functions as F
+
+    from polars_numba_spark.operators import multimodal as M
+
+    df = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        M.synthesize_wav_payload(
+            (F.lit(8000) + F.col("id").cast("int") * 997 % 40000).cast("int"),
+            (F.col("id") % 2 + 1).cast("int"),
+            (F.lit(50) + F.col("id") * 13).cast("int"),
+        ).alias("payload"),
+    )
+    rows = {r["doc_id"]: r for r in M.extract_audio_meta(df).collect()}
+    for i in range(20):
+        rate = 8000 + i * 997 % 40000
+        ch = i % 2 + 1
+        n = 50 + i * 13
+        r = rows[i]
+        assert (r["mime"], r["sample_rate"], r["n_channels"]) == ("audio/wav", rate, ch)
+        assert r["bits_per_sample"] == 16
+        assert r["duration_ms"] == n * 1000 // rate
