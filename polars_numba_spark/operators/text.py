@@ -94,6 +94,67 @@ def positioned_token_shingles(col: Column | str, n: int = 8) -> Column:
     return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def winnowing_fingerprints(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    portable: bool = False,
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS local fingerprinting algorithm): hash every character k-gram
+    of the whitespace-normalized text with a ROLLING window position, then
+    keep the minimum hash of each w-wide window of consecutive k-gram
+    hashes. Guarantees: any shared substring of length ≥ k + w - 1 between
+    two documents contributes at least one IDENTICAL fingerprint to both
+    (detection guarantee), and fingerprint density is ~2/(w+1) of the
+    k-gram count (bounded sketch size) — the classic rolling-hash
+    fingerprint for plagiarism/overlap detection, complementing the
+    order-insensitive :func:`fingerprint` (whole-doc bucket key) and
+    MinHash (set resemblance): winnowing localizes WHERE the overlap is.
+
+    Returns (id, n_grams, fingerprints: array<long>) — pure codegen, no
+    shuffle, no UDF: the k-gram hash table is materialized once as a
+    column so the window-min pass reads it instead of re-hashing per
+    window (Spark HOFs run interpreted — same rationale as the
+    explode→aggregate minhash rewrite). ``portable=True`` uses the md5
+    recipe DuckDB reproduces bit-exactly; default is xxhash64.
+    """
+    from polars_numba_spark.operators.dedup import md5_long
+
+    c = F.col(text_col)
+    s = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    n_grams = F.length(s) - (k - 1)
+
+    def h(gram: Column) -> Column:
+        return md5_long(gram) if portable else F.xxhash64(gram)
+
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: h(F.substring(s, i, k))
+    )
+    # sequence(1, n) counts DOWN for n < 1 (the token_shingles guard)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.greatest(F.coalesce(n_grams, F.lit(0)), F.lit(0)).alias("n_grams"),
+        F.when(n_grams >= 1, grams)
+        .otherwise(F.array().cast("array<long>"))
+        .alias("__h"),
+    )
+    n_windows = F.size("__h") - (w - 1)
+    fps = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(F.col("__h"), i, w)),
+    )
+    return staged.select(
+        "id",
+        "n_grams",
+        F.when(n_windows >= 1, F.array_distinct(fps))
+        .otherwise(F.array().cast("array<long>"))
+        .alias("fingerprints"),
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set. Two documents that are token-permutations of each other get

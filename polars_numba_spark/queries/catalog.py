@@ -123,9 +123,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q6_revenue_forecast",
     "q13_customer_order_distribution",
     "q18_large_volume_orders",
-    # window / analytic / timeseries
+    # window / analytic / timeseries (running_max_order_price rotates out:
+    # the associative fast-path family stays evidenced by
+    # orders_rank_in_customer + global_longest_hot_streak in-window)
     "orders_rank_in_customer",
-    "running_max_order_price",
     "rolling_hour_user_value",
     "gap_fill_user_value",
     "global_longest_hot_streak",
@@ -149,6 +150,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_bigram_logprob",               # r7 mover (2.26x, no code change)
     "training_data_pipeline",
     "doc_unigram_logprob",
+    "doc_winnowing_fingerprints",       # r8-new: rolling-hash winnowing
     # multimodal (r8-new face; tfidf stays oracled + local-gated, its
     # vocabulary-join path remains driver-evidenced via doc_heavy_tokens r7)
     "multimodal_audio_meta",            # r8-new: WAV header parse hard-gate

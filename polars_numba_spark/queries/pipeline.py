@@ -1029,6 +1029,63 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+        FROM documents WHERE doc_id < 500
+    ), h AS (
+        SELECT doc_id,
+               greatest(length(s) - 7, 0) AS n_grams,
+               list_transform(range(1, greatest(length(s) - 7, 0) + 1),
+                              i -> {_MD5INT_SQL.format(x='substr(s, i, 8)')}) AS H
+        FROM s
+    ), fp AS (
+        SELECT doc_id, n_grams,
+               list_distinct(list_transform(
+                   range(1, greatest(length(H) - 3, 0) + 1),
+                   i -> list_min(H[i:i+3]))) AS fps
+        FROM h
+    )
+    SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+           CAST(length(fps) AS INTEGER) AS n_fingerprints,
+           CASE WHEN length(fps) > 0 THEN md5(list_aggregate(
+               list_transform(list_sort(fps), x -> CAST(x AS VARCHAR)),
+               'string_agg', ',')) END AS fp_checksum
+    FROM fp
+    """,
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting through the hard gate:
+    winnowing (Schleimer et al. 2003) over character 8-grams with a
+    4-hash window, md5-portable so DuckDB rebuilds the identical k-gram
+    hash table, window minima, and fingerprint set; the checksum is md5
+    over the sorted fingerprint list, so one wrong window minimum anywhere
+    in any document hash-mismatches. Pure codegen — no shuffle, no UDF
+    (operators/text.py::winnowing_fingerprints)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    fp = X.winnowing_fingerprints(d, k=8, w=4, portable=True)
+    return fp.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_grams").cast("int").alias("n_grams"),
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.when(
+            F.size("fingerprints") > 0,
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort("fingerprints"),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ),
+        ).alias("fp_checksum"),
+    )
+
+
+@register(
     "multimodal_audio_meta",
     oracle="""
     SELECT doc_id,

@@ -1132,3 +1132,38 @@ def test_synthesized_wav_roundtrips_through_extractor(spark):
         assert (r["mime"], r["sample_rate"], r["n_channels"]) == ("audio/wav", rate, ch)
         assert r["bits_per_sample"] == 16
         assert r["duration_ms"] == n * 1000 // rate
+
+
+def test_winnowing_detection_guarantee_and_density(spark):
+    """The two properties the winnowing paper proves: (1) any shared
+    substring of length >= k + w - 1 contributes at least one identical
+    fingerprint to both documents; (2) expected fingerprint density is
+    ~2/(w+1) of the k-gram count (pinned loosely)."""
+    from pyspark.sql import functions as F
+
+    from polars_numba_spark.operators.text import winnowing_fingerprints
+
+    k, w = 8, 4
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, "PREFIX aaaa " + shared + " zzzz SUFFIX one"),
+            (2, "totally different opening text here " + shared),
+            (3, "no overlap with anything else at all whatsoever"),
+            (4, "tiny"),  # shorter than k -> zero grams, zero fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in winnowing_fingerprints(docs, k=k, w=w).collect()
+    }
+    fp1, fp2, fp3 = (set(rows[i]["fingerprints"]) for i in (1, 2, 3))
+    assert fp1 & fp2, "shared substring >= k+w-1 must share a fingerprint"
+    assert not (fp1 & fp3 and fp2 & fp3) or (fp1 & fp3) != (fp2 & fp3)
+    assert rows[4]["n_grams"] == 0 and rows[4]["fingerprints"] == []
+    # density: fingerprints per gram ~ 2/(w+1) = 0.4; allow a wide band
+    # (distinctness collapses repeats on real text)
+    for i in (1, 2, 3):
+        density = len(rows[i]["fingerprints"]) / rows[i]["n_grams"]
+        assert 0.1 <= density <= 0.6
