@@ -13,7 +13,8 @@ import pytest
     "script",
     ["example_fold.py", "example_scan.py", "example_pipeline.py",
      "example_multimodal.py", "example_dedup_sketch.py",
-     "example_cdc_sketch.py", "example_training_layout.py"],
+     "example_cdc_sketch.py", "example_training_layout.py",
+     "example_streaming_ingest_dedup.py"],
 )
 def test_example_runs(script):
     proc = subprocess.run(
