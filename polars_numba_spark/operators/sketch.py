@@ -525,3 +525,87 @@ def tdigest_quantiles(
         ]
     )
     return partials.groupBy(*keys).applyInPandas(merge, schema=out_schema)
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, by: str | Sequence[str], p: int = 12
+) -> DataFrame:
+    """Per-group HyperLogLog registers from the engine-portable 60-bit md5
+    hash: ``(group cols, bucket, rho)`` with ``bucket`` the top ``p`` hash
+    bits and ``rho`` the 1-based position of the first set bit in the
+    remaining ``60 - p`` bits (``60 - p + 1`` when they are all zero —
+    Flajolet et al. 2007). NULLs are excluded (COUNT(DISTINCT) semantics).
+
+    Bounded state by construction: ``max(rho)`` is map-side combinable, so
+    the shuffle carries at most ``2^p`` rows per group per partition —
+    the defining property that lets one HLL summarize 100 TB."""
+    keys = as_list(by)
+    w_bits = 60 - p
+    rho_max = w_bits + 1
+    h = md5_long(F.col(value_col).cast("string"))
+    # lpad(bin(w)) has no sign issues: md5_long is non-negative (60-bit)
+    w = h.bitwiseAND(F.lit((1 << w_bits) - 1))
+    first_one = F.instr(F.lpad(F.bin(w), w_bits, "0"), "1")
+    rho = F.when(first_one == 0, F.lit(rho_max)).otherwise(first_one)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *keys,
+            F.shiftright(h, w_bits).cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, value_col: str, by: str | Sequence[str], p: int = 12
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate — ENGINE-PORTABLE and
+    hash-exact, unlike built-in approx_count_distinct sketches whose
+    registers are engine-private: the registers derive from the md5 hash
+    (:func:`hll_registers`), the register sum is accumulated as the EXACT
+    integer ``sum(2^(rho_max - rho))`` (every addend a power of two ≤ 2^49
+    at p=12, so the sum is bit-exact in any engine with 64-bit ints — no
+    float-order sensitivity), and the only floating point is the final
+    alpha correction / linear-counting branch, reproduced verbatim by the
+    DuckDB oracle. Returns ``(group cols, n_registers int, hll_estimate
+    double)`` with the standard small-range linear-counting correction
+    (Flajolet et al. 2007; the 60-bit hash space needs no large-range
+    correction at these cardinalities).
+
+    Two bounded aggregates: (group, bucket) max — ≤ 2^p rows per group
+    cross the shuffle — then a per-group sum over ≤ 2^p rows."""
+    keys = as_list(by)
+    m = 1 << p
+    w_bits = 60 - p
+    rho_max = w_bits + 1
+    regs = hll_registers(df, value_col, by, p)
+    per_group = regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__used"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {rho_max} - rho)")
+        ).alias("__z_present"),
+    )
+    # zero-valued registers contribute 2^rho_max each to Z, exactly
+    z = (
+        F.col("__z_present")
+        + (F.lit(m) - F.col("__used")) * F.lit(1 << rho_max).cast("long")
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    raw = (
+        alpha
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(1 << rho_max))
+        / z.cast("double")
+    )
+    n_zero = F.lit(m) - F.col("__used")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (n_zero > 0), linear).otherwise(raw)
+    return per_group.select(
+        *keys,
+        F.col("__used").cast("int").alias("n_registers"),
+        F.round(est, 6).alias("hll_estimate"),
+    )

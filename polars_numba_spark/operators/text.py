@@ -534,3 +534,95 @@ def bigram_logprob_scores(
             ).alias("avg_bigram_logprob"),
         )
     )
+
+
+def bm25_topk(
+    df,
+    queries: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 full-text retrieval: top-``k`` documents per query under the
+    Okapi BM25 ranking function (Robertson & Spärck Jones) — the retrieval
+    face a curation pipeline uses for search-based decontamination ("which
+    training docs would this eval question retrieve?") and corpus QA.
+    Returns ``(query_id, doc_id, rank, n_terms, score)``; ``n_terms`` is
+    the number of matched query terms, rank 1-based by (score desc, doc_id)
+    so ordering is deterministic under ties.
+
+    Cross-engine hash-exact: each term's contribution is rounded to 9
+    decimals, then accumulated as DECIMAL(28,12) — the same pattern as
+    :func:`unigram_logprob_scores` — so sum order cannot perturb the score
+    or the ranking.
+
+    Shape (the classic distributed inverted-index plan): one explode pass →
+    (doc, term) postings with map-side combine; document length and
+    document frequency both DERIVED from that aggregate (no second corpus
+    pass); the corpus-size/avgdl stats join in as a broadcast 1-row
+    aggregate; the query term list (a few dozen rows) broadcasts onto the
+    postings equi-join, so the only shuffles key on (doc, term), term, or
+    query — scale-stable, no cartesian anywhere. Per-query top-k is a
+    window over at most |queries| partitions of per-doc partial scores
+    (AQE handles the hot-term skew the stopword-free synthetic vocabulary
+    doesn't have; a production corpus would pre-drop stopwords here).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    qrows = sorted(
+        {(qid, t) for qid, qtext in queries for t in qtext.lower().split()}
+    )
+    qdf = spark.createDataFrame(qrows, "query_id string, term string")
+
+    occ = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = occ.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "__avgdl"
+        ),
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.col("__avgdl"))
+    )
+    contrib = F.round(idf * ((F.col("tf") * F.lit(k1 + 1.0)) / denom), 9)
+
+    scored = (
+        tf.join(dl, "id")
+        .join(dfreq, "term")
+        .join(F.broadcast(qdf), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__c", contrib)
+        .groupBy("query_id", "id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.col("__c").cast("decimal(28,12)")).alias("__sum"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sum").desc(), F.col("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("n_terms").cast("int").alias("n_terms"),
+            F.col("__sum").cast("double").alias("score"),
+        )
+    )

@@ -105,11 +105,12 @@ _DRIVER_PRIORITY: list[str] = [
     # folds/scans, TPC-H shapes, flagship dedup, embeddings, text pipeline,
     # or streaming is caught by the driver this round, not only by the
     # local replica gate. Includes the four unexplained r7 bench movers.
-    # fold/scan kernel surface
+    # fold/scan kernel surface (kernel_scan_multi_output rotates out for the
+    # late-r8 swaps below: the multi-output tuple-accumulator path stays
+    # unit-gated, and the grouped-scan family keeps 3 in-window sentinels)
     "kernel_fold_event_cents",
     "kernel_scan_user_balance_cents",
     "kernel_fold_two_columns",
-    "kernel_scan_multi_output",
     "parallel_fold_total_cents",        # r7 mover (2.13x, no code change)
     "parallel_scan_running_balance",
     "capped_balance_per_user",
@@ -140,20 +141,23 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_incremental_pairs",
     "doc_duplicated_spans",
     "doc_remove_passages",
-    # embeddings / semantic dedup
+    # embeddings / semantic dedup (embedding_near_dup_pairs rotates out for
+    # the late-r8 swaps below: the banded-cosine family stays evidenced by
+    # semantic_dedup_pairs/keeplist + the embedding_topk_lsh must-in)
     "embedding_topk_bruteforce",
     "semantic_dedup_pairs",
     "semantic_dedup_keeplist",
     "label_centroids",
-    "embedding_near_dup_pairs",
     # text pipeline
     "doc_bigram_logprob",               # r7 mover (2.26x, no code change)
     "training_data_pipeline",
     "doc_unigram_logprob",
     "doc_winnowing_fingerprints",       # r8-new: rolling-hash winnowing
-    # multimodal (r8-new face; tfidf stays oracled + local-gated, its
+    "doc_bm25_search",                  # r8-new: BM25 inverted-index top-k
+    # multimodal (r8-new faces; tfidf stays oracled + local-gated, its
     # vocabulary-join path remains driver-evidenced via doc_heavy_tokens r7)
     "multimodal_audio_meta",            # r8-new: WAV header parse hard-gate
+    "multimodal_video_meta",            # r8-new: MP4 box-walk hard-gate
     # streaming jobs
     "streaming_scan_user_balance",
     "streaming_user_sessions",

@@ -1973,3 +1973,119 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_unique").cast("double") / F.col("n_shingles").cast("double"),
         )
     )
+
+
+# --- BM25 retrieval + video containers (round 8) ---------------------------
+
+_BM25_QUERIES = [
+    ("q_customer", "customer order value"),
+    ("q_join", "hash join merge"),
+    ("q_scan", "table scan fast"),
+    ("q_stream", "stream window batch"),
+]
+_BM25_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, qtext in _BM25_QUERIES for t in qtext.split()
+)
+
+
+@register(
+    "doc_bm25_search",
+    oracle=rf"""
+    WITH occ AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM occ GROUP BY doc_id, term
+    ), dl AS (
+        SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        FROM dl
+    ), q(query_id, term) AS (
+        VALUES {_BM25_VALUES}
+    ), contrib AS (
+        SELECT q.query_id, tf.doc_id,
+               ROUND(
+                   LN(1.0 + (stats.n_docs - dfreq.df + 0.5)
+                            / (dfreq.df + 0.5))
+                   * ((tf.tf * (1.2 + 1.0))
+                      / (tf.tf + 1.2 * ((1.0 - 0.75)
+                         + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))),
+                   9) AS c
+        FROM tf
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dfreq ON tf.term = dfreq.term
+        JOIN q ON tf.term = q.term
+        CROSS JOIN stats
+    ), scored AS (
+        SELECT query_id, doc_id, COUNT(*) AS n_terms,
+               SUM(CAST(c AS DECIMAL(28,12))) AS s
+        FROM contrib GROUP BY query_id, doc_id
+    ), ranked AS (
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY s DESC, doc_id
+               ) AS INTEGER) AS rank,
+               CAST(n_terms AS INTEGER) AS n_terms,
+               CAST(s AS DOUBLE) AS score
+        FROM scored
+    )
+    SELECT query_id, doc_id, rank, n_terms, score
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval for four fixed queries over the document
+    corpus — the search-based-decontamination / corpus-QA face. The whole
+    ranking function (idf, length normalization, per-term rounding, the
+    decimal accumulator, the tie-broken window) is mirrored in the DuckDB
+    oracle, so one mis-ranked document anywhere hash-mismatches. Plan: the
+    classic distributed inverted index — one explode pass, postings
+    equi-join, broadcast query terms + 1-row stats, per-query top-k window
+    (operators/text.py::bm25_topk)."""
+    d = _t(spark, sf_dir, "documents")
+    return X.bm25_topk(d, _BM25_QUERIES, k=10, k1=1.2, b=0.75)
+
+
+@register(
+    "multimodal_video_meta",
+    oracle="""
+    SELECT doc_id,
+           'video/mp4' AS mime,
+           CAST(600 + (doc_id % 5) * 300 AS INTEGER) AS timescale,
+           CAST(1200 + (doc_id * 13) % 4800 AS BIGINT) AS duration_ticks,
+           CAST(((1200 + (doc_id * 13) % 4800) * 1000)
+                // (600 + (doc_id % 5) * 300) AS BIGINT) AS duration_ms,
+           CAST(16 * (20 + doc_id % 28) AS INTEGER) AS width,
+           CAST(16 * (12 + (doc_id * 7) % 20) AS INTEGER) AS height,
+           CAST(244 + (doc_id * 11) % 900 AS INTEGER) AS n_bytes
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decoding through the hard gate — the ISO-BMFF
+    (MP4) analog of multimodal_image_dims/multimodal_audio_meta, completing
+    the image/audio/video triad: minimal-but-genuine MP4 files are
+    synthesized in-plan (big-endian box sizes, ftyp + moov/mvhd
+    timescale+duration, trak/tkhd 16.16 fixed-point presentation size, an
+    mdat body), then the box-walking parser must recover timescale /
+    duration / width / height FROM THE BYTES — the oracle computes the
+    embedded values (and the byte-exact container size) independently, so a
+    parser that misreads a box size, a version offset, or the fixed-point
+    shift hash-mismatches. See operators/multimodal.py."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    with_payload = d.select(
+        "doc_id",
+        M.synthesize_mp4_payload(
+            (F.lit(600) + (F.col("doc_id") % 5) * 300).cast("int"),
+            (F.lit(1200) + (F.col("doc_id") * 13) % 4800).cast("long"),
+            (F.lit(16) * (F.lit(20) + F.col("doc_id") % 28)).cast("int"),
+            (F.lit(16) * (F.lit(12) + (F.col("doc_id") * 7) % 20)).cast("int"),
+            ((F.col("doc_id") * 11) % 900).cast("int"),
+        ).alias("payload"),
+    )
+    return M.extract_video_meta(with_payload)

@@ -994,3 +994,82 @@ def event_user_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_numba_spark.operators.skew import key_skew_report
 
     return key_skew_report(_t(spark, sf_dir, "events"), "user_id", top_n=10)
+
+
+@register(
+    "distinct_users_hll_portable",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                         AS UBIGINT) AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL
+    ), br AS (
+        SELECT event_type, h >> 48 AS bucket,
+               CASE WHEN strpos(lpad(bin(h & ((1::BIGINT << 48) - 1)), 48, '0'),
+                                '1') = 0
+                    THEN 49
+                    ELSE strpos(lpad(bin(h & ((1::BIGINT << 48) - 1)), 48, '0'),
+                                '1')
+               END AS rho
+        FROM h
+    ), regs AS (
+        SELECT event_type, bucket, MAX(rho) AS rho FROM br GROUP BY 1, 2
+    ), g AS (
+        SELECT event_type, COUNT(*) AS used,
+               SUM(1::BIGINT << (49 - rho)) AS zp
+        FROM regs GROUP BY event_type
+    ), raws AS (
+        SELECT event_type, used, (4096 - used) AS nz,
+               (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                   * CAST(1::BIGINT << 49 AS DOUBLE)
+                   / CAST(zp + (4096 - used) * (1::BIGINT << 49) AS DOUBLE)
+                   AS raw
+        FROM g
+    ), est AS (
+        SELECT event_type, used,
+               CASE WHEN raw <= 2.5 * 4096 AND nz > 0
+                    THEN 4096.0 * LN(4096.0 / CAST(nz AS DOUBLE))
+                    ELSE raw END AS e
+        FROM raws
+    ), exact AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users FROM events
+        GROUP BY event_type
+    )
+    SELECT e.event_type, x.exact_users,
+           CAST(e.used AS INTEGER) AS n_registers,
+           ROUND(e.e, 6) AS hll_users,
+           ROUND(ABS(ROUND(e.e, 6) - x.exact_users) / x.exact_users, 6)
+               AS rel_err
+    FROM est e JOIN exact x USING (event_type)
+    """,
+)
+def distinct_users_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULLY-ORACLED HyperLogLog: md5-derived registers (top-12 hash
+    bits bucket, leading-zero rank of the remaining 48), register sum
+    accumulated as the EXACT integer sum(2^(49-rho)) so no float ordering
+    can perturb it, and the alpha / linear-counting correction reproduced
+    verbatim in DuckDB — estimate and relative error hash-exact
+    cross-engine (operators/sketch.py::hll_distinct). Complements
+    distinct_users_kmv (order-statistics sketch, also oracled) and
+    distinct_users_sketch (the built-in HLL++, engine-private registers,
+    rows-only by nature): the classic register sketch needs no rows-only
+    allowance when the hash is portable and the accumulator is integer."""
+    from polars_numba_spark.operators.sketch import hll_distinct
+
+    e = _t(spark, sf_dir, "events")
+    est = hll_distinct(e, "user_id", "event_type", p=12)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        "n_registers",
+        F.col("hll_estimate").alias("hll_users"),
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("exact_users"))
+            / F.col("exact_users"),
+            6,
+        ).alias("rel_err"),
+    )

@@ -1167,3 +1167,167 @@ def test_winnowing_detection_guarantee_and_density(spark):
     for i in (1, 2, 3):
         density = len(rows[i]["fingerprints"]) / rows[i]["n_grams"]
         assert 0.1 <= density <= 0.6
+
+
+def test_mp4_box_parser_on_handcrafted_bytes():
+    """decode_mp4_meta must read timescale/duration/width/height from real
+    ISO-BMFF bytes — including moov AFTER mdat, unknown boxes skipped by
+    declared size, mvhd version 1 (64-bit duration), and must reject
+    non-BMFF payloads and corrupt box sizes."""
+    import struct
+
+    from polars_numba_spark.operators import multimodal as M
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def mvhd_v0(timescale, duration):
+        return box(
+            b"mvhd",
+            b"\x00\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">II", timescale, duration)
+            + b"\x00" * 80,
+        )
+
+    def mvhd_v1(timescale, duration):
+        return box(
+            b"mvhd",
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + struct.pack(">IQ", timescale, duration)
+            + b"\x00" * 80,
+        )
+
+    def tkhd_v0(width, height):
+        return box(
+            b"tkhd",
+            b"\x00\x00\x00\x07" + b"\x00" * 72
+            + struct.pack(">II", width << 16, height << 16),
+        )
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x00\x00isom")
+    mdat = box(b"mdat", b"\xab" * 37)
+    free = box(b"free", b"\x00" * 11)
+
+    # canonical order, unknown 'free' box between ftyp and moov
+    p = ftyp + free + box(b"moov", mvhd_v0(600, 1200) + box(b"trak", tkhd_v0(320, 192)))
+    assert M.decode_mp4_meta(p) == (600, 1200, 320, 192)
+    # moov AFTER mdat (streaming/faststart-less layout)
+    p = ftyp + mdat + box(b"moov", mvhd_v0(1000, 5000) + box(b"trak", tkhd_v0(640, 480)))
+    assert M.decode_mp4_meta(p) == (1000, 5000, 640, 480)
+    # version-1 mvhd (64-bit ctime/mtime/duration)
+    p = ftyp + box(b"moov", mvhd_v1(90000, 123456) + box(b"trak", tkhd_v0(1920, 1080)))
+    assert M.decode_mp4_meta(p) == (90000, 123456, 1920, 1080)
+    # movie header without any track: duration still parses, size is null
+    p = ftyp + box(b"moov", mvhd_v0(600, 600))
+    assert M.decode_mp4_meta(p) == (600, 600, None, None)
+    # not BMFF at all / text bytes / corrupt (size < 8) box
+    assert M.decode_mp4_meta(b"plain text, definitely not video") is None
+    assert M.decode_mp4_meta(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 32) is None
+    corrupt = ftyp + struct.pack(">I", 3) + b"moov" + b"\x00" * 16
+    assert M.decode_mp4_meta(corrupt) is None
+
+
+def test_synthesized_mp4_roundtrips_through_extractor(spark):
+    from pyspark.sql import functions as F
+
+    from polars_numba_spark.operators import multimodal as M
+
+    df = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        M.synthesize_mp4_payload(
+            (F.lit(600) + F.col("id").cast("int") * 300 % 90000).cast("int"),
+            (F.lit(1200) + F.col("id") * 777).cast("long"),
+            (F.lit(16) * (F.lit(10) + F.col("id") % 100)).cast("int"),
+            (F.lit(16) * (F.lit(9) + F.col("id") % 60)).cast("int"),
+            (F.col("id") * 31 % 500).cast("int"),
+        ).alias("payload"),
+    )
+    rows = {r["doc_id"]: r for r in M.extract_video_meta(df).collect()}
+    for i in range(20):
+        ts = 600 + i * 300 % 90000
+        dur = 1200 + i * 777
+        r = rows[i]
+        assert r["mime"] == "video/mp4"
+        assert (r["timescale"], r["duration_ticks"]) == (ts, dur)
+        assert r["duration_ms"] == dur * 1000 // ts
+        assert (r["width"], r["height"]) == (16 * (10 + i % 100), 16 * (9 + i % 60))
+        assert r["n_bytes"] == 244 + i * 31 % 500
+
+
+def test_bm25_ranking_invariants(spark):
+    """BM25 sanity on a hand-built corpus: a document matching ALL query
+    terms outranks one matching a single common term; rarer terms carry
+    higher idf weight; ranks are 1-based, contiguous, tie-broken by doc_id;
+    n_terms counts MATCHED query terms only."""
+    from polars_numba_spark.operators.text import bm25_topk
+
+    docs = [
+        (0, "apple banana cherry"),          # all three query terms
+        (1, "apple apple apple apple"),      # common term, repeated
+        (2, "banana cherry"),                # two rarer terms
+        (3, "apple plum plum plum"),         # one common term, diluted
+        (4, "plum grape melon kiwi"),        # no query terms
+        (5, "apple banana cherry"),          # exact tie with doc 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = bm25_topk(df, [("q", "apple banana cherry")], k=10).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+
+    assert 4 not in by_doc  # zero matched terms -> absent
+    assert by_doc[0]["n_terms"] == 3 and by_doc[1]["n_terms"] == 1
+    # full-coverage docs take ranks 1-2 (tie broken by doc_id)
+    assert by_doc[0]["rank"] == 1 and by_doc[5]["rank"] == 2
+    assert by_doc[0]["score"] == by_doc[5]["score"]
+    # two rare terms beat one common term
+    assert by_doc[2]["score"] > by_doc[1]["score"]
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+
+
+def test_hll_distinct_accuracy_and_register_bound(spark):
+    """Portable HLL at p=12: the estimate lands within the ~3*1.04/sqrt(m)
+    error envelope on a 5k-cardinality column, registers never exceed 2^p,
+    NULLs are excluded, and a tiny group takes the linear-counting branch
+    to near-exactness."""
+    from pyspark.sql import functions as F
+
+    from polars_numba_spark.operators.sketch import hll_distinct
+
+    df = spark.range(20000).select(
+        F.when(F.col("id") % 4 == 0, F.lit("small")).otherwise("big").alias("g"),
+        # 'big' sees ids 1..19999 (non-multiples of 4) -> 15000 distinct;
+        # 'small' sees 5000 distinct; plus some NULLs that must not count
+        F.when(F.col("id") % 97 == 3, F.lit(None)).otherwise(
+            F.col("id").cast("string")
+        ).alias("v"),
+    )
+    out = {r["g"]: r for r in hll_distinct(df, "v", "g", p=12).collect()}
+    exact = {
+        r["g"]: r["x"]
+        for r in df.where(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(F.countDistinct("v").alias("x"))
+        .collect()
+    }
+    for g in ("small", "big"):
+        assert out[g]["n_registers"] <= 4096
+        rel = abs(out[g]["hll_estimate"] - exact[g]) / exact[g]
+        assert rel < 0.05, (g, out[g]["hll_estimate"], exact[g])
+
+    tiny = spark.createDataFrame(
+        [("t", str(i)) for i in range(30)], "g string, v string"
+    )
+    est = hll_distinct(tiny, "v", "g", p=12).collect()[0]["hll_estimate"]
+    # 30 distinct values, 4096 registers: linear counting is near-exact
+    assert abs(est - 30) < 1.0
+
+
+def test_hll_registers_have_partial_aggregation(spark):
+    """The (group, bucket) max-rho aggregate must plan map-side partials —
+    the bounded-shuffle claim: each partition ships at most 2^p register
+    rows per group, never its raw values."""
+    from polars_numba_spark import plans
+    from polars_numba_spark.operators.sketch import hll_registers
+
+    df = spark.createDataFrame([("g", "a")], "g string, v string")
+    assert plans.has_partial_aggregation(hll_registers(df, "v", "g", p=12))

@@ -375,3 +375,26 @@ def test_curated_neardup_no_pair_materialization(spark):
         if ("Join" in ln or "join" in ln) and "band_hash" in ln
     ]
     assert join_lines == [], f"banded table self-joined on band_hash: {join_lines}"
+
+
+def test_bm25_is_inverted_index_with_broadcast_queries(spark):
+    """doc_bm25_search must join the postings list against a BROADCAST of
+    the tiny query-term table and the 1-row corpus stats — the inverted-
+    index contract; the only non-broadcast shuffles key on (doc, term),
+    term, or query_id. A sort-merge join against the query terms or a real
+    cartesian would not survive a 100-TB postings list."""
+    df = q(spark, "doc_bm25_search")
+    s = plans.explain_string(df)
+    assert s.count("BroadcastExchange") >= 2  # query terms + stats row
+    assert "CartesianProduct" not in s
+
+
+def test_video_meta_is_shuffle_free(spark):
+    """multimodal_video_meta (synthesize -> box-walk parse) must be a pure
+    scan->project->MapInPandas pipeline: no shuffle, no join — container
+    metadata extraction over 100 TB of video must stream."""
+    df = q(spark, "multimodal_video_meta")
+    s = plans.explain_string(df)
+    assert "MapInPandas" in s
+    for op in ("Exchange", "Join", "CartesianProduct"):
+        assert op not in s, op
