@@ -1,0 +1,96 @@
+"""PageRank over DataFrame edge lists — the random-walk importance family
+next to :func:`~polars_numba_spark.operators.dedup.connected_components`:
+components answer "which docs are the same", PageRank answers "which nodes
+are central", the signal a curation pipeline uses for source weighting and
+corpus-centrality scoring (the web-graph ancestor of CommonCrawl URL
+importance weights).
+
+ENGINE-PORTABLE by construction, unlike folklore "iterative ⇒ rows-only"
+implementations: each iteration rounds every edge contribution
+``rank/outdeg`` to 12 decimals and accumulates them as DECIMAL(28,14) —
+exact addition, so neither Spark's shuffle order nor DuckDB's aggregation
+order can perturb a single bit — then applies the damping update in plain
+(deterministic, identically-associated) double arithmetic and re-rounds.
+A fixed iteration count therefore unrolls into a flat SQL oracle whose
+ranks match Spark's hash-for-hash.
+
+Scale shape: one iteration = one equi-join of the edge list against the
+rank vector plus one groupBy on the destination node — both shuffles key
+on node id, AQE sizes the exchanges, and the edge list is materialized
+once via tracked localCheckpoint so round N does not re-derive the graph
+construction N times (the same lineage trap connected_components pins).
+No driver-side state beyond the Python loop counter; no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list → ``(node,
+    pagerank)`` for every node appearing as a source or destination.
+
+    Requires every node to have at least one out-edge (symmetrize an
+    undirected graph first — then the property holds automatically and no
+    dangling-mass correction is needed; this is the posture the
+    doc–term bipartite face uses). ``iterations`` is a fixed count, not a
+    convergence test: determinism and the unrolled SQL oracle both need
+    the round count to be data-independent.
+    """
+    from polars_numba_spark.plans.checkpoint import tracked_local_checkpoint
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e, _ = tracked_local_checkpoint(e)
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes, _ = tracked_local_checkpoint(nodes)
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    outdeg, _ = tracked_local_checkpoint(outdeg)
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("__n"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", F.round(F.lit(1.0) / F.col("__n"), 12).alias("rank")
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(outdeg, ranks.node == outdeg.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") / F.col("outdeg"), 12).alias("__c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(
+            F.sum(F.col("__c").cast("decimal(28,14)")).alias("__s")
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("__s").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+        )
+        # truncate lineage per round: without this, round k's plan embeds
+        # k copies of the join tree and Catalyst analysis goes quadratic
+        ranks, _ = tracked_local_checkpoint(ranks)
+    return ranks

@@ -116,14 +116,15 @@ _DRIVER_PRIORITY: list[str] = [
     "capped_balance_per_user",
     "user_activity_with_fold",
     "sql_surface_running_balance",
-    # TPC-H / relational shapes
+    # TPC-H / relational shapes (q18_large_volume_orders rotates out for the
+    # late-r8 swaps below: the group-HAVING-join family stays evidenced by
+    # q13 + q3 in-window and the full TPC-H suite in the local gate)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q2_min_cost_supplier",             # r7 mover (2.11x, no code change)
     "q7_nation_pair_volume",            # r7 mover (1.92x, no code change)
     "q6_revenue_forecast",
     "q13_customer_order_distribution",
-    "q18_large_volume_orders",
     # window / analytic / timeseries (running_max_order_price rotates out:
     # the associative fast-path family stays evidenced by
     # orders_rank_in_customer + global_longest_hot_streak in-window)
@@ -154,6 +155,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_unigram_logprob",
     "doc_winnowing_fingerprints",       # r8-new: rolling-hash winnowing
     "doc_bm25_search",                  # r8-new: BM25 inverted-index top-k
+    "doc_pagerank_centrality",          # r8-new: fully-oracled PageRank
     # multimodal (r8-new faces; tfidf stays oracled + local-gated, its
     # vocabulary-join path remains driver-evidenced via doc_heavy_tokens r7)
     "multimodal_audio_meta",            # r8-new: WAV header parse hard-gate

@@ -2089,3 +2089,84 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return M.extract_video_meta(with_payload)
+
+
+def _pagerank_oracle_sql(iterations: int = 5, damping: str = "0.85") -> str:
+    """Unrolled fixed-iteration PageRank oracle over the doc-term bipartite
+    graph — the SQL twin of operators/graphrank.py::pagerank: per-edge
+    contributions rounded to 12 decimals, DECIMAL(28,14) accumulation,
+    identical damping arithmetic, so ranks match Spark bit-for-bit."""
+    iters = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        iters.append(f"""r{i} AS (
+        SELECT nodes.node,
+               ROUND((1.0 - {damping}) / (SELECT n FROM nn)
+                     + {damping} * COALESCE(CAST(agg.s AS DOUBLE), 0.0),
+                     12) AS rank
+        FROM nodes LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM(CAST(ROUND(r.rank / o.outdeg, 12) AS DECIMAL(28,14)))
+                       AS s
+            FROM edges e
+            JOIN {prev} r ON e.src = r.node
+            JOIN outdeg o ON e.src = o.node
+            GROUP BY e.dst
+        ) agg ON agg.node = nodes.node
+    )""")
+        prev = f"r{i}"
+    iter_sql = ", ".join(iters)
+    return rf"""
+    WITH occ AS (
+        SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS term
+            FROM documents
+        )
+    ), edges AS (
+        SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src, 't:' || term AS dst
+        FROM occ
+        UNION ALL
+        SELECT 't:' || term, 'd:' || CAST(doc_id AS VARCHAR) FROM occ
+    ), nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), outdeg AS (
+        SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), nn AS (
+        SELECT COUNT(*) AS n FROM nodes
+    ), r0 AS (
+        SELECT node, ROUND(1.0 / (SELECT n FROM nn), 12) AS rank FROM nodes
+    ), {iter_sql}
+    SELECT CAST(substr(node, 3) AS BIGINT) AS doc_id, rank AS pagerank
+    FROM {prev} WHERE node LIKE 'd:%'
+    """
+
+
+@register("doc_pagerank_centrality", oracle=_pagerank_oracle_sql(5))
+def doc_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-centrality scoring via PageRank on the doc-term bipartite
+    graph (TextRank's document-level cousin; the web-graph ancestor of
+    source-importance weights in crawl curation) — the iterative-algorithm
+    family's second member next to connected components, and FULLY ORACLED:
+    5 power iterations with round-12 edge contributions in decimal
+    accumulators unroll into a flat DuckDB query whose ranks match Spark
+    hash-for-hash (operators/graphrank.py). Runs the WHOLE table (no cap):
+    each iteration is one edge-list join + one dst-keyed groupBy, shuffles
+    keyed on node id, edge list and per-round ranks localCheckpoint'd so
+    round k never re-derives the graph construction."""
+    from polars_numba_spark.operators.graphrank import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.explode(X.tokens("text")).alias("term")
+    ).distinct()
+    doc_node = F.concat(F.lit("d:"), F.col("doc_id").cast("string"))
+    term_node = F.concat(F.lit("t:"), F.col("term"))
+    edges = occ.select(doc_node.alias("src"), term_node.alias("dst")).union(
+        occ.select(term_node.alias("src"), doc_node.alias("dst"))
+    )
+    pr = pagerank(edges, damping=0.85, iterations=5)
+    return pr.where(F.col("node").startswith("d:")).select(
+        F.expr("substr(node, 3)").cast("long").alias("doc_id"),
+        F.col("rank").alias("pagerank"),
+    )

@@ -1331,3 +1331,22 @@ def test_hll_registers_have_partial_aggregation(spark):
 
     df = spark.createDataFrame([("g", "a")], "g string, v string")
     assert plans.has_partial_aggregation(hll_registers(df, "v", "g", p=12))
+
+
+def test_pagerank_star_graph_invariants(spark):
+    """PageRank sanity on a symmetrized star: the hub outranks every spoke,
+    spokes tie exactly (equal structure -> equal rounded rank), total mass
+    stays ~1 (rounding loses at most iterations x n x 5e-13), and a
+    second run is bit-identical (the determinism the oracle relies on)."""
+    from polars_numba_spark.operators.graphrank import pagerank
+
+    hub_edges = [("hub", f"s{i}") for i in range(6)] + [
+        (f"s{i}", "hub") for i in range(6)
+    ]
+    edges = spark.createDataFrame(hub_edges, "src string, dst string")
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert all(out["hub"] > out[f"s{i}"] for i in range(6))
+    assert len({out[f"s{i}"] for i in range(6)}) == 1
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    out2 = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert out == out2
