@@ -32,7 +32,7 @@ from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from polars_numba_spark.operators._prep import as_list
@@ -559,6 +559,28 @@ def hll_registers(
     )
 
 
+def hll_estimate_expr(used: Column, z_present: Column, p: int = 12) -> Column:
+    """HLL estimate as a Catalyst expression over the two EXACT integers a
+    register set reduces to — ``used`` (non-zero registers) and
+    ``z_present`` (integer ``sum(2^(rho_max - rho))`` over them). Shared by
+    the batch aggregate and the streaming state face so both compute the
+    identical (oracle-reproducible) double arithmetic JVM-side."""
+    m = 1 << p
+    rho_max = 60 - p + 1
+    z = z_present + (F.lit(m) - used) * F.lit(1 << rho_max).cast("long")
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    raw = (
+        alpha
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(1 << rho_max))
+        / z.cast("double")
+    )
+    n_zero = F.lit(m) - used
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero.cast("double"))
+    return F.when((raw <= F.lit(2.5 * m)) & (n_zero > 0), linear).otherwise(raw)
+
+
 def hll_distinct(
     df: DataFrame, value_col: str, by: str | Sequence[str], p: int = 12
 ) -> DataFrame:
@@ -578,9 +600,7 @@ def hll_distinct(
     Two bounded aggregates: (group, bucket) max — ≤ 2^p rows per group
     cross the shuffle — then a per-group sum over ≤ 2^p rows."""
     keys = as_list(by)
-    m = 1 << p
-    w_bits = 60 - p
-    rho_max = w_bits + 1
+    rho_max = 60 - p + 1
     regs = hll_registers(df, value_col, by, p)
     per_group = regs.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("__used"),
@@ -588,22 +608,7 @@ def hll_distinct(
             F.expr(f"shiftleft(cast(1 as bigint), {rho_max} - rho)")
         ).alias("__z_present"),
     )
-    # zero-valued registers contribute 2^rho_max each to Z, exactly
-    z = (
-        F.col("__z_present")
-        + (F.lit(m) - F.col("__used")) * F.lit(1 << rho_max).cast("long")
-    )
-    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
-    raw = (
-        alpha
-        * F.lit(float(m))
-        * F.lit(float(m))
-        * F.lit(float(1 << rho_max))
-        / z.cast("double")
-    )
-    n_zero = F.lit(m) - F.col("__used")
-    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero.cast("double"))
-    est = F.when((raw <= F.lit(2.5 * m)) & (n_zero > 0), linear).otherwise(raw)
+    est = hll_estimate_expr(F.col("__used"), F.col("__z_present"), p)
     return per_group.select(
         *keys,
         F.col("__used").cast("int").alias("n_registers"),

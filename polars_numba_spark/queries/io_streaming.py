@@ -993,3 +993,93 @@ def streaming_neardup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id")
         .select("id", "component", "keep")
     )
+
+
+@register(
+    "streaming_users_hll",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                         AS UBIGINT) AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL
+    ), br AS (
+        SELECT event_type, h >> 48 AS bucket,
+               CASE WHEN strpos(lpad(bin(h & ((1::BIGINT << 48) - 1)), 48, '0'),
+                                '1') = 0
+                    THEN 49
+                    ELSE strpos(lpad(bin(h & ((1::BIGINT << 48) - 1)), 48, '0'),
+                                '1')
+               END AS rho
+        FROM h
+    ), regs AS (
+        SELECT event_type, bucket, MAX(rho) AS rho FROM br GROUP BY 1, 2
+    ), g AS (
+        SELECT event_type, COUNT(*) AS used,
+               SUM(1::BIGINT << (49 - rho)) AS zp
+        FROM regs GROUP BY event_type
+    ), raws AS (
+        SELECT event_type, used, (4096 - used) AS nz,
+               (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                   * CAST(1::BIGINT << 49 AS DOUBLE)
+                   / CAST(zp + (4096 - used) * (1::BIGINT << 49) AS DOUBLE)
+                   AS raw
+        FROM g
+    )
+    SELECT event_type, CAST(used AS INTEGER) AS n_registers,
+           ROUND(CASE WHEN raw <= 2.5 * 4096 AND nz > 0
+                      THEN 4096.0 * LN(4096.0 / CAST(nz AS DOUBLE))
+                      ELSE raw END, 6) AS hll_users
+    FROM raws
+    """,
+)
+def streaming_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming register sketch, fully oracled: per-event-type HLL
+    registers maintained as bounded applyInPandasWithState state (≤4096
+    bucket→max-rho ints per key — the streaming analog of the batch
+    bounded-shuffle claim), run as a real availableNow job → parquet sink.
+    Register merge is elementwise max — associative, commutative AND
+    idempotent, so the final registers are invariant to batch boundaries
+    and to duplicate replay; the state emits only the two EXACT integers
+    (n_registers, z_present) and the estimate is computed JVM-side with
+    the same hll_estimate_expr as the batch face, so streaming, batch, and
+    the DuckDB oracle agree hash-for-hash
+    (streaming/stateful.py::streaming_hll_distinct)."""
+    from polars_numba_spark.operators.sketch import hll_estimate_expr
+    from polars_numba_spark.streaming import streaming_hll_distinct
+
+    stream = load_stream(spark, "events", sf_dir).select("event_type", "user_id")
+    est = streaming_hll_distinct(stream, "user_id", "event_type", p=12)
+    run_id = uuid.uuid4().hex[:8]
+    out_dir = _fresh_dir(_scratch_dir("hll_out", sf_dir), run_id)
+    ckpt = os.path.join(tempfile.gettempdir(), f"pns_ckpt_hll_{run_id}")
+    query = (
+        est.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await(query, "streaming_users_hll")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    sink = spark.read.parquet(out_dir)
+    final = sink.groupBy("event_type").agg(
+        F.max_by(F.struct("n_registers", "z_present"), "batches_seen").alias(
+            "__st"
+        )
+    )
+    return final.select(
+        "event_type",
+        F.col("__st.n_registers").cast("int").alias("n_registers"),
+        F.round(
+            hll_estimate_expr(
+                F.col("__st.n_registers").cast("int"),
+                F.col("__st.z_present"),
+                p=12,
+            ),
+            6,
+        ).alias("hll_users"),
+    )

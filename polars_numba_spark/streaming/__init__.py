@@ -8,6 +8,7 @@ from polars_numba_spark.streaming.neardup import (
 from polars_numba_spark.streaming.stateful import (
     streaming_exact_dedup,
     streaming_grouped_fold,
+    streaming_hll_distinct,
     streaming_kmv_distinct,
     streaming_latest_snapshot,
     streaming_grouped_scan,
@@ -19,6 +20,7 @@ __all__ = [
     "neardup_verdict",
     "streaming_exact_dedup",
     "streaming_grouped_fold",
+    "streaming_hll_distinct",
     "streaming_kmv_distinct",
     "streaming_latest_snapshot",
     "streaming_grouped_scan",

@@ -336,6 +336,83 @@ def streaming_kmv_distinct(
     )
 
 
+def streaming_hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    keys: str | Sequence[str],
+    p: int = 12,
+) -> DataFrame:
+    """Streaming HyperLogLog registers per key: the stateful face of
+    ``operators/sketch.py::hll_distinct``, and like it FULLY
+    ORACLE-REPRODUCIBLE — the state is the sparse register set (bucket →
+    max rho over md5-derived 60-bit hashes, ≤ 2^p ints per key however
+    many rows stream through), the register merge (elementwise max) is
+    associative, commutative and idempotent, so the final registers — and
+    the estimate — are independent of micro-batch boundaries AND of
+    duplicate replay (max absorbs re-delivery; stronger than KMV's
+    set-union there, which shares only the first two properties).
+
+    Each batch emits the key's current EXACT integers ``(n_registers,
+    z_present = sum(2^(rho_max - rho)), batches_seen)``; the estimate
+    itself is computed JVM-side by the reader via
+    ``sketch.hll_estimate_expr`` — no Python float touches the reported
+    value, so the streaming estimate is bit-identical to the batch face
+    and to the DuckDB oracle. Readers take ``max_by(..., batches_seen)``
+    per key (the streaming_kmv_distinct read protocol)."""
+    import hashlib
+
+    from polars_numba_spark.operators._prep import as_list
+
+    # Cast to string JVM-side (the batch sketch's spelling): a null in an
+    # integral pandas column would coerce it to float64 and stringify
+    # survivors as '123.0', silently diverging from md5_long's '123'.
+    df = df.withColumn(value_col, F.col(value_col).cast("string"))
+    key_list = as_list(keys)
+    dtypes = dict(df.dtypes)
+    key_schema = ", ".join(f"{c} {dtypes[c]}" for c in key_list)
+    out_schema = (
+        f"{key_schema}, n_registers int, z_present long, batches_seen long"
+    )
+    state_schema = "buckets array<int>, rhos array<int>, batches long"
+    w_bits = 60 - p
+    rho_max = w_bits + 1
+    w_mask = (1 << w_bits) - 1
+
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        regs: dict[int, int] = {}
+        batches = 0
+        if state.exists:
+            buckets, rhos, batches = state.get
+            regs = dict(zip(buckets, rhos))
+        fresh = set()
+        for pdf in pdfs:
+            col = pdf[value_col].dropna()
+            fresh.update(col.astype(str).tolist())
+        for v in fresh:
+            h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+            bucket = h >> w_bits
+            w = h & w_mask
+            rho = rho_max if w == 0 else w_bits - w.bit_length() + 1
+            if regs.get(bucket, 0) < rho:
+                regs[bucket] = rho
+        batches += 1
+        state.update((list(regs.keys()), list(regs.values()), batches))
+        z_present = sum(1 << (rho_max - r) for r in regs.values())
+        data = {c: [kv] for c, kv in zip(key_list, key)}
+        data["n_registers"] = [len(regs)]
+        data["z_present"] = [z_present]
+        data["batches_seen"] = [batches]
+        yield pd.DataFrame(data)
+
+    return df.groupBy(*key_list).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_latest_snapshot(
     df: DataFrame,
     keys: str | Sequence[str],

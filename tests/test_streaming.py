@@ -581,3 +581,67 @@ def test_foreach_batch_upsert_sink_is_exactly_once(spark, tmp_path):
     assert sorted(os.listdir(snap_dir)) == before
     again = read_snapshot(spark, snap_dir).orderBy("user_id").toPandas()
     assert again.equals(want)
+
+
+def test_streaming_hll_batch_split_invariant(spark, tmp_path):
+    """The HLL register merge (elementwise max) is associative, commutative
+    AND idempotent, so a forced 3-batch run (maxFilesPerTrigger=1) — with
+    one slice written TWICE to simulate replay — must land on the exact
+    same registers, and therefore bit-identical estimate, as the batch
+    hll_distinct over the distinct union."""
+    from polars_numba_spark.operators.sketch import hll_distinct, hll_estimate_expr
+    from polars_numba_spark.streaming import streaming_hll_distinct
+
+    src = tmp_path / "src"
+    batch = load_table(spark, "events", SF).select("event_type", "user_id")
+    for i in range(3):
+        batch.where(F.pmod(F.col("user_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+    # replayed slice: duplicate delivery must not move any register
+    batch.where(F.pmod(F.col("user_id"), F.lit(3)) == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    expected = {
+        r["event_type"]: (r["n_registers"], r["hll_estimate"])
+        for r in hll_distinct(batch, "user_id", "event_type", p=12).collect()
+    }
+
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    out = streaming_hll_distinct(stream, "user_id", "event_type", p=12)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert query.awaitTermination(120), "stream did not finish in time"
+        final = spark.sql(
+            "SELECT event_type, "
+            "max_by(struct(n_registers, z_present), batches_seen) AS st "
+            "FROM hll_stream GROUP BY event_type"
+        )
+        got = {
+            r["event_type"]: (r["n_registers"], r["est"])
+            for r in final.select(
+                "event_type",
+                F.col("st.n_registers").cast("int").alias("n_registers"),
+                F.round(
+                    hll_estimate_expr(
+                        F.col("st.n_registers").cast("int"),
+                        F.col("st.z_present"),
+                        p=12,
+                    ),
+                    6,
+                ).alias("est"),
+            ).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hll_stream")
+    assert got == expected
