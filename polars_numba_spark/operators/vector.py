@@ -457,3 +457,155 @@ def dequantize_int8(
         .withColumn(out_col, dq)
         .drop("__scales")
     )
+
+
+def contrastive_triplets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    negatives: int = 2,
+) -> DataFrame:
+    """Deterministic (anchor, positive, negatives) triplet mining for
+    contrastive / metric-learning training data:
+    ``(anchor_id, slot, positive_id, pos_sim, negative_id)``.
+
+    - **Positive**: the anchor's nearest same-label vector by cosine
+      (ties → smallest id). Pairwise scoring is LABEL-BOUNDED — the same
+      cluster-bounded posture as SemDeDup: cost is Σ|label|², never
+      corpus²; an unlabeled corpus gets its bound from k-means cells
+      first (``kmeans_assignments``).
+    - **Negatives**: ``negatives`` different-label picks per anchor,
+      chosen by md5 hash arithmetic — hash the (anchor, slot) pair onto
+      one of the L-1 OTHER labels (rank-shift so the anchor's own label
+      is unreachable), then hash again onto a dense row index within the
+      target label. Every pick is a pure function of ids, so the output
+      is reproducible across runs AND engines (no rand(), no sampling
+      state) — the property that makes the face hash-oracleable.
+
+    Scale shape: the label directory (L rows) and the slot table broadcast;
+    negative resolution is two equi-joins against the dense-ranked corpus
+    (keys: label idx, then (label, row idx)); the positive window
+    partitions by anchor. No shuffle keys on anything unbounded except the
+    corpus's own id/label columns.
+    """
+    from polars_numba_spark.operators.dedup import md5_long
+
+    e = df.select(
+        F.col(id_col).alias("aid"),
+        F.col(label_col).alias("lab"),
+        as_double(vec_col).alias("v"),
+    ).withColumn("vn", norm(F.col("v")))
+
+    # positives: label-bounded pairwise cosine, top-1 per anchor
+    a = e.select(
+        F.col("aid"), F.col("lab"), F.col("v").alias("av"), F.col("vn").alias("an")
+    )
+    b = e.select(
+        F.col("aid").alias("bid"),
+        F.col("lab"),
+        F.col("v").alias("bv"),
+        F.col("vn").alias("bn"),
+    )
+    pairs = a.join(b, "lab").where(F.col("aid") != F.col("bid"))
+    scored = pairs.select(
+        "aid",
+        F.col("bid"),
+        cosine_with_norms(
+            F.col("av"), F.col("bv"), F.col("an"), F.col("bn")
+        ).alias("pos_sim"),
+    )
+    w = Window.partitionBy("aid").orderBy(F.col("pos_sim").desc(), F.col("bid"))
+    pos = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("aid", F.col("bid").alias("positive_id"), "pos_sim")
+    )
+
+    # label directory: dense 0-based idx by label order + member count
+    labs = (
+        e.groupBy("lab")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "idx", F.row_number().over(Window.orderBy("lab")) - 1
+        )
+    )
+    n_labels = labs.agg(F.count(F.lit(1)).alias("__L"))
+
+    # dense row index within each label (negative pick resolution target)
+    ei = e.select("aid", "lab").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("lab").orderBy("aid")) - 1,
+    )
+
+    slots = e.select("aid", "lab").select(
+        "aid",
+        "lab",
+        F.explode(F.array(*[F.lit(j) for j in range(1, negatives + 1)])).alias(
+            "slot"
+        ),
+    )
+    tgt = (
+        slots.join(F.broadcast(labs.select(F.col("lab"), F.col("idx"))), "lab")
+        .crossJoin(F.broadcast(n_labels))
+        .select(
+            "aid",
+            "slot",
+            "idx",
+            (
+                md5_long(
+                    F.concat(
+                        F.col("aid").cast("string"),
+                        F.lit("#neg#"),
+                        F.col("slot").cast("string"),
+                    )
+                )
+                % (F.col("__L") - 1)
+            ).alias("r"),
+        )
+        .select(
+            "aid",
+            "slot",
+            F.when(F.col("r") < F.col("idx"), F.col("r"))
+            .otherwise(F.col("r") + 1)
+            .alias("tidx"),
+        )
+    )
+    pick = tgt.join(
+        F.broadcast(labs.select(F.col("lab").alias("tlab"), "cnt", F.col("idx"))),
+        tgt.tidx == F.col("idx"),
+    ).select(
+        "aid",
+        "slot",
+        "tlab",
+        (
+            md5_long(
+                F.concat(
+                    F.col("aid").cast("string"),
+                    F.lit("#pick#"),
+                    F.col("slot").cast("string"),
+                )
+            )
+            % F.col("cnt")
+        ).alias("pidx"),
+    )
+    neg = (
+        pick.join(
+            ei.select(
+                F.col("aid").alias("negative_id"),
+                F.col("lab").alias("tlab"),
+                "rn",
+            ),
+            ["tlab"],
+        )
+        .where(F.col("rn") == F.col("pidx"))
+        .select("aid", "slot", "negative_id")
+    )
+
+    return neg.join(pos, "aid").select(
+        F.col("aid").alias("anchor_id"),
+        F.col("slot").cast("int").alias("slot"),
+        "positive_id",
+        "pos_sim",
+        "negative_id",
+    )

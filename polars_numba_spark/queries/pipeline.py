@@ -2170,3 +2170,78 @@ def doc_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substr(node, 3)").cast("long").alias("doc_id"),
         F.col("rank").alias("pagerank"),
     )
+
+
+_TRIP_NEG = _MD5INT_SQL.format(
+    x="CAST(aid AS VARCHAR) || '#neg#' || CAST(slot AS VARCHAR)"
+)
+_TRIP_PICK = _MD5INT_SQL.format(
+    x="CAST(aid AS VARCHAR) || '#pick#' || CAST(slot AS VARCHAR)"
+)
+
+
+@register(
+    "embedding_contrastive_triplets",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS aid, b.vec_id AS bid,
+               list_cosine_similarity(a.emb, b.emb) AS pos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), pos AS (
+        SELECT aid, bid AS positive_id, pos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY aid ORDER BY pos_sim DESC, bid
+               ) AS rn
+        FROM pairs
+    ), labs AS (
+        SELECT label, COUNT(*) AS cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY label) - 1 AS BIGINT) AS idx
+        FROM e GROUP BY label
+    ), nl AS (
+        SELECT COUNT(*) AS L FROM labs
+    ), slots AS (
+        SELECT vec_id AS aid, label, UNNEST([1, 2]) AS slot FROM e
+    ), tgt AS (
+        SELECT s.aid, s.slot, own.idx,
+               {_TRIP_NEG} % ((SELECT L FROM nl) - 1) AS r
+        FROM slots s JOIN labs own ON s.label = own.label
+    ), tgt2 AS (
+        SELECT aid, slot,
+               CASE WHEN r < idx THEN r ELSE r + 1 END AS tidx
+        FROM tgt
+    ), pick AS (
+        SELECT t.aid, t.slot, lb.label AS tlab,
+               {_TRIP_PICK} % lb.cnt AS pidx
+        FROM tgt2 t JOIN labs lb ON lb.idx = t.tidx
+    ), ei AS (
+        SELECT vec_id, label,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY label ORDER BY vec_id
+               ) - 1 AS BIGINT) AS rn
+        FROM e
+    ), neg AS (
+        SELECT p.aid, p.slot, ei.vec_id AS negative_id
+        FROM pick p JOIN ei ON ei.label = p.tlab AND ei.rn = p.pidx
+    )
+    SELECT n.aid AS anchor_id, CAST(n.slot AS INTEGER) AS slot,
+           pos.positive_id, pos.pos_sim, n.negative_id
+    FROM neg n JOIN pos ON pos.aid = n.aid AND pos.rn = 1
+    """,
+)
+def embedding_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-learning triplet mining over the labeled embedding
+    corpus — (anchor, hardest same-label positive by cosine, two
+    hash-picked different-label negatives) — the metric-learning
+    data-prep face, FULLY ORACLED: positives are label-bounded pairwise
+    cosine (bit-exact vs list_cosine_similarity, the brute-force face's
+    precedent), negatives are md5-rank-arithmetic picks (pure function of
+    ids — no rand(), no sampling state), so DuckDB rebuilds every triplet
+    identically (operators/vector.py::contrastive_triplets)."""
+    from polars_numba_spark.operators.vector import contrastive_triplets
+
+    e = _t(spark, sf_dir, "embeddings")
+    return contrastive_triplets(
+        e, id_col="vec_id", label_col="label", vec_col="embedding", negatives=2
+    )

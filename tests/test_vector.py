@@ -99,3 +99,47 @@ def test_int8_quantization_roundtrip_error_bounded(spark):
         for x, xd in zip(r["embedding"], r["embedding_dq"]):
             # |error| <= scale/2 per dimension (round-to-nearest)
             assert abs(float(x) - xd) <= max_scale / 2 + 1e-12
+
+
+def test_contrastive_triplets_contract(spark):
+    """Triplet invariants on a small labeled corpus: the positive shares
+    the anchor's label and is its cosine-argmax (checked brute-force),
+    every negative has a DIFFERENT label, two slots per anchor, and the
+    whole output is a pure function of ids (second run identical)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from polars_numba_spark.operators.vector import contrastive_triplets
+
+    rows = []
+    for i in range(24):
+        lab = i % 4
+        vec = [math.sin(0.1 * i * (d + 1)) + lab + 0.5 for d in range(8)]
+        rows.append((i, lab, vec))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = contrastive_triplets(df, negatives=2).collect()
+    assert len(out) == 48  # 24 anchors x 2 slots
+    labels = {i: i % 4 for i in range(24)}
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return d / (
+            math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v))
+        )
+
+    vecs = {r[0]: r[2] for r in rows}
+    for r in out:
+        a, p, n = r["anchor_id"], r["positive_id"], r["negative_id"]
+        assert labels[p] == labels[a]
+        assert labels[n] != labels[a]
+        best = max(
+            (cos(vecs[a], vecs[b]), -b)
+            for b in vecs
+            if b != a and labels[b] == labels[a]
+        )
+        assert abs(r["pos_sim"] - best[0]) < 1e-9 and -best[1] == p
+    out2 = contrastive_triplets(df, negatives=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
