@@ -483,6 +483,13 @@ def contrastive_triplets(
       is reproducible across runs AND engines (no rand(), no sampling
       state) — the property that makes the face hash-oracleable.
 
+    Edge cases, documented: an anchor whose label has a single member has
+    no positive and is DROPPED from the output (inner join with the
+    positive table — the metric-learning convention: a singleton class
+    cannot anchor a triplet); a single-label corpus has no valid negative
+    and raises (modulo by L-1 = 0 under ANSI mode) rather than silently
+    emitting same-label negatives.
+
     Scale shape: the label directory (L rows) and the slot table broadcast;
     negative resolution is two equi-joins against the dense-ranked corpus
     (keys: label idx, then (label, row idx)); the positive window

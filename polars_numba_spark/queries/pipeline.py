@@ -1986,6 +1986,12 @@ _BM25_QUERIES = [
 _BM25_VALUES = ", ".join(
     f"('{qid}', '{t}')" for qid, qtext in _BM25_QUERIES for t in qtext.split()
 )
+# single source for the ranking constants: the oracle interpolates THESE
+# (the within_bound lesson, ADVICE r7) - editing one side cannot desync
+# the other. repr() keeps the full double so both engines parse the same
+# literal; the '+ 1.0' / '1.0 -' forms are computed identically in-engine.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
 
 
 @register(
@@ -2012,9 +2018,10 @@ _BM25_VALUES = ", ".join(
                ROUND(
                    LN(1.0 + (stats.n_docs - dfreq.df + 0.5)
                             / (dfreq.df + 0.5))
-                   * ((tf.tf * (1.2 + 1.0))
-                      / (tf.tf + 1.2 * ((1.0 - 0.75)
-                         + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))),
+                   * ((tf.tf * ({_BM25_K1!r} + 1.0))
+                      / (tf.tf + {_BM25_K1!r} * ((1.0 - {_BM25_B!r})
+                         + {_BM25_B!r}
+                           * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))),
                    9) AS c
         FROM tf
         JOIN dl ON tf.doc_id = dl.doc_id
@@ -2048,7 +2055,7 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join, broadcast query terms + 1-row stats, per-query top-k window
     (operators/text.py::bm25_topk)."""
     d = _t(spark, sf_dir, "documents")
-    return X.bm25_topk(d, _BM25_QUERIES, k=10, k1=1.2, b=0.75)
+    return X.bm25_topk(d, _BM25_QUERIES, k=10, k1=_BM25_K1, b=_BM25_B)
 
 
 @register(
