@@ -398,3 +398,15 @@ def test_video_meta_is_shuffle_free(spark):
     assert "MapInPandas" in s
     for op in ("Exchange", "Join", "CartesianProduct"):
         assert op not in s, op
+
+
+def test_contrastive_triplets_broadcasts_directories(spark):
+    """embedding_contrastive_triplets must broadcast the small frames (the
+    L-row label directory twice, the 1-row label count) and keep every
+    non-broadcast join label- or id-keyed — pairwise cosine stays
+    label-bounded, negatives resolve by equi-join; nothing shuffles an
+    unbounded cross product."""
+    df = q(spark, "embedding_contrastive_triplets")
+    s = plans.explain_string(df)
+    assert s.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in s
