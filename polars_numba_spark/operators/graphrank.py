@@ -45,26 +45,32 @@ def pagerank(
     convergence test: determinism and the unrolled SQL oracle both need
     the round count to be data-independent.
     """
-    from polars_numba_spark.plans.checkpoint import tracked_local_checkpoint
+    from polars_numba_spark.plans.checkpoint import (
+        register_session_scoped,
+        release,
+        tracked_local_checkpoint,
+    )
 
+    spark = edges.sparkSession
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    e, _ = tracked_local_checkpoint(e)
+    e, e_ids = tracked_local_checkpoint(e)
 
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    nodes, _ = tracked_local_checkpoint(nodes)
+    nodes, n_ids = tracked_local_checkpoint(nodes)
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    outdeg, _ = tracked_local_checkpoint(outdeg)
+    outdeg, o_ids = tracked_local_checkpoint(outdeg)
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("__n"))
 
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", F.round(F.lit(1.0) / F.col("__n"), 12).alias("rank")
     )
+    rank_ids: set[int] = set()
     for _ in range(iterations):
         contribs = (
             e.join(ranks, e.src == ranks.node)
@@ -91,6 +97,14 @@ def pagerank(
             )
         )
         # truncate lineage per round: without this, round k's plan embeds
-        # k copies of the join tree and Catalyst analysis goes quadratic
-        ranks, _ = tracked_local_checkpoint(ranks)
+        # k copies of the join tree and Catalyst analysis goes quadratic.
+        # The new checkpoint is EAGER, so the superseded round's blocks can
+        # be freed immediately (the block-manager leak checkpoint.py pins).
+        ranks, new_ids = tracked_local_checkpoint(ranks)
+        release(spark, rank_ids)
+        rank_ids = new_ids
+    # the returned frame reads only the FINAL rank blocks: graph-side
+    # checkpoints are free now; the final blocks are swept between queries
+    release(spark, e_ids | n_ids | o_ids)
+    register_session_scoped(rank_ids)
     return ranks

@@ -1350,3 +1350,29 @@ def test_pagerank_star_graph_invariants(spark):
     assert abs(sum(out.values()) - 1.0) < 1e-9
     out2 = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
     assert out == out2
+
+
+def test_pagerank_releases_checkpoint_blocks(spark):
+    """PageRank must not leak block-manager blocks: superseded per-round
+    checkpoints are freed during the run, graph-side checkpoints at return,
+    and the final rank blocks are session-scoped (swept between queries by
+    the bench/gate harness) — the iterative-algorithm leak checkpoint.py
+    documents."""
+    from polars_numba_spark.operators.graphrank import pagerank
+    from polars_numba_spark.plans.checkpoint import (
+        _persistent_ids,
+        release_session_checkpoints,
+    )
+
+    release_session_checkpoints(spark)
+    before = _persistent_ids(spark)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")], "src string, dst string"
+    )
+    out = pagerank(edges, iterations=3)
+    assert out.count() == 3
+    mid = _persistent_ids(spark) - before
+    # only the final rank checkpoint may remain while the result is live
+    assert len(mid) <= 2, mid
+    release_session_checkpoints(spark)
+    assert _persistent_ids(spark) - before == set()
