@@ -2252,3 +2252,109 @@ def embedding_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFram
     return contrastive_triplets(
         e, id_col="vec_id", label_col="label", vec_col="embedding", negatives=2
     )
+
+
+_RECALL_SIG, _RECALL_BANDS = _minhash_band_sql(32, 8)
+_RECALL_J = (
+    "CAST(length(a.t) + length(b.t)"
+    " - length(list_distinct(list_concat(a.t, b.t))) AS DOUBLE)"
+    " / length(list_distinct(list_concat(a.t, b.t)))"
+)
+
+
+@register(
+    "dedup_minhash_recall",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_sort(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
+        FROM documents WHERE doc_id < 300
+    ), sigs AS (
+        SELECT doc_id, t, [ {_RECALL_SIG} ] AS sig FROM toks
+    ), banded AS (
+        {_RECALL_BANDS}
+    ), cands AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ), allj AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, {_RECALL_J} AS j
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    ), marked AS (
+        SELECT allj.a_id, allj.b_id, allj.j,
+               CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END AS c
+        FROM allj LEFT JOIN cands c
+          ON allj.a_id = c.a_id AND allj.b_id = c.b_id
+    ), thrs AS (
+        SELECT CAST(UNNEST([0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold
+    ), nc AS (
+        SELECT COUNT(*) AS n_candidates FROM cands
+    ), agg AS (
+        SELECT t.threshold,
+               COUNT(m.a_id) AS n_true,
+               COALESCE(SUM(m.c), 0) AS n_caught
+        FROM thrs t LEFT JOIN marked m ON m.j >= t.threshold
+        GROUP BY t.threshold
+    )
+    SELECT threshold,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_caught AS BIGINT) AS n_caught,
+           (SELECT n_candidates FROM nc) AS n_candidates,
+           CASE WHEN n_true > 0
+                THEN ROUND(CAST(n_caught AS DOUBLE) / n_true, 6) END AS recall
+    FROM agg
+    """,
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-recall evaluation for the minhash LSH scheme, FULLY ORACLED —
+    the text-dedup analog of the embedding recall faces, but hash-green
+    instead of rows-only (portable md5 signatures make the candidate set
+    itself reproducible): exact all-pairs token Jaccard on a capped slice
+    (the deliberately quadratic differential-probe posture dedup_clusters
+    documents — production recall audits sample) crossed against the
+    32-hash/8-band candidate pairs, reported as recall per threshold in
+    {{0.6, 0.7, 0.8, 0.9}}. One wrong candidate pair or one mis-scored
+    true pair anywhere moves a count and hash-mismatches."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    ids_a = d.select(F.col("doc_id").alias("a_id"))
+    ids_b = d.select(F.col("doc_id").alias("b_id"))
+    allp = ids_a.crossJoin(ids_b).where(F.col("a_id") < F.col("b_id"))
+    exact = D.jaccard_pairs(d, allp)
+    cands = D.minhash_lsh_candidates(
+        d, num_hashes=32, bands=8, portable=True
+    ).withColumn("__c", F.lit(1))
+    marked = exact.join(cands, ["a_id", "b_id"], "left").select(
+        "jaccard", F.coalesce(F.col("__c"), F.lit(0)).alias("c")
+    )
+    thr_df = spark.createDataFrame(
+        [(0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
+    )
+    agg = (
+        marked.crossJoin(F.broadcast(thr_df))
+        .where(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum("c").alias("n_caught"),
+        )
+    )
+    n_cands = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        thr_df.join(agg, "threshold", "left")
+        .crossJoin(F.broadcast(n_cands))
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_true"), F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce(F.col("n_caught"), F.lit(0)).cast("long").alias("n_caught"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.when(
+                F.coalesce(F.col("n_true"), F.lit(0)) > 0,
+                F.round(
+                    F.col("n_caught").cast("double")
+                    / F.col("n_true").cast("double"),
+                    6,
+                ),
+            ).alias("recall"),
+        )
+    )
