@@ -123,3 +123,72 @@ def robust_outliers(
         "is_outlier",
         F.abs(F.col(value_col) - F.col("med")) > F.lit(thresh) * F.col("mad"),
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov–Smirnov drift statistic against the
+    whole corpus: ``(group, n_docs, ks_stat)`` where ``ks_stat =
+    max_x |CDF_group(x) - CDF_corpus(x)|`` — the distribution-shift audit a
+    curation pipeline runs per source/shard/snapshot ("did this source's
+    length/quality profile drift from the corpus?").
+
+    Engine-portable by construction: both CDFs are ratios of integer
+    counts (rank arithmetic — no order-sensitive float accumulation), the
+    sup runs over the value grid where step functions change, and the
+    result rounds to 9. Shape: one (group, value) count aggregate, a
+    small value-grid × group frame (distinct stat values × groups — a
+    profiling stat has bounded distinct values at any corpus size), two
+    stacked window cumsums keyed by group, one max aggregate. NULL values
+    are excluded from both CDFs.
+    """
+    from pyspark.sql import Window
+
+    v = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("x")
+    )
+    per_gv = v.groupBy("g", "x").agg(F.count(F.lit(1)).alias("c"))
+    per_v = v.groupBy("x").agg(F.count(F.lit(1)).alias("call"))
+    totals = v.groupBy("g").agg(F.count(F.lit(1)).alias("n_g"))
+    n_all = v.agg(F.count(F.lit(1)).alias("n_all"))
+
+    # full grid: every group × every distinct value (step-change points)
+    grid = per_v.select("x").crossJoin(totals.select("g"))
+    joined = (
+        grid.join(per_gv, ["g", "x"], "left")
+        .join(per_v, "x")
+        .select(
+            "g",
+            "x",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "call",
+        )
+    )
+    wg = Window.partitionBy("g").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = joined.select(
+        "g",
+        "x",
+        F.sum("c").over(wg).alias("cum_g"),
+        F.sum("call").over(wg).alias("cum_all"),
+    )
+    diff = (
+        cum.join(F.broadcast(totals), "g")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "g",
+            F.col("n_g"),
+            F.abs(
+                F.col("cum_g").cast("double") / F.col("n_g").cast("double")
+                - F.col("cum_all").cast("double") / F.col("n_all").cast("double")
+            ).alias("d"),
+        )
+    )
+    return diff.groupBy("g").agg(
+        F.max("n_g").cast("long").alias("n_docs"),
+        F.round(F.max("d"), 9).alias("ks_stat"),
+    ).select(F.col("g").alias(group_col), "n_docs", "ks_stat")

@@ -2358,3 +2358,52 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "source_drift_ks",
+    oracle="""
+    WITH v AS (
+        SELECT source AS g, n_chars AS x FROM documents
+        WHERE n_chars IS NOT NULL
+    ), per_gv AS (
+        SELECT g, x, COUNT(*) AS c FROM v GROUP BY g, x
+    ), per_v AS (
+        SELECT x, COUNT(*) AS call FROM v GROUP BY x
+    ), totals AS (
+        SELECT g, COUNT(*) AS n_g FROM v GROUP BY g
+    ), na AS (
+        SELECT COUNT(*) AS n_all FROM v
+    ), grid AS (
+        SELECT t.g, pv.x, pv.call FROM totals t CROSS JOIN per_v pv
+    ), joined AS (
+        SELECT grid.g, grid.x, COALESCE(pg.c, 0) AS c, grid.call
+        FROM grid LEFT JOIN per_gv pg ON pg.g = grid.g AND pg.x = grid.x
+    ), cum AS (
+        SELECT g, x,
+               SUM(c) OVER (PARTITION BY g ORDER BY x) AS cum_g,
+               SUM(call) OVER (PARTITION BY g ORDER BY x) AS cum_all
+        FROM joined
+    ), d AS (
+        SELECT c.g, t.n_g,
+               ABS(CAST(cum_g AS DOUBLE) / CAST(t.n_g AS DOUBLE)
+                   - CAST(cum_all AS DOUBLE)
+                     / CAST((SELECT n_all FROM na) AS DOUBLE)) AS d
+        FROM cum c JOIN totals t ON c.g = t.g
+    )
+    SELECT g AS source, CAST(MAX(n_g) AS BIGINT) AS n_docs,
+           ROUND(MAX(d), 9) AS ks_stat
+    FROM d GROUP BY g
+    """,
+)
+def source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift audit, fully oracled: the two-sample
+    Kolmogorov-Smirnov statistic of each source's document-length
+    distribution against the whole corpus — the shard/source/snapshot QA
+    signal ("did src7's length profile drift?"). Pure rank arithmetic
+    (integer-count CDF ratios, sup over the step grid), so the statistic
+    is bit-identical cross-engine (operators/profile.py::ks_drift)."""
+    from polars_numba_spark.operators.profile import ks_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return ks_drift(d, "n_chars", "source")

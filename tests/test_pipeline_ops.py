@@ -1376,3 +1376,25 @@ def test_pagerank_releases_checkpoint_blocks(spark):
     assert len(mid) <= 2, mid
     release_session_checkpoints(spark)
     assert _persistent_ids(spark) - before == set()
+
+
+def test_ks_drift_detects_shifted_group(spark):
+    """KS sanity: a group drawn from a shifted distribution scores a large
+    statistic, an identically-distributed group scores near 0 (its only
+    deviation is the shifted group's contamination of the pooled CDF), and
+    the statistic is bounded in [0, 1]."""
+    from pyspark.sql import functions as F
+
+    from polars_numba_spark.operators.profile import ks_drift
+
+    rows = [("same", i % 100) for i in range(1000)]
+    rows += [("shifted", 200 + i % 100) for i in range(250)]
+    rows += [("same2", i % 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "source string, n_chars int")
+    out = {r["source"]: r["ks_stat"] for r in ks_drift(df, "n_chars", "source").collect()}
+    assert 0.0 <= min(out.values()) and max(out.values()) <= 1.0
+    # the shifted group is fully disjoint from the pooled mass below 200:
+    # at x=199, CDF_shifted = 0 while CDF_corpus = 2000/2250
+    assert abs(out["shifted"] - 2000 / 2250) < 1e-9
+    assert out["same"] < 0.15 and out["same2"] < 0.15
+    assert out["shifted"] > 5 * out["same"]
