@@ -1073,3 +1073,108 @@ def distinct_users_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+@register(
+    "user_conversion_funnel",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+    ), s AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ms END) AS s_ms
+        FROM e GROUP BY user_id
+    ), sv AS (
+        SELECT e.user_id, MIN(s.s_ms) AS s_ms,
+               MIN(CASE WHEN e.event_type = 'view' AND e.ms > s.s_ms
+                        THEN e.ms END) AS v_ms
+        FROM e JOIN s ON e.user_id = s.user_id GROUP BY e.user_id
+    ), svp AS (
+        SELECT e.user_id, MIN(sv.s_ms) AS s_ms, MIN(sv.v_ms) AS v_ms,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ms > sv.v_ms
+                        THEN e.ms END) AS p_ms
+        FROM e JOIN sv ON e.user_id = sv.user_id GROUP BY e.user_id
+    ), lab AS (
+        SELECT CASE WHEN p_ms IS NOT NULL THEN 3
+                    WHEN v_ms IS NOT NULL THEN 2
+                    WHEN s_ms IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
+               p_ms - s_ms AS diff
+        FROM svp
+    )
+    SELECT CAST(funnel_depth AS INTEGER) AS funnel_depth,
+           COUNT(*) AS n_users,
+           ROUND(CAST(SUM(diff) AS DOUBLE) / COUNT(*) / 3600000.0, 6)
+               AS avg_hours_to_purchase
+    FROM lab GROUP BY funnel_depth
+    """,
+)
+def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel analytics (the MATCH_RECOGNIZE-lite shape):
+    per user, the earliest signup, the earliest view STRICTLY AFTER that
+    signup, and the earliest purchase strictly after that view — then the
+    population rolled up by funnel depth with mean signup→purchase hours
+    for completers. Millisecond epochs are exact integers in both engines
+    (probed: unix_millis == epoch_ms on this data), the duration sum is an
+    integer sum, and the only floats are the final two divisions — fully
+    hash-oracled sequential-pattern analytics. Three user-keyed
+    aggregates, each joining the previous step's per-user result: every
+    shuffle keys on user_id, no window over the raw event stream."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ms")
+    )
+    s = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ms"))
+        ).alias("s_ms")
+    )
+    sv = (
+        e.join(s, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("s_ms").alias("s_ms"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view")
+                    & (F.col("ms") > F.col("s_ms")),
+                    F.col("ms"),
+                )
+            ).alias("v_ms"),
+        )
+    )
+    svp = (
+        e.join(sv, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("s_ms").alias("s_ms"),
+            F.min("v_ms").alias("v_ms"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ms") > F.col("v_ms")),
+                    F.col("ms"),
+                )
+            ).alias("p_ms"),
+        )
+    )
+    depth = (
+        F.when(F.col("p_ms").isNotNull(), F.lit(3))
+        .when(F.col("v_ms").isNotNull(), F.lit(2))
+        .when(F.col("s_ms").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        svp.select(
+            depth.cast("int").alias("funnel_depth"),
+            (F.col("p_ms") - F.col("s_ms")).alias("diff"),
+        )
+        .groupBy("funnel_depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum("diff").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(3600000.0),
+                6,
+            ).alias("avg_hours_to_purchase"),
+        )
+    )

@@ -1398,3 +1398,47 @@ def test_ks_drift_detects_shifted_group(spark):
     assert abs(out["shifted"] - 2000 / 2250) < 1e-9
     assert out["same"] < 0.15 and out["same2"] < 0.15
     assert out["shifted"] > 5 * out["same"]
+
+
+def test_conversion_funnel_ordering_semantics(spark, tmp_path):
+    """Funnel steps are STRICTLY ordered: a view before the signup does not
+    count, a purchase before the first qualifying view does not count, and
+    users land in all four depth buckets; completer hours are exact."""
+    import datetime as dt
+
+    from polars_numba_spark.queries.catalog import spark_queries
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, uid, typ, hours):
+        return (i, t0 + dt.timedelta(hours=hours), uid, typ, 1.0, "{}")
+
+    rows = [
+        # u1: full funnel, 2h signup->purchase
+        ev(0, 1, "signup", 0), ev(1, 1, "view", 1), ev(2, 1, "purchase", 2),
+        # u2: view BEFORE signup only -> depth 1
+        ev(3, 2, "view", 0), ev(4, 2, "signup", 1),
+        # u3: purchase before its qualifying view -> depth 2
+        ev(5, 3, "signup", 0), ev(6, 3, "purchase", 1), ev(7, 3, "view", 2),
+        # u4: never signs up -> depth 0
+        ev(8, 4, "view", 0), ev(9, 4, "purchase", 1),
+        # u5: full funnel, 5h
+        ev(10, 5, "signup", 0), ev(11, 5, "view", 4), ev(12, 5, "purchase", 5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    df.write.parquet(f"{sf}/events.parquet")
+    out = {
+        r["funnel_depth"]: r
+        for r in spark_queries()["user_conversion_funnel"](spark, sf).collect()
+    }
+    assert {d: out[d]["n_users"] for d in sorted(out)} == {0: 1, 1: 1, 2: 1, 3: 2}
+    assert abs(out[3]["avg_hours_to_purchase"] - 3.5) < 1e-9  # (2h + 5h) / 2
+    assert out[2]["avg_hours_to_purchase"] is None
