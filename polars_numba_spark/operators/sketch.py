@@ -614,3 +614,140 @@ def hll_distinct(
         F.col("__used").cast("int").alias("n_registers"),
         F.round(est, 6).alias("hll_estimate"),
     )
+
+
+# --- Bloom runtime-filter -----------------------------------------------
+
+
+def _bloom_hash(key: Column, j: int, portable: bool) -> Column:
+    """j-th seeded bloom hash of a key (md5 recipe when portable)."""
+    tagged = F.concat(key.cast("string"), F.lit(f"#bloom{j}"))
+    return md5_long(tagged) if portable else F.xxhash64(tagged)
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    bits_per_key: int = 8,
+    n_hashes: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """Build a Bloom filter bitmap over the DISTINCT non-null keys of
+    ``df[key_col]`` as ONE row ``(m_bits bigint, words array<bigint>)`` —
+    the explicit, engine-portable form of the runtime join prefilter
+    (Spark's own AQE variant: ``spark.sql.optimizer.runtime.bloomFilter``,
+    `InjectRuntimeFilter`). Use it when the build side is a selective dim
+    and the probe side is a 100-TB fact: broadcasting the ~KB bitmap and
+    dropping non-matching fact rows BEFORE the shuffle turns a full
+    fact-table shuffle into one proportional to the match rate (plus the
+    bounded false-positive rate).
+
+    Scale shape: the bitmap size is data-scaled IN-PLAN (``m = 32 *
+    ceil(bits_per_key * n_keys / 32)`` from a 1-row aggregate — no
+    driver-side count), so the false-positive rate stays
+    ``(1 - e^(-k/bits_per_key))^k`` (~2.4% at 8 bits/key, k=4) at any
+    build cardinality. Bits live in 32-bit words packed into BIGINTs
+    (bit 31 is the widest shift — no sign-overflow in any engine), set
+    via a map-side-combinable ``bit_or`` aggregate; the dense word array
+    is assembled from a ``map_from_entries`` lookup so absent words are
+    exact zeros. With ``portable=True`` every bit position derives from
+    md5 (:func:`~polars_numba_spark.operators.dedup.md5_long`), so a SQL
+    oracle reproduces the filter bit-for-bit; ``portable=False`` swaps in
+    xxhash64 for production throughput.
+    """
+    keys = (
+        df.select(F.col(key_col).alias("__k"))
+        .where(F.col("__k").isNotNull())
+        .distinct()
+    )
+    # greatest(..., 32): an EMPTY build side still yields one all-zero
+    # word (reject-everything bloom) instead of a modulo-by-zero / a
+    # descending sequence() in the dense-array assembly
+    stats = keys.agg(F.count(F.lit(1)).alias("__n")).select(
+        F.greatest(
+            (
+                F.lit(32)
+                * F.ceil(F.lit(bits_per_key) * F.col("__n") / F.lit(32.0))
+            ).cast("long"),
+            F.lit(32).cast("long"),
+        ).alias("m_bits")
+    )
+    pos = (
+        keys.crossJoin(F.broadcast(stats))
+        .select(
+            "m_bits",
+            F.explode(
+                F.array(
+                    *[_bloom_hash(F.col("__k"), j, portable) for j in range(n_hashes)]
+                )
+            ).alias("__h"),
+        )
+        .select("m_bits", F.pmod(F.col("__h"), F.col("m_bits")).alias("__pos"))
+    )
+    words = (
+        pos.select(
+            "m_bits",
+            F.floor(F.col("__pos") / 32).cast("long").alias("__w"),
+            # shiftleft() the builtin needs a literal shift; the SQL form
+            # accepts the per-row bit index
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(__pos % 32 as int))"
+            ).alias("__b"),
+        )
+        .groupBy("m_bits", "__w")
+        .agg(F.bit_or("__b").alias("__word"))
+    )
+    n_words = (F.col("m_bits") / F.lit(32)).cast("long")
+    # anchor on the 1-row stats (left join) so an empty build still yields
+    # the one-row all-zero bitmap; element_at(NULL map, i) -> NULL -> 0
+    wordmap = words.groupBy("m_bits").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__w"), F.col("__word")))
+        ).alias("__m")
+    )
+    return stats.join(wordmap, "m_bits", "left").select(
+        "m_bits",
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_words - 1),
+            lambda i: F.coalesce(
+                F.element_at(F.col("__m"), i), F.lit(0).cast("long")
+            ),
+        ).alias("words"),
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    n_hashes: int = 4,
+    portable: bool = True,
+    flag: str = "passes_bloom",
+) -> DataFrame:
+    """Probe a :func:`bloom_build` bitmap: adds boolean ``flag`` — true
+    iff all ``n_hashes`` bit positions of ``df[key_col]`` are set. The
+    bitmap is a broadcast 1-row cross join (the only join this adds), so
+    the probe is a pure codegen'd projection over the fact scan — zero
+    shuffle, which is the entire point of a runtime prefilter. Guarantees
+    no false negatives (every true member passes); false positives occur
+    at the bounded rate and MUST be re-verified by the exact join that
+    follows. NULL probe keys yield a NULL flag (a null key never equi-
+    joins, so callers treat it as non-matching)."""
+    probed = df.crossJoin(F.broadcast(bloom))
+    cond = None
+    for j in range(n_hashes):
+        pcol = f"__bloom_p{j}"
+        probed = probed.withColumn(
+            pcol, F.pmod(_bloom_hash(F.col(key_col), j, portable), F.col("m_bits"))
+        )
+        # SQL shiftright accepts the per-row bit index (the builtin needs
+        # a literal); element_at is 1-based
+        hit = F.expr(
+            f"(shiftright(element_at(words, cast(floor({pcol} / 32) as int) + 1),"
+            f" cast({pcol} % 32 as int)) & 1) = 1"
+        )
+        cond = hit if cond is None else (cond & hit)
+    return (
+        probed.withColumn(flag, cond)
+        .drop("m_bits", "words", *[f"__bloom_p{j}" for j in range(n_hashes)])
+    )

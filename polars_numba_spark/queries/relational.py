@@ -1178,3 +1178,89 @@ def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_hours_to_purchase"),
         )
     )
+
+
+_BLOOM_MD5INT = "CAST(CAST(('0x' || substr(md5({x}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+
+def _bloom_hash_sql(key: str) -> str:
+    """DuckDB list of the 4 seeded bloom hashes of ``key`` — the SQL twin
+    of operators/sketch.py::_bloom_hash at n_hashes=4."""
+    return (
+        "["
+        + ", ".join(
+            _BLOOM_MD5INT.format(x=f"CAST({key} AS VARCHAR) || '#bloom{j}'")
+            for j in range(4)
+        )
+        + "]"
+    )
+
+
+@register(
+    "orders_bloom_prefilter",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT c_custkey AS k FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7500
+          AND c_custkey IS NOT NULL
+    ), stats AS (
+        SELECT 32 * CAST(ceil(8 * COUNT(*) / 32.0) AS BIGINT) AS m_bits
+        FROM build
+    ), pos AS (
+        SELECT UNNEST({_bloom_hash_sql('k')}) % m_bits AS p FROM build, stats
+    ), words AS (
+        SELECT p // 32 AS w,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS word
+        FROM pos GROUP BY p // 32
+    ), probe AS (
+        SELECT o_orderkey, UNNEST({_bloom_hash_sql('o_custkey')}) % m_bits AS p
+        FROM orders, stats
+    ), hits AS (
+        SELECT pr.o_orderkey,
+               MIN(CASE WHEN (w.word >> CAST(pr.p % 32 AS INTEGER)) & 1 = 1
+                        THEN 1 ELSE 0 END) AS all_hit
+        FROM probe pr LEFT JOIN words w ON w.w = pr.p // 32
+        GROUP BY pr.o_orderkey
+    )
+    SELECT o.o_orderpriority AS o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE h.all_hit = 1) AS n_pass_bloom,
+           COUNT(*) FILTER (WHERE b.k IS NOT NULL) AS n_exact_match,
+           COUNT(*) FILTER (WHERE h.all_hit = 1 AND b.k IS NULL) AS n_false_pos
+    FROM orders o
+    JOIN hits h ON h.o_orderkey = o.o_orderkey
+    LEFT JOIN build b ON b.k = o.o_custkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def orders_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join prefilter, fully oracled: a selective
+    customer dim (BUILDING segment, high balance) builds a data-scaled
+    md5 bitmap (operators/sketch.py::bloom_build) that is broadcast onto
+    the orders fact as a pure projection — the explicit form of the AQE
+    runtime filter that, at 100 TB, drops non-matching fact rows at the
+    scan instead of shuffling them. The report groups by order priority
+    and compares bloom verdicts to the exact broadcast join: n_pass_bloom
+    ≥ n_exact_match always (no false negatives — property-tested), and
+    n_false_pos realizes the bounded (1 - e^(-k/8))^k ≈ 2.4% rate."""
+    from polars_numba_spark.operators.sketch import bloom_build, bloom_probe
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    build = c.where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 7500)
+    )
+    bloom = bloom_build(build, "c_custkey", bits_per_key=8, n_hashes=4)
+    probed = bloom_probe(o, "o_custkey", bloom)
+    marks = build.select(F.col("c_custkey").alias("__bk")).distinct()
+    flagged = probed.join(
+        F.broadcast(marks), probed["o_custkey"] == marks["__bk"], "left"
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("passes_bloom"), 1)).alias("n_pass_bloom"),
+        F.count(F.when(F.col("__bk").isNotNull(), 1)).alias("n_exact_match"),
+        F.count(
+            F.when(F.col("passes_bloom") & F.col("__bk").isNull(), 1)
+        ).alias("n_false_pos"),
+    )

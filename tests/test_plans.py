@@ -410,3 +410,15 @@ def test_contrastive_triplets_broadcasts_directories(spark):
     s = plans.explain_string(df)
     assert s.count("BroadcastExchange") >= 3
     assert "CartesianProduct" not in s
+
+
+def test_bloom_prefilter_probe_is_broadcast_only(spark):
+    """orders_bloom_prefilter's probe must be a pure projection over the
+    fact scan fed by BROADCAST exchanges (the 1-row bitmap, the build
+    keys): a sort-merge join or real cartesian against the fact side would
+    defeat the runtime filter's whole purpose at 100 TB."""
+    df = q(spark, "orders_bloom_prefilter")
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+    assert "SortMergeJoin" not in s
+    assert s.count("BroadcastExchange") >= 2  # bitmap row + exact-match keys
