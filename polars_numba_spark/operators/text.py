@@ -626,3 +626,106 @@ def bm25_topk(
             F.col("__sum").cast("double").alias("score"),
         )
     )
+
+
+# --- Gopher-rule quality filter ---------------------------------------------
+
+# Frozen thresholds (Rae et al. 2021, "Scaling Language Models: ... Gopher",
+# appendix A1.1 — the word-level subset; the line-level rules need multi-line
+# documents). Part of the operator contract: the oracle embeds the same
+# numbers via gopher_sql_exprs().
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality_flags(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style document quality filter (the word-level rule subset):
+    word count bounds, mean word length bounds, alphabetic-word fraction,
+    symbol-to-word ratio (``#`` and ellipses), and minimum distinct
+    stopword hits, plus the conjunctive ``keep`` verdict. Pure codegen
+    column expressions over one scan — no shuffle, no UDF: the shape that
+    streams over 100 TB of documents at parquet-scan speed. Returns
+    ``(id, n_words, mean_word_len, frac_alpha_words, symbol_word_ratio,
+    stopword_hits, keep)``."""
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = sum_len.cast("double") / n_words.cast("double")
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    frac_alpha = n_alpha.cast("double") / n_words.cast("double")
+    n_sym = F.size(
+        F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), 0)
+    )
+    sym_ratio = n_sym.cast("double") / n_words.cast("double")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array([F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    )
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (frac_alpha >= GOPHER_MIN_ALPHA_FRAC)
+        & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (n_stop >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("int").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        sym_ratio.alias("symbol_word_ratio"),
+        n_stop.cast("int").alias("stopword_hits"),
+        keep.alias("keep"),
+    )
+
+
+def gopher_sql_exprs(c: str) -> dict[str, str]:
+    """DuckDB twins of every gopher_quality_flags feature + the keep
+    verdict, keyed by output column — single-sourced thresholds so the
+    Spark operator and the oracle cannot desync."""
+    t = SQL_TOKENS.format(c=c)
+    n_words = f"length({t})"
+    mean_len = (
+        f"CAST(list_aggregate(list_transform({t}, w -> length(w)), 'sum')"
+        f" AS DOUBLE) / CAST({n_words} AS DOUBLE)"
+    )
+    frac_alpha = (
+        f"CAST(length(list_filter({t}, w -> regexp_matches(w, '[A-Za-z]')))"
+        f" AS DOUBLE) / CAST({n_words} AS DOUBLE)"
+    )
+    sym_ratio = (
+        f"CAST(length(regexp_extract_all({c}, '#|\\.\\.\\.|…'))"
+        f" AS DOUBLE) / CAST({n_words} AS DOUBLE)"
+    )
+    n_stop = (
+        f"length(list_intersect(list_distinct({t}), "
+        f"{_sql_list(STOPWORDS['en'])}))"
+    )
+    keep = (
+        f"({n_words} >= {GOPHER_MIN_WORDS} AND {n_words} <= {GOPHER_MAX_WORDS}"
+        f" AND ({mean_len}) >= {GOPHER_MIN_MEAN_WORD_LEN!r}"
+        f" AND ({mean_len}) <= {GOPHER_MAX_MEAN_WORD_LEN!r}"
+        f" AND ({frac_alpha}) >= {GOPHER_MIN_ALPHA_FRAC!r}"
+        f" AND ({sym_ratio}) <= {GOPHER_MAX_SYMBOL_RATIO!r}"
+        f" AND {n_stop} >= {GOPHER_MIN_STOPWORD_HITS})"
+    )
+    return {
+        "n_words": f"CAST({n_words} AS INTEGER)",
+        "mean_word_len": mean_len,
+        "frac_alpha_words": frac_alpha,
+        "symbol_word_ratio": sym_ratio,
+        "stopword_hits": f"CAST({n_stop} AS INTEGER)",
+        "keep": keep,
+    }

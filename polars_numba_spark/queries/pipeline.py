@@ -2407,3 +2407,32 @@ def source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return ks_drift(d, "n_chars", "source")
+
+
+_GOPHER = X.gopher_sql_exprs("text")
+
+
+@register(
+    "doc_gopher_filter",
+    oracle=f"""
+    SELECT doc_id,
+           {_GOPHER['n_words']} AS n_words,
+           {_GOPHER['mean_word_len']} AS mean_word_len,
+           {_GOPHER['frac_alpha_words']} AS frac_alpha_words,
+           {_GOPHER['symbol_word_ratio']} AS symbol_word_ratio,
+           {_GOPHER['stopword_hits']} AS stopword_hits,
+           {_GOPHER['keep']} AS keep
+    FROM documents
+    """,
+)
+def doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter (Rae et al. 2021 word-level subset):
+    word-count / mean-word-length / alphabetic-fraction / symbol-ratio /
+    stopword-presence flags and the conjunctive keep verdict, as pure
+    codegen over one documents scan (operators/text.py::
+    gopher_quality_flags). Thresholds are single-sourced into the oracle
+    via gopher_sql_exprs so they cannot desync."""
+    d = _t(spark, sf_dir, "documents")
+    return X.gopher_quality_flags(d, "text", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )

@@ -1442,3 +1442,25 @@ def test_conversion_funnel_ordering_semantics(spark, tmp_path):
     assert {d: out[d]["n_users"] for d in sorted(out)} == {0: 1, 1: 1, 2: 1, 3: 2}
     assert abs(out[3]["avg_hours_to_purchase"] - 3.5) < 1e-9  # (2h + 5h) / 2
     assert out[2]["avg_hours_to_purchase"] is None
+
+
+def test_gopher_flags_each_rule_fires(spark):
+    from polars_numba_spark.operators.text import gopher_quality_flags
+
+    good = "the quick brown fox jumps over a lazy dog and " * 6  # 60 words
+    rows = [
+        (1, good),                                    # passes all rules
+        (2, "the a of to in"),                        # too few words
+        (3, "the of " + "ab " * 58),                  # mean word len < 3
+        (4, good.replace("quick", "### ... …")),      # symbol ratio > 0.1
+        (5, " ".join(["12345"] * 30 + ["the", "a"] + ["67890"] * 30)),  # alpha frac
+        (6, ("zzz www qqq rrr sss " * 12)),           # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in gopher_quality_flags(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n_words"] == 5
+    assert out[3]["keep"] is False and out[3]["mean_word_len"] < 3.0
+    assert out[4]["keep"] is False and out[4]["symbol_word_ratio"] > 0.1
+    assert out[5]["keep"] is False and out[5]["frac_alpha_words"] < 0.8
+    assert out[6]["keep"] is False and out[6]["stopword_hits"] < 2

@@ -422,3 +422,16 @@ def test_bloom_prefilter_probe_is_broadcast_only(spark):
     assert "CartesianProduct" not in s
     assert "SortMergeJoin" not in s
     assert s.count("BroadcastExchange") >= 2  # bitmap row + exact-match keys
+
+
+def test_gopher_filter_is_one_scan(spark):
+    """doc_gopher_filter must be pure codegen over a single documents scan
+    reading only (doc_id, text) — a quality gate that shuffles or calls
+    Python would throttle every downstream curation stage at 100 TB."""
+    df = q(spark, "doc_gopher_filter")
+    s = plans.explain_string(df)
+    for op in ("Exchange", "Join", "MapInPandas", "BatchEvalPython"):
+        assert op not in s, op
+    schemas = plans.read_schemas(df)
+    assert len(schemas) == 1 and "text" in schemas[0]
+    assert "source" not in schemas[0]
