@@ -1264,3 +1264,78 @@ def orders_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("passes_bloom") & F.col("__bk").isNull(), 1)
         ).alias("n_false_pos"),
     )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH signup AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), act AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ), offs AS (
+        SELECT DISTINCT s.user_id, s.cohort_day,
+               CAST(date_diff('day', s.cohort_day, a.d) // 7 AS INTEGER)
+                   AS week_offset
+        FROM act a JOIN signup s USING (user_id)
+        WHERE a.d >= s.cohort_day
+    ), cohort_sizes AS (
+        SELECT cohort_day, COUNT(*) AS cohort_size FROM signup
+        GROUP BY cohort_day
+    )
+    SELECT o.cohort_day AS cohort_day, o.week_offset AS week_offset,
+           z.cohort_size AS cohort_size,
+           COUNT(DISTINCT o.user_id) AS n_active,
+           ROUND(CAST(COUNT(DISTINCT o.user_id) AS DOUBLE) / z.cohort_size, 6)
+               AS retention
+    FROM offs o JOIN cohort_sizes z USING (cohort_day)
+    GROUP BY o.cohort_day, o.week_offset, z.cohort_size
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users cohorted by first-signup
+    day, then for each (cohort, weeks-since-signup) the distinct-active
+    share of the cohort. The companion analytics face to the conversion
+    funnel: both reduce the raw event stream to the product metrics a
+    pipeline dashboard reads. Scale shape: one shuffle keyed on user_id
+    builds cohorts and daily activity (distinct at day granularity first,
+    so the offset join fans out per active DAY, not per event), then a
+    bounded (cohort_day x week_offset) aggregate; cohort sizes join on the
+    tiny cohort-day dimension."""
+    e = _t(spark, sf_dir, "events")
+    signup = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("DAY", F.min("ts")).alias("cohort_day"))
+    )
+    act = e.select("user_id", F.date_trunc("DAY", "ts").alias("d")).distinct()
+    offs = (
+        act.join(signup, "user_id")
+        .where(F.col("d") >= F.col("cohort_day"))
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff("d", "cohort_day") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = signup.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        offs.groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "week_offset",
+            "cohort_size",
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )

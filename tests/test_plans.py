@@ -435,3 +435,15 @@ def test_gopher_filter_is_one_scan(spark):
     schemas = plans.read_schemas(df)
     assert len(schemas) == 1 and "text" in schemas[0]
     assert "source" not in schemas[0]
+
+
+def test_retention_cohorts_bounded_aggregates(spark):
+    """user_retention_cohorts must reduce events to day granularity BEFORE
+    the cohort join (distinct user-days, not raw events, fan into the
+    offset computation) and broadcast the tiny cohort-size dimension — at
+    100 TB of events the per-event path would shuffle the whole stream
+    twice."""
+    df = q(spark, "user_retention_cohorts")
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastExchange" in s  # cohort sizes join
