@@ -100,55 +100,76 @@ _DRIVER_PRIORITY: list[str] = [
     "curated_corpus_neardup",           # r8-new: keep-list curation pipeline
     "order_price_tdigest_report",       # rows-only: t-digest self-report
     "distinct_users_sketch",            # rows-only: HLL-style self-report
-    # --- sentinels (ADVICE r7 #5): the remaining 42 slots re-check one
+    # --- six queries oracled mid-r8 with no driver row yet: the three
+    # late-r8 additions (banding-recall eval, KS drift, conversion funnel)
+    # plus the three session-2 faces (bloom runtime filter, Gopher quality
+    # rules, retention cohorts). Every oracled query should earn a driver
+    # hash row the round it lands — not wait for a future rotation (the
+    # r7-verdict lesson). Six sentinels rotate out to make room; each
+    # evictee's family keeps in-window coverage, noted per slot below.
+    "dedup_minhash_recall",             # r8-new: banding recall evaluation
+    "source_drift_ks",                  # r8-new: per-source KS drift audit
+    "user_conversion_funnel",           # r8-new: ordered-step funnel
+    "orders_bloom_prefilter",           # r8-new: bloom runtime-filter join
+    "doc_gopher_filter",                # r8-new: Gopher quality rules
+    "user_retention_cohorts",           # r8-new: cohort retention triangle
+    "bpe_merge_candidates",             # r8-new: BPE merge-pair induction
+    "doc_char_entropy",                 # r8-new: char-entropy junk detector
+    "doc_quality_calibrated",           # r8-new: per-source score calibration
+    # --- sentinels (ADVICE r7 #5): the remaining 36 slots re-check one
     # previously-green query per long-gated core family, so a regression in
     # folds/scans, TPC-H shapes, flagship dedup, embeddings, text pipeline,
     # or streaming is caught by the driver this round, not only by the
     # local replica gate. Includes the four unexplained r7 bench movers.
     # fold/scan kernel surface (kernel_scan_multi_output rotates out for the
-    # late-r8 swaps below: the multi-output tuple-accumulator path stays
-    # unit-gated, and the grouped-scan family keeps 3 in-window sentinels)
+    # late-r8 swaps: the multi-output tuple-accumulator path stays
+    # unit-gated; kernel_fold_two_columns and parallel_scan_running_balance
+    # rotate out for the session-2 swaps — the two-column fold family stays
+    # evidenced by kernel_fold_event_cents + user_activity_with_fold, the
+    # parallel-combine family by parallel_fold_total_cents, the scan family
+    # by kernel_scan_user_balance_cents + streaming_scan_user_balance)
     "kernel_fold_event_cents",
     "kernel_scan_user_balance_cents",
-    "kernel_fold_two_columns",
     "parallel_fold_total_cents",        # r7 mover (2.13x, no code change)
-    "parallel_scan_running_balance",
     "capped_balance_per_user",
     "user_activity_with_fold",
     "sql_surface_running_balance",
-    # TPC-H / relational shapes (q18_large_volume_orders rotates out for the
-    # late-r8 swaps below: the group-HAVING-join family stays evidenced by
-    # q13 + q3 in-window and the full TPC-H suite in the local gate)
+    # TPC-H / relational shapes (q18_large_volume_orders rotated out for the
+    # late-r8 swaps; q13_customer_order_distribution rotates out for the
+    # session-2 swaps — the outer-join-distribution family stays evidenced
+    # by q3 + the full TPC-H suite in the local gate)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q2_min_cost_supplier",             # r7 mover (2.11x, no code change)
     "q7_nation_pair_volume",            # r7 mover (1.92x, no code change)
     "q6_revenue_forecast",
-    "q13_customer_order_distribution",
-    # window / analytic / timeseries (running_max_order_price rotates out:
+    # window / analytic / timeseries (running_max_order_price rotated out:
     # the associative fast-path family stays evidenced by
-    # orders_rank_in_customer + global_longest_hot_streak in-window)
+    # orders_rank_in_customer + global_longest_hot_streak in-window;
+    # gap_fill_user_value rotates out for the session-2 swaps — the
+    # timeseries family stays evidenced by rolling_hour_user_value)
     "orders_rank_in_customer",
     "rolling_hour_user_value",
-    "gap_fill_user_value",
     "global_longest_hot_streak",
     "events_sessionize_stats",
-    # flagship dedup / ExactSubstr
+    # flagship dedup / ExactSubstr (doc_remove_passages rotates out for the
+    # session-2 swaps — the ExactSubstr family stays evidenced by
+    # doc_duplicated_spans; the md5-portable minhash/simhash twins rotate
+    # out too — their banding machinery is exactly what the in-window
+    # keep-list must-ins and dedup_minhash_recall exercise)
     "dedup_exact_digests",
     "dedup_jaccard_pairs",
     "dedup_containment_complete",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
     "dedup_incremental_pairs",
     "doc_duplicated_spans",
-    "doc_remove_passages",
-    # embeddings / semantic dedup (embedding_near_dup_pairs rotates out for
-    # the late-r8 swaps below: the banded-cosine family stays evidenced by
-    # semantic_dedup_pairs/keeplist + the embedding_topk_lsh must-in)
-    "embedding_topk_bruteforce",
+    # embeddings / semantic dedup (embedding_near_dup_pairs rotated out for
+    # the late-r8 swaps: the banded-cosine family stays evidenced by
+    # semantic_dedup_pairs/keeplist + the embedding_topk_lsh must-in;
+    # label_centroids and embedding_topk_bruteforce rotate out for the
+    # session-2 swaps — the centroid/brute-force paths stay evidenced by
+    # the kmeans_assignments + embedding_topk_lsh must-ins)
     "semantic_dedup_pairs",
     "semantic_dedup_keeplist",
-    "label_centroids",
     # text pipeline
     "doc_bigram_logprob",               # r7 mover (2.26x, no code change)
     "training_data_pipeline",

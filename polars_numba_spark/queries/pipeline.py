@@ -2436,3 +2436,170 @@ def doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.gopher_quality_flags(d, "text", "doc_id").withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=r"""
+    WITH w AS (
+        SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents
+    ), pairs AS (
+        SELECT UNNEST(list_transform(range(1, length(w)), i -> substr(w, i, 2)))
+                   AS pair
+        FROM w WHERE length(w) >= 2
+    ), counts AS (
+        SELECT pair, COUNT(*) AS n_occurrences FROM pairs GROUP BY pair
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair)
+                AS INTEGER) AS rank,
+           pair, n_occurrences
+    FROM counts ORDER BY n_occurrences DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE vocabulary-induction step (Sennrich et al. 2016):
+    count every adjacent symbol pair inside words across the corpus and
+    rank the top merge candidates. Pure codegen — words explode to char
+    bigrams in-plan, one count aggregate (map-side combinable over a key
+    space bounded by |alphabet|^2), then a global top-20
+    (TakeOrderedAndProject: each partition ships only its own top rows).
+    Deterministic tie-break (count desc, pair asc) makes the ranking
+    hash-exact cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.explode(X.tokens("text")).alias("w"))
+        .where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    top = counts.orderBy(F.col("n_occurrences").desc(), "pair").limit(20)
+    from pyspark.sql import Window as W
+
+    rank_w = W.orderBy(F.col("n_occurrences").desc(), "pair")
+    return top.select(
+        F.row_number().over(rank_w).cast("int").alias("rank"),
+        "pair",
+        "n_occurrences",
+    )
+
+
+@register(
+    "doc_char_entropy",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, regexp_replace(lower(text), '\\s+', '', 'g') AS s
+        FROM documents
+    ), chars AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, length(s) + 1),
+                                     i -> substr(s, i, 1))) AS ch
+        FROM s
+    ), counts AS (
+        SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+    ), terms AS (
+        SELECT doc_id, c,
+               CAST(ROUND(
+                   (CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY doc_id))
+                   * LN(CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY doc_id)),
+                   9) AS DECIMAL(28,12)) AS term
+        FROM counts
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS INTEGER) AS n_chars,
+           CAST(COUNT(*) AS INTEGER) AS n_distinct_chars,
+           CAST(-SUM(term) AS DOUBLE) AS char_entropy
+    FROM terms GROUP BY doc_id
+    """,
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/boilerplate detector (binary junk scores near 0, natural
+    text ~4 bits): one explode to per-(doc, char) counts, one grouped
+    aggregate. Hash-exact cross-engine via the round-9-decimal term
+    accumulator (float sum order cannot perturb a bit). Whitespace is
+    stripped before counting so layout doesn't dilute the signal."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), r"\s+", "").alias("s"),
+    )
+    # sequence(1, 0) counts DOWN for empty/whitespace-only docs (the
+    # token_shingles guard) — emit an empty char array instead, matching
+    # DuckDB's empty range(1, 1)
+    char_arr = F.transform(
+        F.sequence(F.lit(1), F.length("s")),
+        lambda i: F.col("s").substr(i, F.lit(1)),
+    )
+    chars = s.select(
+        "doc_id",
+        F.explode(
+            F.when(F.length("s") >= 1, char_arr).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window as W
+
+    tot = F.sum("c").over(W.partitionBy("doc_id"))
+    p = F.col("c").cast("double") / tot
+    term = F.round(p * F.log(p), 9).cast("decimal(28,12)")
+    return (
+        counts.withColumn("__term", term)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("int").alias("n_chars"),
+            F.count(F.lit(1)).cast("int").alias("n_distinct_chars"),
+            (-F.sum("__term")).cast("double").alias("char_entropy"),
+        )
+    )
+
+
+@register(
+    "doc_quality_calibrated",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, {X.sql_quality('text')} AS quality
+        FROM documents
+    )
+    SELECT doc_id, source, quality,
+           percent_rank() OVER (PARTITION BY source
+                                ORDER BY quality, doc_id) AS src_pct_rank,
+           CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS INTEGER)
+               AS global_decile
+    FROM scored
+    """,
+)
+def doc_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration: raw scores are not comparable
+    across sources (each crawl/domain has its own score distribution), so
+    curation thresholds operate on the WITHIN-SOURCE percentile rank, plus
+    a global decile for mixture budgeting. One scan + two windows (the
+    per-source one partitions on the small source key; doc_id tie-break
+    makes both ranks deterministic). The standard per-domain calibration
+    step in front of a quality-threshold filter."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", X.quality_score("text").alias("quality")
+    )
+    src_w = W.partitionBy("source").orderBy("quality", "doc_id")
+    glob_w = W.orderBy("quality", "doc_id")
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.percent_rank().over(src_w).alias("src_pct_rank"),
+        F.ntile(10).over(glob_w).cast("int").alias("global_decile"),
+    )

@@ -1464,3 +1464,23 @@ def test_gopher_flags_each_rule_fires(spark):
     assert out[4]["keep"] is False and out[4]["symbol_word_ratio"] > 0.1
     assert out[5]["keep"] is False and out[5]["frac_alpha_words"] < 0.8
     assert out[6]["keep"] is False and out[6]["stopword_hits"] < 2
+
+
+def test_char_entropy_values_and_empty_doc(spark):
+    from polars_numba_spark.queries.catalog import spark_queries
+    import math, tempfile, os
+
+    # uniform 4-char text -> entropy ln(4); single-char -> 0; empty -> absent
+    rows = [(1, "abcd"), (2, "aaaa"), (3, "   "), (4, "ab ab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in spark_queries()["doc_char_entropy"](spark, td).collect()
+        }
+    assert abs(out[1]["char_entropy"] - math.log(4)) < 1e-8
+    assert out[2]["char_entropy"] == 0.0
+    assert 3 not in out  # whitespace-only: no chars -> no row (both engines)
+    assert abs(out[4]["char_entropy"] - math.log(2)) < 1e-8
+    assert out[4]["n_chars"] == 4  # whitespace stripped before counting

@@ -447,3 +447,22 @@ def test_retention_cohorts_bounded_aggregates(spark):
     s = plans.explain_string(df)
     assert "CartesianProduct" not in s
     assert "BroadcastExchange" in s  # cohort sizes join
+
+
+def test_char_entropy_single_count_shuffle(spark):
+    """doc_char_entropy must reach its per-doc result through the
+    (doc, char) count aggregate — map-side combinable, key space bounded
+    by docs x alphabet — with no join; the whole plan carries one
+    hash-aggregate pair plus the per-doc window/final aggregate."""
+    df = q(spark, "doc_char_entropy")
+    s = plans.explain_string(df)
+    assert "Join" not in s and "CartesianProduct" not in s
+
+
+def test_bpe_merges_are_takeordered(spark):
+    """bpe_merge_candidates' global top-20 must be TakeOrderedAndProject
+    (each partition ships only its own top rows), not a full global sort
+    of the |alphabet|^2 count table."""
+    df = q(spark, "bpe_merge_candidates")
+    s = plans.explain_string(df)
+    assert "TakeOrderedAndProject" in s
