@@ -116,6 +116,7 @@ _DRIVER_PRIORITY: list[str] = [
     "bpe_merge_candidates",             # r8-new: BPE merge-pair induction
     "doc_char_entropy",                 # r8-new: char-entropy junk detector
     "doc_quality_calibrated",           # r8-new: per-source score calibration
+    "user_value_ewma",                  # r8-new: recursively-oracled EWMA scan
     # --- sentinels (ADVICE r7 #5): the remaining 36 slots re-check one
     # previously-green query per long-gated core family, so a regression in
     # folds/scans, TPC-H shapes, flagship dedup, embeddings, text pipeline,
@@ -148,10 +149,12 @@ _DRIVER_PRIORITY: list[str] = [
     # orders_rank_in_customer + global_longest_hot_streak in-window;
     # gap_fill_user_value rotates out for the session-2 swaps — the
     # timeseries family stays evidenced by rolling_hour_user_value)
+    # (events_sessionize_stats rotates out for the user_value_ewma swap —
+    # the sessionize family stays evidenced by streaming_user_sessions
+    # in-window plus user_sessions in the local gate)
     "orders_rank_in_customer",
     "rolling_hour_user_value",
     "global_longest_hot_streak",
-    "events_sessionize_stats",
     # flagship dedup / ExactSubstr (doc_remove_passages rotates out for the
     # session-2 swaps — the ExactSubstr family stays evidenced by
     # doc_duplicated_spans; the md5-portable minhash/simhash twins rotate
@@ -1072,6 +1075,65 @@ def user_activity_with_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         },
     )
+
+
+# EWMA smoothing constant, single-sourced into the oracle (the
+# within_bound lesson: never hardcode the same constant twice). Derived
+# values like (1 - alpha) are spelled as in-engine arithmetic on BOTH
+# sides so each engine folds the identical doubles.
+EWMA_ALPHA = 0.2
+
+
+@register(
+    "user_value_ewma",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+        SELECT event_id, user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   AS rn
+        FROM events
+    ), rec AS (
+        SELECT event_id, user_id, rn,
+               (1.0 - {EWMA_ALPHA!r}) * 0.0 + {EWMA_ALPHA!r} * value AS ewma
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.event_id, o.user_id, o.rn,
+               (1.0 - {EWMA_ALPHA!r}) * r.ewma + {EWMA_ALPHA!r} * o.value
+        FROM ordered o JOIN rec r
+          ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, ewma FROM rec
+    """,
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values —
+    the canonical NON-associative scan (the recurrence ``(1-a)*acc + a*x``
+    has no merge function, so no window frame or parallel prefix can
+    express it): exactly the workload the reference's scan operator
+    exists for (`/root/reference/src/polars_numba/__init__.py:743-799`).
+    Runs through the same grouped scan kernel as the balance faces —
+    one shuffle keyed on user_id, O(Arrow batch) memory — and is the
+    catalog's first recursively-oracled scan: DuckDB replays the
+    identical double recurrence via a recursive CTE, so the driver hash
+    compares every intermediate EWMA value bit-for-bit (pure * and +
+    on doubles — IEEE-deterministic in both engines, no rounding
+    needed)."""
+    e = _t(spark, sf_dir, "events")
+
+    def ewma_step(acc, value):
+        return (1.0 - EWMA_ALPHA) * acc + EWMA_ALPHA * value
+
+    return grouped_scan(
+        e.select("event_id", "user_id", "ts", "value"),
+        "user_id",
+        ewma_step,
+        0.0,
+        "double",
+        columns=["value"],
+        order_by=["ts", "event_id"],
+        result_name="ewma",
+    ).select("event_id", "user_id", "ewma")
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
