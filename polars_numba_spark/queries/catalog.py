@@ -117,6 +117,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_char_entropy",                 # r8-new: char-entropy junk detector
     "doc_quality_calibrated",           # r8-new: per-source score calibration
     "user_value_ewma",                  # r8-new: recursively-oracled EWMA scan
+    "event_type_transitions",           # r8-new: Markov transition matrix
     # --- sentinels (ADVICE r7 #5): the remaining 36 slots re-check one
     # previously-green query per long-gated core family, so a regression in
     # folds/scans, TPC-H shapes, flagship dedup, embeddings, text pipeline,
@@ -151,8 +152,10 @@ _DRIVER_PRIORITY: list[str] = [
     # timeseries family stays evidenced by rolling_hour_user_value)
     # (events_sessionize_stats rotates out for the user_value_ewma swap —
     # the sessionize family stays evidenced by streaming_user_sessions
-    # in-window plus user_sessions in the local gate)
-    "orders_rank_in_customer",
+    # in-window plus user_sessions in the local gate; orders_rank_in_customer
+    # rotates out for the event_type_transitions swap — the rank/analytic
+    # family keeps its r7 driver green via window_function_zoo and the new
+    # face itself gates a lag window)
     "rolling_hour_user_value",
     "global_longest_hot_streak",
     # flagship dedup / ExactSubstr (doc_remove_passages rotates out for the

@@ -1339,3 +1339,60 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   AS prev_type
+        FROM events
+    ), pairs AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ), tot AS (
+        SELECT prev_type, SUM(n_transitions) AS n_from FROM pairs
+        GROUP BY prev_type
+    )
+    SELECT p.prev_type AS prev_type, p.next_type AS next_type,
+           p.n_transitions AS n_transitions,
+           ROUND(CAST(p.n_transitions AS DOUBLE) / t.n_from, 6)
+               AS transition_prob
+    FROM pairs p JOIN tot t USING (prev_type)
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    lag each user's ordered event stream by one, count (prev, next) pairs,
+    normalize per source state. One shuffle keyed on user_id for the lag
+    window, then a bounded |event_types|^2 aggregate; the row-count
+    normalizer joins on the tiny state dimension. The behavioral-model
+    face next to the funnel and retention triangles."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    pairs = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n_transitions").alias("n_from"))
+    return pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / F.col("n_from"), 6
+        ).alias("transition_prob"),
+    )
