@@ -118,6 +118,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_quality_calibrated",           # r8-new: per-source score calibration
     "user_value_ewma",                  # r8-new: recursively-oracled EWMA scan
     "event_type_transitions",           # r8-new: Markov transition matrix
+    "corpus_vocab_growth",              # r8-new: Heaps-law vocab curve
     # --- sentinels (ADVICE r7 #5): the remaining 36 slots re-check one
     # previously-green query per long-gated core family, so a regression in
     # folds/scans, TPC-H shapes, flagship dedup, embeddings, text pipeline,
@@ -163,10 +164,13 @@ _DRIVER_PRIORITY: list[str] = [
     # doc_duplicated_spans; the md5-portable minhash/simhash twins rotate
     # out too — their banding machinery is exactly what the in-window
     # keep-list must-ins and dedup_minhash_recall exercise)
+    # (dedup_incremental_pairs rotates out for the corpus_vocab_growth
+    # swap — its broadcast-delta-vs-corpus-bands machinery is exactly what
+    # the in-window streaming_neardup_keeplist must-in drives every
+    # micro-batch)
     "dedup_exact_digests",
     "dedup_jaccard_pairs",
     "dedup_containment_complete",
-    "dedup_incremental_pairs",
     "doc_duplicated_spans",
     # embeddings / semantic dedup (embedding_near_dup_pairs rotated out for
     # the late-r8 swaps: the banded-cosine family stays evidenced by

@@ -2603,3 +2603,98 @@ def doc_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(src_w).alias("src_pct_rank"),
         F.ntile(10).over(glob_w).cast("int").alias("global_decile"),
     )
+
+
+@register(
+    "corpus_vocab_growth",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), n AS (
+        SELECT MAX(doc_id) + 1 AS n_docs FROM documents
+    ), firsts AS (
+        SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+    ), vocab_by_cp AS (
+        SELECT (first_doc * 10) // n_docs + 1 AS cp, COUNT(*) AS v
+        FROM firsts, n GROUP BY 1
+    ), tokens_by_cp AS (
+        SELECT (doc_id * 10) // n_docs + 1 AS cp, COUNT(*) AS t
+        FROM toks, n GROUP BY 1
+    ), spine AS (
+        SELECT UNNEST(range(1, 11)) AS cp
+    ), cum AS (
+        SELECT s.cp,
+               SUM(COALESCE(v.v, 0)) OVER (ORDER BY s.cp) AS vocab_size,
+               SUM(COALESCE(t.t, 0)) OVER (ORDER BY s.cp) AS n_tokens_cum
+        FROM spine s
+        LEFT JOIN vocab_by_cp v ON v.cp = s.cp
+        LEFT JOIN tokens_by_cp t ON t.cp = s.cp
+    )
+    SELECT CAST(cp AS INTEGER) AS checkpoint,
+           CAST(n_tokens_cum AS BIGINT) AS n_tokens_cum,
+           CAST(vocab_size AS BIGINT) AS vocab_size,
+           ROUND(LN(CAST(vocab_size AS DOUBLE))
+                 / LN(CAST(n_tokens_cum AS DOUBLE)), 9) AS heaps_beta
+    FROM cum
+    """,
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative distinct-token count
+    vs cumulative token count at ten corpus checkpoints (doc-id decile
+    boundaries computed IN-PLAN from the 1-row corpus size), plus the
+    empirical Heaps exponent ln(V)/ln(T) per checkpoint. The tokenizer
+    sizing / crawl-coverage diagnostic: a flattening curve says new data
+    stops adding vocabulary. Scale shape: one explode feeds two bounded
+    aggregates — per-token MIN(doc_id) (the first-occurrence table, the
+    only vocabulary-sized state) and per-checkpoint token counts — then a
+    10-row cumulative window; exact integers everywhere, so the only
+    float is the final rounded log ratio."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    n = d.agg((F.max("doc_id") + 1).alias("n_docs"))
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    vocab_by_cp = (
+        firsts.crossJoin(F.broadcast(n))
+        .select(
+            # integer DIV, not floor(double /): doc_id*10 must stay exact
+            # past 2^53 at web-corpus scale
+            (F.expr("first_doc * 10 div n_docs") + 1).alias("cp")
+        )
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    tokens_by_cp = (
+        toks.crossJoin(F.broadcast(n))
+        .select(
+            (F.expr("doc_id * 10 div n_docs") + 1).alias("cp")
+        )
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    spine = spark.range(1, 11).select(F.col("id").alias("cp"))
+    w = W.orderBy("cp")
+    cum = (
+        spine.join(vocab_by_cp, "cp", "left")
+        .join(tokens_by_cp, "cp", "left")
+        .select(
+            "cp",
+            F.sum(F.coalesce(F.col("v"), F.lit(0))).over(w).alias("vocab_size"),
+            F.sum(F.coalesce(F.col("t"), F.lit(0)))
+            .over(w)
+            .alias("n_tokens_cum"),
+        )
+    )
+    return cum.select(
+        F.col("cp").cast("int").alias("checkpoint"),
+        F.col("n_tokens_cum").cast("long").alias("n_tokens_cum"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.round(
+            F.log(F.col("vocab_size").cast("double"))
+            / F.log(F.col("n_tokens_cum").cast("double")),
+            9,
+        ).alias("heaps_beta"),
+    )
