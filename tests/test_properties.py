@@ -480,3 +480,33 @@ def test_robust_outliers_matches_python_model(spark, vals):
     thresh = 3.0 * 1.4826
     want = {i: abs(v - med) > thresh * mad for i, v in rows}
     assert got == want
+
+
+# --- bloom runtime filter: membership properties ----------------------------
+
+_bloom_keys = st.lists(
+    st.integers(min_value=-(10**12), max_value=10**12), min_size=1, max_size=60
+)
+
+
+@given(keys=_bloom_keys, probes=_bloom_keys)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bloom_never_false_negative_and_words_fit(spark, keys, probes):
+    """For ANY build set and ANY probe set: every true member passes the
+    bloom (the defining guarantee — a false negative silently drops real
+    join matches), and every bitmap word stays inside its 32-bit packing
+    (a sign-overflow would diverge from the SQL oracle's bit arithmetic)."""
+    from polars_numba_spark.operators.sketch import bloom_build, bloom_probe
+
+    build = spark.createDataFrame([(k,) for k in keys], "k long")
+    bloom = bloom_build(build, "k", bits_per_key=8, n_hashes=4)
+    row = bloom.collect()[0]
+    assert all(0 <= w < (1 << 32) for w in row["words"])
+    assert len(row["words"]) * 32 == row["m_bits"]
+
+    probe = spark.createDataFrame(
+        [(p,) for p in set(keys) | set(probes)], "k long"
+    )
+    out = {r["k"]: r["passes_bloom"] for r in bloom_probe(probe, "k", bloom).collect()}
+    misses = [k for k in set(keys) if not out[k]]
+    assert misses == [], f"false negatives: {misses}"
