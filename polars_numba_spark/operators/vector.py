@@ -616,3 +616,267 @@ def contrastive_triplets(
         "pos_sim",
         "negative_id",
     )
+
+
+# --- product quantization ----------------------------------------------
+
+
+def _pq_subvectors(df: DataFrame, m: int, vec_col: str, id_col: str) -> DataFrame:
+    """(id, s, subvec array<double>): each vector split into m contiguous
+    subspaces in-plan (no driver-side dim lookup)."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"), as_double(vec_col).alias("__v")
+        )
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+            "__v",
+        )
+        .select(
+            "id",
+            "s",
+            F.expr(
+                f"slice(__v, s * (size(__v) DIV {m}) + 1,"
+                f" size(__v) DIV {m})"
+            ).alias("subvec"),
+        )
+    )
+
+
+def _pq_assign(subs: DataFrame, cents: DataFrame, carry_vec: bool) -> DataFrame:
+    """Argmin-L2 code per (id, s): broadcast the m*k centroid table, join
+    on the subspace key, struct-min over d^2 = |v|^2 - 2<v,c> + |c|^2
+    (|v|^2 is constant per row, so -2<v,c> + |c|^2 alone orders the
+    argmin; code breaks exact ties deterministically)."""
+    dot = F.aggregate(
+        F.zip_with(F.col("subvec"), F.col("__cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = subs.join(F.broadcast(cents), "s").select(
+        "id",
+        "s",
+        "subvec",
+        F.col("__code"),
+        (F.lit(-2.0) * dot + F.col("__cn2")).alias("__d2"),
+    )
+    aggs = [
+        F.min(F.struct(F.col("__d2"), F.col("__code").alias("code"))).alias(
+            "__best"
+        )
+    ]
+    if carry_vec:
+        aggs.append(F.any_value(F.col("subvec")).alias("subvec"))
+    out = scored.groupBy("id", "s").agg(*aggs)
+    cols = ["id", "s", F.col("__best.code").alias("code")]
+    if carry_vec:
+        cols.append("subvec")
+    return out.select(*cols)
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011): split each
+    vector into ``m`` contiguous subspaces and run an independent L2
+    Lloyd k-means (``k`` codes) in EVERY subspace — all subspaces train
+    in one plan, keyed by the subspace index, so the work is m parallel
+    k-means at no extra orchestration cost. Seeding is deterministic
+    (first ``k`` ids per subspace). Returns ``(s, code, centroid
+    array<double>, cn2 double)`` — m×k rows, the broadcastable codebook.
+
+    Why PQ at 100 TB: int8 compresses 4×; PQ stores ``m`` small codes
+    per vector (64× here: 4 bytes vs 256) and search decomposes exactly —
+    ``<q, x> ≈ Σ_s <q_s, c(x,s)>`` and ``|x|² ≈ Σ_s |c(x,s)|²`` are table
+    lookups into the per-query ADC table, never touching raw vectors.
+    """
+    from polars_numba_spark.plans.checkpoint import (
+        register_session_scoped,
+        release,
+        tracked_local_checkpoint,
+    )
+
+    spark = df.sparkSession
+    subs = _pq_subvectors(df, m, vec_col, id_col)
+    seeds = (
+        subs.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("s").orderBy("id")),
+        )
+        .where(F.col("__rn") <= k)
+        .select(
+            "s",
+            (F.col("__rn") - 1).alias("__code"),
+            F.col("subvec").alias("__cv"),
+        )
+        .withColumn("__cn2", F.aggregate(
+            "__cv", F.lit(0.0), lambda acc, x: acc + x * x
+        ))
+    )
+    cents, ids_cur = tracked_local_checkpoint(seeds)
+    ids_prev: set[int] = set()
+    for _ in range(iterations):
+        assigned = _pq_assign(subs, cents, carry_vec=True)
+        per_dim = (
+            assigned.select(
+                "s", "code", F.posexplode("subvec").alias("dim", "x")
+            )
+            .groupBy("s", "code", "dim")
+            .agg(F.sum("x").alias("__sx"), F.count("x").alias("__n"))
+        )
+        new_cents = (
+            per_dim.withColumn("__mean", F.col("__sx") / F.col("__n"))
+            .groupBy("s", "code")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "__mean"))
+                ).alias("__dm")
+            )
+            .select(
+                "s",
+                F.col("code").alias("__code"),
+                F.transform(F.col("__dm"), lambda e: e["__mean"]).alias("__cv"),
+            )
+            .withColumn("__cn2", F.aggregate(
+                "__cv", F.lit(0.0), lambda acc, x: acc + x * x
+            ))
+        )
+        cents_new, ids_new = tracked_local_checkpoint(new_cents)
+        release(spark, ids_prev)
+        ids_prev, ids_cur = ids_cur, ids_new
+        cents = cents_new
+    register_session_scoped(ids_prev | ids_cur)
+    return cents.select(
+        "s",
+        F.col("__code").alias("code"),
+        F.col("__cv").alias("centroid"),
+        F.col("__cn2").alias("cn2"),
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors to PQ codes: ``(id, s, code)`` — m small ints per
+    vector, the stored form. One broadcast join + argmin, no shuffle of
+    raw vectors beyond the subspace explode."""
+    cents = codebooks.select(
+        "s",
+        F.col("code").alias("__code"),
+        F.col("centroid").alias("__cv"),
+        F.col("cn2").alias("__cn2"),
+    )
+    return _pq_assign(_pq_subvectors(df, m, vec_col, id_col), cents, False)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query, the ADC table
+    ``<q_s, centroid>`` for every (s, code) is a tiny broadcast; each
+    corpus vector's approximate cosine is m table lookups —
+    ``Σ_s dot / (|q| · sqrt(Σ_s cn2))`` — so search cost is
+    |codes| × m lookups with NO raw corpus vectors read. Returns
+    (query_id, neighbor_id, rank, cosine_sim) like brute_force_topk."""
+    qsubs = _pq_subvectors(queries, m, vec_col, id_col)
+    qnorm = (
+        queries.select(
+            F.col(id_col).alias("qid"), as_double(vec_col).alias("__q")
+        )
+        .select("qid", norm(F.col("__q")).alias("__qn"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("subvec"), F.col("centroid"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    adc = qsubs.join(F.broadcast(codebooks), "s").select(
+        F.col("id").alias("qid"), "s", "code", dot.alias("__dot"), "cn2"
+    )
+    scored = (
+        codes.join(F.broadcast(adc), ["s", "code"])
+        .groupBy("qid", "id")
+        .agg(F.sum("__dot").alias("__dots"), F.sum("cn2").alias("__cn2s"))
+        .join(F.broadcast(qnorm), "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            (
+                F.col("__dots")
+                / (F.col("__qn") * F.sqrt(F.col("__cn2s")))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def pq_rerank_topk(
+    codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The standard two-stage PQ retrieval: ADC over the WHOLE corpus
+    (codes only — never a raw vector) produces a per-query shortlist,
+    then exact cosine reranks just the shortlist members against their
+    raw vectors. At 100 TB the first stage touches m bytes/vector and
+    the second touches ``shortlist/|corpus|`` of the raw data — the
+    knob that trades recall for exact-scan fraction. Returns
+    (query_id, neighbor_id, rank, cosine_sim) over the EXACT scores."""
+    short = pq_adc_topk(
+        codes, queries, codebooks, k=shortlist, m=m,
+        vec_col=vec_col, id_col=id_col,
+    ).select("query_id", "neighbor_id")
+    cand = short.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("__nv")
+        ),
+        "neighbor_id",
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("__qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__nv"), F.col("__qv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        (dot / (norm(F.col("__nv")) * norm(F.col("__qv")))).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

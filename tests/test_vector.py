@@ -143,3 +143,30 @@ def test_contrastive_triplets_contract(spark):
         assert abs(r["pos_sim"] - best[0]) < 1e-9 and -best[1] == p
     out2 = contrastive_triplets(df, negatives=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_pq_codebooks_encode_and_adc_shapes(spark):
+    from polars_numba_spark.operators.vector import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+    from pyspark.sql import functions as F
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train_codebooks(df, m=2, k=4, iterations=2)
+    b = books.collect()
+    assert len(b) == 2 * 4  # m*k codebook rows
+    assert all(0 <= r["code"] < 4 and r["s"] in (0, 1) for r in b)
+    assert all(len(r["centroid"]) == 4 for r in b)  # 8 dims / 2 subspaces
+    codes = pq_encode(df, books, m=2)
+    c = codes.collect()
+    assert len(c) == 40 * 2  # one code per (vector, subspace)
+    assert all(0 <= r["code"] < 4 for r in c)
+    # ADC self-query: every query's top-1 exists and scores <= 1
+    q = df.where(F.col("vec_id") < 3)
+    top = pq_adc_topk(codes, q, books, k=1, m=2).collect()
+    assert len(top) == 3 and all(r["cosine_sim"] <= 1.0 + 1e-9 for r in top)
