@@ -119,6 +119,7 @@ _DRIVER_PRIORITY: list[str] = [
     "user_value_ewma",                  # r8-new: recursively-oracled EWMA scan
     "event_type_transitions",           # r8-new: Markov transition matrix
     "corpus_vocab_growth",              # r8-new: Heaps-law vocab curve
+    "streaming_user_ewma",              # r8-new: stateful float recurrence
     # --- sentinels (ADVICE r7 #5): the remaining 36 slots re-check one
     # previously-green query per long-gated core family, so a regression in
     # folds/scans, TPC-H shapes, flagship dedup, embeddings, text pipeline,
@@ -143,9 +144,10 @@ _DRIVER_PRIORITY: list[str] = [
     # by q3 + the full TPC-H suite in the local gate)
     "q1_pricing_summary",
     "q3_shipping_priority",
+    # (q6_revenue_forecast rotates out for the streaming_user_ewma swap —
+    # the pushdown family is pinned by plan tests and q1 stays in-window)
     "q2_min_cost_supplier",             # r7 mover (2.11x, no code change)
     "q7_nation_pair_volume",            # r7 mover (1.92x, no code change)
-    "q6_revenue_forecast",
     # window / analytic / timeseries (running_max_order_price rotated out:
     # the associative fast-path family stays evidenced by
     # orders_rank_in_customer + global_longest_hot_streak in-window;
@@ -1091,9 +1093,10 @@ def user_activity_with_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 EWMA_ALPHA = 0.2
 
 
-@register(
-    "user_value_ewma",
-    oracle=f"""
+# Shared by the batch kernel face and the streaming stateful face — one
+# spelling so the recurrence can never desynchronize between the two
+# gated paths (the SCAN_BALANCE_ORACLE precedent).
+EWMA_ORACLE = f"""
     WITH RECURSIVE ordered AS (
         SELECT event_id, user_id, value,
                ROW_NUMBER() OVER (PARTITION BY user_id
@@ -1111,8 +1114,10 @@ EWMA_ALPHA = 0.2
           ON o.user_id = r.user_id AND o.rn = r.rn + 1
     )
     SELECT event_id, user_id, ewma FROM rec
-    """,
-)
+    """
+
+
+@register("user_value_ewma", oracle=EWMA_ORACLE)
 def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially-weighted moving average of event values —
     the canonical NON-associative scan (the recurrence ``(1-a)*acc + a*x``

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from polars_numba_spark.queries.catalog import (
     _DSUM,
+    EWMA_ORACLE as _EWMA_STREAM_ORACLE,
     SCAN_BALANCE_ORACLE,
     _t,
     register,
@@ -325,17 +326,49 @@ def staged_streaming_scan_balance(
     At cluster scale step 1 is one extra shuffle+write of the stream's
     working set — the standard stage-then-replay pattern for folds that
     need event-time order over a file-backed stream."""
-    from polars_numba_spark.streaming import streaming_grouped_scan
-
-    run_id = uuid.uuid4().hex[:8]
-    staging = _fresh_dir(_scratch_dir("scan_stage", sf_dir), run_id)
-    out_dir = _fresh_dir(_scratch_dir("scan_out", sf_dir), run_id)
+    def add(acc, cents):
+        return acc + cents
 
     events = (
         _t(spark, sf_dir, "events")
         .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
         .select("user_id", "event_id", "ts", "cents")
     )
+    return _staged_streaming_scan(
+        spark,
+        sf_dir,
+        events,
+        step=add,
+        initial=0,
+        dtype="long",
+        columns=["cents"],
+        query_name="streaming_scan_user_balance",
+        n_staging_files=n_staging_files,
+        max_files_per_trigger=max_files_per_trigger,
+    ).select("user_id", "event_id", "scan")
+
+
+def _staged_streaming_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    events: DataFrame,
+    step,
+    initial,
+    dtype: str,
+    columns: list,
+    query_name: str,
+    n_staging_files: int = 16,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The stage-then-replay stateful-scan core shared by the balance and
+    EWMA streaming faces (see staged_streaming_scan_balance's docstring
+    for the per-key ordering-by-layout argument)."""
+    from polars_numba_spark.streaming import streaming_grouped_scan
+
+    run_id = uuid.uuid4().hex[:8]
+    staging = _fresh_dir(_scratch_dir("scan_stage", sf_dir), run_id)
+    out_dir = _fresh_dir(_scratch_dir("scan_out", sf_dir), run_id)
+
     # hash-repartition only: the per-key file co-location is what carries
     # the ordering guarantee (whole files per micro-batch); row order WITHIN
     # a file is irrelevant because the stateful scan sorts each batch's
@@ -351,16 +384,13 @@ def staged_streaming_scan_balance(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(staging)
 
-    def add(acc, cents):
-        return acc + cents
-
     out = streaming_grouped_scan(
         stream,
         "user_id",
-        add,
-        0,
-        "long",
-        columns=["cents"],
+        step,
+        initial,
+        dtype,
+        columns=columns,
         order_by=["ts", "event_id"],
     )
     # fresh checkpoint per run (a reused one would mark the staged files
@@ -386,12 +416,12 @@ def staged_streaming_scan_balance(
             .start()
         )
         try:
-            _await(query, "streaming_scan_user_balance")
+            _await(query, query_name)
         finally:
             shutil.rmtree(ckpt, ignore_errors=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.read.parquet(out_dir).select("user_id", "event_id", "scan")
+    return spark.read.parquet(out_dir)
 
 
 @register(
@@ -1083,3 +1113,35 @@ def streaming_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hll_users"),
     )
+
+
+@register("streaming_user_ewma", oracle=_EWMA_STREAM_ORACLE)
+def streaming_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NON-associative float recurrence through the STREAMING hard
+    gate: per-user EWMA via applyInPandasWithState — the double
+    accumulator lives in the state store across micro-batches, so this
+    pins that state serialization round-trips the float bit-exactly and
+    that batch boundaries cannot perturb a recurrence with no merge
+    function. Same staged per-key-ordering-by-layout construction as the
+    balance face; same recursive-CTE oracle as the batch kernel face
+    (EWMA_ORACLE — one spelling for both gated paths), so batch kernel,
+    streaming state, and DuckDB recursion agree hash-for-hash on every
+    intermediate value."""
+    from polars_numba_spark.queries.catalog import EWMA_ALPHA
+
+    def ewma_step(acc, value):
+        return (1.0 - EWMA_ALPHA) * acc + EWMA_ALPHA * value
+
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return _staged_streaming_scan(
+        spark,
+        sf_dir,
+        events,
+        step=ewma_step,
+        initial=0.0,
+        dtype="double",
+        columns=["value"],
+        query_name="streaming_user_ewma",
+    ).select("event_id", "user_id", F.col("scan").alias("ewma"))
