@@ -2571,37 +2571,58 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
         SELECT doc_id, source, {X.sql_quality('text')} AS quality
         FROM documents
+    ), bounds AS (
+        SELECT quantile_cont(quality,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b
+        FROM scored
     )
     SELECT doc_id, source, quality,
            percent_rank() OVER (PARTITION BY source
                                 ORDER BY quality, doc_id) AS src_pct_rank,
-           CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS INTEGER)
+           CAST(1 + length(list_filter(b, x -> quality > x)) AS INTEGER)
                AS global_decile
-    FROM scored
+    FROM scored, bounds
     """,
 )
 def doc_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality calibration: raw scores are not comparable
     across sources (each crawl/domain has its own score distribution), so
     curation thresholds operate on the WITHIN-SOURCE percentile rank, plus
-    a global decile for mixture budgeting. One scan + two windows (the
-    per-source one partitions on the small source key; doc_id tie-break
-    makes both ranks deterministic). The standard per-domain calibration
-    step in front of a quality-threshold filter."""
+    a global decile for mixture budgeting. The global decile is
+    VALUE-BUCKETED against the nine exact percentile boundaries computed
+    by one aggregate and broadcast as a single row — the original global
+    ntile was a SINGLE-REDUCER total sort (the r8 10x soak flagged it),
+    the exact bottleneck a 100-TB corpus cannot pay; Spark's percentile()
+    and DuckDB's quantile_cont interpolate identically (the
+    order_price_quantiles precedent). The within-source percent_rank
+    remains a window partitioned on the source key: parallelism is
+    bounded by source cardinality (the 10x soak reads ~3.2x wall for 10x
+    rows on 20 sources — sublinear per row, but a corpus with ONE
+    dominant source should swap the exact rank for the histogram/t-digest
+    percentile estimate, operators/sketch.py)."""
     from pyspark.sql import Window as W
 
     d = _t(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id", "source", X.quality_score("text").alias("quality")
     )
+    bounds = scored.agg(
+        F.percentile(
+            "quality", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+        ).alias("b")
+    )
     src_w = W.partitionBy("source").orderBy("quality", "doc_id")
-    glob_w = W.orderBy("quality", "doc_id")
-    return scored.select(
+    return scored.crossJoin(F.broadcast(bounds)).select(
         "doc_id",
         "source",
         "quality",
         F.percent_rank().over(src_w).alias("src_pct_rank"),
-        F.ntile(10).over(glob_w).cast("int").alias("global_decile"),
+        (
+            F.lit(1)
+            + F.size(F.filter("b", lambda x: F.col("quality") > x))
+        )
+        .cast("int")
+        .alias("global_decile"),
     )
 
 
