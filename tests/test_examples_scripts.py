@@ -14,7 +14,8 @@ import pytest
     ["example_fold.py", "example_scan.py", "example_pipeline.py",
      "example_multimodal.py", "example_dedup_sketch.py",
      "example_cdc_sketch.py", "example_training_layout.py",
-     "example_streaming_ingest_dedup.py", "example_retrieval_rank.py"],
+     "example_streaming_ingest_dedup.py", "example_retrieval_rank.py",
+     "example_quality_curation.py"],
 )
 def test_example_runs(script):
     proc = subprocess.run(
