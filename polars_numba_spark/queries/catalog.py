@@ -120,6 +120,7 @@ _DRIVER_PRIORITY: list[str] = [
     "event_type_transitions",           # r8-new: Markov transition matrix
     "corpus_vocab_growth",              # r8-new: Heaps-law vocab curve
     "streaming_user_ewma",              # r8-new: stateful float recurrence
+    "doc_search_authority_rrf",         # r8-new: BM25 x PageRank RRF fusion
     # --- sentinels (ADVICE r7 #5): the remaining 36 slots re-check one
     # previously-green query per long-gated core family, so a regression in
     # folds/scans, TPC-H shapes, flagship dedup, embeddings, text pipeline,
@@ -170,8 +171,10 @@ _DRIVER_PRIORITY: list[str] = [
     # swap — its broadcast-delta-vs-corpus-bands machinery is exactly what
     # the in-window streaming_neardup_keeplist must-in drives every
     # micro-batch)
+    # (dedup_jaccard_pairs rotates out for the doc_search_authority_rrf
+    # swap — the pairwise-Jaccard machinery stays evidenced in-window by
+    # dedup_containment_complete, its prefix-filtered superset)
     "dedup_exact_digests",
-    "dedup_jaccard_pairs",
     "dedup_containment_complete",
     "doc_duplicated_spans",
     # embeddings / semantic dedup (embedding_near_dup_pairs rotated out for

@@ -1994,9 +1994,9 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-@register(
-    "doc_bm25_search",
-    oracle=rf"""
+# The full BM25 top-10 statement — shared by doc_bm25_search and the
+# RRF fusion face so the ranking function has ONE spelling.
+_BM25_ORACLE_SQL = rf"""
     WITH occ AS (
         SELECT doc_id,
                UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS term
@@ -2043,8 +2043,10 @@ _BM25_B = 0.75
     )
     SELECT query_id, doc_id, rank, n_terms, score
     FROM ranked WHERE rank <= 10
-    """,
-)
+    """
+
+
+@register("doc_bm25_search", oracle=_BM25_ORACLE_SQL)
 def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 retrieval for four fixed queries over the document
     corpus — the search-based-decontamination / corpus-QA face. The whole
@@ -2782,4 +2784,112 @@ def embedding_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(50.0) / F.col("n_corpus")).alias("exact_scan_frac"),
             "mean_abs_cos_err",
         )
+    )
+
+
+_RRF_K = 60
+
+
+@register(
+    "doc_search_authority_rrf",
+    oracle=f"""
+    WITH bm AS (
+        SELECT * FROM ({_BM25_ORACLE_SQL}) __bm
+    ), pr AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY pagerank DESC, doc_id)
+                    AS INTEGER) AS auth_rank
+        FROM ({_pagerank_oracle_sql(3)}) __pr
+    ), fused AS (
+        SELECT bm.query_id, bm.doc_id,
+               bm.rank AS bm25_rank, pr.auth_rank,
+               ROUND(1.0 / ({_RRF_K} + bm.rank), 9)
+                   + ROUND(1.0 / ({_RRF_K} + pr.auth_rank), 9) AS rrf_score
+        FROM bm JOIN pr USING (doc_id)
+    )
+    SELECT query_id, doc_id, bm25_rank, auth_rank, rrf_score,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+           ) AS INTEGER) AS fused_rank
+    FROM fused
+    """,
+)
+def doc_search_authority_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid ranking by reciprocal-rank fusion (Cormack et al. 2009):
+    BM25 relevance fused with PageRank corpus authority — the classic
+    search-engine composition (relevance × importance), here fusing two
+    independently-oracled components so the WHOLE hybrid ranking is
+    hash-exact: rrf = 1/(60+bm25_rank) + 1/(60+authority_rank) is pure
+    rank arithmetic on exact integers (round-9 per term, no sum-order
+    sensitivity — two addends). Scale shape: BM25's inverted index and
+    PageRank's edge-keyed iterations are each already plan-audited; the
+    fusion itself is a top-10-per-query × authority-rank broadcast-sized
+    join plus a per-query window. Both component spellings are
+    single-sourced (_BM25_ORACLE_SQL, _pagerank_oracle_sql) so neither
+    can desync from its standalone face."""
+    from pyspark.sql import Window as W
+
+    from polars_numba_spark.operators.graphrank import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    bm = X.bm25_topk(d, _BM25_QUERIES, k=10, k1=_BM25_K1, b=_BM25_B)
+
+    occ = d.select("doc_id", F.explode(X.tokens("text")).alias("term")).distinct()
+    doc_node = F.concat(F.lit("d:"), F.col("doc_id").cast("string"))
+    term_node = F.concat(F.lit("t:"), F.col("term"))
+    edges = occ.select(doc_node.alias("src"), term_node.alias("dst")).union(
+        occ.select(term_node.alias("src"), doc_node.alias("dst"))
+    )
+    pr = (
+        pagerank(edges, damping=0.85, iterations=3)
+        .where(F.col("node").startswith("d:"))
+        .select(
+            F.expr("substr(node, 3)").cast("long").alias("doc_id"),
+            F.col("rank").alias("pagerank"),
+        )
+    )
+    # Global authority rank of the ≤40 candidate docs WITHOUT a global
+    # total sort (the single-reducer shape the r8 soak flagged elsewhere):
+    # rank = 1 + count of docs strictly above in (pagerank desc, doc_id)
+    # order, computed by broadcasting the candidate thresholds over ONE
+    # scan of the pagerank table — identical values to the oracle's
+    # global row_number, at a cost of |corpus| × |candidates ≤ 40|.
+    cand_pr = pr.join(
+        F.broadcast(bm.select("doc_id").distinct()), "doc_id"
+    ).select(
+        F.col("doc_id").alias("__cd"), F.col("pagerank").alias("__cp")
+    )
+    above = (
+        pr.join(
+            F.broadcast(cand_pr),
+            (F.col("pagerank") > F.col("__cp"))
+            | ((F.col("pagerank") == F.col("__cp")) & (F.col("doc_id") < F.col("__cd"))),
+        )
+        .groupBy("__cd")
+        .agg(F.count(F.lit(1)).alias("__n_above"))
+    )
+    auth = (
+        cand_pr.join(above, "__cd", "left")
+        .select(
+            F.col("__cd").alias("doc_id"),
+            (F.coalesce(F.col("__n_above"), F.lit(0)) + 1)
+            .cast("int")
+            .alias("auth_rank"),
+        )
+    )
+    fused = bm.join(F.broadcast(auth), "doc_id").select(
+        "query_id",
+        "doc_id",
+        F.col("rank").alias("bm25_rank"),
+        "auth_rank",
+        (
+            F.round(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank")), 9)
+            + F.round(F.lit(1.0) / (F.lit(_RRF_K) + F.col("auth_rank")), 9)
+        ).alias("rrf_score"),
+    )
+    return fused.withColumn(
+        "fused_rank",
+        F.row_number()
+        .over(W.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), "doc_id"))
+        .cast("int"),
     )
