@@ -121,6 +121,9 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_vocab_growth",              # r8-new: Heaps-law vocab curve
     "streaming_user_ewma",              # r8-new: stateful float recurrence
     "doc_search_authority_rrf",         # r8-new: BM25 x PageRank RRF fusion
+    "order_basket_lift",                # r8-new: market-basket lift mining
+    "events_burst_windows",             # r8-new: trailing-baseline bursts
+    "source_drift_psi",                 # r8-new: binned PSI drift audit
     # --- sentinels (ADVICE r7 #5): the remaining 36 slots re-check one
     # previously-green query per long-gated core family, so a regression in
     # folds/scans, TPC-H shapes, flagship dedup, embeddings, text pipeline,
@@ -133,7 +136,9 @@ _DRIVER_PRIORITY: list[str] = [
     # evidenced by kernel_fold_event_cents + user_activity_with_fold, the
     # parallel-combine family by parallel_fold_total_cents, the scan family
     # by kernel_scan_user_balance_cents + streaming_scan_user_balance)
-    "kernel_fold_event_cents",
+    # (kernel_fold_event_cents rotates out for the session-2 swaps — the
+    # fold family keeps THREE in-window reps: capped_balance_per_user,
+    # user_activity_with_fold, parallel_fold_total_cents)
     "kernel_scan_user_balance_cents",
     "parallel_fold_total_cents",        # r7 mover (2.13x, no code change)
     "capped_balance_per_user",
@@ -183,12 +188,15 @@ _DRIVER_PRIORITY: list[str] = [
     # label_centroids and embedding_topk_bruteforce rotate out for the
     # session-2 swaps — the centroid/brute-force paths stay evidenced by
     # the kmeans_assignments + embedding_topk_lsh must-ins)
-    "semantic_dedup_pairs",
+    # (semantic_dedup_pairs rotates out — semantic_dedup_keeplist, the
+    # production pair-free face of the same cluster-bounded machinery,
+    # stays in-window)
     "semantic_dedup_keeplist",
     # text pipeline
+    # (doc_unigram_logprob rotates out — the LM-scoring family keeps
+    # doc_bigram_logprob, its interpolated superset, in-window)
     "doc_bigram_logprob",               # r7 mover (2.26x, no code change)
     "training_data_pipeline",
-    "doc_unigram_logprob",
     "doc_winnowing_fingerprints",       # r8-new: rolling-hash winnowing
     "doc_bm25_search",                  # r8-new: BM25 inverted-index top-k
     "doc_pagerank_centrality",          # r8-new: fully-oracled PageRank

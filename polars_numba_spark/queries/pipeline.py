@@ -2893,3 +2893,93 @@ def doc_search_authority_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), "doc_id"))
         .cast("int"),
     )
+
+
+_PSI_BIN_W = 32  # chars per length bin (frozen; oracle embeds it)
+
+
+@register(
+    "source_drift_psi",
+    oracle=f"""
+    WITH binned AS (
+        SELECT source, length(text) // {_PSI_BIN_W} AS bin FROM documents
+    ), bins AS (
+        SELECT DISTINCT bin FROM binned
+    ), nb AS (
+        SELECT COUNT(*) AS n_bins FROM bins
+    ), base AS (
+        SELECT bin, COUNT(*) AS cb FROM binned GROUP BY bin
+    ), nbase AS (
+        SELECT COUNT(*) AS nt FROM binned
+    ), src AS (
+        SELECT source, bin, COUNT(*) AS cs FROM binned GROUP BY source, bin
+    ), nsrc AS (
+        SELECT source, COUNT(*) AS ns FROM binned GROUP BY source
+    ), grid AS (
+        SELECT n.source, b.bin, n.ns, COALESCE(s.cs, 0) AS cs
+        FROM nsrc n CROSS JOIN bins b
+        LEFT JOIN src s ON s.source = n.source AND s.bin = b.bin
+    ), terms AS (
+        SELECT g.source, g.ns,
+               CAST(ROUND(
+                   ((CAST(g.cs + 1 AS DOUBLE) / (g.ns + nb.n_bins))
+                    - (CAST(ba.cb + 1 AS DOUBLE) / (nbase.nt + nb.n_bins)))
+                   * LN((CAST(g.cs + 1 AS DOUBLE) / (g.ns + nb.n_bins))
+                        / (CAST(ba.cb + 1 AS DOUBLE)
+                           / (nbase.nt + nb.n_bins))),
+                   9) AS DECIMAL(28,12)) AS term
+        FROM grid g
+        JOIN base ba ON ba.bin = g.bin
+        CROSS JOIN nbase CROSS JOIN nb
+    )
+    SELECT source, CAST(ns AS BIGINT) AS n_docs,
+           CAST(SUM(term) AS DOUBLE) AS psi
+    FROM terms GROUP BY source, ns
+    """,
+)
+def source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift audit per source (the binned
+    complement to source_drift_ks's rank-exact test): document-length
+    distributions in fixed 32-char bins, Laplace-smoothed against the
+    corpus baseline, PSI = Σ (p_src − p_base)·ln(p_src/p_base) with
+    round-9 decimal term accumulation so the statistic is hash-exact.
+    Scale shape: two count aggregates over (source × bins ≤ a few
+    hundred rows), a broadcast-sized grid join, one grouped sum — no
+    per-document state survives the first aggregate."""
+
+    d = _t(spark, sf_dir, "documents")
+    binned = d.select(
+        "source", F.floor(F.length("text") / _PSI_BIN_W).alias("bin")
+    )
+    bins = binned.select("bin").distinct()
+    nb = bins.agg(F.count(F.lit(1)).alias("n_bins"))
+    base = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cb"))
+    nbase = binned.agg(F.count(F.lit(1)).alias("nt"))
+    src = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("cs"))
+    nsrc = binned.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    grid = (
+        nsrc.crossJoin(F.broadcast(bins))
+        .join(src, ["source", "bin"], "left")
+        .select(
+            "source", "bin", "ns", F.coalesce(F.col("cs"), F.lit(0)).alias("cs")
+        )
+    )
+    ps = (F.col("cs") + 1).cast("double") / (F.col("ns") + F.col("n_bins"))
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nt") + F.col("n_bins"))
+    terms = (
+        grid.join(F.broadcast(base), "bin")
+        .crossJoin(F.broadcast(nbase))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "source",
+            "ns",
+            F.round((ps - pb) * F.log(ps / pb), 9)
+            .cast("decimal(28,12)")
+            .alias("term"),
+        )
+    )
+    return terms.groupBy("source", "ns").agg(
+        F.sum("term").cast("double").alias("psi")
+    ).select(
+        "source", F.col("ns").cast("long").alias("n_docs"), "psi"
+    )

@@ -1396,3 +1396,154 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions").cast("double") / F.col("n_from"), 6
         ).alias("transition_prob"),
     )
+
+
+@register(
+    "order_basket_lift",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), n AS (
+        SELECT COUNT(DISTINCT ok) AS n_orders FROM items
+    ), psup AS (
+        SELECT pk, COUNT(*) AS np FROM items GROUP BY pk
+    ), pairs AS (
+        SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS pair_orders
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk
+    ), scored AS (
+        SELECT p.part_a, p.part_b, p.pair_orders,
+               sa.np AS n_a, sb.np AS n_b,
+               CAST(p.pair_orders AS DOUBLE) / n.n_orders AS support,
+               CAST(p.pair_orders AS DOUBLE) / sa.np AS confidence_a_b,
+               (CAST(p.pair_orders AS DOUBLE) * n.n_orders)
+                   / (CAST(sa.np AS DOUBLE) * sb.np) AS lift
+        FROM pairs p
+        JOIN psup sa ON sa.pk = p.part_a
+        JOIN psup sb ON sb.pk = p.part_b
+        CROSS JOIN n
+    )
+    SELECT part_a, part_b, pair_orders, n_a, n_b,
+           support, confidence_a_b, lift
+    FROM scored
+    ORDER BY pair_orders DESC, part_a, part_b LIMIT 20
+    """,
+)
+def order_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity mining (the association-rules face):
+    co-ordered part pairs with support / confidence / lift. Scale shape:
+    the pair explosion is the WITHIN-BASKET self-join keyed on the order
+    id — bounded by max basket size squared (13 items here, so ≤78 pairs
+    per order), never a part-by-part cartesian; part supports join back
+    broadcast-sized, and the top-20 ships per-partition heads only
+    (TakeOrderedAndProject). All ratios are single divisions of exact
+    counts — hash-stable with no decimal tricks."""
+    l = _t(spark, sf_dir, "lineitem")
+    items = l.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = items.agg(F.countDistinct("ok").alias("n_orders"))
+    psup = items.groupBy("pk").agg(F.count(F.lit(1)).alias("np"))
+    a = items.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = items.select(F.col("ok"), F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+    )
+    scored = (
+        pairs.join(
+            psup.select(F.col("pk").alias("part_a"), F.col("np").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            psup.select(F.col("pk").alias("part_b"), F.col("np").alias("n_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_orders",
+            "n_a",
+            "n_b",
+            (F.col("pair_orders").cast("double") / F.col("n_orders")).alias(
+                "support"
+            ),
+            (F.col("pair_orders").cast("double") / F.col("n_a")).alias(
+                "confidence_a_b"
+            ),
+            (
+                (F.col("pair_orders").cast("double") * F.col("n_orders"))
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pair_orders").desc(), "part_a", "part_b"
+    ).limit(20)
+
+
+@register(
+    "events_burst_windows",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_part('epoch', date_trunc('hour', ts)) // 3600
+                    AS BIGINT) AS hour_idx,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ), base AS (
+        SELECT event_type, hour_idx, n_events,
+               AVG(n_events) OVER (
+                   PARTITION BY event_type ORDER BY hour_idx
+                   RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING
+               ) AS trailing_avg
+        FROM hourly
+    )
+    SELECT event_type, hour_idx, n_events, trailing_avg,
+           (trailing_avg IS NOT NULL AND n_events > 2.0 * trailing_avg
+            AND n_events >= 10) AS is_burst
+    FROM base
+    """,
+)
+def events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection over the event stream: hourly counts per type
+    against a trailing-24h RANGE-frame baseline (RANGE, not ROWS, so
+    missing hours cannot misalign the window), flagged when the hour
+    runs above 2x baseline with an absolute floor. One count aggregate
+    (map-side combinable, key space |types| x hours) then a per-type
+    window — the monitoring face a streaming ingest pipeline runs next
+    to the drift audits. The trailing average is an exact-integer-sum
+    division, so no decimal accumulation is needed."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            F.floor(
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
+            ).alias("hour_idx"),
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rangeBetween(-24, -1)
+    )
+    base = hourly.withColumn("trailing_avg", F.avg("n_events").over(w))
+    return base.select(
+        "event_type",
+        "hour_idx",
+        "n_events",
+        "trailing_avg",
+        (
+            F.col("trailing_avg").isNotNull()
+            & (F.col("n_events") > F.lit(2.0) * F.col("trailing_avg"))
+            & (F.col("n_events") >= 10)
+        ).alias("is_burst"),
+    )
