@@ -124,6 +124,9 @@ _DRIVER_PRIORITY: list[str] = [
     "order_basket_lift",                # r8-new: market-basket lift mining
     "events_burst_windows",             # r8-new: trailing-baseline bursts
     "source_drift_psi",                 # r8-new: binned PSI drift audit
+    "doc_rake_keyphrases",              # r8-new: RAKE keyword extraction
+    "user_rfm_segments",                # r8-new: value-bucketed RFM scores
+    "funnel_conversion_latency",        # r8-new: time-to-convert percentiles
     # --- sentinels (ADVICE r7 #5): the remaining 36 slots re-check one
     # previously-green query per long-gated core family, so a regression in
     # folds/scans, TPC-H shapes, flagship dedup, embeddings, text pipeline,
@@ -148,8 +151,10 @@ _DRIVER_PRIORITY: list[str] = [
     # late-r8 swaps; q13_customer_order_distribution rotates out for the
     # session-2 swaps — the outer-join-distribution family stays evidenced
     # by q3 + the full TPC-H suite in the local gate)
+    # (q3_shipping_priority rotates out — the multi-join TPC-H family
+    # keeps q2 + q7 in-window and the full 22-query suite in the local
+    # gate; q3 holds r1+r6 driver greens)
     "q1_pricing_summary",
-    "q3_shipping_priority",
     # (q6_revenue_forecast rotates out for the streaming_user_ewma swap —
     # the pushdown family is pinned by plan tests and q1 stays in-window)
     "q2_min_cost_supplier",             # r7 mover (2.11x, no code change)
@@ -165,7 +170,9 @@ _DRIVER_PRIORITY: list[str] = [
     # rotates out for the event_type_transitions swap — the rank/analytic
     # family keeps its r7 driver green via window_function_zoo and the new
     # face itself gates a lag window)
-    "rolling_hour_user_value",
+    # (rolling_hour_user_value rotates out — the RANGE-frame timeseries
+    # machinery is now exercised in-window by events_burst_windows, and
+    # the face holds r1-r7 driver greens)
     "global_longest_hot_streak",
     # flagship dedup / ExactSubstr (doc_remove_passages rotates out for the
     # session-2 swaps — the ExactSubstr family stays evidenced by
@@ -179,7 +186,9 @@ _DRIVER_PRIORITY: list[str] = [
     # (dedup_jaccard_pairs rotates out for the doc_search_authority_rrf
     # swap — the pairwise-Jaccard machinery stays evidenced in-window by
     # dedup_containment_complete, its prefix-filtered superset)
-    "dedup_exact_digests",
+    # (dedup_exact_digests rotates out — the exact-dedup groupBy is the
+    # simplest machinery in the family, holds r1+r6 driver greens, and
+    # stays local-gated with dedup_fingerprint_groups)
     "dedup_containment_complete",
     "doc_duplicated_spans",
     # embeddings / semantic dedup (embedding_near_dup_pairs rotated out for

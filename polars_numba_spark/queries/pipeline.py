@@ -2983,3 +2983,116 @@ def source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source", F.col("ns").cast("long").alias("n_docs"), "psi"
     )
+
+
+_RAKE_STOPS = "['the','a','and','of','to','in','is','it','that','for']"
+
+
+@register(
+    "doc_rake_keyphrases",
+    oracle=rf"""
+    WITH pos AS (
+        SELECT doc_id, i, t[i] AS tok,
+               list_contains({_RAKE_STOPS}, t[i]) AS is_stop
+        FROM (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS t
+            FROM documents
+        ), UNNEST(range(1, len(t) + 1)) AS u(i)
+    ), seg AS (
+        SELECT doc_id, i, tok, is_stop,
+               SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY i
+               ) AS phrase_id
+        FROM pos
+    ), phrase_words AS (
+        SELECT doc_id, phrase_id, i, tok FROM seg WHERE NOT is_stop
+    ), phrases AS (
+        SELECT doc_id, phrase_id,
+               string_agg(tok, ' ' ORDER BY i) AS phrase,
+               COUNT(*) AS plen
+        FROM phrase_words GROUP BY doc_id, phrase_id
+    ), wordstats AS (
+        SELECT pw.tok, COUNT(*) AS freq,
+               CAST(SUM(p.plen) AS BIGINT) AS degree
+        FROM phrase_words pw
+        JOIN phrases p ON p.doc_id = pw.doc_id
+                      AND p.phrase_id = pw.phrase_id
+        GROUP BY pw.tok
+    ), inst AS (
+        SELECT p.doc_id, p.phrase_id, p.phrase,
+               SUM(CAST(ROUND(CAST(w.degree AS DOUBLE) / w.freq, 9)
+                   AS DECIMAL(28,12))) AS inst_score
+        FROM phrases p
+        JOIN phrase_words pw ON pw.doc_id = p.doc_id
+                            AND pw.phrase_id = p.phrase_id
+        JOIN wordstats w ON w.tok = pw.tok
+        GROUP BY p.doc_id, p.phrase_id, p.phrase
+    ), dist AS (
+        SELECT phrase, COUNT(*) AS n_occurrences,
+               CAST(MIN(inst_score) AS DOUBLE) AS score
+        FROM inst GROUP BY phrase
+    )
+    SELECT phrase, n_occurrences, score
+    FROM dist ORDER BY score DESC, phrase LIMIT 20
+    """,
+)
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal non-stopword runs (segmented by a per-document running
+    stopword count — a bounded window, one shuffle keyed on doc), each
+    word scored degree/frequency over the corpus, each phrase scored as
+    the decimal-summed word scores (round-9 terms, so the sum is
+    order-free and hash-exact; identical phrase text always carries the
+    identical score, pinned by taking MIN over instances). Corpus-level
+    top-20. The keyword-extraction face next to TF-IDF and BM25: RAKE
+    needs no query and no IDF table — the degree/freq ratio rewards
+    words that live in long phrases."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(X.tokens("text")).alias("i0", "tok")
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        "tok",
+        F.col("tok").isin(*X.STOPWORDS["en"]).alias("is_stop"),
+    )
+    seg_w = W.partitionBy("doc_id").orderBy("i")
+    seg = pos.withColumn(
+        "phrase_id",
+        F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(seg_w),
+    )
+    pw_ = seg.where(~F.col("is_stop")).select("doc_id", "phrase_id", "i", "tok")
+    phrases = pw_.groupBy("doc_id", "phrase_id").agg(
+        F.concat_ws(
+            " ", F.transform(F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                             lambda e: e["tok"])
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    wordstats = (
+        pw_.join(phrases, ["doc_id", "phrase_id"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+    )
+    inst = (
+        phrases.join(pw_, ["doc_id", "phrase_id"])
+        .join(F.broadcast(wordstats), "tok")
+        .groupBy("doc_id", "phrase_id", "phrase")
+        .agg(
+            F.sum(
+                F.round(F.col("degree").cast("double") / F.col("freq"), 9)
+                .cast("decimal(28,12)")
+            ).alias("inst_score")
+        )
+    )
+    dist = inst.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("inst_score").cast("double").alias("score"),
+    )
+    return dist.orderBy(F.col("score").desc(), "phrase").limit(20)

@@ -1547,3 +1547,157 @@ def events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_events") >= 10)
         ).alias("is_burst"),
     )
+
+
+@register(
+    "user_rfm_segments",
+    oracle="""
+    WITH anchor AS (
+        SELECT MAX(CAST(ts AS TIMESTAMP)) AS t_max FROM events
+    ), rfm AS (
+        SELECT user_id,
+               CAST(date_diff('day',
+                    date_trunc('day', MAX(CAST(ts AS TIMESTAMP))),
+                    date_trunc('day', ANY_VALUE(a.t_max))) AS BIGINT)
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS monetary
+        FROM events, anchor a WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ), bounds AS (
+        SELECT quantile_cont(-recency_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+               quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
+               quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+        FROM rfm
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(1 + length(list_filter(rb, x -> -recency_days > x))
+                AS INTEGER) AS r_score,
+           CAST(1 + length(list_filter(fb, x -> frequency > x))
+                AS INTEGER) AS f_score,
+           CAST(1 + length(list_filter(mb, x -> monetary > x))
+                AS INTEGER) AS m_score
+    FROM rfm, bounds
+    """,
+)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over the purchase stream: recency (days
+    from last purchase to the corpus anchor — the deterministic stand-in
+    for "today"), frequency, and monetary (exact cents accumulation),
+    each bucketed 1-5 by VALUE against exact quintile boundaries from one
+    broadcast aggregate — the same no-global-sort spelling the r8 soak
+    forced on the quality calibration (a global ntile would serialize on
+    one reducer). Recency is negated before bucketing so higher score =
+    more recent, matching the classic RFM orientation."""
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    anchor = e.agg(F.max("ts").alias("t_max"))
+    rfm = (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.date_trunc("DAY", F.any_value("t_max")),
+                F.date_trunc("DAY", F.max("ts")),
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("monetary"),
+        )
+    )
+    bounds = rfm.agg(
+        F.percentile(
+            -F.col("recency_days").cast("double"),
+            F.array(*[F.lit(q) for q in (0.2, 0.4, 0.6, 0.8)]),
+        ).alias("rb"),
+        F.percentile(
+            F.col("frequency").cast("double"),
+            F.array(*[F.lit(q) for q in (0.2, 0.4, 0.6, 0.8)]),
+        ).alias("fb"),
+        F.percentile(
+            "monetary", F.array(*[F.lit(q) for q in (0.2, 0.4, 0.6, 0.8)])
+        ).alias("mb"),
+    )
+
+    def bucket(boundaries, value):
+        return (
+            F.lit(1)
+            + F.size(F.filter(boundaries, lambda x: value > x))
+        ).cast("int")
+
+    return rfm.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        bucket(F.col("rb"), -F.col("recency_days")).alias("r_score"),
+        bucket(F.col("fb"), F.col("frequency")).alias("f_score"),
+        bucket(F.col("mb"), F.col("monetary")).alias("m_score"),
+    )
+
+
+@register(
+    "funnel_conversion_latency",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id,
+               MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(e.ts AS TIMESTAMP) >= s.t_signup
+        GROUP BY e.user_id
+    ), lat AS (
+        SELECT s.user_id,
+               CAST(floor(epoch(p.t_purchase)) AS BIGINT)
+                   - CAST(floor(epoch(s.t_signup)) AS BIGINT) AS latency_s
+        FROM s JOIN p ON p.user_id = s.user_id
+    )
+    SELECT COUNT(*) AS n_converters,
+           quantile_cont(latency_s, 0.25) AS p25_s,
+           quantile_cont(latency_s, 0.5) AS p50_s,
+           quantile_cont(latency_s, 0.75) AS p75_s,
+           quantile_cont(latency_s, 0.9) AS p90_s
+    FROM lat
+    """,
+)
+def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: first signup to first subsequent
+    purchase per user, summarized as exact percentiles — the latency
+    companion to the ordered-step funnel (how LONG conversion takes, not
+    just whether it happens). Two min-aggregates keyed on user plus one
+    exact-percentile aggregate over the per-user latencies (one value
+    per converter — the aggregate's memory is converter-bounded; at
+    larger cardinalities swap in the t-digest face)."""
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lat = s.join(p, "user_id").select(
+        (
+            F.unix_timestamp("t_purchase") - F.unix_timestamp("t_signup")
+        ).alias("latency_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.percentile(F.col("latency_s").cast("double"), F.lit(0.25)).alias("p25_s"),
+        F.percentile(F.col("latency_s").cast("double"), F.lit(0.5)).alias("p50_s"),
+        F.percentile(F.col("latency_s").cast("double"), F.lit(0.75)).alias("p75_s"),
+        F.percentile(F.col("latency_s").cast("double"), F.lit(0.9)).alias("p90_s"),
+    )
