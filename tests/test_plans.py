@@ -466,3 +466,52 @@ def test_bpe_merges_are_takeordered(spark):
     df = q(spark, "bpe_merge_candidates")
     s = plans.explain_string(df)
     assert "TakeOrderedAndProject" in s
+
+
+def test_basket_lift_topk_and_bounded_pairs(spark):
+    """order_basket_lift's top-20 must ship per-partition heads only, and
+    the pair stage must be the order-keyed equi-self-join (bounded by
+    basket size), never a part-level cartesian."""
+    df = q(spark, "order_basket_lift")
+    s = plans.explain_string(df)
+    assert "TakeOrderedAndProject" in s
+    assert "CartesianProduct" not in s
+
+
+def test_rrf_authority_rank_no_global_sort(spark):
+    """doc_search_authority_rrf must NOT contain a global (non-partitioned)
+    window over the full pagerank table — the authority rank is computed
+    by broadcasting candidate thresholds over one scan (rank-by-counting).
+    A plan regression back to row_number() OVER (ORDER BY pagerank) would
+    serialize the corpus on one reducer."""
+    df = q(spark, "doc_search_authority_rrf")
+    s = plans.explain_string(df)
+    # the only Window specs allowed partition by query_id (the per-query
+    # fused rank); a global-sort window prints as 'Window [...], [rank...]'
+    # with no PartitionBy on pagerank ordering
+    bad = [
+        ln for ln in s.splitlines()
+        if "Window" in ln and "pagerank" in ln
+    ]
+    assert bad == [], f"global window over pagerank: {bad}"
+
+
+def test_rfm_buckets_are_broadcast_not_sorted(spark):
+    """user_rfm_segments' quintile scores must come from one broadcast
+    percentile row (value bucketing), not ntile windows — no global sort
+    anywhere in the plan."""
+    df = q(spark, "user_rfm_segments")
+    s = plans.explain_string(df)
+    assert "BroadcastExchange" in s
+    # no Window operator at all: an ntile spelling would need a global one
+    # (note: the substring "ntile" appears inside "percentile" — check the
+    # operator, not the token)
+    assert "Window" not in s
+
+
+def test_burst_windows_single_aggregate_then_window(spark):
+    """events_burst_windows: one count aggregate then a per-type RANGE
+    window — no join in the plan."""
+    df = q(spark, "events_burst_windows")
+    s = plans.explain_string(df)
+    assert "Join" not in s and "CartesianProduct" not in s
