@@ -32,14 +32,28 @@ QUERIES = [
     "embedding_pq_recall",
 ]
 
+# the late-session additions (part 2; lineitem-based order_basket_lift is
+# excluded — lineitem stays verbatim in the x10 build)
+QUERIES_PART2 = [
+    "doc_search_authority_rrf",
+    "doc_rake_keyphrases",
+    "events_burst_windows",
+    "source_drift_psi",
+    "user_rfm_segments",
+    "funnel_conversion_latency",
+]
+
 
 def main() -> int:
+    part2 = "--part2" in sys.argv
     spark = get_spark(app_name="r8s2-soaks")
     spark.sparkContext.setLogLevel("ERROR")
+    qs = QUERIES_PART2 if part2 else QUERIES
     results = run_soak(
-        spark, "/root/testdata/sf0.1", "/root/repo/.scale/x10", 10, QUERIES
+        spark, "/root/testdata/sf0.1", "/root/repo/.scale/x10", 10, qs
     )
-    print(json.dumps({"part": "r8s2_new_faces_10x", "results": results}))
+    tag = "r8s2_new_faces_10x_part2" if part2 else "r8s2_new_faces_10x"
+    print(json.dumps({"part": tag, "results": results}))
     return 0
 
 
