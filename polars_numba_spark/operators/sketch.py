@@ -751,3 +751,186 @@ def bloom_probe(
         probed.withColumn(flag, cond)
         .drop("m_bits", "words", *[f"__bloom_p{j}" for j in range(n_hashes)])
     )
+
+
+# --- Count-min sketch ------------------------------------------------------
+
+
+def _cms_hash(key: Column, j: int, portable: bool) -> Column:
+    """j-th seeded count-min row hash of a key (md5 recipe when portable)."""
+    tagged = F.concat(key.cast("string"), F.lit(f"#cms{j}"))
+    return md5_long(tagged) if portable else F.xxhash64(tagged)
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    portable: bool = True,
+) -> DataFrame:
+    """Build a count-min sketch over ``df[key_col]`` as a counter table
+    ``(j, bucket, cnt)`` with ``depth x width`` rows — the frequency
+    sketch whose estimate NEVER under-counts (each of the ``depth`` rows
+    holds a full count smeared across ``width`` buckets; the min across
+    rows is the classic Cormode-Muthukrishnan point estimate, biased
+    high by at most ``2N/width`` with probability ``1 - 2^-depth``).
+
+    Scale shape: each input row explodes into ``depth`` (row, bucket)
+    coordinates, but the aggregate is map-side combinable and collapses
+    to a FIXED ``depth*width`` keyspace (4096 rows at the defaults) no
+    matter the input size — the shuffle is sketch-sized, not data-sized,
+    and two sketches merge by adding counters (the property that makes
+    this the streaming/distributed frequency primitive). With
+    ``portable=True`` the bucket of every key derives from md5
+    (:func:`~polars_numba_spark.operators.dedup.md5_long`) so a SQL
+    oracle reproduces every counter exactly; ``portable=False`` swaps in
+    xxhash64 for production throughput."""
+    keys = (
+        df.select(F.col(key_col).alias("__k"))
+        .where(F.col("__k").isNotNull())
+    )
+    coords = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(
+                            _cms_hash(F.col("__k"), j, portable),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("e")
+    )
+    return coords.groupBy(
+        F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_probe(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    portable: bool = True,
+) -> DataFrame:
+    """Point-query a :func:`cms_build` sketch for every row of ``probes``:
+    recompute the ``depth`` bucket coordinates of each probe key, join
+    them to the (broadcast, sketch-sized) counter table, and take the
+    min counter as ``cms_n``. Buckets never counted at build time come
+    back as exact zeros (left join + coalesce), so probing a key absent
+    from the build data correctly estimates 0."""
+    coords = probes.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(
+                            _cms_hash(F.col(key_col), j, portable),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select(key_col, F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"))
+    joined = coords.join(F.broadcast(sketch), ["j", "bucket"], "left").select(
+        key_col, F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt")
+    )
+    return joined.groupBy(key_col).agg(F.min("cnt").alias("cms_n"))
+
+
+# --- KMV set algebra (theta-sketch style intersection) ---------------------
+
+_KMV_U = 1152921504606846976  # 2^60: the md5_long hash-space size
+
+
+def kmv_pairwise_overlap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Estimate |A ∩ B| for every unordered pair of groups from their KMV
+    sketches alone — theta-sketch style set algebra (the same sketches
+    :func:`kmv_distinct` builds, reused for INTERSECTION instead of
+    cardinality, as in the Apache DataSketches theta family).
+
+    Per group the sketch is the k-1 smallest distinct md5 hashes of the
+    keys plus the k-th smallest as the sampling threshold θ (θ = the full
+    hash space U when the group has fewer than k keys — the sketch then
+    holds the whole set and the estimate is exact). For a pair, common
+    hashes below θ_pair = min(θ_a, θ_b) are a uniform sample of the true
+    intersection at rate θ_pair/U, so ``est = c * U / θ_pair``.
+
+    Scale shape: per-group top-k is one window over the hashed distinct
+    keys (group keyspace x k rows out); the pair join matches SKETCH rows
+    on hash equality — at most k rows per group regardless of data size,
+    so pairwise overlap across G groups costs O(G²k) sketch-row
+    comparisons, never a data-sized self-join. Deterministic md5 hashing
+    makes the whole estimate SQL-oracleable bit-for-bit."""
+    hashed = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(key_col).cast("string").alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .distinct()
+        .select("g", md5_long(F.col("v")).alias("h"))
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("g").orderBy("h"))
+    ranked = hashed.withColumn("rn", rn)
+    thetas = ranked.groupBy("g").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k, F.col("h"))),
+            F.lit(_KMV_U).cast("long"),
+        ).alias("theta")
+    )
+    sample = ranked.where(F.col("rn") <= k - 1).select("g", "h")
+    groups = thetas.select(F.col("g"), F.col("theta"))
+    base = (
+        groups.select(F.col("g").alias("g_a"), F.col("theta").alias("theta_a"))
+        .crossJoin(
+            groups.select(
+                F.col("g").alias("g_b"), F.col("theta").alias("theta_b")
+            )
+        )
+        .where(F.col("g_a") < F.col("g_b"))
+        .withColumn("theta_pair", F.least("theta_a", "theta_b"))
+    )
+    common = (
+        sample.select(F.col("g").alias("g_a"), "h")
+        .join(sample.select(F.col("g").alias("g_b"), "h"), "h")
+        .where(F.col("g_a") < F.col("g_b"))
+    )
+    counted = (
+        common.join(
+            F.broadcast(base.select("g_a", "g_b", "theta_pair")),
+            ["g_a", "g_b"],
+        )
+        .where(F.col("h") < F.col("theta_pair"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        base.join(counted, ["g_a", "g_b"], "left")
+        .select(
+            "g_a",
+            "g_b",
+            (
+                F.coalesce(F.col("c"), F.lit(0).cast("long")).cast("double")
+                * F.lit(float(_KMV_U))
+                / F.col("theta_pair").cast("double")
+            ).alias("kmv_overlap"),
+        )
+    )

@@ -729,3 +729,71 @@ def gopher_sql_exprs(c: str) -> dict[str, str]:
         "stopword_hits": f"CAST({n_stop} AS INTEGER)",
         "keep": keep,
     }
+
+
+def phrase_search(
+    df,
+    phrases: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+):
+    """Exact PHRASE retrieval over a positional inverted index — the
+    adjacency-aware complement to :func:`bm25_topk` (bag-of-words ranks
+    "table part" and "part table" identically; phrase search does not).
+    Returns ``(phrase_id, doc_id, rank, n_occ)``: the top-``k`` documents
+    per phrase by occurrence count (rank 1-based, ties broken by doc_id).
+
+    Shape — the one-join spelling, NOT an L-way self-join: posexplode
+    yields (doc, term, pos) postings once; the broadcast query table
+    carries (phrase, term, offset) rows; joining on term and grouping by
+    (phrase, doc, pos - offset) counts how many offsets matched at each
+    candidate start, and a start is a true occurrence iff ALL L offsets
+    matched (count == L — correct even for phrases with repeated tokens,
+    since (start, offset) determines the position, so each matched
+    offset contributes exactly one row). Shuffles key on term then on
+    (phrase, doc, start); phrase length never multiplies the plan depth.
+    At 100 TB the postings join inherits AQE's skew handling on hot
+    terms exactly as BM25 does."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    qrows = [
+        (pid, term, off)
+        for pid, ptext in phrases
+        for off, term in enumerate(ptext.lower().split())
+    ]
+    qdf = spark.createDataFrame(qrows, "phrase_id string, term string, off int")
+    plen = spark.createDataFrame(
+        [(pid, len(ptext.lower().split())) for pid, ptext in phrases],
+        "phrase_id string, plen int",
+    )
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+    starts = pos.join(F.broadcast(qdf), "term").select(
+        "phrase_id", "id", (F.col("pos") - F.col("off")).alias("start")
+    )
+    occ = starts.groupBy("phrase_id", "id", "start").agg(
+        F.count(F.lit(1)).alias("nm")
+    )
+    hits = (
+        occ.join(F.broadcast(plen), "phrase_id")
+        .where(F.col("nm") == F.col("plen"))
+        .groupBy("phrase_id", "id")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    w = Window.partitionBy("phrase_id").orderBy(
+        F.col("n_occ").desc(), F.col("id")
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "phrase_id",
+            F.col("id").alias("doc_id"),
+            "rank",
+            "n_occ",
+        )
+    )

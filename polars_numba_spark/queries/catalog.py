@@ -127,6 +127,13 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_rake_keyphrases",              # r8-new: RAKE keyword extraction
     "user_rfm_segments",                # r8-new: value-bucketed RFM scores
     "funnel_conversion_latency",        # r8-new: time-to-convert percentiles
+    # --- session-3 faces (oracled late r8, swapped in the round they land;
+    # three sentinels rotate out below, families noted per slot)
+    "events_cusum_changepoints",        # r8-new: closed-form CUSUM monitor
+    "user_events_cms",                  # r8-new: count-min frequency sketch
+    "audience_overlap_kmv",             # r8-new: theta-sketch set algebra
+    "formats_zorder_skipping",          # r8-new: Morton layout, 2-dim skipping
+    "doc_phrase_search",                # r8-new: positional phrase retrieval
     # --- sentinels (ADVICE r7 #5): the remaining 36 slots re-check one
     # previously-green query per long-gated core family, so a regression in
     # folds/scans, TPC-H shapes, flagship dedup, embeddings, text pipeline,
@@ -142,10 +149,17 @@ _DRIVER_PRIORITY: list[str] = [
     # (kernel_fold_event_cents rotates out for the session-2 swaps — the
     # fold family keeps THREE in-window reps: capped_balance_per_user,
     # user_activity_with_fold, parallel_fold_total_cents)
-    "kernel_scan_user_balance_cents",
+    # (user_activity_with_fold rotates out for the session-3 swaps — the
+    # fold family keeps TWO in-window reps: capped_balance_per_user and
+    # parallel_fold_total_cents; it holds r6+r8 driver greens)
+    # (kernel_scan_user_balance_cents rotates out for the session-3 swaps —
+    # the grouped-scan-kernel family keeps THREE in-window reps:
+    # streaming_scan_user_balance drives the same kernel through the state
+    # store, sql_surface_running_balance is its UDTF spelling, and
+    # user_value_ewma runs the non-associative float recurrence; it holds
+    # r5-r7 driver greens)
     "parallel_fold_total_cents",        # r7 mover (2.13x, no code change)
     "capped_balance_per_user",
-    "user_activity_with_fold",
     "sql_surface_running_balance",
     # TPC-H / relational shapes (q18_large_volume_orders rotated out for the
     # late-r8 swaps; q13_customer_order_distribution rotates out for the
@@ -158,7 +172,10 @@ _DRIVER_PRIORITY: list[str] = [
     # (q6_revenue_forecast rotates out for the streaming_user_ewma swap —
     # the pushdown family is pinned by plan tests and q1 stays in-window)
     "q2_min_cost_supplier",             # r7 mover (2.11x, no code change)
-    "q7_nation_pair_volume",            # r7 mover (1.92x, no code change)
+    # (q7_nation_pair_volume rotates out for the session-3 swaps — it
+    # earned its hash-green driver row in r7 and again in the r8 gate; the
+    # multi-join TPC-H family keeps q1 + q2 in-window and the full
+    # 22-query suite in the local gate)
     # window / analytic / timeseries (running_max_order_price rotated out:
     # the associative fast-path family stays evidenced by
     # orders_rank_in_customer + global_longest_hot_streak in-window;
@@ -173,7 +190,11 @@ _DRIVER_PRIORITY: list[str] = [
     # (rolling_hour_user_value rotates out — the RANGE-frame timeseries
     # machinery is now exercised in-window by events_burst_windows, and
     # the face holds r1-r7 driver greens)
-    "global_longest_hot_streak",
+    # (global_longest_hot_streak rotates out for the session-3 swaps — the
+    # stacked-window/analytic family stays evidenced in-window by
+    # events_burst_windows and by events_cusum_changepoints itself, whose
+    # closed form is exactly two stacked ROWS frames; it holds r2-r8
+    # driver greens)
     # flagship dedup / ExactSubstr (doc_remove_passages rotates out for the
     # session-2 swaps — the ExactSubstr family stays evidenced by
     # doc_duplicated_spans; the md5-portable minhash/simhash twins rotate
@@ -204,7 +225,11 @@ _DRIVER_PRIORITY: list[str] = [
     # text pipeline
     # (doc_unigram_logprob rotates out — the LM-scoring family keeps
     # doc_bigram_logprob, its interpolated superset, in-window)
-    "doc_bigram_logprob",               # r7 mover (2.26x, no code change)
+    # (doc_bigram_logprob rotates out for the session-3 swaps — it earned
+    # hash-green rows in r6 and the r8 gate, its r7-mover watch closed at
+    # the r8 remeasure floor, and the LM-scoring family stays evidenced
+    # in-window by doc_quality_calibrated + bpe_merge_candidates +
+    # doc_char_entropy)
     "training_data_pipeline",
     "doc_winnowing_fingerprints",       # r8-new: rolling-hash winnowing
     "doc_bm25_search",                  # r8-new: BM25 inverted-index top-k

@@ -48,6 +48,7 @@ from polars_numba_spark.sources.formats import (
     write_orc,
     write_partitioned_parquet,
     write_sorted_parquet,
+    write_zorder_parquet,
 )
 from polars_numba_spark.streaming import windowed_rollup
 
@@ -215,6 +216,59 @@ def formats_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("min_order"),
         F.max("l_orderkey").alias("max_order"),
     )
+
+
+@register(
+    "formats_zorder_skipping",
+    oracle=f"""
+    SELECT 'orderkey_slice' AS probe, COUNT(*) AS n_items,
+           {_DSUM.format(x='l_extendedprice')} AS total_price
+    FROM lineitem WHERE l_orderkey < 2000
+    UNION ALL
+    SELECT 'march_1995' AS probe, COUNT(*) AS n_items,
+           {_DSUM.format(x='l_extendedprice')} AS total_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
+    """,
+)
+def formats_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout end-to-end (sources/formats.py::write_zorder_parquet
+    — the lakehouse OPTIMIZE ZORDER): lineitem rewritten once with
+    l_orderkey and epoch-day(l_shipdate) bit-interleaved into a Morton
+    value, then probed by a RANGE FILTER ON EACH DIMENSION SEPARATELY —
+    the case a single-sort layout cannot serve (sorted-by-shipdate makes
+    orderkey footer stats useless; the Z layout keeps BOTH narrow,
+    fraction-of-the-row-groups overlap per dim pinned by
+    tests/test_formats.py). Both probes' filters reach the parquet
+    reader; the oracle computes the same two aggregates straight off the
+    original table, so the hash proves the Morton rewrite lost nothing."""
+    base = _scratch_dir("zorder", sf_dir)
+    l = _t(spark, sf_dir, "lineitem").select(  # noqa: E741
+        "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+    path = f"{base}/lineitem_z"
+    write_zorder_parquet(
+        l,
+        path,
+        ["l_orderkey", F.expr("CAST(unix_timestamp(l_shipdate) DIV 86400 AS BIGINT)")],
+    )
+    back = spark.read.parquet(path)
+    by_key = (
+        back.where(F.col("l_orderkey") < 2000)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(_DSUM.format(x="l_extendedprice")).alias("total_price"),
+        )
+        .select(F.lit("orderkey_slice").alias("probe"), "n_items", "total_price")
+    )
+    by_date = back.where(
+        (F.col("l_shipdate") >= "1995-03-01") & (F.col("l_shipdate") < "1995-04-01")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr(_DSUM.format(x="l_extendedprice")).alias("total_price"),
+    ).select(F.lit("march_1995").alias("probe"), "n_items", "total_price")
+    return by_key.unionByName(by_date)
 
 
 def _fresh_dir(base: str, run_id: str) -> str:

@@ -3096,3 +3096,71 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("inst_score").cast("double").alias("score"),
     )
     return dist.orderBy(F.col("score").desc(), "phrase").limit(20)
+
+
+# Phrase-search probes: two bigrams, one repeated-token bigram (the case
+# that breaks naive distinct-offset counting), one trigram.
+_PHRASES = [
+    ("p_table_part", "table part"),
+    ("p_fast_table", "fast table"),
+    ("p_repeat", "table table"),
+    ("p_tri", "value table part"),
+]
+_PHRASE_Q_VALUES = ", ".join(
+    f"('{pid}', '{term}', {off})"
+    for pid, ptext in _PHRASES
+    for off, term in enumerate(ptext.split())
+)
+_PHRASE_LEN_VALUES = ", ".join(
+    f"('{pid}', {len(ptext.split())})" for pid, ptext in _PHRASES
+)
+
+
+@register(
+    "doc_phrase_search",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS term,
+               UNNEST(range(len(string_split_regex(trim(lower(text)), '\s+'))))
+                   AS pos
+        FROM documents
+    ), q(phrase_id, term, off) AS (
+        VALUES {_PHRASE_Q_VALUES}
+    ), plen(phrase_id, plen) AS (
+        VALUES {_PHRASE_LEN_VALUES}
+    ), starts AS (
+        SELECT q.phrase_id, toks.doc_id, toks.pos - q.off AS start
+        FROM toks JOIN q ON toks.term = q.term
+    ), occ AS (
+        SELECT phrase_id, doc_id, start, COUNT(*) AS nm
+        FROM starts GROUP BY 1, 2, 3
+    ), hits AS (
+        SELECT o.phrase_id, o.doc_id, COUNT(*) AS n_occ
+        FROM occ o JOIN plen p ON p.phrase_id = o.phrase_id
+        WHERE o.nm = p.plen
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT phrase_id, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY phrase_id ORDER BY n_occ DESC, doc_id
+               ) AS INTEGER) AS rank,
+               n_occ
+        FROM hits
+    )
+    SELECT phrase_id, doc_id, rank, n_occ FROM ranked WHERE rank <= 10
+    """,
+)
+def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-inverted-index PHRASE search (operators/text.py::
+    phrase_search): exact adjacency retrieval — the capability bag-of-
+    words BM25 cannot express — via the one-join spelling: posexplode
+    postings join a broadcast (phrase, term, offset) table, and a
+    candidate start position is a true occurrence iff ALL phrase offsets
+    matched there (count == L, correct for repeated-token phrases like
+    'table table'). Top-10 docs per phrase by occurrence count,
+    hash-exact against the identical spelling in DuckDB. Probes include
+    a trigram and a repeated-token bigram."""
+    return X.phrase_search(
+        _t(spark, sf_dir, "documents"), _PHRASES, "text", "doc_id", k=10
+    )

@@ -1701,3 +1701,259 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(F.col("latency_s").cast("double"), F.lit(0.75)).alias("p75_s"),
         F.percentile(F.col("latency_s").cast("double"), F.lit(0.9)).alias("p90_s"),
     )
+
+
+@register(
+    "events_cusum_changepoints",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_part('epoch', date_trunc('day', ts)) // 86400
+                    AS BIGINT) AS day_idx,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ), totals AS (
+        SELECT event_type, SUM(n_events) AS total, COUNT(*) AS n_days
+        FROM daily GROUP BY 1
+    ), scored AS (
+        SELECT d.event_type, d.day_idx, d.n_events,
+               t.total, t.n_days,
+               SUM(t.n_days * d.n_events - t.total) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day_idx
+                   ROWS UNBOUNDED PRECEDING) AS p_scaled
+        FROM daily d JOIN totals t USING (event_type)
+    ), floored AS (
+        SELECT *, LEAST(0, MIN(p_scaled) OVER (
+                   PARTITION BY event_type ORDER BY day_idx
+                   ROWS UNBOUNDED PRECEDING)) AS m_scaled
+        FROM scored
+    )
+    SELECT event_type, day_idx, n_events,
+           CAST(p_scaled - m_scaled AS DOUBLE) / n_days AS cusum,
+           (p_scaled - m_scaled) > 2 * total AS is_shift
+    FROM floored
+    """,
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over per-type daily event counts —
+    the level-shift monitor that complements the burst face (bursts catch
+    single hot hours; CUSUM accumulates small sustained drifts). The
+    textbook recurrence S_t = max(0, S_{t-1} + x_t - k) is NOT computed
+    as a recurrence: it has the exact closed form S_t = P_t - min(0,
+    min_{i<=t} P_i) with P the prefix sum of deviations, so the whole
+    detector is two stacked window frames over one sort — embarrassingly
+    parallel across event types, no iteration, no Python. Arithmetic is
+    kept in scaled integers (deviations multiplied by the day count so
+    the drift k = mean stays exact-rational); the single double division
+    happens at output. Shift flag fires when the statistic exceeds 2x
+    the mean daily rate. At 100 TB the scaled prefix sums would move to
+    decimal(38,0) to dodge long overflow; day x type keyspace keeps the
+    aggregate map-side combinable."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(
+                F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400
+            ).alias("day_idx"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    totals = daily.groupBy("event_type").agg(
+        F.sum("n_events").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = daily.join(F.broadcast(totals), "event_type").withColumn(
+        "p_scaled",
+        F.sum(
+            F.col("n_days") * F.col("n_events") - F.col("total")
+        ).over(w),
+    )
+    floored = scored.withColumn(
+        "m_scaled",
+        F.least(F.lit(0).cast("long"), F.min("p_scaled").over(w)),
+    )
+    return floored.select(
+        "event_type",
+        "day_idx",
+        "n_events",
+        (
+            (F.col("p_scaled") - F.col("m_scaled")).cast("double")
+            / F.col("n_days")
+        ).alias("cusum"),
+        (
+            (F.col("p_scaled") - F.col("m_scaled"))
+            > F.lit(2) * F.col("total")
+        ).alias("is_shift"),
+    )
+
+
+@register(
+    "user_events_cms",
+    oracle="""
+    WITH keys AS (
+        SELECT CAST(user_id AS VARCHAR) AS v, user_id
+        FROM events WHERE user_id IS NOT NULL
+    ), coords AS (
+        SELECT j,
+               CAST(CAST(('0x' || substr(md5(v || '#cms' || CAST(j AS VARCHAR)), 1, 15))
+                    AS UBIGINT) AS BIGINT) % 1024 AS bucket
+        FROM keys, (SELECT UNNEST(range(4)) AS j)
+    ), sketch AS (
+        SELECT j, bucket, COUNT(*) AS cnt FROM coords GROUP BY 1, 2
+    ), exact AS (
+        SELECT user_id, COUNT(*) AS exact_n
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 20
+    ), probe AS (
+        SELECT e.user_id, e.exact_n, j,
+               CAST(CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR)
+                        || '#cms' || CAST(j AS VARCHAR)), 1, 15))
+                    AS UBIGINT) AS BIGINT) % 1024 AS bucket
+        FROM exact e, (SELECT UNNEST(range(4)) AS j)
+    )
+    SELECT p.user_id, p.exact_n,
+           MIN(COALESCE(s.cnt, 0)) AS cms_n,
+           MIN(COALESCE(s.cnt, 0)) - p.exact_n AS overest
+    FROM probe p LEFT JOIN sketch s USING (j, bucket)
+    GROUP BY 1, 2
+    """,
+)
+def user_events_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators/sketch.py::
+    cms_build/cms_probe): per-user event counts approximated by a fixed
+    4x1024 counter table, probed for the 20 exact-heaviest users and
+    reported next to their true counts with the (always non-negative)
+    overestimate. The sketch shuffle is SKETCH-sized (4096 rows) no
+    matter the input — the frequency complement to the KMV cardinality
+    face — and counters merge by addition, so a 1000-executor build is
+    one map-side-combinable aggregate. Every bucket derives from md5, so
+    the DuckDB oracle reproduces each counter and the min-estimate
+    bit-for-bit (approximate does not mean un-oracleable when the sketch
+    is deterministic and hash-portable)."""
+    from polars_numba_spark.operators.sketch import cms_build, cms_probe
+
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    sketch = cms_build(e, "user_id", depth=4, width=1024, portable=True)
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(20)
+    )
+    probed = cms_probe(sketch, exact.select("user_id"), "user_id")
+    return exact.join(probed, "user_id").select(
+        "user_id",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overest"),
+    )
+
+
+@register(
+    "audience_overlap_kmv",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS v
+        FROM events WHERE user_id IS NOT NULL
+    ), h AS (
+        SELECT g,
+               CAST(CAST(('0x' || substr(md5(v), 1, 15)) AS UBIGINT)
+                    AS BIGINT) AS h
+        FROM d
+    ), ranked AS (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM h
+    ), thetas AS (
+        SELECT g, COALESCE(MAX(CASE WHEN rn = 256 THEN h END),
+                           1152921504606846976) AS theta
+        FROM ranked GROUP BY g
+    ), samp AS (
+        SELECT g, h FROM ranked WHERE rn <= 255
+    ), base AS (
+        SELECT a.g AS g_a, b.g AS g_b, LEAST(a.theta, b.theta) AS theta_pair
+        FROM thetas a, thetas b WHERE a.g < b.g
+    ), counted AS (
+        SELECT sa.g AS g_a, sb.g AS g_b, COUNT(*) AS c
+        FROM samp sa
+        JOIN samp sb ON sa.h = sb.h AND sa.g < sb.g
+        JOIN base ON base.g_a = sa.g AND base.g_b = sb.g
+        WHERE sa.h < base.theta_pair
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT da.g AS g_a, db.g AS g_b, COUNT(*) AS exact_overlap
+        FROM d da JOIN d db ON da.v = db.v AND da.g < db.g
+        GROUP BY 1, 2
+    ), est AS (
+        SELECT base.g_a, base.g_b,
+               COALESCE(e.exact_overlap, 0) AS exact_overlap,
+               CAST(COALESCE(c.c, 0) AS DOUBLE) * 1152921504606846976.0
+                   / CAST(base.theta_pair AS DOUBLE) AS raw_kmv
+        FROM base
+        LEFT JOIN counted c ON c.g_a = base.g_a AND c.g_b = base.g_b
+        LEFT JOIN exact e ON e.g_a = base.g_a AND e.g_b = base.g_b
+    )
+    SELECT g_a AS type_a, g_b AS type_b, exact_overlap,
+           ROUND(raw_kmv, 6) AS kmv_overlap,
+           CASE WHEN exact_overlap > 0
+                THEN ROUND(ABS(raw_kmv - CAST(exact_overlap AS DOUBLE))
+                           / CAST(exact_overlap AS DOUBLE), 6)
+           END AS rel_err
+    FROM est
+    """,
+)
+def audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: |A ∩ B| for every event-type audience pair
+    estimated from KMV/theta sketches alone (operators/sketch.py::
+    kmv_pairwise_overlap) next to the exact overlap — the DataSketches-
+    style capability that answers "how many users did both X and Y"
+    without ever joining the raw audiences. The pair join touches at
+    most k=256 sketch rows per group however large the data; the exact
+    side here is the self-audit (and the only data-sized join in the
+    face). Deterministic md5 hashing reproduces estimate and error
+    bit-for-bit in the DuckDB oracle."""
+    from polars_numba_spark.operators.sketch import kmv_pairwise_overlap
+
+    e = _t(spark, sf_dir, "events")
+    d = (
+        e.select(F.col("event_type").alias("g"), F.col("user_id").alias("u"))
+        .where(F.col("u").isNotNull())
+        .distinct()
+    )
+    exact = (
+        d.select(F.col("g").alias("g_a"), "u")
+        .join(d.select(F.col("g").alias("g_b"), "u"), "u")
+        .where(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    est = kmv_pairwise_overlap(e, "user_id", "event_type", k=256)
+    joined = est.join(exact, ["g_a", "g_b"], "left").select(
+        "g_a",
+        "g_b",
+        F.coalesce(F.col("exact_overlap"), F.lit(0).cast("long")).alias(
+            "exact_overlap"
+        ),
+        F.col("kmv_overlap").alias("raw_kmv"),
+    )
+    return joined.select(
+        F.col("g_a").alias("type_a"),
+        F.col("g_b").alias("type_b"),
+        "exact_overlap",
+        F.round(F.col("raw_kmv"), 6).alias("kmv_overlap"),
+        F.when(
+            F.col("exact_overlap") > 0,
+            F.round(
+                F.abs(
+                    F.col("raw_kmv") - F.col("exact_overlap").cast("double")
+                )
+                / F.col("exact_overlap").cast("double"),
+                6,
+            ),
+        ).alias("rel_err"),
+    )

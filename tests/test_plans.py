@@ -515,3 +515,54 @@ def test_burst_windows_single_aggregate_then_window(spark):
     df = q(spark, "events_burst_windows")
     s = plans.explain_string(df)
     assert "Join" not in s and "CartesianProduct" not in s
+
+
+def test_cusum_is_windows_only_no_iteration(spark):
+    """events_cusum_changepoints: the CUSUM recurrence must be the
+    closed-form spelling — one count aggregate, one broadcast totals
+    join, two stacked window frames over ONE sort; no Python, no
+    iteration, no cartesian."""
+    df = q(spark, "events_cusum_changepoints")
+    s = plans.explain_string(df)
+    assert "Window" in s
+    assert "BroadcastExchange" in s
+    assert "CartesianProduct" not in s
+    assert "mapInPandas" not in s.lower() and "pythonudf" not in s.lower()
+    # the two frames share partitioning+ordering: exactly one window sort
+    assert s.count("Sort [event_type") <= 2
+
+
+def test_cms_shuffle_is_sketch_sized(spark):
+    """user_events_cms: the sketch build aggregates to a fixed
+    depth x width keyspace (4096) with map-side partial aggregation, and
+    the probe side joins the sketch BROADCAST — the only data-sized
+    shuffles are the build's partial aggregate and the exact-count
+    self-audit."""
+    df = q(spark, "user_events_cms")
+    s = plans.explain_string(df)
+    assert "BroadcastExchange" in s
+    assert "partial_count" in s  # map-side combine before the shuffle
+    assert "CartesianProduct" not in s
+
+
+def test_kmv_overlap_joins_sketch_rows_not_data(spark):
+    """audience_overlap_kmv: the estimate path must join SKETCH rows
+    (<= k per group) — the plan carries the rn <= k-1 filters that cap
+    both join inputs, plus the broadcast of the tiny pair/theta table."""
+    df = q(spark, "audience_overlap_kmv")
+    s = plans.explain_string(df)
+    assert "BroadcastExchange" in s
+    assert "rn" in s and "255" in s  # the sketch cap reaches the plan
+    assert "CartesianProduct" not in s
+
+
+def test_phrase_search_is_one_join_not_l_way(spark):
+    """doc_phrase_search: the postings side is exploded ONCE and joined
+    to the broadcast phrase table once — phrase length must not multiply
+    plan depth (no L-way self-join), and the phrase/length tables ride
+    broadcast."""
+    df = q(spark, "doc_phrase_search")
+    s = plans.explain_string(df)
+    assert s.count("- Generate") == 1  # one posexplode in the whole tree
+    assert "BroadcastExchange" in s
+    assert "CartesianProduct" not in s
