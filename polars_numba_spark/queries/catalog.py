@@ -134,6 +134,7 @@ _DRIVER_PRIORITY: list[str] = [
     "audience_overlap_kmv",             # r8-new: theta-sketch set algebra
     "formats_zorder_skipping",          # r8-new: Morton layout, 2-dim skipping
     "doc_phrase_search",                # r8-new: positional phrase retrieval
+    "customer_golden_record",           # r8-new: entity-resolution survivorship
     # --- sentinels (ADVICE r7 #5): the remaining 36 slots re-check one
     # previously-green query per long-gated core family, so a regression in
     # folds/scans, TPC-H shapes, flagship dedup, embeddings, text pipeline,
@@ -240,7 +241,11 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_video_meta",            # r8-new: MP4 box-walk hard-gate
     # streaming jobs
     "streaming_scan_user_balance",
-    "streaming_user_sessions",
+    # (streaming_user_sessions rotates out for the session-3 swaps — the
+    # streaming family keeps THREE in-window reps: streaming_scan_user_balance,
+    # streaming_user_ewma, streaming_neardup_keeplist; the sessionize
+    # machinery stays evidenced by user_sessions in the local gate and its
+    # r6+r8 driver greens)
     "streaming_neardup_keeplist",       # r8-new: incremental LSH keep-list
 ]
 # The full round-7 window, retained as the rotation record (all 50 went

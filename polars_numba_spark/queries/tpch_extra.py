@@ -886,3 +886,117 @@ def customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["a_key", "b_key"])
         .where(F.col("edit_dist") <= 2)
     )
+
+
+@register(
+    "customer_golden_record",
+    oracle="""
+    WITH RECURSIVE cust AS (
+        SELECT * FROM customer WHERE c_custkey < 1500
+    ), segs AS (
+        SELECT c_custkey, c_nationkey, c_name, s.i AS seg_i,
+               substr(c_name, 10 + s.i, 1) || substr(c_name, 13 + s.i, 1)
+                 || substr(c_name, 16 + s.i, 1) AS seg
+        FROM cust, (SELECT UNNEST([0, 1, 2]) AS i) s
+    ), dels AS (
+        SELECT c_custkey, c_nationkey, c_name,
+               substr(c_name, 10, d.i - 1) || substr(c_name, 10 + d.i, 9) AS delstr
+        FROM cust, (SELECT UNNEST(range(1, 10)) AS i) d
+    ), cand AS (
+        SELECT DISTINCT a.c_custkey AS a_key, b.c_custkey AS b_key,
+               a.c_name AS an, b.c_name AS bn
+        FROM segs a JOIN segs b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.seg_i = b.seg_i AND a.seg = b.seg
+         AND a.c_custkey < b.c_custkey
+        UNION
+        SELECT DISTINCT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+        FROM dels a JOIN dels b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.delstr = b.delstr
+         AND a.c_custkey < b.c_custkey
+    ), matched AS (
+        SELECT a_key, b_key FROM cand WHERE levenshtein(an, bn) <= 2
+    ), edges AS (
+        SELECT a_key AS u, b_key AS v FROM matched
+        UNION
+        SELECT b_key AS u, a_key AS v FROM matched
+    ), lab AS (
+        SELECT c_custkey AS id, c_custkey AS label FROM cust
+        UNION
+        SELECT e.v AS id, l.label
+        FROM lab l JOIN edges e ON e.u = l.id
+        WHERE l.label < e.v
+    ), comp AS (
+        SELECT id, MIN(label) AS entity_id FROM lab GROUP BY id
+    ), agg AS (
+        SELECT comp.entity_id,
+               COUNT(*) AS n_members,
+               MIN(c.c_nationkey) AS nationkey,
+               MAX(c.c_acctbal) AS max_acctbal,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_acctbal
+        FROM cust c JOIN comp ON comp.id = c.c_custkey
+        GROUP BY comp.entity_id
+    )
+    SELECT a.entity_id, r.c_name AS canonical_name, a.n_members,
+           a.nationkey, a.max_acctbal, a.total_acctbal
+    FROM agg a JOIN cust r ON r.c_custkey = a.entity_id
+    """,
+)
+def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION end-to-end — the golden-record face: the
+    complete blocked fuzzy matcher (customer_name_fuzzy_pairs' pigeonhole
+    segment + deletion-neighborhood blocking, edit distance ≤ 2) becomes
+    match EDGES, connected components merge matches into entities
+    (operators/dedup.py::connected_components — min-label propagation,
+    rounds ≈ cluster diameter), and one survivorship aggregate per entity
+    emits the canonical record: representative name from the min-key
+    member, member count, max/total account balance (decimal-exact sum).
+    Singletons keep themselves — every customer lands in exactly one
+    entity. Fully oracled: the DuckDB twin replays the identical blocking
+    and a recursive-CTE label propagation to fixpoint. Scale shape: the
+    only data-sized shuffles key on block values and entity id; the
+    match-edge set (not the corpus) drives iteration cost, exactly like
+    the dedup keep-list path. Two honest caveats, both documented on
+    purpose: (1) capped to a fixed c_custkey slice (the whole table at
+    the correctness SF) — like dedup_clusters, the price of a full
+    recursive-CTE cross-engine oracle for an iterative algorithm; (2) on
+    this synthetic corpus (sequential fixed-format names) every
+    same-nation customer CHAINS into one entity — the transitive-closure
+    collapse production ER guards against with tighter match rules, and
+    exactly the long-chain propagation stress that makes the face a
+    worst-case pin for the components loop."""
+    from polars_numba_spark.operators.dedup import connected_components
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 1500)
+    pairs = (
+        customer_name_fuzzy_pairs(spark, sf_dir)
+        .where((F.col("a_key") < 1500) & (F.col("b_key") < 1500))
+        .select(F.col("a_key").alias("a_id"), F.col("b_key").alias("b_id"))
+    )
+    comps = connected_components(pairs)
+    labeled = (
+        c.join(comps, c.c_custkey == comps.id, "left")
+        .withColumn("entity_id", F.coalesce(F.col("component"), F.col("c_custkey")))
+    )
+    agg = labeled.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("c_nationkey").alias("nationkey"),
+        F.max("c_acctbal").alias("max_acctbal"),
+        F.expr(
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("total_acctbal"),
+    )
+    rep = c.select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("canonical_name"),
+    )
+    return agg.join(rep, "entity_id").select(
+        "entity_id",
+        "canonical_name",
+        "n_members",
+        "nationkey",
+        "max_acctbal",
+        "total_acctbal",
+    )
