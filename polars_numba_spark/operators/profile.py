@@ -192,3 +192,53 @@ def ks_drift(
         F.max("n_g").cast("long").alias("n_docs"),
         F.round(F.max("d"), 9).alias("ks_stat"),
     ).select(F.col("g").alias(group_col), "n_docs", "ks_stat")
+
+
+def global_ranks(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Dense global 1-based row ranks WITHOUT a single-reducer total sort —
+    the distributed-sort-rank pattern: range-partition on the order
+    columns (boundaries from Spark's reservoir sample), rank locally
+    within each range, then add broadcast cumulative partition offsets.
+    Every stage is partition-parallel; the only single-reducer object is
+    the P-row offset table. A plain ``row_number() OVER (ORDER BY ...)``
+    funnels the whole input through one task — the exact trap the r8 soak
+    caught in the calibration face's global ntile.
+
+    Ranks follow ``order_cols`` ascending. Include a unique tiebreaker
+    column for fully deterministic ranks; without one, ranks within ties
+    are assignment-arbitrary but any RANK-SUM over tie blocks (Lorenz /
+    Gini arithmetic) is invariant, because a tie block always occupies
+    the same set of consecutive positions."""
+    from pyspark.sql import Window
+
+    ranged = df.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = ranged.withColumn("__lr", F.row_number().over(w_local))
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__c").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__off") + F.col("__lr")).cast("long"))
+        .drop("__pid", "__lr", "__off")
+    )

@@ -786,11 +786,27 @@ def cms_build(
     (:func:`~polars_numba_spark.operators.dedup.md5_long`) so a SQL
     oracle reproduces every counter exactly; ``portable=False`` swaps in
     xxhash64 for production throughput."""
+    coords = cms_coords(df, key_col, depth=depth, width=width, portable=portable)
+    return coords.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_coords(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    portable: bool = True,
+) -> DataFrame:
+    """The per-row (j, bucket) coordinate explode :func:`cms_build`
+    aggregates — exposed separately so a STREAMING aggregation can
+    maintain the same counters incrementally (counter addition is the
+    CMS merge, so the streaming state is the fixed depth*width counter
+    table itself, never per-key state)."""
     keys = (
         df.select(F.col(key_col).alias("__k"))
         .where(F.col("__k").isNotNull())
     )
-    coords = keys.select(
+    return keys.select(
         F.explode(
             F.array(
                 *[
@@ -805,10 +821,7 @@ def cms_build(
                 ]
             )
         ).alias("e")
-    )
-    return coords.groupBy(
-        F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ).select(F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"))
 
 
 def cms_probe(

@@ -135,6 +135,9 @@ _DRIVER_PRIORITY: list[str] = [
     "formats_zorder_skipping",          # r8-new: Morton layout, 2-dim skipping
     "doc_phrase_search",                # r8-new: positional phrase retrieval
     "customer_golden_record",           # r8-new: entity-resolution survivorship
+    "user_value_concentration",         # r8-new: Gini/entropy/HHI, dist. ranks
+    "events_daily_acf",                 # r8-new: exact-integer autocorrelation
+    "streaming_user_cms",               # r8-new: CMS counters as stream state
     # --- sentinels (ADVICE r7 #5): the remaining 36 slots re-check one
     # previously-green query per long-gated core family, so a regression in
     # folds/scans, TPC-H shapes, flagship dedup, embeddings, text pipeline,
@@ -152,7 +155,7 @@ _DRIVER_PRIORITY: list[str] = [
     # user_activity_with_fold, parallel_fold_total_cents)
     # (user_activity_with_fold rotates out for the session-3 swaps — the
     # fold family keeps TWO in-window reps: capped_balance_per_user and
-    # parallel_fold_total_cents; it holds r6+r8 driver greens)
+    # parallel_fold_total_cents; it holds an r6 driver green)
     # (kernel_scan_user_balance_cents rotates out for the session-3 swaps —
     # the grouped-scan-kernel family keeps THREE in-window reps:
     # streaming_scan_user_balance drives the same kernel through the state
@@ -172,9 +175,13 @@ _DRIVER_PRIORITY: list[str] = [
     "q1_pricing_summary",
     # (q6_revenue_forecast rotates out for the streaming_user_ewma swap —
     # the pushdown family is pinned by plan tests and q1 stays in-window)
-    "q2_min_cost_supplier",             # r7 mover (2.11x, no code change)
+    # (q2_min_cost_supplier rotates out for the session-3 swaps — it
+    # earned hash-green rows in r6 and r7, its r7-mover watch closed BELOW
+    # the r6 floor (BASELINE.md round-8 remeasure table), and the TPC-H
+    # family keeps q1 in-window plus the full 22-query suite in the local
+    # gate)
     # (q7_nation_pair_volume rotates out for the session-3 swaps — it
-    # earned its hash-green driver row in r7 and again in the r8 gate; the
+    # earned its hash-green driver row in r7; the
     # multi-join TPC-H family keeps q1 + q2 in-window and the full
     # 22-query suite in the local gate)
     # window / analytic / timeseries (running_max_order_price rotated out:
@@ -194,7 +201,7 @@ _DRIVER_PRIORITY: list[str] = [
     # (global_longest_hot_streak rotates out for the session-3 swaps — the
     # stacked-window/analytic family stays evidenced in-window by
     # events_burst_windows and by events_cusum_changepoints itself, whose
-    # closed form is exactly two stacked ROWS frames; it holds r2-r8
+    # closed form is exactly two stacked ROWS frames; it holds r2+r7
     # driver greens)
     # flagship dedup / ExactSubstr (doc_remove_passages rotates out for the
     # session-2 swaps — the ExactSubstr family stays evidenced by
@@ -211,7 +218,11 @@ _DRIVER_PRIORITY: list[str] = [
     # (dedup_exact_digests rotates out — the exact-dedup groupBy is the
     # simplest machinery in the family, holds r1+r6 driver greens, and
     # stays local-gated with dedup_fingerprint_groups)
-    "dedup_containment_complete",
+    # (dedup_containment_complete rotates out for the session-3 swaps —
+    # r7 driver green, the prefix-filter equi-join plan stays pinned by
+    # test_plans.py, and the dedup family keeps SIX in-window reps:
+    # both keep-lists, dedup_clusters, curated_corpus_neardup,
+    # dedup_minhash_recall, streaming_neardup_keeplist)
     "doc_duplicated_spans",
     # embeddings / semantic dedup (embedding_near_dup_pairs rotated out for
     # the late-r8 swaps: the banded-cosine family stays evidenced by
@@ -227,7 +238,7 @@ _DRIVER_PRIORITY: list[str] = [
     # (doc_unigram_logprob rotates out — the LM-scoring family keeps
     # doc_bigram_logprob, its interpolated superset, in-window)
     # (doc_bigram_logprob rotates out for the session-3 swaps — it earned
-    # hash-green rows in r6 and the r8 gate, its r7-mover watch closed at
+    # hash-green rows in r6 and r7, its r7-mover watch closed at
     # the r8 remeasure floor, and the LM-scoring family stays evidenced
     # in-window by doc_quality_calibrated + bpe_merge_candidates +
     # doc_char_entropy)
@@ -240,12 +251,14 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_audio_meta",            # r8-new: WAV header parse hard-gate
     "multimodal_video_meta",            # r8-new: MP4 box-walk hard-gate
     # streaming jobs
-    "streaming_scan_user_balance",
+    # (streaming_scan_user_balance rotates out for the session-3 swaps —
+    # r6+r7 driver greens; the kernel-scan-through-the-state-store
+    # machinery is exactly what streaming_user_ewma drives, and the
+    # streaming family keeps THREE in-window reps: streaming_user_ewma,
+    # streaming_neardup_keeplist, streaming_user_cms)
     # (streaming_user_sessions rotates out for the session-3 swaps — the
-    # streaming family keeps THREE in-window reps: streaming_scan_user_balance,
-    # streaming_user_ewma, streaming_neardup_keeplist; the sessionize
-    # machinery stays evidenced by user_sessions in the local gate and its
-    # r6+r8 driver greens)
+    # sessionize machinery stays evidenced by user_sessions in the local
+    # gate and its r4+r6 driver greens)
     "streaming_neardup_keeplist",       # r8-new: incremental LSH keep-list
 ]
 # The full round-7 window, retained as the rotation record (all 50 went

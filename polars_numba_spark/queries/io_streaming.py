@@ -38,6 +38,9 @@ from polars_numba_spark.queries.catalog import (
     _t,
     register,
 )
+from polars_numba_spark.queries.relational import (
+    _CMS_ORACLE_SQL as _CMS_ORACLE_SQL_STREAM,
+)
 from polars_numba_spark.sources import load_stream
 from polars_numba_spark.sources.formats import (
     read_csv,
@@ -269,6 +272,60 @@ def formats_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_DSUM.format(x="l_extendedprice")).alias("total_price"),
     ).select(F.lit("march_1995").alias("probe"), "n_items", "total_price")
     return by_key.unionByName(by_date)
+
+
+@register("streaming_user_cms", oracle=_CMS_ORACLE_SQL_STREAM)
+def streaming_user_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch maintained AS STREAMING STATE — and the
+    mergeability proof: CMS counters add, so the streaming aggregate's
+    state is the fixed 4x1024 counter table itself (never per-key
+    state), updated incrementally across micro-batches; with bounded
+    input the final counters MUST equal the batch sketch, so this face
+    shares the batch face's oracle verbatim (_CMS_ORACLE_SQL,
+    single-sourced — the same pattern as the EWMA twins). Runs as a real
+    availableNow job into a complete-mode memory sink, staged to parquet
+    and dropped (driver-bench hygiene); the probe/top-20 join is batch
+    post-processing over the final counter table."""
+    from polars_numba_spark.operators.sketch import cms_coords, cms_probe
+
+    stream = load_stream(spark, "events", sf_dir).select("user_id")
+    coords = cms_coords(stream, "user_id", depth=4, width=1024, portable=True)
+    agg = coords.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    run_id = uuid.uuid4().hex[:8]
+    sink = f"pns_stream_cms_{run_id}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError(
+                "streaming_user_cms: availableNow stream did not finish in "
+                "300s — refusing to return a partial complete-mode aggregate"
+            )
+        staged = _fresh_dir(_scratch_dir("cms_out", sf_dir), run_id)
+        spark.table(sink).write.mode("overwrite").parquet(staged)
+    finally:
+        spark.catalog.dropTempView(sink)
+    sketch = spark.read.parquet(staged)
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(20)
+    )
+    probed = cms_probe(sketch, exact.select("user_id"), "user_id")
+    return exact.join(probed, "user_id").select(
+        "user_id",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overest"),
+    )
 
 
 def _fresh_dir(base: str, run_id: str) -> str:

@@ -1793,9 +1793,9 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "user_events_cms",
-    oracle="""
+# Single-sourced CMS oracle: the batch face and the streaming face build
+# the SAME deterministic counter table, so one SQL statement oracles both.
+_CMS_ORACLE_SQL = """
     WITH keys AS (
         SELECT CAST(user_id AS VARCHAR) AS v, user_id
         FROM events WHERE user_id IS NOT NULL
@@ -1822,8 +1822,10 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(COALESCE(s.cnt, 0)) - p.exact_n AS overest
     FROM probe p LEFT JOIN sketch s USING (j, bucket)
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@register("user_events_cms", oracle=_CMS_ORACLE_SQL)
 def user_events_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimation (operators/sketch.py::
     cms_build/cms_probe): per-user event counts approximated by a fixed
@@ -1956,4 +1958,198 @@ def audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         ).alias("rel_err"),
+    )
+
+
+@register(
+    "user_value_concentration",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        GROUP BY user_id
+    ), st AS (
+        SELECT COUNT(*) AS n, SUM(cents) AS t,
+               GREATEST(1, CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 100.0)
+                                AS BIGINT)) AS k
+        FROM pu
+    ), rk AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, user_id) AS r
+        FROM pu
+    )
+    SELECT st.n AS n_users,
+           CAST(st.t AS BIGINT) AS total_cents,
+           CAST(2 * SUM(r * cents) AS DOUBLE)
+               / (CAST(st.n AS DOUBLE) * CAST(st.t AS DOUBLE))
+               - CAST(st.n + 1 AS DOUBLE) / CAST(st.n AS DOUBLE) AS gini,
+           CAST(SUM(CAST(ROUND(
+                   -(CAST(cents AS DOUBLE) / CAST(st.t AS DOUBLE))
+                   * LN(CAST(cents AS DOUBLE) / CAST(st.t AS DOUBLE)), 9)
+               AS DECIMAL(28,12))) AS DOUBLE) AS entropy,
+           CAST(SUM(cents * cents) AS DOUBLE)
+               / (CAST(st.t AS DOUBLE) * CAST(st.t AS DOUBLE)) AS hhi,
+           CAST(SUM(CASE WHEN r > st.n - st.k THEN cents ELSE 0 END)
+                AS DOUBLE) / CAST(st.t AS DOUBLE) AS top1_share
+    FROM rk, st GROUP BY st.n, st.t, st.k
+    """,
+)
+def user_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration / inequality audit of per-user purchase value — the
+    budget-mixing diagnostic (is the corpus one whale or a long tail?):
+    exact Gini coefficient, Shannon entropy, Herfindahl index, and the
+    top-1%-of-users value share, in ONE pass over ranked user totals.
+    Gini uses the rank formulation G = 2·Σ r·x / (n·T) − (n+1)/n with
+    ranks from operators/profile.py::global_ranks — the distributed
+    sort-rank (range partition + local rank + broadcast offsets), NOT a
+    single-reducer row_number. Everything except entropy stays in exact
+    integers until one output division (Σ r·x and Σ x² are bigint sums;
+    at 100-TB cardinalities they'd move to decimal(38,0)); entropy terms
+    use the proven round-9 decimal-sum recipe. Deterministic ranks via
+    the user_id tiebreaker."""
+    from polars_numba_spark.operators.profile import global_ranks
+
+    pu = (
+        _t(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    st = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("t"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.count(F.lit(1)).cast("double") / 100.0).cast("long"),
+        ).alias("k"),
+    )
+    rk = global_ranks(pu, ["cents", "user_id"], rank_col="r")
+    p = F.col("cents").cast("double") / F.col("t").cast("double")
+    return (
+        rk.crossJoin(F.broadcast(st))
+        .agg(
+            F.any_value("n").alias("n_users"),
+            F.any_value("t").cast("long").alias("total_cents"),
+            (
+                (F.lit(2) * F.sum(F.col("r") * F.col("cents"))).cast("double")
+                / (
+                    F.any_value("n").cast("double")
+                    * F.any_value("t").cast("double")
+                )
+                - (F.any_value("n") + 1).cast("double")
+                / F.any_value("n").cast("double")
+            ).alias("gini"),
+            F.sum(
+                F.round(-p * F.log(p), 9).cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("entropy"),
+            (
+                F.sum(F.col("cents") * F.col("cents")).cast("double")
+                / (
+                    F.any_value("t").cast("double")
+                    * F.any_value("t").cast("double")
+                )
+            ).alias("hhi"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("r") > F.col("n") - F.col("k"), F.col("cents")
+                    ).otherwise(F.lit(0).cast("long"))
+                ).cast("double")
+                / F.any_value("t").cast("double")
+            ).alias("top1_share"),
+        )
+    )
+
+
+@register(
+    "events_daily_acf",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_part('epoch', date_trunc('day', ts)) // 86400
+                    AS BIGINT) AS day_idx,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, SUM(x) AS total, COUNT(*) AS d
+        FROM daily GROUP BY 1
+    ), devs AS (
+        SELECT d.event_type, d.day_idx, t.d * d.x - t.total AS dev
+        FROM daily d JOIN tot t USING (event_type)
+    ), den AS (
+        SELECT event_type, SUM(dev * dev) AS den FROM devs GROUP BY 1
+    ), num AS (
+        SELECT a.event_type, k.lag,
+               SUM(a.dev * b.dev) AS num, COUNT(*) AS n_pairs
+        FROM devs a
+        CROSS JOIN (SELECT UNNEST(range(1, 8)) AS lag) k
+        JOIN devs b ON b.event_type = a.event_type
+                   AND b.day_idx = a.day_idx + k.lag
+        GROUP BY 1, 2
+    )
+    SELECT n.event_type, CAST(n.lag AS INTEGER) AS lag, n.n_pairs,
+           CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) AS acf
+    FROM num n JOIN den d USING (event_type)
+    """,
+)
+def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the per-type daily event series at
+    lags 1-7 — the seasonality probe next to the burst and CUSUM
+    monitors (a weekly cycle shows as a lag-7 peak). Same exact-rational
+    trick as CUSUM: deviations are held day-count-scaled (dev = d·x −
+    total, integer), so the n²-scaled numerator and denominator share
+    the factor and Σ dev_t·dev_{t+k} / Σ dev² is ONE double division of
+    exact integer sums — no mean subtraction in floating point, ever.
+    The lag join is an equi-join on (type, day+k) against a broadcast
+    7-row lag table; days missing from the series simply contribute no
+    pair (documented — the series is day-indexed, not gap-filled).
+    Keyspace |types|·|days| keeps every aggregate map-side combinable."""
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(
+                F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400
+            ).alias("day_idx"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("x").alias("total"), F.count(F.lit(1)).alias("d")
+    )
+    devs = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day_idx",
+        (F.col("d") * F.col("x") - F.col("total")).alias("dev"),
+    )
+    den = devs.groupBy("event_type").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("den")
+    )
+    a = devs.select(
+        "event_type", F.col("day_idx").alias("day_a"), F.col("dev").alias("dev_a")
+    ).crossJoin(F.broadcast(lags))
+    b = devs.select(
+        "event_type", F.col("day_idx").alias("day_b"), F.col("dev").alias("dev_b")
+    )
+    num = (
+        a.withColumn("day_b", F.col("day_a") + F.col("lag"))
+        .join(b, ["event_type", "day_b"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.sum(F.col("dev_a") * F.col("dev_b")).alias("num"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    return num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias("acf"),
     )

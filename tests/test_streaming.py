@@ -645,3 +645,50 @@ def test_streaming_hll_batch_split_invariant(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS hll_stream")
     assert got == expected
+
+
+def test_streaming_cms_batch_split_invariant(spark, tmp_path):
+    """CMS counters add (the count-min merge), so a forced 3-batch
+    complete-mode run must land on the EXACT counter table cms_build
+    produces over the union of the files — every (j, bucket, cnt) row
+    equal, not just the probed estimates."""
+    from polars_numba_spark.operators.sketch import cms_build, cms_coords
+
+    src = tmp_path / "cms_src"
+    batch = load_table(spark, "events", SF).select("user_id")
+    for i in range(3):
+        batch.where(F.pmod(F.col("user_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    expected = sorted(
+        tuple(r)
+        for r in cms_build(
+            spark.read.parquet(str(src)), "user_id", depth=4, width=256
+        ).collect()
+    )
+
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    agg = (
+        cms_coords(stream, "user_id", depth=4, width=256)
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert query.awaitTermination(120), "stream did not finish in time"
+        got = sorted(
+            tuple(r) for r in spark.table("cms_stream").collect()
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cms_stream")
+    assert got == expected
