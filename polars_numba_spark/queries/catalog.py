@@ -138,6 +138,9 @@ _DRIVER_PRIORITY: list[str] = [
     "user_value_concentration",         # r8-new: Gini/entropy/HHI, dist. ranks
     "events_daily_acf",                 # r8-new: exact-integer autocorrelation
     "streaming_user_cms",               # r8-new: CMS counters as stream state
+    "customer_graph_triangles",         # r8-new: degree-ordered triangle count
+    "orders_dq_expectations",           # r8-new: expectation-suite DQ audit
+    "user_value_holt",                  # r8-new: coupled-recurrence Holt scan
     # --- sentinels (ADVICE r7 #5): the remaining 36 slots re-check one
     # previously-green query per long-gated core family, so a regression in
     # folds/scans, TPC-H shapes, flagship dedup, embeddings, text pipeline,
@@ -172,7 +175,11 @@ _DRIVER_PRIORITY: list[str] = [
     # (q3_shipping_priority rotates out — the multi-join TPC-H family
     # keeps q2 + q7 in-window and the full 22-query suite in the local
     # gate; q3 holds r1+r6 driver greens)
-    "q1_pricing_summary",
+    # (q1_pricing_summary rotates out for the session-3 swaps — r1+r6
+    # driver greens; with q2/q7 also out this round the TPC-H family holds
+    # NO in-window rep, a deliberate trade: all 22 shapes stay oracled +
+    # local-gated with r6/r7 driver greens, and the slots go to queries
+    # that have never seen the driver at all (the r7-verdict priority))
     # (q6_revenue_forecast rotates out for the streaming_user_ewma swap —
     # the pushdown family is pinned by plan tests and q1 stays in-window)
     # (q2_min_cost_supplier rotates out for the session-3 swaps — it
@@ -223,7 +230,9 @@ _DRIVER_PRIORITY: list[str] = [
     # test_plans.py, and the dedup family keeps SIX in-window reps:
     # both keep-lists, dedup_clusters, curated_corpus_neardup,
     # dedup_minhash_recall, streaming_neardup_keeplist)
-    "doc_duplicated_spans",
+    # (doc_duplicated_spans rotates out for the session-3 swaps — r6+r7
+    # driver greens; ExactSubstr stays local-gated with its skew-router
+    # unit tests, and the spans machinery is unchanged since r5)
     # embeddings / semantic dedup (embedding_near_dup_pairs rotated out for
     # the late-r8 swaps: the banded-cosine family stays evidenced by
     # semantic_dedup_pairs/keeplist + the embedding_topk_lsh must-in;
@@ -233,7 +242,10 @@ _DRIVER_PRIORITY: list[str] = [
     # (semantic_dedup_pairs rotates out — semantic_dedup_keeplist, the
     # production pair-free face of the same cluster-bounded machinery,
     # stays in-window)
-    "semantic_dedup_keeplist",
+    # (semantic_dedup_keeplist rotates out for the session-3 swaps — r7
+    # driver green; the k-means-cell machinery stays in-window via the
+    # kmeans_assignments must-in, the keep-list contract via both
+    # minhash/simhash keep-list must-ins)
     # text pipeline
     # (doc_unigram_logprob rotates out — the LM-scoring family keeps
     # doc_bigram_logprob, its interpolated superset, in-window)
@@ -1209,6 +1221,85 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=["ts", "event_id"],
         result_name="ewma",
     ).select("event_id", "user_id", "ewma")
+
+
+# Holt's linear-trend smoothing constants, single-sourced like EWMA_ALPHA.
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+
+
+HOLT_ORACLE = f"""
+    WITH RECURSIVE ordered AS (
+        SELECT event_id, user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   AS rn
+        FROM events
+    ), rec AS (
+        SELECT event_id, user_id, rn,
+               {HOLT_ALPHA!r} * value
+                   + (1.0 - {HOLT_ALPHA!r}) * (0.0 + 0.0) AS level,
+               {HOLT_BETA!r} * (({HOLT_ALPHA!r} * value
+                   + (1.0 - {HOLT_ALPHA!r}) * (0.0 + 0.0)) - 0.0)
+                   + (1.0 - {HOLT_BETA!r}) * 0.0 AS trend
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.event_id, o.user_id, o.rn,
+               {HOLT_ALPHA!r} * o.value
+                   + (1.0 - {HOLT_ALPHA!r}) * (r.level + r.trend),
+               {HOLT_BETA!r} * (({HOLT_ALPHA!r} * o.value
+                   + (1.0 - {HOLT_ALPHA!r}) * (r.level + r.trend)) - r.level)
+                   + (1.0 - {HOLT_BETA!r}) * r.trend
+        FROM ordered o JOIN rec r
+          ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, level, trend, level + trend AS forecast_next
+    FROM rec
+    """
+
+
+@register("user_value_holt", oracle=HOLT_ORACLE)
+def user_value_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double-exponential smoothing per user — the
+    COUPLED two-accumulator recurrence (level and trend update in terms
+    of each other), proof the recursive-oracle pattern user_value_ewma
+    established generalizes past single-state scans: the kernel carries
+    the (level, trend) pair as a tuple accumulator (the SizedArray
+    multi-output path, A10), and DuckDB replays the identical coupled
+    recurrence in one recursive CTE — every intermediate level, trend,
+    and one-step forecast bit-exact. The SQL mirrors the step's exact
+    expression TREE (not an algebraic simplification): both engines must
+    fold the same IEEE operations in the same association, including the
+    first row's (0,0) seed arithmetic."""
+    from pyspark.sql import types as T
+
+    from polars_numba_spark.dtypes import SizedArray
+
+    e = _t(spark, sf_dir, "events")
+
+    def holt_step(acc, value):
+        new_level = HOLT_ALPHA * value + (1.0 - HOLT_ALPHA) * (acc[0] + acc[1])
+        new_trend = (
+            HOLT_BETA * (new_level - acc[0]) + (1.0 - HOLT_BETA) * acc[1]
+        )
+        return (new_level, new_trend)
+
+    return grouped_scan(
+        e.select("event_id", "user_id", "ts", "value"),
+        "user_id",
+        holt_step,
+        (0.0, 0.0),
+        SizedArray(T.DoubleType(), 2),
+        columns=["value"],
+        order_by=["ts", "event_id"],
+        result_name="lt",
+    ).select(
+        "event_id",
+        "user_id",
+        F.element_at("lt", 1).alias("level"),
+        F.element_at("lt", 2).alias("trend"),
+        (F.element_at("lt", 1) + F.element_at("lt", 2)).alias("forecast_next"),
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2153,3 +2153,139 @@ def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         (F.col("num").cast("double") / F.col("den").cast("double")).alias("acf"),
     )
+
+
+@register(
+    "orders_dq_expectations",
+    oracle="""
+    WITH o AS (SELECT * FROM orders), checks AS (
+        SELECT
+            COUNT(*) AS n_rows,
+            COUNT(*) - COUNT(o_orderkey) AS v_key_null,
+            COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v_key_dup,
+            SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                     THEN 1 ELSE 0 END) AS v_price_range,
+            SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                      OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS v_status,
+            SUM(CASE WHEN o_orderdate IS NULL
+                      OR o_orderdate <  TIMESTAMP '1992-01-01 00:00:00'
+                      OR o_orderdate >= TIMESTAMP '2002-01-01 00:00:00'
+                     THEN 1 ELSE 0 END) AS v_date_range,
+            SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                     THEN 0 ELSE 1 END) AS v_priority_fmt
+        FROM o
+    ), ri AS (
+        SELECT COUNT(*) AS n_rows, COUNT(*) FILTER (
+            WHERE o_orderkey IS NULL
+        ) AS v FROM (
+            SELECT l.l_orderkey, o.o_orderkey
+            FROM lineitem l LEFT JOIN o ON o.o_orderkey = l.l_orderkey
+        )
+    )
+    SELECT rule, n_checked, n_violations,
+           n_violations = 0 AS pass
+    FROM (
+        SELECT 'orderkey_not_null' AS rule, n_rows AS n_checked,
+               CAST(v_key_null AS BIGINT) AS n_violations FROM checks
+        UNION ALL
+        SELECT 'orderkey_unique', n_rows, CAST(v_key_dup AS BIGINT) FROM checks
+        UNION ALL
+        SELECT 'totalprice_positive', n_rows, CAST(v_price_range AS BIGINT)
+        FROM checks
+        UNION ALL
+        SELECT 'status_in_domain', n_rows, CAST(v_status AS BIGINT) FROM checks
+        UNION ALL
+        SELECT 'orderdate_in_range', n_rows, CAST(v_date_range AS BIGINT)
+        FROM checks
+        UNION ALL
+        SELECT 'priority_format', n_rows, CAST(v_priority_fmt AS BIGINT)
+        FROM checks
+        UNION ALL
+        SELECT 'lineitem_fk_orders', n_rows, CAST(v AS BIGINT) FROM ri
+    )
+    """,
+)
+def orders_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality EXPECTATIONS report (the Great-Expectations-style
+    validation suite a 100-TB ingest runs before publishing a
+    partition): null / uniqueness / range / domain / format rules over
+    orders computed in ONE conditional-aggregate scan (seven rules, one
+    pass — not seven scans), plus the referential-integrity rule
+    (lineitem→orders FK) as a left-join null count. One row per rule
+    with checked/violation counts and the pass verdict, so the report is
+    itself queryable (alert on `NOT pass`). All counts exact integers."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    checks = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("v_key_null"),
+        (F.count("o_orderkey") - F.countDistinct("o_orderkey")).alias(
+            "v_key_dup"
+        ),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+                1,
+            ).otherwise(0)
+        ).alias("v_price_range"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P")
+                | F.col("o_orderstatus").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("v_status"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate").isNull()
+                | (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2002-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("v_date_range"),
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$"), 0
+            ).otherwise(1)
+        ).alias("v_priority_fmt"),
+    )
+    ri = (
+        l.select("l_orderkey")
+        .join(
+            o.select(F.col("o_orderkey")),
+            l.l_orderkey == o.o_orderkey,
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+            ).alias("v"),
+        )
+    )
+    rules = [
+        ("orderkey_not_null", "v_key_null"),
+        ("orderkey_unique", "v_key_dup"),
+        ("totalprice_positive", "v_price_range"),
+        ("status_in_domain", "v_status"),
+        ("orderdate_in_range", "v_date_range"),
+        ("priority_format", "v_priority_fmt"),
+    ]
+    parts = [
+        checks.select(
+            F.lit(rule).alias("rule"),
+            F.col("n_rows").alias("n_checked"),
+            F.col(col).cast("long").alias("n_violations"),
+        )
+        for rule, col in rules
+    ] + [
+        ri.select(
+            F.lit("lineitem_fk_orders").alias("rule"),
+            F.col("n_rows").alias("n_checked"),
+            F.col("v").cast("long").alias("n_violations"),
+        )
+    ]
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out.withColumn("pass", F.col("n_violations") == 0)

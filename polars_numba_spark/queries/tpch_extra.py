@@ -1000,3 +1000,124 @@ def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_acctbal",
         "total_acctbal",
     )
+
+
+@register(
+    "customer_graph_triangles",
+    oracle="""
+    WITH cust AS (
+        SELECT * FROM customer WHERE c_custkey < 1500
+    ), segs AS (
+        SELECT c_custkey, c_nationkey, c_name, s.i AS seg_i,
+               substr(c_name, 10 + s.i, 1) || substr(c_name, 13 + s.i, 1)
+                 || substr(c_name, 16 + s.i, 1) AS seg
+        FROM cust, (SELECT UNNEST([0, 1, 2]) AS i) s
+    ), dels AS (
+        SELECT c_custkey, c_nationkey, c_name,
+               substr(c_name, 10, d.i - 1) || substr(c_name, 10 + d.i, 9) AS delstr
+        FROM cust, (SELECT UNNEST(range(1, 10)) AS i) d
+    ), cand AS (
+        SELECT DISTINCT a.c_custkey AS a_key, b.c_custkey AS b_key,
+               a.c_name AS an, b.c_name AS bn
+        FROM segs a JOIN segs b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.seg_i = b.seg_i AND a.seg = b.seg
+         AND a.c_custkey < b.c_custkey
+        UNION
+        SELECT DISTINCT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+        FROM dels a JOIN dels b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.delstr = b.delstr
+         AND a.c_custkey < b.c_custkey
+    ), e AS (
+        SELECT a_key AS a, b_key AS b FROM cand WHERE levenshtein(an, bn) <= 2
+    ), deg AS (
+        SELECT id, COUNT(*) AS d
+        FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+        GROUP BY id
+    ), keyed AS (
+        SELECT e.a, e.b,
+               da.d * 1000000 + e.a AS ka,
+               db.d * 1000000 + e.b AS kb
+        FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b
+    ), oe AS (
+        SELECT LEAST(ka, kb) AS ku, GREATEST(ka, kb) AS kv FROM keyed
+    ), tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM oe w1
+        JOIN oe w2 ON w2.ku = w1.ku AND w1.kv < w2.kv
+        JOIN oe e3 ON e3.ku = w1.kv AND e3.kv = w2.kv
+    ), stats AS (
+        SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+               (SELECT COUNT(*) FROM e) AS n_edges,
+               (SELECT CAST(SUM(d * (d - 1)) // 2 AS BIGINT) FROM deg)
+                   AS n_wedges
+    )
+    SELECT s.n_nodes, s.n_edges, t.n_triangles, s.n_wedges,
+           3.0 * CAST(t.n_triangles AS DOUBLE) / CAST(s.n_wedges AS DOUBLE)
+               AS clustering
+    FROM stats s, tri t
+    """,
+)
+def customer_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING with degree-ordered orientation — the scalable
+    graph-analytics primitive (global clustering coefficient = 3·T /
+    wedges) over the fuzzy-match graph: every undirected edge is
+    oriented toward the higher (degree, id) endpoint, so each node's
+    out-degree is O(√m) whatever the degree skew, and each triangle is
+    counted exactly once by the wedge-close join (the standard
+    MapReduce/GraphX spelling — a naive 3-way self-join on undirected
+    edges counts every triangle 6 times through hub nodes and dies on
+    skew). The (degree, id) orientation key is packed into one bigint
+    (d·10⁶ + id) so both engines compare identical scalars. Same fixed
+    c_custkey slice as the golden-record face; all counts exact
+    integers, one double division for the coefficient."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 1500)
+    e = (
+        customer_name_fuzzy_pairs(spark, sf_dir)
+        .where((F.col("a_key") < 1500) & (F.col("b_key") < 1500))
+        .select(F.col("a_key").alias("a"), F.col("b_key").alias("b"))
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = (
+        e.join(deg.select(F.col("id").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            (F.col("da") * 1000000 + F.col("a")).alias("ka"),
+            (F.col("db") * 1000000 + F.col("b")).alias("kb"),
+        )
+    )
+    oe = keyed.select(
+        F.least("ka", "kb").alias("ku"), F.greatest("ka", "kb").alias("kv")
+    )
+    w1 = oe.select(F.col("ku"), F.col("kv").alias("kv1"))
+    w2 = oe.select(F.col("ku"), F.col("kv").alias("kv2"))
+    wedges = w1.join(w2, "ku").where(F.col("kv1") < F.col("kv2"))
+    tri = wedges.join(
+        oe.select(F.col("ku").alias("kv1"), F.col("kv").alias("kv2")),
+        ["kv1", "kv2"],
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum(F.col("d") * (F.col("d") - 1)).cast("long") / 2)
+            .cast("long")
+            .alias("n_wedges"),
+        )
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        (
+            F.lit(3.0) * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double")
+        ).alias("clustering"),
+    )
