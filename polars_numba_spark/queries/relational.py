@@ -2289,3 +2289,93 @@ def orders_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pdf in parts[1:]:
         out = out.unionByName(pdf)
     return out.withColumn("pass", F.col("n_violations") == 0)
+
+
+@register(
+    "event_type_correlations",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_part('epoch', date_trunc('day', ts)) // 86400
+                    AS BIGINT) AS day_idx,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ), paired AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.x AS xa, b.x AS xb
+        FROM daily a JOIN daily b
+          ON a.day_idx = b.day_idx AND a.event_type < b.event_type
+    ), sums AS (
+        SELECT type_a, type_b, COUNT(*) AS n,
+               SUM(xa) AS sx, SUM(xb) AS sy,
+               SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy,
+               SUM(xa * xb) AS sxy
+        FROM paired GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) AS pearson
+    FROM sums
+    """,
+)
+def event_type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between the DAILY COUNT SERIES of
+    every event-type pair — the cross-series complement to the per-type
+    ACF face (does a purchase spike co-move with views?). The classic
+    one-pass sufficient-statistics spelling: align the two series on
+    day_idx (an equi-join on the |types|·|days| aggregate, never on raw
+    events), accumulate n, Σx, Σy, Σx², Σy², Σxy as EXACT integers, and
+    form r = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²)) with doubles
+    only in the final expression — IEEE multiply/divide/sqrt of identical
+    integers is deterministic in both engines, so the coefficient is
+    hash-exact with no decimal machinery. Days where either series is
+    missing contribute no pair (inner join — documented)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(
+                F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400
+            ).alias("day_idx"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "day_idx", F.col("x").alias("xa")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "day_idx", F.col("x").alias("xb")
+    )
+    sums = (
+        a.join(b, "day_idx")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xa").alias("sx"),
+            F.sum("xb").alias("sy"),
+            F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+        )
+    )
+    return sums.select(
+        "type_a",
+        "type_b",
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double")
+                * (
+                    F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+                ).cast("double")
+            )
+        ).alias("pearson"),
+    )

@@ -1121,3 +1121,96 @@ def customer_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_wedges").cast("double")
         ).alias("clustering"),
     )
+
+
+@register(
+    "session_top_paths",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    ), marked AS (
+        SELECT user_id, event_id, event_type, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+        SELECT user_id, event_id, event_type, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    ), steps AS (
+        SELECT user_id, session_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, session_id ORDER BY ts, event_id
+               ) AS rn
+        FROM islands
+    ), paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM steps WHERE rn <= 3
+        GROUP BY user_id, session_id
+    ), counted AS (
+        SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions FROM counted
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-JOURNEY mining: the top-20 session-opening paths (first three
+    event types per 30-minute session, joined '>'), counted across all
+    sessions — the sequence-pattern face next to the Markov transition
+    matrix (which sees only single steps) and the ordered funnel (which
+    checks one fixed path). Sessionization is the same gaps-and-islands
+    two-window spelling as user_sessions, with (ts, event_id) ordering so
+    simultaneous events cannot permute a path; the path string is built
+    from a SORTED struct collect (rank, type) — deterministic, never
+    collect_list order-luck. Shuffles key on user then (user, session)
+    then path; top-20 ships per-partition heads (TakeOrderedAndProject)."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    ws = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    steps = islands.withColumn("rn", F.row_number().over(ws)).where(
+        F.col("rn") <= 3
+    )
+    paths = steps.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
