@@ -141,6 +141,8 @@ _DRIVER_PRIORITY: list[str] = [
     "customer_graph_triangles",         # r8-new: degree-ordered triangle count
     "orders_dq_expectations",           # r8-new: expectation-suite DQ audit
     "user_value_holt",                  # r8-new: coupled-recurrence Holt scan
+    "event_type_correlations",          # r8-new: exact-integer Pearson pairs
+    "session_top_paths",                # r8-new: session journey mining
     # --- sentinels (ADVICE r7 #5): the remaining 36 slots re-check one
     # previously-green query per long-gated core family, so a regression in
     # folds/scans, TPC-H shapes, flagship dedup, embeddings, text pipeline,
@@ -165,7 +167,10 @@ _DRIVER_PRIORITY: list[str] = [
     # store, sql_surface_running_balance is its UDTF spelling, and
     # user_value_ewma runs the non-associative float recurrence; it holds
     # r5-r7 driver greens)
-    "parallel_fold_total_cents",        # r7 mover (2.13x, no code change)
+    # (parallel_fold_total_cents rotates out for the session-3 swaps —
+    # r6+r7 driver greens, its r7-mover watch closed at the r8 remeasure;
+    # the A1 collect_fold+combine path keeps its unit/property suite and
+    # capped_balance_per_user holds the grouped-fold kernel slot)
     "capped_balance_per_user",
     "sql_surface_running_balance",
     # TPC-H / relational shapes (q18_large_volume_orders rotated out for the
@@ -254,7 +259,9 @@ _DRIVER_PRIORITY: list[str] = [
     # the r8 remeasure floor, and the LM-scoring family stays evidenced
     # in-window by doc_quality_calibrated + bpe_merge_candidates +
     # doc_char_entropy)
-    "training_data_pipeline",
+    # (training_data_pipeline rotates out for the session-3 swaps — r6
+    # driver green; every stage it composes is individually gated, and its
+    # modern keep-list twin curated_corpus_neardup stays a must-in)
     "doc_winnowing_fingerprints",       # r8-new: rolling-hash winnowing
     "doc_bm25_search",                  # r8-new: BM25 inverted-index top-k
     "doc_pagerank_centrality",          # r8-new: fully-oracled PageRank
