@@ -2379,3 +2379,158 @@ def event_type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pearson"),
     )
+
+
+@register(
+    "views_point_in_time_state",
+    oracle="""
+    WITH versions AS (
+        SELECT user_id, event_type AS state_type,
+               CAST(ts AS TIMESTAMP) AS valid_from,
+               LEAD(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to
+        FROM events WHERE event_type IN ('signup', 'purchase')
+    ), live AS (
+        SELECT * FROM versions
+        WHERE valid_to IS NULL OR valid_from < valid_to
+    ), v AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT v.event_id, v.user_id, l.state_type,
+           CAST(floor(epoch(v.ts)) AS BIGINT)
+               - CAST(floor(epoch(l.valid_from)) AS BIGINT) AS state_age_s
+    FROM v LEFT JOIN live l
+      ON l.user_id = v.user_id AND l.valid_from <= v.ts
+     AND (l.valid_to IS NULL OR v.ts < l.valid_to)
+    """,
+)
+def views_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME-correct enrichment off the SCD2 history — the
+    feature-store join that forbids leakage from the future: every view
+    event picks the user-state version (last signup/purchase) whose
+    validity interval contains the view timestamp. The Spark side runs
+    the as-of join (union + one window — one shuffle, no interval
+    explosion, operators/asof.py); the ORACLE deliberately uses the
+    other spelling — LEFT JOIN on interval containment over the SCD2
+    intervals — so the hash match proves the two formulations agree row
+    for row, nulls included (views before any version). Zero-length
+    intervals (two versions at one timestamp) are closed out before the
+    join in BOTH spellings, which also keeps version timestamps unique
+    per user — the condition that makes as-of and containment
+    equivalent."""
+    from polars_numba_spark.operators.asof import asof_join
+    from polars_numba_spark.operators.cdc import scd2_history
+
+    e = _t(spark, sf_dir, "events")
+    hist = scd2_history(
+        e.where(F.col("event_type").isin("signup", "purchase")),
+        keys="user_id",
+        seq_col="ts",
+        tiebreak="event_id",
+    )
+    versions = hist.where(
+        F.col("valid_to").isNull() | (F.col("valid_from") < F.col("valid_to"))
+    ).select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.col("event_type").alias("state_type"),
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        views, versions, on="ts", by="user_id", value_cols=["state_type", "ts"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("state_type_asof").alias("state_type"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("ts_asof")
+        ).alias("state_age_s"),
+    )
+
+
+@register(
+    "events_kanonymity_audit",
+    oracle="""
+    WITH qi AS (
+        SELECT event_type,
+               CAST(date_part('epoch', date_trunc('day', ts)) // 86400
+                    AS BIGINT) AS day_idx,
+               CAST(ROUND(value * 100) AS BIGINT) // 1000 AS value_bucket
+        FROM events WHERE user_id IS NOT NULL
+    ), grp AS (
+        SELECT event_type, day_idx, value_bucket, COUNT(*) AS gsize
+        FROM qi GROUP BY 1, 2, 3
+    ), tot AS (
+        SELECT SUM(gsize) AS n_rows, COUNT(*) AS n_groups FROM grp
+    )
+    SELECT k.k, t.n_groups,
+           COUNT(CASE WHEN g.gsize < k.k THEN 1 END) AS n_groups_at_risk,
+           CAST(COALESCE(SUM(CASE WHEN g.gsize < k.k THEN g.gsize END), 0)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(COALESCE(SUM(CASE WHEN g.gsize < k.k THEN g.gsize END), 0)
+                AS DOUBLE) / CAST(t.n_rows AS DOUBLE) AS risk_share
+    FROM grp g
+    CROSS JOIN (SELECT UNNEST([2, 5, 10, 20]) AS k) k
+    CROSS JOIN tot t
+    GROUP BY k.k, t.n_groups, t.n_rows
+    """,
+)
+def events_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ANONYMITY privacy audit — the re-identification risk report a
+    training-data pipeline runs before releasing event-derived data:
+    rows whose quasi-identifier combination (event type, day, coarse
+    value bucket) is shared by fewer than k rows are linkage-attack
+    candidates. One scan builds the QI group sizes (map-side
+    combinable); the per-k rollup then runs over the GROUP table crossed
+    with a broadcast 4-row k ladder, so the audit costs one data-sized
+    aggregate however many thresholds are checked. Reports group and row
+    counts at risk plus the row share, exact integers and one double
+    division."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    qi = e.select(
+        "event_type",
+        F.floor(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400
+        ).alias("day_idx"),
+        F.floor(F.round(F.col("value") * 100).cast("long") / 1000)
+        .cast("long")
+        .alias("value_bucket"),
+    )
+    grp = qi.groupBy("event_type", "day_idx", "value_bucket").agg(
+        F.count(F.lit(1)).alias("gsize")
+    )
+    tot = grp.agg(
+        F.sum("gsize").alias("n_rows"), F.count(F.lit(1)).alias("n_groups")
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(2,), (5,), (10,), (20,)], "k bigint"
+    )
+    return (
+        grp.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_groups", "n_rows")
+        .agg(
+            F.count(F.when(F.col("gsize") < F.col("k"), 1)).alias(
+                "n_groups_at_risk"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("gsize") < F.col("k"), F.col("gsize"))),
+                F.lit(0).cast("long"),
+            ).alias("n_rows_at_risk"),
+        )
+        .select(
+            "k",
+            "n_groups",
+            "n_groups_at_risk",
+            "n_rows_at_risk",
+            (
+                F.col("n_rows_at_risk").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("risk_share"),
+        )
+    )
