@@ -2263,31 +2263,29 @@ def orders_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v"),
         )
     )
-    rules = [
-        ("orderkey_not_null", "v_key_null"),
-        ("orderkey_unique", "v_key_dup"),
-        ("totalprice_positive", "v_price_range"),
-        ("status_in_domain", "v_status"),
-        ("orderdate_in_range", "v_date_range"),
-        ("priority_format", "v_priority_fmt"),
-    ]
-    parts = [
-        checks.select(
-            F.lit(rule).alias("rule"),
-            F.col("n_rows").alias("n_checked"),
-            F.col(col).cast("long").alias("n_violations"),
-        )
-        for rule, col in rules
-    ] + [
+    # unpivot the ONE aggregate row with stack() — a union of per-rule
+    # selects would re-execute the orders aggregate once per rule (the
+    # plan showed 6 scans, zero ReusedExchange)
+    unpivoted = checks.select(
+        F.col("n_rows").alias("n_checked"),
+        F.expr(
+            "stack(6, "
+            "'orderkey_not_null', CAST(v_key_null AS BIGINT), "
+            "'orderkey_unique', CAST(v_key_dup AS BIGINT), "
+            "'totalprice_positive', CAST(v_price_range AS BIGINT), "
+            "'status_in_domain', CAST(v_status AS BIGINT), "
+            "'orderdate_in_range', CAST(v_date_range AS BIGINT), "
+            "'priority_format', CAST(v_priority_fmt AS BIGINT)"
+            ") AS (rule, n_violations)"
+        ),
+    ).select("rule", "n_checked", "n_violations")
+    out = unpivoted.unionByName(
         ri.select(
             F.lit("lineitem_fk_orders").alias("rule"),
             F.col("n_rows").alias("n_checked"),
             F.col("v").cast("long").alias("n_violations"),
         )
-    ]
-    out = parts[0]
-    for pdf in parts[1:]:
-        out = out.unionByName(pdf)
+    )
     return out.withColumn("pass", F.col("n_violations") == 0)
 
 

@@ -566,3 +566,59 @@ def test_phrase_search_is_one_join_not_l_way(spark):
     assert s.count("- Generate") == 1  # one posexplode in the whole tree
     assert "BroadcastExchange" in s
     assert "CartesianProduct" not in s
+
+
+def test_concentration_has_no_single_reducer_sort(spark):
+    """user_value_concentration: ranks must come from the distributed
+    sort-rank (RangePartitioning + per-partition windows) — no
+    empty-partition-spec Window (the single-reducer global sort trap)."""
+    df = q(spark, "user_value_concentration")
+    s = plans.explain_string(df)
+    assert "rangepartitioning" in s.lower()
+    # every Window partitions by something (the synthetic __pid); a global
+    # row_number would show 'Window [...], []' with an empty partition spec
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[\]", s):
+        raise AssertionError(f"global (unpartitioned) window: {m.group(0)}")
+
+
+def test_point_in_time_is_one_union_window_no_interval_join(spark):
+    """views_point_in_time_state: the as-of spelling — union + window,
+    never a row-multiplying interval join (no range/theta join, no
+    cartesian)."""
+    df = q(spark, "views_point_in_time_state")
+    s = plans.explain_string(df)
+    assert "Union" in s and "Window" in s
+    assert "CartesianProduct" not in s
+    assert "SortMergeJoin" not in s or "Inner" not in s.split("SortMergeJoin")[1][:30]
+
+
+def test_session_paths_no_cartesian_single_generate_free(spark):
+    """session_top_paths: two stacked windows + aggregates; top-20 ships
+    per-partition heads (TakeOrderedAndProject), no cartesian."""
+    df = q(spark, "session_top_paths")
+    s = plans.explain_string(df)
+    assert "TakeOrderedAndProject" in s
+    assert "CartesianProduct" not in s
+
+
+def test_triangles_joins_are_oriented_equi_joins(spark):
+    """customer_graph_triangles: the wedge-close stage must be hash
+    equi-joins on the packed orientation keys — no cartesian anywhere in
+    the tree."""
+    df = q(spark, "customer_graph_triangles")
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+
+
+def test_dq_expectations_is_one_scan_plus_fk_join(spark):
+    """orders_dq_expectations: the six column rules share ONE orders
+    aggregate, unpivoted with stack() — a per-rule union would re-execute
+    the aggregate six times (the first spelling did: 18 exchanges, zero
+    reuse). One Generate (the stack), one FK join, no cartesian."""
+    df = q(spark, "orders_dq_expectations")
+    s = plans.explain_string(df)
+    assert s.count("- Generate") == 1  # the stack unpivot
+    assert "CartesianProduct" not in s
+    assert s.count("Exchange") <= 10  # vs 18 in the union spelling
