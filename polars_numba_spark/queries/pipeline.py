@@ -3164,3 +3164,90 @@ def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.phrase_search(
         _t(spark, sf_dir, "documents"), _PHRASES, "text", "doc_id", k=10
     )
+
+
+@register(
+    "corpus_zipf_fit",
+    oracle=r"""
+    WITH tok AS (
+        SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ), freq AS (
+        SELECT term, COUNT(*) AS f FROM tok GROUP BY term
+    ), ranked AS (
+        SELECT term, f,
+               ROW_NUMBER() OVER (ORDER BY f DESC, term) AS r
+        FROM freq ORDER BY f DESC, term LIMIT 1000
+    ), pts AS (
+        SELECT r, f,
+               ROUND(LN(CAST(r AS DOUBLE)), 9) AS x,
+               ROUND(LN(CAST(f AS DOUBLE)), 9) AS y
+        FROM ranked
+    ), sums AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,12))) AS DOUBLE)
+                   AS sxx,
+               CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(28,12))) AS DOUBLE)
+                   AS syy,
+               CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,12))) AS DOUBLE)
+                   AS sxy,
+               MAX(CASE WHEN r = 1 THEN f END) AS top_freq
+        FROM pts
+    )
+    SELECT n AS n_tokens, top_freq,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM sums
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary — the
+    log-log-slope companion to the Heaps vocabulary-growth face (a
+    healthy natural-language corpus fits slope ≈ −1; a templated or
+    synthetic corpus shows up immediately in slope and R²). Least
+    squares on (ln rank, ln freq) of the top-1000 tokens: the frequency
+    aggregate is corpus-sized and map-side combinable, the top-1000 cut
+    is vocab-bounded (TakeOrdered, per-partition heads), and the tiny
+    ranked set is a deliberate single-partition window — 1000 rows, not
+    a data-sized sort. Cross-engine float discipline: every LN is
+    rounded to 9 decimals BEFORE products (libm last-bit differences
+    die there), products rounded again, accumulated as DECIMAL(28,12) —
+    slope and R² come out hash-exact."""
+    from pyspark.sql import Window as W
+
+    tok = _t(spark, sf_dir, "documents").select(
+        F.explode(X.tokens("text")).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    top = freq.orderBy(F.col("f").desc(), "term").limit(1000)
+    ranked = top.withColumn(
+        "r", F.row_number().over(W.orderBy(F.col("f").desc(), "term"))
+    )
+    pts = ranked.select(
+        "r",
+        "f",
+        F.round(F.log(F.col("r").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("f").cast("double")), 9).alias("y"),
+    )
+    dsum = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.round(F.col("x") * F.col("x"), 9)).alias("sxx"),
+        dsum(F.round(F.col("y") * F.col("y"), 9)).alias("syy"),
+        dsum(F.round(F.col("x") * F.col("y"), 9)).alias("sxy"),
+        F.max(F.when(F.col("r") == 1, F.col("f"))).alias("top_freq"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        F.col("n").alias("n_tokens"),
+        "top_freq",
+        (num / denx).alias("zipf_slope"),
+        ((num * num) / (denx * deny)).alias("r2"),
+    )
