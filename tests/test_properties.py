@@ -510,3 +510,115 @@ def test_bloom_never_false_negative_and_words_fit(spark, keys, probes):
     out = {r["k"]: r["passes_bloom"] for r in bloom_probe(probe, "k", bloom).collect()}
     misses = [k for k in set(keys) if not out[k]]
     assert misses == [], f"false negatives: {misses}"
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_global_ranks_is_permutation_and_order_correct(spark, vals):
+    """global_ranks must assign exactly the ranks 1..n (a permutation —
+    offsets can neither skip nor repeat across range-partition
+    boundaries), and sorting by rank must sort by the order columns —
+    including duplicate values straddling partition boundaries."""
+    from polars_numba_spark.operators.profile import global_ranks
+
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v long, uid long")
+    got = global_ranks(df, ["v", "uid"], rank_col="r", n_partitions=4).collect()
+    n = len(vals)
+    assert sorted(r["r"] for r in got) == list(range(1, n + 1))
+    by_rank = sorted(got, key=lambda r: r["r"])
+    assert [(r["v"], r["uid"]) for r in by_rank] == sorted(
+        (r["v"], r["uid"]) for r in got
+    )
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=30),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cms_never_undercounts_and_bounds_overestimate(spark, keys):
+    """The count-min estimate must satisfy exact <= cms <= exact + (the
+    mass that can smear into a bucket) for EVERY key — the one-sided
+    error contract is the sketch's defining property. Checked against a
+    deliberately tiny width so collisions actually occur."""
+    from collections import Counter
+
+    from polars_numba_spark.operators.sketch import cms_build, cms_probe
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    width, depth = 8, 3
+    sketch = cms_build(df, "k", depth=depth, width=width)
+    probes = spark.createDataFrame(
+        [(k,) for k in sorted(set(keys))], "k long"
+    )
+    got = {
+        r["k"]: r["cms_n"]
+        for r in cms_probe(sketch, probes, "k", depth=depth, width=width).collect()
+    }
+    exact = Counter(keys)
+    total = len(keys)
+    for k, true_n in exact.items():
+        assert got[k] >= true_n, (k, got[k], true_n)
+        assert got[k] <= total, (k, got[k], total)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_phrase_search_matches_python_model(spark, texts):
+    """phrase_search occurrence counts must equal a naive Python sliding
+    window over the same tokenization — including repeated-token phrases
+    and overlapping occurrences ('a a a' contains 'a a' twice)."""
+    from polars_numba_spark.operators.text import phrase_search
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    phrases = [("p1", "a b"), ("p2", "a a"), ("p3", "b a b")]
+    got = {
+        (r["phrase_id"], r["doc_id"]): r["n_occ"]
+        for r in phrase_search(df, phrases, "text", "doc_id", k=100).collect()
+    }
+    import re
+
+    want = {}
+    for i, t in enumerate(texts):
+        # mirror F.split(trim(lower), \s+) including the empty-string token
+        toks = re.split(r"\s+", t.strip().lower()) if t.strip() else [""]
+        for pid, ptext in phrases:
+            p = ptext.split()
+            c = sum(
+                1
+                for s in range(len(toks) - len(p) + 1)
+                if toks[s : s + len(p)] == p
+            )
+            if c:
+                want[(pid, i)] = c
+    assert got == want
