@@ -2532,3 +2532,296 @@ def events_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("risk_share"),
         )
     )
+
+
+@register(
+    "signup_survival_km",
+    oracle="""
+    WITH anchor AS (
+        SELECT MAX(CAST(ts AS TIMESTAMP)) AS t_max FROM events
+    ), s AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(e.ts AS TIMESTAMP) >= s.t_signup
+        GROUP BY e.user_id
+    ), subjects AS (
+        SELECT s.user_id,
+               CASE WHEN p.user_id IS NOT NULL THEN
+                   date_diff('day', date_trunc('day', s.t_signup),
+                             date_trunc('day', p.t_purchase))
+               ELSE
+                   date_diff('day', date_trunc('day', s.t_signup),
+                             date_trunc('day', a.t_max))
+               END AS t_days,
+               (p.user_id IS NOT NULL) AS is_event
+        FROM s LEFT JOIN p ON p.user_id = s.user_id CROSS JOIN anchor a
+    ), daily AS (
+        SELECT t_days,
+               COUNT(CASE WHEN is_event THEN 1 END) AS d,
+               COUNT(CASE WHEN NOT is_event THEN 1 END) AS c
+        FROM subjects GROUP BY t_days
+    ), cum AS (
+        SELECT t_days, d, c,
+               (SELECT COUNT(*) FROM subjects)
+                   - COALESCE(SUM(d + c) OVER (
+                         ORDER BY t_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS n_at_risk
+        FROM daily
+    ), km AS (
+        SELECT t_days, n_at_risk, d, c,
+               SUM(CAST(CASE WHEN d > 0 THEN
+                   ROUND(LN(GREATEST(1.0 - CAST(d AS DOUBLE)
+                                  / CAST(n_at_risk AS DOUBLE), 1e-12)), 9)
+               ELSE 0.0 END AS DECIMAL(28,12))) OVER (
+                   ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS log_s
+        FROM cum
+    )
+    SELECT t_days AS latency_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+           CAST(log_s AS DOUBLE) AS log_survival,
+           ROUND(EXP(CAST(log_s AS DOUBLE)), 6) AS survival
+    FROM km
+    """,
+)
+def signup_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier SURVIVAL curve for signup→first-purchase with RIGHT
+    CENSORING — the estimator the conversion-latency percentiles cannot
+    replace (percentiles over converters only; KM uses never-converters
+    as censored subjects, so the curve is unbiased by them). One
+    aggregate to (day, events, censored), one cumulative window for the
+    risk set, one cumulative decimal window for Σ ln(1 − d/n). The
+    authoritative output is log_survival — an EXACT decimal sum of
+    round-9 terms, bit-stable cross-engine; the human-facing survival
+    column is ROUND(EXP(·), 6) (the same libm-absorbing recipe as the
+    LM-logprob faces). Keyspace = distinct latency days; everything
+    map-side combinable before the tiny day-indexed windows. The
+    1e-12 floor inside the log handles the curve hitting exact zero
+    (every remaining subject converts on the last day): DuckDB's LN
+    errors on 0 where Spark yields null — the floor keeps both
+    engines finite and the rounded survival at 0.0."""
+    e = _t(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("t_max"))
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    subjects = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.when(
+                F.col("t_purchase").isNotNull(),
+                F.datediff(
+                    F.date_trunc("DAY", F.col("t_purchase")),
+                    F.date_trunc("DAY", F.col("t_signup")),
+                ),
+            )
+            .otherwise(
+                F.datediff(
+                    F.date_trunc("DAY", F.col("t_max")),
+                    F.date_trunc("DAY", F.col("t_signup")),
+                )
+            )
+            .cast("long")
+            .alias("t_days"),
+            F.col("t_purchase").isNotNull().alias("is_event"),
+        )
+    )
+    daily = subjects.groupBy("t_days").agg(
+        F.count(F.when(F.col("is_event"), 1)).alias("d"),
+        F.count(F.when(~F.col("is_event"), 1)).alias("c"),
+    )
+    total = subjects.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = daily.crossJoin(F.broadcast(total)).withColumn(
+        "n_at_risk",
+        F.col("n_total")
+        - F.coalesce(
+            F.sum(F.col("d") + F.col("c")).over(w_prev),
+            F.lit(0).cast("long"),
+        ),
+    )
+    log_term = F.when(
+        F.col("d") > 0,
+        F.round(
+            F.log(
+                F.greatest(
+                    F.lit(1.0)
+                    - F.col("d").cast("double")
+                    / F.col("n_at_risk").cast("double"),
+                    F.lit(1e-12),
+                )
+            ),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    km = cum.withColumn(
+        "log_s", F.sum(log_term.cast("decimal(28,12)")).over(w_cum)
+    )
+    return km.select(
+        F.col("t_days").alias("latency_days"),
+        "n_at_risk",
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.col("log_s").cast("double").alias("log_survival"),
+        F.round(F.exp(F.col("log_s").cast("double")), 6).alias("survival"),
+    )
+
+
+@register(
+    "ab_conversion_ztest",
+    oracle="""
+    WITH u AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+    ), pc AS (
+        SELECT user_id, COUNT(*) AS n_purchases FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ), med AS (
+        SELECT quantile_cont(CAST(n_purchases AS DOUBLE), 0.5) AS m FROM pc
+    ), assigned AS (
+        SELECT u.user_id,
+               CAST(CAST(('0x' || substr(md5(CAST(u.user_id AS VARCHAR)
+                        || '#ab'), 1, 15)) AS UBIGINT) AS BIGINT) % 2
+                   AS variant,
+               COALESCE(CAST(pc.n_purchases AS DOUBLE) > med.m, FALSE)
+                   AS converted
+        FROM u LEFT JOIN pc ON pc.user_id = u.user_id CROSS JOIN med
+    ), sums AS (
+        SELECT COUNT(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+               COUNT(CASE WHEN variant = 1 THEN 1 END) AS n_b,
+               COUNT(CASE WHEN variant = 0 AND converted THEN 1 END) AS c_a,
+               COUNT(CASE WHEN variant = 1 AND converted THEN 1 END) AS c_b
+        FROM assigned
+    )
+    , terms AS (
+        SELECT n_a, n_b, c_a, c_b,
+               CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+               CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+               (CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+                   AS var_term
+        FROM sums
+    )
+    SELECT n_a, n_b, c_a, c_b, rate_a, rate_b,
+           CASE WHEN var_term > 0.0
+                THEN (rate_a - rate_b) / SQRT(var_term) END AS z_score,
+           CASE WHEN var_term > 0.0
+                THEN ABS((rate_a - rate_b) / SQRT(var_term))
+                     > 1.959963984540054 END AS significant
+    FROM terms
+    """,
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B EXPERIMENT readout: deterministic 50/50 variant assignment by
+    hashing the user id (the md5-portable recipe — the same user lands
+    in the same arm in every engine, every run: assignment IS the
+    randomization in online experimentation), per-arm conversion rates,
+    and the two-proportion pooled z-test with the 95% two-sided verdict.
+    "Converted" is self-calibrating — purchase count above the in-plan
+    GLOBAL MEDIAN (broadcast 1-row aggregate) — so the rate is interior
+    at any SF (a has-any-purchase definition saturates at 100% here and
+    makes the z-statistic 0/0). Four exact counts feed one IEEE float
+    expression mirrored in the oracle, z guarded NULL when the pooled
+    variance is zero (Spark's ANSI division would throw where DuckDB
+    yields NaN). One distinct + one aggregate; at 100 TB the distinct is
+    the only data-sized shuffle."""
+    from polars_numba_spark.operators.dedup import md5_long
+
+    e = _t(spark, sf_dir, "events")
+    u = (
+        e.where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+    )
+    pc = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    med = pc.agg(
+        F.percentile(F.col("n_purchases").cast("double"), F.lit(0.5)).alias("m")
+    )
+    assigned = (
+        u.join(pc, "user_id", "left")
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.pmod(
+                md5_long(
+                    F.concat(F.col("user_id").cast("string"), F.lit("#ab"))
+                ),
+                F.lit(2),
+            ).alias("variant"),
+            F.coalesce(
+                F.col("n_purchases").cast("double") > F.col("m"),
+                F.lit(False),
+            ).alias("converted"),
+        )
+    )
+    sums = assigned.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+        F.count(
+            F.when((F.col("variant") == 0) & F.col("converted"), 1)
+        ).alias("c_a"),
+        F.count(
+            F.when((F.col("variant") == 1) & F.col("converted"), 1)
+        ).alias("c_b"),
+    )
+    pp = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    terms = sums.select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        (F.col("c_a").cast("double") / F.col("n_a").cast("double")).alias(
+            "rate_a"
+        ),
+        (F.col("c_b").cast("double") / F.col("n_b").cast("double")).alias(
+            "rate_b"
+        ),
+        (
+            pp
+            * (F.lit(1.0) - pp)
+            * (
+                F.lit(1.0) / F.col("n_a").cast("double")
+                + F.lit(1.0) / F.col("n_b").cast("double")
+            )
+        ).alias("var_term"),
+    )
+    z = (F.col("rate_a") - F.col("rate_b")) / F.sqrt(F.col("var_term"))
+    return terms.select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        "rate_a",
+        "rate_b",
+        F.when(F.col("var_term") > 0.0, z).alias("z_score"),
+        F.when(
+            F.col("var_term") > 0.0, F.abs(z) > F.lit(1.959963984540054)
+        ).alias("significant"),
+    )
