@@ -39,6 +39,7 @@ from polars_numba_spark.queries.catalog import (
     register,
 )
 from polars_numba_spark.queries.relational import (
+    _BURST_ORACLE_SQL as _BURST_ORACLE_SQL_STREAM,
     _CMS_ORACLE_SQL as _CMS_ORACLE_SQL_STREAM,
 )
 from polars_numba_spark.sources import load_stream
@@ -325,6 +326,75 @@ def streaming_user_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_n",
         "cms_n",
         (F.col("cms_n") - F.col("exact_n")).alias("overest"),
+    )
+
+
+@register("streaming_burst_windows", oracle=_BURST_ORACLE_SQL_STREAM)
+def streaming_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The burst monitor run as an actual Structured Streaming job — the
+    deployment shape the face exists for: event-time 1-HOUR tumbling
+    windows per type maintained by the streaming engine (availableNow,
+    complete-mode memory sink, staged to parquet and dropped), then the
+    trailing-24h RANGE baseline + flags computed over the final hourly
+    state exactly as the batch face does. Bounded input ⇒ the sink state
+    must equal the batch hourly aggregate (unified semantics), so this
+    face shares the batch oracle verbatim (_BURST_ORACLE_SQL,
+    single-sourced — the CMS/EWMA-twin pattern). Streaming state is
+    |types|×|hours| counters — bounded, watermark-free in availableNow
+    replay."""
+    from pyspark.sql import Window as W
+
+    stream = load_stream(spark, "events", sf_dir)
+    hourly = (
+        stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    run_id = uuid.uuid4().hex[:8]
+    sink = f"pns_stream_burst_{run_id}"
+    query = (
+        hourly.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError(
+                "streaming_burst_windows: availableNow stream did not finish "
+                "in 300s — refusing to return a partial complete-mode aggregate"
+            )
+        staged = _fresh_dir(_scratch_dir("burst_out", sf_dir), run_id)
+        spark.table(sink).select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        ).write.mode("overwrite").parquet(staged)
+    finally:
+        spark.catalog.dropTempView(sink)
+    base = spark.read.parquet(staged).select(
+        "event_type",
+        F.floor(F.unix_timestamp("window_start") / 3600).alias("hour_idx"),
+        "n_events",
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rangeBetween(-24, -1)
+    )
+    flagged = base.withColumn("trailing_avg", F.avg("n_events").over(w))
+    return flagged.select(
+        "event_type",
+        "hour_idx",
+        "n_events",
+        "trailing_avg",
+        (
+            F.col("trailing_avg").isNotNull()
+            & (F.col("n_events") > F.lit(2.0) * F.col("trailing_avg"))
+            & (F.col("n_events") >= 10)
+        ).alias("is_burst"),
     )
 
 

@@ -1485,9 +1485,10 @@ def order_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
-@register(
-    "events_burst_windows",
-    oracle="""
+# Single-sourced burst oracle: the batch face and the streaming face
+# compute the same hourly-count + trailing-baseline flags, so one SQL
+# statement oracles both (the CMS/EWMA-twin pattern).
+_BURST_ORACLE_SQL = """
     WITH hourly AS (
         SELECT event_type,
                CAST(date_part('epoch', date_trunc('hour', ts)) // 3600
@@ -1506,8 +1507,10 @@ def order_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
            (trailing_avg IS NOT NULL AND n_events > 2.0 * trailing_avg
             AND n_events >= 10) AS is_burst
     FROM base
-    """,
-)
+    """
+
+
+@register("events_burst_windows", oracle=_BURST_ORACLE_SQL)
 def events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burst detection over the event stream: hourly counts per type
     against a trailing-24h RANGE-frame baseline (RANGE, not ROWS, so

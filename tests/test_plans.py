@@ -622,3 +622,37 @@ def test_dq_expectations_is_one_scan_plus_fk_join(spark):
     assert s.count("- Generate") == 1  # the stack unpivot
     assert "CartesianProduct" not in s
     assert s.count("Exchange") <= 10  # vs 18 in the union spelling
+
+
+def test_km_survival_windows_are_day_indexed(spark):
+    """signup_survival_km: the cumulative windows must run over the
+    DAY-indexed aggregate (tiny by construction), with the subject table
+    built from broadcast anchor/total joins — no cartesian, no
+    data-sized unpartitioned window (the window input is post-groupBy)."""
+    df = q(spark, "signup_survival_km")
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastExchange" in s
+    # the unpartitioned windows sit ABOVE a HashAggregate on t_days
+    assert "HashAggregate" in s and "Window" in s
+
+
+def test_ab_ztest_is_two_aggregates(spark):
+    """ab_conversion_ztest: one distinct + median aggregate + one final
+    conditional aggregate — no joins beyond the broadcast median, no
+    cartesian, no window."""
+    df = q(spark, "ab_conversion_ztest")
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastExchange" in s
+    assert "Window" not in s
+
+
+def test_zipf_cut_is_takeordered(spark):
+    """corpus_zipf_fit: the top-1000 vocabulary cut must ship
+    per-partition heads (TakeOrderedAndProject), never a full sort of
+    the vocabulary."""
+    df = q(spark, "corpus_zipf_fit")
+    s = plans.explain_string(df)
+    assert "TakeOrderedAndProject" in s
+    assert "CartesianProduct" not in s
