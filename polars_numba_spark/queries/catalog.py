@@ -147,8 +147,8 @@ _DRIVER_PRIORITY: list[str] = [
     # in-window reps of the reference's grouped-fold and SQL-UDTF surfaces
     # and stay): views_point_in_time_state (asof-vs-interval-containment
     # differential), events_kanonymity_audit, corpus_zipf_fit,
-    # signup_survival_km, ab_conversion_ztest, and
-    # streaming_burst_windows, all oracled + local-gate green this
+    # signup_survival_km, ab_conversion_ztest, streaming_burst_windows,
+    # and user_value_pareto_deciles, all oracled + local-gate green this
     # session — swap them in first next round.
     # --- sentinels (ADVICE r7 #5): the remaining 36 slots re-check one
     # previously-green query per long-gated core family, so a regression in

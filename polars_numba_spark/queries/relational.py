@@ -2828,3 +2828,87 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("var_term") > 0.0, F.abs(z) > F.lit(1.959963984540054)
         ).alias("significant"),
     )
+
+
+@register(
+    "user_value_pareto_deciles",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        GROUP BY user_id
+    ), st AS (
+        SELECT COUNT(*) AS n, SUM(cents) AS t FROM pu
+    ), rk AS (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, user_id) AS r
+        FROM pu
+    ), dec AS (
+        SELECT ((r - 1) * 10) // st.n + 1 AS decile, cents
+        FROM rk, st
+    ), agg AS (
+        SELECT CAST(decile AS INTEGER) AS decile,
+               COUNT(*) AS n_users,
+               CAST(SUM(cents) AS BIGINT) AS decile_cents
+        FROM dec GROUP BY decile
+    )
+    SELECT a.decile, a.n_users, a.decile_cents,
+           CAST(a.decile_cents AS DOUBLE) / CAST(st.t AS DOUBLE) AS share,
+           CAST(SUM(a.decile_cents) OVER (
+                    ORDER BY a.decile DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS DOUBLE) / CAST(st.t AS DOUBLE) AS cum_share_from_top
+    FROM agg a, st
+    """,
+)
+def user_value_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz/Pareto DECILE table behind the concentration scalars
+    ("the top 10% of users drive X% of value"): users ranked by exact
+    purchase cents via the distributed sort-rank (global_ranks — no
+    single-reducer sort), binned into ten equal-population deciles with
+    pure integer arithmetic ((r−1)·10 DIV n + 1 — no float boundary
+    ambiguity), then per-decile counts/mass and the cumulative
+    share-from-the-top over the ten-row aggregate. Everything exact
+    integers until the two share divisions."""
+    from polars_numba_spark.operators.profile import global_ranks
+
+    pu = (
+        _t(spark, sf_dir, "events")
+        .where(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    st = pu.agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("t"))
+    rk = global_ranks(pu, ["cents", "user_id"], rank_col="r")
+    dec = rk.crossJoin(F.broadcast(st)).select(
+        (
+            ((F.col("r") - 1) * 10 - F.pmod((F.col("r") - 1) * 10, F.col("n")))
+            / F.col("n")
+            + 1
+        )
+        .cast("int")
+        .alias("decile"),
+        "cents",
+        "t",
+    )
+    agg = dec.groupBy("decile", "t").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cents").alias("decile_cents"),
+    )
+    w = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return agg.select(
+        "decile",
+        "n_users",
+        "decile_cents",
+        (
+            F.col("decile_cents").cast("double") / F.col("t").cast("double")
+        ).alias("share"),
+        (
+            F.sum("decile_cents").over(w).cast("double")
+            / F.col("t").cast("double")
+        ).alias("cum_share_from_top"),
+    )
