@@ -1028,9 +1028,10 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_image_dims(with_payload)
 
 
-@register(
-    "doc_winnowing_fingerprints",
-    oracle=f"""
+# Winnowing fingerprint CTE, single-sourced into the fingerprints face
+# and the overlap-pairs face (one spelling of the k-gram hash table,
+# window minima, and fingerprint set).
+_WINNOW_FP_CTE = f"""
     WITH s AS (
         SELECT doc_id,
                regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
@@ -1047,7 +1048,12 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
                    range(1, greatest(length(H) - 3, 0) + 1),
                    i -> list_min(H[i:i+3]))) AS fps
         FROM h
-    )
+    )"""
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    oracle=f"""{_WINNOW_FP_CTE}
     SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
            CAST(length(fps) AS INTEGER) AS n_fingerprints,
            CASE WHEN length(fps) > 0 THEN md5(list_aggregate(
@@ -3251,3 +3257,97 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / denx).alias("zipf_slope"),
         ((num * num) / (denx * deny)).alias("r2"),
     )
+
+
+@register(
+    "doc_winnowing_overlap_pairs",
+    oracle=f"""{_WINNOW_FP_CTE}
+    , ex AS (
+        SELECT doc_id, length(fps) AS n_fp, UNNEST(fps) AS f
+        FROM fp WHERE length(fps) > 0
+    ), hot AS (
+        SELECT f FROM ex GROUP BY f HAVING COUNT(*) > 50
+    ), exf AS (
+        SELECT ex.* FROM ex ANTI JOIN hot ON ex.f = hot.f
+    ), shared AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               a.n_fp AS n_fp_a, b.n_fp AS n_fp_b,
+               COUNT(*) AS shared_fp
+        FROM exf a JOIN exf b ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT a_id, b_id,
+           CAST(n_fp_a AS INTEGER) AS n_fp_a,
+           CAST(n_fp_b AS INTEGER) AS n_fp_b,
+           shared_fp,
+           CAST(shared_fp AS DOUBLE)
+               / CAST(LEAST(n_fp_a, n_fp_b) AS DOUBLE) AS overlap
+    FROM shared
+    WHERE CAST(shared_fp AS DOUBLE)
+              / CAST(LEAST(n_fp_a, n_fp_b) AS DOUBLE) >= 0.2
+    """,
+)
+def doc_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap detection from winnowing fingerprints — the
+    plagiarism/near-copy face the fingerprint table exists for
+    (Schleimer et al. 2003 §4): docs sharing selected k-gram window
+    minima, scored by the overlap coefficient shared/min(|A|,|B|). Scale
+    shape: the candidate join keys on the FINGERPRINT (equi-join over
+    the exploded fingerprint table, never doc×doc), with stop-
+    fingerprints (appearing in >50 docs — boilerplate) removed by a
+    broadcast anti-join before the join can square them, the standard
+    MOSS cut mirrored exactly in the oracle. Same fixed doc slice as the
+    fingerprints face; the winnowing CTE is single-sourced between the
+    two oracles."""
+    from polars_numba_spark.plans.checkpoint import (
+        register_session_scoped,
+        tracked_local_checkpoint,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    # CRITICAL materialization: the fingerprint ARRAYS must exist as data
+    # before any Generate touches them. Inlined under explode, the
+    # md5-in-HOF winnowing expression leaves whole-stage codegen and runs
+    # interpreted — measured 100s+ at sf0.1 vs ~2s for the same
+    # expression evaluated in a codegen Project (the fingerprints face).
+    # Checkpointing fp evaluates the expression ONCE in codegen (the
+    # components-loop pattern); the explode and the four downstream
+    # branches then read rows, not the expression.
+    fp_plan = X.winnowing_fingerprints(d, k=8, w=4, portable=True)
+    fp, fp_ids = tracked_local_checkpoint(fp_plan)
+    register_session_scoped(fp_ids)
+    ex = fp.where(F.size("fingerprints") > 0).select(
+        F.col("id").alias("doc_id"),
+        F.size("fingerprints").alias("n_fp"),
+        F.explode("fingerprints").alias("f"),
+    )
+    hot = (
+        ex.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > 50)
+        .select("f")
+    )
+    exf = ex.join(F.broadcast(hot), "f", "left_anti")
+    a = exf.select(
+        F.col("doc_id").alias("a_id"), F.col("n_fp").alias("n_fp_a"), "f"
+    )
+    b = exf.select(
+        F.col("doc_id").alias("b_id"), F.col("n_fp").alias("n_fp_b"), "f"
+    )
+    shared = (
+        a.join(b, "f")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "n_fp_a", "n_fp_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+    )
+    overlap = F.col("shared_fp").cast("double") / F.least(
+        "n_fp_a", "n_fp_b"
+    ).cast("double")
+    return shared.select(
+        "a_id",
+        "b_id",
+        F.col("n_fp_a").cast("int").alias("n_fp_a"),
+        F.col("n_fp_b").cast("int").alias("n_fp_b"),
+        "shared_fp",
+        overlap.alias("overlap"),
+    ).where(F.col("overlap") >= 0.2)
