@@ -32,15 +32,36 @@ QUERIES = [
 ]
 
 
+# Part 2: the late-session faces (doc_winnowing_overlap_pairs excluded by
+# construction — its doc_id<500 slice is replica-invariant in the x10
+# id-offset build, like the other fixed-slice faces).
+QUERIES_PART2 = [
+    "session_top_paths",
+    "signup_survival_km",
+    "ab_conversion_ztest",
+    "user_value_pareto_deciles",
+    "event_type_correlations",
+    "events_kanonymity_audit",
+    "views_point_in_time_state",
+    "streaming_burst_windows",
+    "corpus_zipf_fit",
+]
+
+
 def main() -> int:
+    part2 = "--part2" in sys.argv
     spark = get_spark(app_name="r8s3-soaks")
     spark.sparkContext.setLogLevel("ERROR")
+    qs = QUERIES_PART2 if part2 else QUERIES
     results = run_soak(
-        spark, "/root/testdata/sf0.1", "/root/repo/.scale/x10", 10, QUERIES
+        spark, "/root/testdata/sf0.1", "/root/repo/.scale/x10", 10, qs
     )
-    print(json.dumps({"part": "r8s3_new_faces_10x", "results": results}))
+    tag = "r8s3_new_faces_10x_part2" if part2 else "r8s3_new_faces_10x"
+    print(json.dumps({"part": tag, "results": results}))
     return 0
 
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
