@@ -3351,3 +3351,157 @@ def doc_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shared_fp",
         overlap.alias("overlap"),
     ).where(F.col("overlap") >= 0.2)
+
+
+@register(
+    "search_ranking_metrics",
+    oracle=rf"""
+    WITH ranked AS (
+        SELECT * FROM ({_BM25_ORACLE_SQL}) __bm
+    ), q(query_id, term) AS (
+        VALUES {_BM25_VALUES}
+    ), qsize AS (
+        SELECT query_id, COUNT(*) AS n_terms_q FROM q GROUP BY query_id
+    ), dterms AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ), rel AS (
+        SELECT q.query_id, d.doc_id
+        FROM q JOIN dterms d ON d.term = q.term
+        JOIN qsize s ON s.query_id = q.query_id
+        GROUP BY q.query_id, d.doc_id, s.n_terms_q
+        HAVING COUNT(*) = s.n_terms_q
+    ), nrel AS (
+        SELECT query_id, COUNT(*) AS n_relevant FROM rel GROUP BY query_id
+    ), hits AS (
+        SELECT r.query_id, r.rank,
+               (rel.doc_id IS NOT NULL) AS is_rel
+        FROM ranked r LEFT JOIN rel
+          ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+    ), per_q AS (
+        SELECT h.query_id,
+               CAST(SUM(CASE WHEN is_rel THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hits_at_10,
+               COALESCE(MIN(CASE WHEN is_rel THEN rank END), 0) AS first_rel,
+               CAST(SUM(CAST(CASE WHEN is_rel THEN
+                   ROUND(1.0 / LOG2(CAST(rank + 1 AS DOUBLE)), 9)
+               ELSE 0.0 END AS DECIMAL(28,12))) AS DOUBLE) AS dcg
+        FROM hits h GROUP BY h.query_id
+    ), idcg AS (
+        SELECT n.query_id,
+               CAST(SUM(CAST(ROUND(1.0 / LOG2(CAST(i + 1 AS DOUBLE)), 9)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS idcg
+        FROM nrel n, UNNEST(range(1, 11)) AS t(i)
+        WHERE i <= n.n_relevant
+        GROUP BY n.query_id
+    )
+    SELECT p.query_id,
+           COALESCE(n.n_relevant, 0) AS n_relevant,
+           CAST(p.hits_at_10 AS DOUBLE) / 10.0 AS precision_at_10,
+           CASE WHEN p.first_rel > 0
+                THEN 1.0 / CAST(p.first_rel AS DOUBLE) ELSE 0.0
+           END AS mrr,
+           CASE WHEN i.idcg IS NOT NULL AND i.idcg > 0.0
+                THEN p.dcg / i.idcg ELSE 0.0 END AS ndcg_at_10
+    FROM per_q p
+    LEFT JOIN nrel n ON n.query_id = p.query_id
+    LEFT JOIN idcg i ON i.query_id = p.query_id
+    """,
+)
+def search_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKING EVALUATION for the BM25 retrieval — precision@10, MRR, and
+    binary NDCG@10 per query against a deterministic ground truth (a doc
+    is relevant iff it contains EVERY query term — boolean-AND
+    containment, computable exactly in both engines). The eval face a
+    retrieval pipeline runs next to the ranker itself; the BM25 ranking
+    statement is embedded verbatim (single-sourced _BM25_ORACLE_SQL, the
+    RRF pattern), so ranker and judge can never desynchronize. Discount
+    terms 1/log2(rank+1) round to 9 decimals before the decimal
+    accumulator (the libm-absorbing recipe); IDCG truncates at
+    min(R, 10) via a broadcast 10-row ladder. All shuffles key on term,
+    (query, doc), or query — candidate-bounded throughout."""
+    from pyspark.sql import Window as W  # noqa: F401
+
+    d = _t(spark, sf_dir, "documents")
+    ranked = X.bm25_topk(d, _BM25_QUERIES, k=10, k1=_BM25_K1, b=_BM25_B)
+    q = spark.createDataFrame(
+        sorted({(qid, t) for qid, qtext in _BM25_QUERIES for t in qtext.split()}),
+        "query_id string, term string",
+    )
+    qsize = q.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms_q"))
+    dterms = d.select(
+        "doc_id", F.explode(X.tokens("text")).alias("term")
+    ).distinct()
+    rel = (
+        q.join(dterms, "term")
+        .join(F.broadcast(qsize), "query_id")
+        .groupBy("query_id", "doc_id", "n_terms_q")
+        .agg(F.count(F.lit(1)).alias("nm"))
+        .where(F.col("nm") == F.col("n_terms_q"))
+        .select("query_id", "doc_id")
+    )
+    nrel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_relevant"))
+    hits = ranked.join(
+        rel.withColumn("is_rel", F.lit(True)), ["query_id", "doc_id"], "left"
+    ).select(
+        "query_id", "rank", F.coalesce("is_rel", F.lit(False)).alias("is_rel")
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.sum(F.when(F.col("is_rel"), 1).otherwise(0))
+        .cast("long")
+        .alias("hits_at_10"),
+        F.coalesce(
+            F.min(F.when(F.col("is_rel"), F.col("rank"))), F.lit(0)
+        ).alias("first_rel"),
+        F.sum(
+            F.when(
+                F.col("is_rel"),
+                F.round(
+                    F.lit(1.0) / F.log2((F.col("rank") + 1).cast("double")), 9
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("dcg"),
+    )
+    ladder = spark.range(1, 11).select(F.col("id").alias("i"))
+    idcg = (
+        nrel.crossJoin(F.broadcast(ladder))
+        .where(F.col("i") <= F.col("n_relevant"))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.round(
+                    F.lit(1.0) / F.log2((F.col("i") + 1).cast("double")), 9
+                ).cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("idcg")
+        )
+    )
+    return (
+        per_q.join(nrel, "query_id", "left")
+        .join(idcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_relevant", F.lit(0).cast("long")).alias("n_relevant"),
+            (F.col("hits_at_10").cast("double") / 10.0).alias(
+                "precision_at_10"
+            ),
+            F.when(
+                F.col("first_rel") > 0,
+                F.lit(1.0) / F.col("first_rel").cast("double"),
+            )
+            .otherwise(0.0)
+            .alias("mrr"),
+            F.when(
+                F.col("idcg").isNotNull() & (F.col("idcg") > 0.0),
+                F.col("dcg") / F.col("idcg"),
+            )
+            .otherwise(0.0)
+            .alias("ndcg_at_10"),
+        )
+    )
