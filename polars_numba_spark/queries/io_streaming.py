@@ -1326,3 +1326,54 @@ def streaming_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["value"],
         query_name="streaming_user_ewma",
     ).select("event_id", "user_id", F.col("scan").alias("ewma"))
+
+
+@register(
+    "formats_schema_evolution",
+    oracle=f"""
+    WITH unioned AS (
+        SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT COALESCE(o_orderstatus, '__pre_evolution__') AS status,
+           COUNT(*) AS n_orders,
+           {_DSUM.format(x='o_totalprice')} AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM unioned GROUP BY 1
+    """,
+)
+def formats_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION end-to-end — the lakehouse reality that columns
+    arrive later: generation 1 of the table is written WITHOUT
+    o_orderstatus, generation 2 appends WITH it, and the read stitches
+    both through parquet schema merging (``mergeSchema`` — a footer-level
+    union, no rewrite of the old files), with the missing column
+    surfacing as NULLs in the old generation exactly as the oracle's
+    explicit NULL union models. The aggregate proves values, nulls, and
+    the evolved column all survive the merge. At 100 TB this is the
+    cheap path for additive evolution — the alternative is rewriting
+    every historical file."""
+    base = _scratch_dir("schemaevo", sf_dir)
+    path = f"{base}/orders_evolving"
+    o = _t(spark, sf_dir, "orders")
+    gen1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    gen2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    gen1.write.mode("overwrite").parquet(path)
+    gen2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy(
+        F.coalesce(F.col("o_orderstatus"), F.lit("__pre_evolution__")).alias(
+            "status"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(_DSUM.format(x="o_totalprice")).alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+    )
