@@ -149,8 +149,9 @@ _DRIVER_PRIORITY: list[str] = [
     # differential), events_kanonymity_audit, corpus_zipf_fit,
     # signup_survival_km, ab_conversion_ztest, streaming_burst_windows,
     # user_value_pareto_deciles, doc_winnowing_overlap_pairs,
-    # search_ranking_metrics, and formats_schema_evolution, all oracled +
-    # local-gate green this session — swap them in first next round.
+    # search_ranking_metrics, formats_schema_evolution, and
+    # corpus_datacard, all oracled + local-gate green this session —
+    # swap them in first next round.
     # --- sentinels (ADVICE r7 #5): the remaining 36 slots re-check one
     # previously-green query per long-gated core family, so a regression in
     # folds/scans, TPC-H shapes, flagship dedup, embeddings, text pipeline,

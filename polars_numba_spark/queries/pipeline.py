@@ -3505,3 +3505,56 @@ def search_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ndcg_at_10"),
         )
     )
+
+
+@register(
+    "corpus_datacard",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, source, lang, n_chars,
+               length(string_split_regex(trim(lower(text)), '\s+')) AS n_tok,
+               md5(text) AS dg
+        FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+           1.0 - CAST(COUNT(DISTINCT dg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS exact_dup_rate,
+           CAST(MIN(n_tok) AS BIGINT) AS min_doc_tokens,
+           CAST(MAX(n_tok) AS BIGINT) AS max_doc_tokens
+    FROM tok
+    """,
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATA CARD — the one-row governance summary a dataset
+    release ships with (docs, token and char mass, source and language
+    diversity, exact-duplicate rate, length envelope), computed in ONE
+    scan + one aggregate with three distinct-counts (at 100 TB, swap the
+    distincts for the KMV/HLL faces this catalog already gates — the
+    docstring-level contract between the exact and sketch families).
+    Every number is an exact integer except the one dup-rate division."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        X.token_count("text").alias("n_tok"),
+        F.md5("text").alias("dg"),
+    )
+    return tok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("dg").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("exact_dup_rate"),
+        F.min("n_tok").cast("long").alias("min_doc_tokens"),
+        F.max("n_tok").cast("long").alias("max_doc_tokens"),
+    )
