@@ -656,3 +656,27 @@ def test_zipf_cut_is_takeordered(spark):
     s = plans.explain_string(df)
     assert "TakeOrderedAndProject" in s
     assert "CartesianProduct" not in s
+
+
+def test_ranking_metrics_explodes_stay_branch_bounded(spark):
+    """search_ranking_metrics: Catalyst re-plans the shared tf/rel
+    aggregates per consuming branch, so the corpus explode appears once
+    per BRANCH (7 with the current plan) — bounded by the face's fixed
+    branch count, never by query count or corpus size. Pin the bound so
+    a regression into per-query explosion (or a cartesian) is caught;
+    the broadcast query/ladder tables must stay broadcast."""
+    df = q(spark, "search_ranking_metrics")
+    s = plans.explain_string(df)
+    assert 1 <= s.count("- Generate") <= 8
+    assert "BroadcastExchange" in s
+    assert "CartesianProduct" not in s
+
+
+def test_datacard_is_one_scan_one_aggregate(spark):
+    """corpus_datacard: one documents scan, one aggregate with map-side
+    partials — no joins, no window, no explode."""
+    df = q(spark, "corpus_datacard")
+    s = plans.explain_string(df)
+    assert "Join" not in s
+    assert "Window" not in s
+    assert "- Generate" not in s
