@@ -25,10 +25,15 @@ TOUR = [
     ("user_value_concentration", "Gini / entropy / HHI / top-1% share"),
     ("audience_overlap_kmv", "audience intersections from sketches alone"),
     ("user_events_cms", "count-min frequency estimates vs exact"),
+    # value distribution and lifecycle
+    ("user_value_pareto_deciles", "Lorenz deciles: who drives the value"),
+    ("signup_survival_km", "Kaplan-Meier conversion survival"),
+    ("ab_conversion_ztest", "A/B readout with pooled z-test"),
     # enrichment + governance
     ("views_point_in_time_state", "leak-free SCD2 point-in-time join"),
     ("events_kanonymity_audit", "re-identification risk ladder"),
     ("orders_dq_expectations", "expectation-suite publish gate"),
+    ("corpus_datacard", "the one-row release data card"),
 ]
 
 
