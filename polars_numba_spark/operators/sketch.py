@@ -732,24 +732,37 @@ def bloom_probe(
     no false negatives (every true member passes); false positives occur
     at the bounded rate and MUST be re-verified by the exact join that
     follows. NULL probe keys yield a NULL flag (a null key never equi-
-    joins, so callers treat it as non-matching)."""
-    probed = df.crossJoin(F.broadcast(bloom))
+    joins, so callers treat it as non-matching). The bitmap columns are
+    renamed to reserved ``__bloom_*`` names before the crossJoin so a
+    probe frame that itself has a ``m_bits`` or ``words`` column neither
+    collides nor gets dropped."""
+    bm = bloom.select(
+        F.col("m_bits").alias("__bloom_m_bits"),
+        F.col("words").alias("__bloom_words"),
+    )
+    probed = df.crossJoin(F.broadcast(bm))
     cond = None
     for j in range(n_hashes):
         pcol = f"__bloom_p{j}"
         probed = probed.withColumn(
-            pcol, F.pmod(_bloom_hash(F.col(key_col), j, portable), F.col("m_bits"))
+            pcol,
+            F.pmod(_bloom_hash(F.col(key_col), j, portable), F.col("__bloom_m_bits")),
         )
         # SQL shiftright accepts the per-row bit index (the builtin needs
         # a literal); element_at is 1-based
         hit = F.expr(
-            f"(shiftright(element_at(words, cast(floor({pcol} / 32) as int) + 1),"
+            f"(shiftright(element_at(__bloom_words,"
+            f" cast(floor({pcol} / 32) as int) + 1),"
             f" cast({pcol} % 32 as int)) & 1) = 1"
         )
         cond = hit if cond is None else (cond & hit)
     return (
         probed.withColumn(flag, cond)
-        .drop("m_bits", "words", *[f"__bloom_p{j}" for j in range(n_hashes)])
+        .drop(
+            "__bloom_m_bits",
+            "__bloom_words",
+            *[f"__bloom_p{j}" for j in range(n_hashes)],
+        )
     )
 
 

@@ -487,8 +487,9 @@ def contrastive_triplets(
     no positive and is DROPPED from the output (inner join with the
     positive table — the metric-learning convention: a singleton class
     cannot anchor a triplet); a single-label corpus has no valid negative
-    and raises (modulo by L-1 = 0 under ANSI mode) rather than silently
-    emitting same-label negatives.
+    and raises via an explicit in-plan ``raise_error`` guard (independent
+    of the ``spark.sql.ansi.enabled`` setting) rather than silently
+    emitting same-label negatives or an empty frame.
 
     Scale shape: the label directory (L rows) and the slot table broadcast;
     negative resolution is two equi-joins against the dense-ranked corpus
@@ -567,7 +568,18 @@ def contrastive_triplets(
                         F.col("slot").cast("string"),
                     )
                 )
-                % (F.col("__L") - 1)
+                # explicit in-plan guard so the single-label failure mode
+                # does not depend on the ANSI setting: with ANSI off,
+                # `% 0` would yield NULL and the function would silently
+                # return an empty frame instead of raising
+                % F.when(F.col("__L") > 1, F.col("__L") - 1).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "contrastive_triplets: corpus has a single"
+                            " label — no valid negative exists"
+                        )
+                    ).cast("long")
+                )
             ).alias("r"),
         )
         .select(
@@ -623,7 +635,11 @@ def contrastive_triplets(
 
 def _pq_subvectors(df: DataFrame, m: int, vec_col: str, id_col: str) -> DataFrame:
     """(id, s, subvec array<double>): each vector split into m contiguous
-    subspaces in-plan (no driver-side dim lookup)."""
+    subspaces in-plan (no driver-side dim lookup). When the embedding
+    dimension is not divisible by ``m``, the LAST subspace absorbs the
+    ``dim % m`` remainder components — every component participates in
+    training, encoding, and ADC scoring (subspace widths only need to be
+    consistent per ``s``, which a tail-remainder split preserves)."""
     return (
         df.select(
             F.col(id_col).alias("id"), as_double(vec_col).alias("__v")
@@ -638,7 +654,9 @@ def _pq_subvectors(df: DataFrame, m: int, vec_col: str, id_col: str) -> DataFram
             "s",
             F.expr(
                 f"slice(__v, s * (size(__v) DIV {m}) + 1,"
-                f" size(__v) DIV {m})"
+                f" IF(s = {m - 1},"
+                f" size(__v) - {m - 1} * (size(__v) DIV {m}),"
+                f" size(__v) DIV {m}))"
             ).alias("subvec"),
         )
     )

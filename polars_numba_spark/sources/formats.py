@@ -211,12 +211,31 @@ def write_zorder_parquet(
     )
     tmp = tmp.crossJoin(F.broadcast(stats))
     scale = 1 << bits
+    # A dimension whose value range approaches 2^63/scale (e.g. a raw
+    # epoch-micros column passed directly) would overflow the
+    # (value - min) * scale product — raising under ANSI, silently
+    # corrupting the Z layout with ANSI off. Pre-shrink wide ranges by an
+    # in-plan integer divisor so (value - min) DIV div stays below
+    # 2^62/scale; integer division is monotone, so the bucketing (and the
+    # Z order it induces) is preserved. The remaining requirement is
+    # |max - min| < 2^63, which holds for any real bigint column that is
+    # not itself adversarially spanning the full signed-long range.
+    safe = (1 << 62) // scale
     for i in range(d):
+        tmp = tmp.withColumn(
+            f"__div{i}",
+            F.expr(
+                f"CASE WHEN __max{i} - __min{i} >= {safe}L"
+                f" THEN (__max{i} - __min{i}) DIV {safe}L + 1"
+                f" ELSE 1L END"
+            ),
+        )
         tmp = tmp.withColumn(
             f"__u{i}",
             F.expr(
-                f"CAST(((coalesce(__dim{i}, __min{i}) - __min{i}) * {scale})"
-                f" DIV (__max{i} - __min{i} + 1) AS BIGINT)"
+                f"CAST((((coalesce(__dim{i}, __min{i}) - __min{i})"
+                f" DIV __div{i}) * {scale})"
+                f" DIV ((__max{i} - __min{i}) DIV __div{i} + 1) AS BIGINT)"
             ),
         )
     terms = [
@@ -227,7 +246,7 @@ def write_zorder_parquet(
     tmp = tmp.withColumn("__z", F.expr(" | ".join(terms)))
     helper = [f"__dim{i}" for i in range(d)]
     helper += [f"__min{i}" for i in range(d)] + [f"__max{i}" for i in range(d)]
-    helper += [f"__u{i}" for i in range(d)]
+    helper += [f"__u{i}" for i in range(d)] + [f"__div{i}" for i in range(d)]
     conf_key = "spark.sql.parquet.outputTimestampType"
     prev = spark.conf.get(conf_key)
     spark.conf.set(conf_key, "TIMESTAMP_MICROS")

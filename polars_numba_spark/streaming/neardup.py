@@ -59,6 +59,28 @@ _BANDS_SUBDIR = "bands"
 _EDGES_SUBDIR = "edges"
 
 
+def _store_has_bands(spark: SparkSession, bands_dir: str) -> bool:
+    """True iff the persisted band store already holds parquet data.
+
+    Probed through Spark's Hadoop ``FileSystem`` API — NOT ``os.path`` —
+    so the check is correct for any ``store_dir`` scheme the deployment
+    uses (``hdfs://``, ``s3a://``, plain local). An ``os.path`` probe
+    would be silently False for every non-local store, making each batch
+    star only against itself and under-merging cross-batch
+    near-duplicates with no error.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(bands_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
 def ingest_neardup_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -85,9 +107,7 @@ def ingest_neardup_batch(
     bn = bn.localCheckpoint(eager=True)
 
     members = bn
-    if os.path.isdir(bands_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(bands_dir)
-    ):
+    if _store_has_bands(spark, bands_dir):
         store = spark.read.parquet(bands_dir)
         touched = bn.select("band_idx", "band_hash").distinct()
         # broadcast the batch's touched buckets: the store is never

@@ -61,3 +61,19 @@ def test_duplicate_and_null_build_keys_are_collapsed(spark):
     row = bloom_build(dup, "k", bits_per_key=8).collect()[0]
     # 2 distinct non-null keys -> m scaled for n=2, not 4
     assert row["m_bits"] == 32
+
+
+def test_probe_frame_may_own_columns_named_words_or_m_bits(spark):
+    """The bitmap's columns are renamed to reserved __bloom_* names before
+    the broadcast crossJoin, so a probe frame that itself carries a
+    ``words`` or ``m_bits`` column neither collides (ambiguous reference)
+    nor loses that column to the trailing drop."""
+    bloom = bloom_build(_build_df(spark, range(8)), "k")
+    probe = spark.createDataFrame(
+        [(3, 111, 222), (9999, 333, 444)], "k long, words long, m_bits long"
+    )
+    out = {r["k"]: r for r in bloom_probe(probe, "k", bloom).collect()}
+    assert out[3]["passes_bloom"] is True
+    # the probe frame's own columns survive untouched
+    assert out[3]["words"] == 111 and out[3]["m_bits"] == 222
+    assert out[9999]["words"] == 333 and out[9999]["m_bits"] == 444

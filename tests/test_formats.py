@@ -199,3 +199,46 @@ def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
     assert "l_orderkey" in " ".join(plans.pushed_filters(back))
     # and the rewrite lost nothing
     assert spark.read.parquet(path).count() == l.count()
+
+
+def test_zorder_wide_range_dim_does_not_overflow(spark, tmp_path):
+    """A dimension whose value range exceeds 2^62/2^bits (e.g. a raw
+    epoch-micros column, against the epoch-day advice) used to overflow
+    the (value-min)*scale product — raising under ANSI, silently
+    corrupting the layout with ANSI off. The in-plan divisor pre-shrink
+    must keep the arithmetic in range AND preserve the zone-map
+    property."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from polars_numba_spark.sources.formats import write_zorder_parquet
+
+    # wide spans 4096 * 2^35 = 2^47 > 2^46 = 2^62/2^16 -> divisor path
+    rows = [(i, i % 64, (i % 4096) * (1 << 35)) for i in range(4096)]
+    df = spark.createDataFrame(rows, "id long, a long, wide long")
+    path = str(tmp_path / "zwide")
+    write_zorder_parquet(df, path, ["a", "wide"], n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 4096
+
+    def overlap(col, lo, hi):
+        total = ov = 0
+        for f in Path(path).glob("*.parquet"):
+            meta = pq.ParquetFile(str(f)).metadata
+            names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+            ci = names.index(col)
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(ci).statistics
+                total += 1
+                if st.max >= lo and st.min < hi:
+                    ov += 1
+        return ov, total
+
+    # a quarter-range probe on EACH dim must skip at least some groups —
+    # the property the overflow used to destroy
+    ov_a, total = overlap("a", 0, 16)
+    ov_w, _ = overlap("wide", 0, 1024 * (1 << 35))
+    assert total >= 8
+    assert ov_a < total, (ov_a, total)
+    assert ov_w < total, (ov_w, total)

@@ -78,6 +78,38 @@ def test_arrival_order_does_not_change_verdict(spark, store_dir):
     assert streamed == batch
 
 
+def test_empty_doc_in_stream_matches_batch(spark, store_dir):
+    """VERDICT r8 #8: the empty-doc (zero-token) exclusion proven for the
+    batch keep-list must hold on the streaming ingest path too — it
+    reuses _banded_signatures, so a divergence here would make the
+    incremental verdict disagree with the batch one."""
+    corpus = _with_clones(spark)
+    empty = (
+        corpus.limit(1)
+        .withColumn("doc_id", F.lit(990001).cast("long"))
+        .withColumn("text", F.lit(""))
+    )
+    corpus = corpus.unionByName(empty)
+    for i in range(3):
+        ingest_neardup_batch(
+            spark,
+            corpus.where(F.col("doc_id") % 3 == i),
+            store_dir,
+            num_hashes=16,
+            bands=4,
+            portable=True,
+        )
+    streamed = _verdict_map(neardup_verdict(spark, store_dir))
+    batch = _verdict_map(
+        minhash_dedup_keep_list(corpus, num_hashes=16, bands=4, portable=True)
+    )
+    assert streamed == batch
+    # the zero-token doc must not have merged into any real component
+    if 990001 in streamed:
+        comp, keep = streamed[990001]
+        assert comp == 990001 and keep is True
+
+
 def test_per_batch_store_reads_are_bucket_filtered(spark, store_dir):
     """The delta contract: the persisted band store joins the batch's
     touched buckets via a BROADCAST of the batch side — the store is

@@ -145,6 +145,57 @@ def test_contrastive_triplets_contract(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_contrastive_triplets_single_label_raises_even_with_ansi_off(spark):
+    """A single-label corpus has no valid negative. The in-plan
+    raise_error guard must fire regardless of spark.sql.ansi.enabled —
+    with ANSI off, the old `% (L-1)` arithmetic yielded NULL and the
+    function silently returned an empty frame instead of raising."""
+    import pytest
+
+    from polars_numba_spark.operators.vector import contrastive_triplets
+
+    df = spark.createDataFrame(
+        [(i, 0, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="single\\s+label"):
+            contrastive_triplets(df, negatives=1).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_pq_indivisible_dim_last_subspace_absorbs_remainder(spark):
+    """dim % m != 0: the last subspace takes the remainder components, so
+    every component participates in training/encoding/ADC (the old DIV
+    split silently dropped the tail dims from the whole PQ path)."""
+    from pyspark.sql import functions as F
+
+    from polars_numba_spark.operators.vector import (
+        _pq_subvectors,
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    rows = [(i, [float(i * 10 + d) for d in range(7)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    subs = {(r["id"], r["s"]): r["subvec"]
+            for r in _pq_subvectors(df, 2, "embedding", "vec_id").collect()}
+    for i in range(6):
+        assert len(subs[(i, 0)]) == 3 and len(subs[(i, 1)]) == 4
+        assert subs[(i, 0)] + subs[(i, 1)] == [float(i * 10 + d) for d in range(7)]
+    # end-to-end on the odd dimension: widths stay consistent per s
+    books = pq_train_codebooks(df, m=2, k=2, iterations=1)
+    blens = {(r["s"], len(r["centroid"])) for r in books.collect()}
+    assert blens == {(0, 3), (1, 4)}
+    codes = pq_encode(df, books, m=2)
+    top = pq_adc_topk(codes, df.where(F.col("vec_id") == 0), books, k=1, m=2)
+    assert len(top.collect()) == 1
+
+
 def test_pq_codebooks_encode_and_adc_shapes(spark):
     from polars_numba_spark.operators.vector import (
         pq_adc_topk,
