@@ -36,6 +36,11 @@ bench — one AnalysisException aborted the whole run with rc=1 and no JSON):
   (dropped only when the loop completes), so a killed run's
   ``BENCH_LOCAL.json`` can never be misread as a full-catalog floor
   (ADVICE r3 #1).
+
+Round-9 addition (VERDICT r8 #2): a discarded pre-pass of the FIRST timed
+query — the first window slot read ~2x its quiet-host floor in two
+consecutive driver benches because the generic warm-ups never touch its
+checkpoint/codegen machinery.
 """
 
 from __future__ import annotations
@@ -63,7 +68,8 @@ def main() -> None:
     spark = get_spark(app_name="polars-numba-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries = catalog.spark_queries()
+    all_queries = catalog.spark_queries()
+    queries = all_queries
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if subset:  # iteration aid: bench only the named queries
         wanted = [q.strip() for q in subset.split(",") if q.strip()]
@@ -83,8 +89,9 @@ def main() -> None:
         spark.catalog.clearCache()
 
     def run(name: str) -> float:
+        # resolve from the FULL catalog so warm-ups work in subset mode too
         t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        all_queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         elapsed = time.perf_counter() - t0
         scrub_session()  # cleanup cost not billed to the NEXT query
         return elapsed
@@ -97,6 +104,36 @@ def main() -> None:
             run(warm)
         except Exception as exc:  # warm-up failure must not kill the bench
             print(f"  warm-up {warm} failed: {exc!r}", file=sys.stderr, flush=True)
+
+    # Checkpoint-machinery warm-up (VERDICT r8 #2): the first query in a
+    # session to touch localCheckpoint/block-manager paths pays ~4-5s of
+    # first-use cost wherever it sits in the order (dedup_minhash_keeplist
+    # measured 9.1s on its session-first run vs 4.1s warm in the SAME
+    # session, tools/remeasure.py). A 3-edge connected-components pass
+    # warms exactly that path for ~1s, unbilled.
+    try:
+        from polars_numba_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "a_id long, b_id long"
+        )
+        connected_components(edges).write.format("noop").mode("overwrite").save()
+        scrub_session()
+    except Exception as exc:
+        print(f"  warm-up checkpoint failed: {exc!r}", file=sys.stderr, flush=True)
+
+    # Structural first-slot absorber (VERDICT r8 #2): even after the
+    # generic warm-ups, the FIRST timed query read ~2x its quiet-host floor
+    # in two consecutive driver benches (checkpoint/codegen machinery the
+    # generic warm-ups never touch). A discarded pre-pass of that query is
+    # the only warm-up guaranteed to exercise exactly what it needs; its
+    # cost is not billed.
+    first = next(iter(queries), None)
+    if first is not None:
+        try:
+            run(first)
+        except Exception as exc:
+            print(f"  pre-pass {first} failed: {exc!r}", file=sys.stderr, flush=True)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

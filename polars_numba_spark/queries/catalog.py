@@ -83,7 +83,107 @@ def register(name: str, oracle: str | None = None):
 _ROWS_ONLY_WINDOW_ALLOWANCE = frozenset(
     {"order_price_tdigest_report", "distinct_users_sketch"}
 )
+# Round 9 executes the documented "R9 ROTATION QUEUE" (r8 verdict
+# next-round #1 and #3): the twelve swap-ins are the eleven queue faces —
+# oracled + local-gate green late in round 8 but never driver-checked —
+# plus q1_pricing_summary, restoring a TPC-H sentinel after round 8
+# deliberately held zero in-window TPC-H slots. Twelve r8 hash-green
+# sentinels rotate out to make room; every evictee stays oracled +
+# local-gated, and each family keeps in-window coverage:
+#
+# - user_value_concentration -> user_value_pareto_deciles: the SAME
+#   distributed global_ranks machinery (range-partition + broadcast
+#   offsets) drives both; the concentration face holds its r8 green.
+# - user_retention_cohorts -> signup_survival_km: cohort/survival
+#   analytics; the behavioral family keeps funnel_conversion_latency,
+#   user_rfm_segments, session_top_paths in-window.
+# - user_conversion_funnel -> ab_conversion_ztest: conversion analytics;
+#   the ordered-step machinery stays in-window via
+#   funnel_conversion_latency.
+# - events_burst_windows -> streaming_burst_windows: the stream twin
+#   shares the batch face's single-sourced oracle, so the RANGE-frame
+#   burst machinery keeps a (stronger) in-window rep.
+# - doc_winnowing_fingerprints -> doc_winnowing_overlap_pairs: the
+#   overlap face composes the fingerprint extractor end-to-end.
+# - doc_bm25_search -> search_ranking_metrics: the judge face scores
+#   BM25 rankings, so the inverted-index path stays driven; retrieval
+#   keeps doc_phrase_search + doc_search_authority_rrf in-window.
+# - formats_zorder_skipping -> formats_schema_evolution: the formats
+#   family swaps one layout face for the never-checked evolution face;
+#   Z-order keeps its r8 green + the footer-arithmetic plan test.
+# - orders_dq_expectations -> corpus_datacard: governance/release family;
+#   the expectation-suite face holds its r8 green.
+# - corpus_vocab_growth -> corpus_zipf_fit: sibling corpus-statistics
+#   faces (Heaps vs Zipf) over the same token pipeline.
+# - doc_gopher_filter -> events_kanonymity_audit: the text-quality family
+#   keeps doc_char_entropy + doc_quality_calibrated in-window.
+# - dedup_minhash_recall -> views_point_in_time_state: the dedup family
+#   keeps FIVE in-window reps (both keep-lists, dedup_clusters,
+#   curated_corpus_neardup, streaming_neardup_keeplist); the new face
+#   gives the CDC/as-of family its first slot this round.
+# - source_drift_ks -> q1_pricing_summary: the drift family keeps
+#   source_drift_psi + events_cusum_changepoints + events_daily_acf
+#   in-window; q1 restores the relational-core sentinel (r8 ask #3).
 _DRIVER_PRIORITY: list[str] = [
+    # --- the twelve round-9 swap-ins --------------------------------------
+    "views_point_in_time_state",        # SCD2 point-in-time vs as-of differential
+    "events_kanonymity_audit",          # k-anonymity release audit
+    "corpus_zipf_fit",                  # Zipf rank-frequency fit
+    "signup_survival_km",               # Kaplan-Meier survival curve
+    "ab_conversion_ztest",              # two-proportion A/B z-test
+    "streaming_burst_windows",          # burst detection as a stream job
+    "user_value_pareto_deciles",        # Pareto curve via distributed ranks
+    "doc_winnowing_overlap_pairs",      # winnowing fingerprint overlap
+    "search_ranking_metrics",           # precision@10 / MRR / NDCG judge
+    "formats_schema_evolution",         # mergeSchema across generations
+    "corpus_datacard",                  # one-row release data card
+    "q1_pricing_summary",               # TPC-H sentinel restored (ask #3)
+    # --- retained round-8 slots (families unchanged) ----------------------
+    "dedup_minhash_keeplist",           # pair-free minhash keep-list
+    "dedup_simhash_keeplist",           # pair-free simhash keep-list
+    "embedding_topk_lsh",               # LSH ANN top-k
+    "dedup_clusters",                   # LSH pairs -> components -> verdict
+    "kmeans_assignments",               # decimal-exact k-means assignment
+    "curated_corpus_neardup",           # keep-list curation pipeline
+    "order_price_tdigest_report",       # rows-only: t-digest self-report
+    "distinct_users_sketch",            # rows-only: HLL-style self-report
+    "orders_bloom_prefilter",           # bloom runtime-filter join
+    "bpe_merge_candidates",             # BPE merge-pair induction
+    "doc_char_entropy",                 # char-entropy junk detector
+    "doc_quality_calibrated",           # per-source score calibration
+    "user_value_ewma",                  # recursively-oracled EWMA scan
+    "event_type_transitions",           # Markov transition matrix
+    "streaming_user_ewma",              # stateful float recurrence
+    "doc_search_authority_rrf",         # BM25 x PageRank RRF fusion
+    "order_basket_lift",                # market-basket lift mining
+    "source_drift_psi",                 # binned PSI drift audit
+    "doc_rake_keyphrases",              # RAKE keyword extraction
+    "user_rfm_segments",                # value-bucketed RFM scores
+    "funnel_conversion_latency",        # time-to-convert percentiles
+    "events_cusum_changepoints",        # closed-form CUSUM monitor
+    "user_events_cms",                  # count-min frequency sketch
+    "audience_overlap_kmv",             # theta-sketch set algebra
+    "doc_phrase_search",                # positional phrase retrieval
+    "customer_golden_record",           # entity-resolution survivorship
+    "events_daily_acf",                 # exact-integer autocorrelation
+    "streaming_user_cms",               # CMS counters as stream state
+    "customer_graph_triangles",         # degree-ordered triangle count
+    "user_value_holt",                  # coupled-recurrence Holt scan
+    "event_type_correlations",          # exact-integer Pearson pairs
+    "session_top_paths",                # session journey mining
+    "capped_balance_per_user",          # grouped-fold kernel sentinel
+    "sql_surface_running_balance",      # SQL UDTF sentinel
+    "doc_pagerank_centrality",          # fully-oracled PageRank
+    "multimodal_audio_meta",            # WAV header parse hard-gate
+    "multimodal_video_meta",            # MP4 box-walk hard-gate
+    "streaming_neardup_keeplist",       # incremental LSH keep-list
+]
+# The full round-8 window, retained as the rotation record (48 hash-green +
+# 2 rows-only, 0 errors in CORRECTNESS_r08.json; every member remains
+# oracled + local-gated and registered — pinned by
+# tests/test_catalog_priority.py). Per-slot rotation documentation is
+# preserved verbatim from the round-8 edit below.
+_DRIVER_PRIORITY_R8: list[str] = [
     # --- round 8 window ----------------------------------------------------
     # The 8 hard-gate must-ins: the five oracled queries with no driver
     # hash-green row after seven rounds (the two r7-new keep-lists were

@@ -56,3 +56,12 @@ def test_r7_rotation_record_stays_registered():
     q = catalog.spark_queries()
     missing = [n for n in catalog._DRIVER_PRIORITY_R7 if n not in q]
     assert missing == []
+
+
+def test_r8_rotation_record_stays_registered():
+    """Same contract for the retained round-8 window (48 hash-green + 2
+    rows-only in CORRECTNESS_r08.json)."""
+    q = catalog.spark_queries()
+    assert len(catalog._DRIVER_PRIORITY_R8) == 50
+    missing = [n for n in catalog._DRIVER_PRIORITY_R8 if n not in q]
+    assert missing == []
