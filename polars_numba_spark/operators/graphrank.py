@@ -108,3 +108,60 @@ def pagerank(
     release(spark, e_ids | n_ids | o_ids)
     register_session_scoped(rank_ids)
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "id",
+) -> DataFrame:
+    """Multi-source BFS over a directed edge list → ``(id, hops)``: the
+    minimum hop count from any seed, for every node reachable within
+    ``max_hops`` (seeds themselves at 0). The shortest-path face next to
+    :func:`pagerank` (centrality) and ``connected_components``
+    (membership) — blast-radius / influence-radius queries over match
+    graphs and link graphs. Symmetrize first for undirected semantics.
+
+    Scale shape: classic frontier expansion — each round joins the
+    CURRENT FRONTIER (never the full visited set) to the edge list, then
+    anti-joins the visited set to keep only newly discovered nodes; both
+    shuffles key on node id. Per-round cost tracks the frontier's edge
+    fan-out, the visited set grows monotonically and is localCheckpointed
+    each round (the components-loop lineage pin — round k's plan must not
+    embed k join trees). ``max_hops`` is a fixed bound, not a convergence
+    test, so the loop unrolls into a bounded recursive-CTE oracle.
+    Integer hop arithmetic — nothing to round, every engine agrees."""
+    from polars_numba_spark.plans.checkpoint import (
+        register_session_scoped,
+        release,
+        tracked_local_checkpoint,
+    )
+
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    e, e_ids = tracked_local_checkpoint(e)
+
+    visited = seeds.select(
+        F.col(seed_col).alias("id"), F.lit(0).cast("int").alias("hops")
+    )
+    visited, v_ids = tracked_local_checkpoint(visited)
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e.u == frontier.id)
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .select("id", F.lit(h).cast("int").alias("hops"))
+        )
+        visited = visited.unionByName(nxt)
+        visited, new_ids = tracked_local_checkpoint(visited)
+        release(spark, v_ids)
+        v_ids = new_ids
+        frontier = visited.where(F.col("hops") == h)
+    release(spark, e_ids)
+    register_session_scoped(v_ids)
+    return visited

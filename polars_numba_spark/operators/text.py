@@ -155,6 +155,79 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_overlap_pairs(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    portable: bool = False,
+    hot_df_cap: int = 50,
+    threshold: float = 0.2,
+):
+    """MOSS-style overlap detection from :func:`winnowing_fingerprints`
+    (Schleimer et al. 2003 §4): document pairs sharing selected k-gram
+    window minima, scored by the overlap coefficient
+    ``shared / min(|A|, |B|)`` and filtered at ``threshold``.
+
+    Scale shape: the candidate join keys on the FINGERPRINT (equi-join
+    over the exploded fingerprint table, never doc×doc), with
+    stop-fingerprints (appearing in more than ``hot_df_cap`` documents —
+    boilerplate) removed by a broadcast anti-join BEFORE the join can
+    square them — the standard MOSS cut. The fingerprint arrays are
+    materialized through a session-scoped localCheckpoint first: inlined
+    under explode, the md5-in-HOF winnowing expression leaves whole-stage
+    codegen and runs interpreted (measured 100s+ vs ~2s at sf0.1 — the
+    repo-wide interpreted-Generate rule).
+
+    Returns (a_id, b_id, n_fp_a, n_fp_b, shared_fp, overlap)."""
+    from polars_numba_spark.plans.checkpoint import (
+        register_session_scoped,
+        tracked_local_checkpoint,
+    )
+
+    fp_plan = winnowing_fingerprints(
+        df, text_col=text_col, id_col=id_col, k=k, w=w, portable=portable
+    )
+    fp, fp_ids = tracked_local_checkpoint(fp_plan)
+    register_session_scoped(fp_ids)
+    ex = fp.where(F.size("fingerprints") > 0).select(
+        F.col("id").alias("doc_id"),
+        F.size("fingerprints").alias("n_fp"),
+        F.explode("fingerprints").alias("f"),
+    )
+    hot = (
+        ex.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > hot_df_cap)
+        .select("f")
+    )
+    exf = ex.join(F.broadcast(hot), "f", "left_anti")
+    a = exf.select(
+        F.col("doc_id").alias("a_id"), F.col("n_fp").alias("n_fp_a"), "f"
+    )
+    b = exf.select(
+        F.col("doc_id").alias("b_id"), F.col("n_fp").alias("n_fp_b"), "f"
+    )
+    shared = (
+        a.join(b, "f")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "n_fp_a", "n_fp_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+    )
+    overlap = F.col("shared_fp").cast("double") / F.least(
+        "n_fp_a", "n_fp_b"
+    ).cast("double")
+    return shared.select(
+        "a_id",
+        "b_id",
+        F.col("n_fp_a").cast("int").alias("n_fp_a"),
+        F.col("n_fp_b").cast("int").alias("n_fp_b"),
+        "shared_fp",
+        overlap.alias("overlap"),
+    ).where(F.col("overlap") >= threshold)
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set. Two documents that are token-permutations of each other get

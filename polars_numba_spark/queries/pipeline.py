@@ -3298,59 +3298,16 @@ def doc_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast anti-join before the join can square them, the standard
     MOSS cut mirrored exactly in the oracle. Same fixed doc slice as the
     fingerprints face; the winnowing CTE is single-sourced between the
-    two oracles."""
-    from polars_numba_spark.plans.checkpoint import (
-        register_session_scoped,
-        tracked_local_checkpoint,
-    )
-
+    two oracles. The whole pipeline (checkpointed fingerprint
+    materialization — the interpreted-Generate rule — explode, hot-cut,
+    equi-join, score) lives in
+    operators/text.py::winnowing_overlap_pairs so the soak can drive it
+    over the FULL replicated corpus; this face is the fixed-slice oracled
+    spelling."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
-    # CRITICAL materialization: the fingerprint ARRAYS must exist as data
-    # before any Generate touches them. Inlined under explode, the
-    # md5-in-HOF winnowing expression leaves whole-stage codegen and runs
-    # interpreted — measured 100s+ at sf0.1 vs ~2s for the same
-    # expression evaluated in a codegen Project (the fingerprints face).
-    # Checkpointing fp evaluates the expression ONCE in codegen (the
-    # components-loop pattern); the explode and the four downstream
-    # branches then read rows, not the expression.
-    fp_plan = X.winnowing_fingerprints(d, k=8, w=4, portable=True)
-    fp, fp_ids = tracked_local_checkpoint(fp_plan)
-    register_session_scoped(fp_ids)
-    ex = fp.where(F.size("fingerprints") > 0).select(
-        F.col("id").alias("doc_id"),
-        F.size("fingerprints").alias("n_fp"),
-        F.explode("fingerprints").alias("f"),
+    return X.winnowing_overlap_pairs(
+        d, k=8, w=4, portable=True, hot_df_cap=50, threshold=0.2
     )
-    hot = (
-        ex.groupBy("f")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > 50)
-        .select("f")
-    )
-    exf = ex.join(F.broadcast(hot), "f", "left_anti")
-    a = exf.select(
-        F.col("doc_id").alias("a_id"), F.col("n_fp").alias("n_fp_a"), "f"
-    )
-    b = exf.select(
-        F.col("doc_id").alias("b_id"), F.col("n_fp").alias("n_fp_b"), "f"
-    )
-    shared = (
-        a.join(b, "f")
-        .where(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id", "n_fp_a", "n_fp_b")
-        .agg(F.count(F.lit(1)).alias("shared_fp"))
-    )
-    overlap = F.col("shared_fp").cast("double") / F.least(
-        "n_fp_a", "n_fp_b"
-    ).cast("double")
-    return shared.select(
-        "a_id",
-        "b_id",
-        F.col("n_fp_a").cast("int").alias("n_fp_a"),
-        F.col("n_fp_b").cast("int").alias("n_fp_b"),
-        "shared_fp",
-        overlap.alias("overlap"),
-    ).where(F.col("overlap") >= 0.2)
 
 
 @register(

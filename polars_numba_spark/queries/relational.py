@@ -2070,6 +2070,458 @@ def user_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "purchase_attribution_items",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_t, event_id,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS item
+        FROM events WHERE event_type IN ('click', 'view')
+    ), p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_p, event_id AS pid, value
+        FROM events WHERE event_type = 'purchase'
+    ), j AS (
+        SELECT p.pid, p.value, t.item, t.ts_t, t.event_id
+        FROM p JOIN t ON t.user_id = p.user_id
+                     AND t.ts_t <= p.ts_p
+                     AND t.ts_t >= p.ts_p - INTERVAL 3 DAY
+    ), stats AS (
+        SELECT pid, COUNT(*) AS n_t FROM j GROUP BY 1
+    ), ranked AS (
+        SELECT j.*,
+               ROW_NUMBER() OVER (
+                   PARTITION BY pid ORDER BY ts_t, event_id) AS rn_first,
+               ROW_NUMBER() OVER (
+                   PARTITION BY pid ORDER BY ts_t DESC, event_id DESC) AS rn_last
+        FROM j
+    ), lin AS (
+        SELECT j.item,
+               SUM(CAST(round(j.value / CAST(s.n_t AS DOUBLE), 9)
+                        AS DECIMAL(28,10))) AS lin
+        FROM j JOIN stats s USING (pid) GROUP BY 1
+    ), fc AS (
+        SELECT item, SUM(CAST(value AS DECIMAL(18,6))) AS fst
+        FROM ranked WHERE rn_first = 1 GROUP BY 1
+    ), lc AS (
+        SELECT item, SUM(CAST(value AS DECIMAL(18,6))) AS lst
+        FROM ranked WHERE rn_last = 1 GROUP BY 1
+    ), tn AS (
+        SELECT item, COUNT(*) AS n_touches FROM j GROUP BY 1
+    )
+    SELECT tn.item, tn.n_touches,
+           CAST(lin.lin AS DOUBLE) AS linear_credit,
+           CAST(COALESCE(fc.fst, 0) AS DOUBLE) AS first_credit,
+           CAST(COALESCE(lc.lst, 0) AS DOUBLE) AS last_credit
+    FROM tn
+    JOIN lin ON lin.item = tn.item
+    LEFT JOIN fc ON fc.item = tn.item
+    LEFT JOIN lc ON lc.item = tn.item
+    """,
+)
+def purchase_attribution_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TOUCH ATTRIBUTION — the marketing-analytics face that closes
+    the loop from sessions/funnels to revenue: each purchase's value is
+    credited to the items the user touched (click/view, ``props.k``) in
+    the 3 days before it, under the three standard models side by side —
+    linear (value / touch count per touch), first-touch (all value to
+    the earliest touch) and last-touch. Purchases with no in-window
+    touch are unattributed and drop (documented).
+
+    Exactness: the linear share is one double division rounded to 9
+    decimals then DECIMAL(28,10)-accumulated — the PageRank contribution
+    recipe, with the scale WIDENED per magnitude: at |x|≈10³ the double
+    ulp (~10⁻¹³) exceeds a scale-14 half-quantum, so a (28,14) cast can
+    land on different sides per engine (measured: 27/100 rows off in the
+    last ulps); scale 10 keeps the quantum three decades above the ulp.
+    First/last sums use the DECIMAL(18,6) value-sum pattern;
+    first/last selection is a ROW_NUMBER over the total order
+    (ts, event_id). Scale shape: the touch-window join keys on user_id
+    with a 3-day range predicate (fan-out = touches per user-window, the
+    attribution bound); ranking windows partition by purchase; credit
+    aggregates key on item — |items| rows out."""
+    e = _t(spark, sf_dir, "events")
+    t = e.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("ts_t"),
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ts_p"),
+        F.col("event_id").alias("pid"),
+        "value",
+    )
+    j = p.join(
+        t,
+        (p.user_id == t.user_id)
+        & (t.ts_t <= p.ts_p)
+        & (t.ts_t >= p.ts_p - F.expr("INTERVAL 3 DAYS")),
+    ).select("pid", "value", "item", "ts_t", "event_id")
+    stats = j.groupBy("pid").agg(F.count(F.lit(1)).alias("n_t"))
+    wf = Window.partitionBy("pid").orderBy("ts_t", "event_id")
+    wl = Window.partitionBy("pid").orderBy(
+        F.col("ts_t").desc(), F.col("event_id").desc()
+    )
+    ranked = j.withColumn("rn_first", F.row_number().over(wf)).withColumn(
+        "rn_last", F.row_number().over(wl)
+    )
+    lin = (
+        j.join(stats, "pid")
+        .groupBy("item")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("value") / F.col("n_t").cast("double"), 9
+                ).cast("decimal(28,10)")
+            ).alias("lin")
+        )
+    )
+    fc = (
+        ranked.where(F.col("rn_first") == 1)
+        .groupBy("item")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("fst"))
+    )
+    lc = (
+        ranked.where(F.col("rn_last") == 1)
+        .groupBy("item")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("lst"))
+    )
+    tn = j.groupBy("item").agg(F.count(F.lit(1)).alias("n_touches"))
+    return (
+        tn.join(lin, "item")
+        .join(fc, "item", "left")
+        .join(lc, "item", "left")
+        .select(
+            "item",
+            "n_touches",
+            F.col("lin").cast("double").alias("linear_credit"),
+            F.coalesce(F.col("fst"), F.lit(0)).cast("double").alias("first_credit"),
+            F.coalesce(F.col("lst"), F.lit(0)).cast("double").alias("last_credit"),
+        )
+    )
+
+
+@register(
+    "item_cooccurrence_recs",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(json_extract(props, '$.k') AS INTEGER) AS item
+        FROM events WHERE event_type IN ('click', 'view')
+    ), c AS (
+        SELECT user_id, item, COUNT(*) AS cnt FROM ev GROUP BY 1, 2
+    ), nrm AS (
+        SELECT item, SUM(cnt * cnt) AS n2 FROM c GROUP BY 1
+    ), dots AS (
+        SELECT a.item AS ia, b.item AS ib, SUM(a.cnt * b.cnt) AS dot
+        FROM c a JOIN c b ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2
+    ), sym AS (
+        SELECT ia AS item, ib AS neighbor, dot FROM dots
+        UNION ALL
+        SELECT ib AS item, ia AS neighbor, dot FROM dots
+    ), scored AS (
+        SELECT s.item, s.neighbor, CAST(s.dot AS BIGINT) AS dot,
+               CAST(s.dot AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                   AS cosine
+        FROM sym s
+        JOIN nrm na ON na.item = s.item
+        JOIN nrm nb ON nb.item = s.neighbor
+    ), ranked AS (
+        SELECT item, neighbor, dot, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY item ORDER BY cosine DESC, neighbor
+               ) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT item, neighbor, dot, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def item_cooccurrence_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item COLLABORATIVE FILTERING from implicit feedback — the
+    classic co-occurrence cosine recommender (Sarwar et al. 2001) over
+    the (user, item) interaction matrix mined from click/view events
+    (item = the ``props.k`` JSON field): for every item its top-3
+    neighbors by cosine similarity of user-interaction vectors.
+
+    Exactness: interaction counts, squared norms and dot products are
+    exact integer aggregates; cosine is one fixed double dag
+    (dot / (√n²_a·√n²_b)) over those integers — identical bits per
+    engine; ties broken by neighbor id so the top-3 cut is a total
+    order. Scale shape: the pair stage self-joins the interaction table
+    ON user_id — fan-out per user is (items-per-user)², the standard
+    co-occurrence bound (a per-user activity cap is the production
+    guard; AQE handles residual hot users); the item-norm directory is
+    |items| rows and broadcasts; ranking windows partition by item."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+    )
+    c = ev.groupBy("user_id", "item").agg(F.count(F.lit(1)).alias("cnt"))
+    nrm = c.groupBy("item").agg(F.sum(F.col("cnt") * F.col("cnt")).alias("n2"))
+    a = c.select("user_id", F.col("item").alias("ia"), F.col("cnt").alias("ca"))
+    b = c.select("user_id", F.col("item").alias("ib"), F.col("cnt").alias("cb"))
+    dots = (
+        a.join(b, "user_id")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    sym = dots.select(
+        F.col("ia").alias("item"), F.col("ib").alias("neighbor"), "dot"
+    ).unionAll(
+        dots.select(
+            F.col("ib").alias("item"), F.col("ia").alias("neighbor"), "dot"
+        )
+    )
+    scored = (
+        sym.join(
+            F.broadcast(nrm.select(F.col("item"), F.col("n2").alias("na2"))),
+            "item",
+        )
+        .join(
+            F.broadcast(
+                nrm.select(F.col("item").alias("neighbor"), F.col("n2").alias("nb2"))
+            ),
+            "neighbor",
+        )
+        .select(
+            "item",
+            "neighbor",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("cosine").desc(), F.col("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("item", "neighbor", "dot", "cosine", "rank")
+    )
+
+
+@register(
+    "events_dow_seasonality",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_part('epoch', date_trunc('day', ts)) // 86400
+                    AS BIGINT) AS day_idx,
+               COUNT(*) AS y
+        FROM events GROUP BY 1, 2
+    ), d2 AS (
+        SELECT event_type, day_idx, ((day_idx + 4) % 7) AS dow, y FROM daily
+    ), dw AS (
+        SELECT event_type, dow, COUNT(*) AS n_dow,
+               SUM(y) AS s, SUM(y * y) AS syy
+        FROM d2 GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, COUNT(*) AS n_days, SUM(y) AS s_tot
+        FROM d2 GROUP BY 1
+    ), fl AS (
+        SELECT d.event_type, d.dow,
+               CASE WHEN (CAST(w.n_dow AS DOUBLE) * CAST(d.y AS DOUBLE)
+                            - CAST(w.s AS DOUBLE))
+                         * (CAST(w.n_dow AS DOUBLE) * CAST(d.y AS DOUBLE)
+                            - CAST(w.s AS DOUBLE))
+                         * CAST(w.n_dow AS DOUBLE)
+                       > 9.0 * (CAST(w.n_dow AS DOUBLE) * CAST(w.syy AS DOUBLE)
+                                - CAST(w.s AS DOUBLE) * CAST(w.s AS DOUBLE))
+                    THEN 1 ELSE 0 END AS isout
+        FROM d2 d JOIN dw w
+          ON w.event_type = d.event_type AND w.dow = d.dow
+    ), outs AS (
+        SELECT event_type, dow, CAST(SUM(isout) AS BIGINT) AS n_outlier_days
+        FROM fl GROUP BY 1, 2
+    )
+    SELECT w.event_type, CAST(w.dow AS INTEGER) AS dow,
+           CAST(w.n_dow AS BIGINT) AS n_dow_days,
+           (CAST(w.s AS DOUBLE) * CAST(t.n_days AS DOUBLE))
+             / (CAST(w.n_dow AS DOUBLE) * CAST(t.s_tot AS DOUBLE))
+               AS seasonal_index,
+           o.n_outlier_days
+    FROM dw w
+    JOIN tot t USING (event_type)
+    JOIN outs o ON o.event_type = w.event_type AND o.dow = w.dow
+    """,
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly SEASONAL DECOMPOSITION of the per-type daily series — the
+    calendar-profile face next to the ACF's lag-7 cycle probe: per
+    (event_type, day-of-week) a multiplicative seasonal index
+    (dow mean ÷ overall mean) and the count of seasonally-adjusted
+    outlier days (|y − dow_mean| > 3σ_dow). Day-of-week is PURE INTEGER
+    arithmetic from the epoch day ((day + 4) % 7, Sunday = 0) — calendar
+    functions differ across engines, epoch arithmetic cannot. The index
+    is one double division of exact integer products; the 3σ test is a
+    fixed double dag over exact integer sufficient statistics with both
+    sides VARIANCE-SCALED (dev²·n > 9·(n·Σy²−(Σy)²)) so no square root,
+    no mean subtraction in floats, ever — identical bits per engine.
+    Keyspace |types|·7 after a |types|·|days| pre-aggregate; everything
+    map-side combinable, the dow directory joins broadcast."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(
+                F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400
+            ).alias("day_idx"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .select(
+            "event_type",
+            "day_idx",
+            ((F.col("day_idx") + 4) % 7).alias("dow"),
+            "y",
+        )
+    )
+    dw = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_dow"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("y").alias("s_tot")
+    )
+    nd = F.col("n_dow").cast("double")
+    dev = nd * F.col("y").cast("double") - F.col("s").cast("double")
+    var9 = F.lit(9.0) * (
+        nd * F.col("syy").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    )
+    outs = (
+        daily.join(F.broadcast(dw), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "dow",
+            F.when(dev * dev * nd > var9, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("isout"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.sum("isout").alias("n_outlier_days"))
+    )
+    return (
+        dw.join(F.broadcast(tot), "event_type")
+        .join(F.broadcast(outs), ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("n_dow").alias("n_dow_days"),
+            (
+                (F.col("s").cast("double") * F.col("n_days").cast("double"))
+                / (nd * F.col("s_tot").cast("double"))
+            ).alias("seasonal_index"),
+            "n_outlier_days",
+        )
+    )
+
+
+@register(
+    "events_ols_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_part('epoch', date_trunc('day', ts)) // 86400
+                    AS BIGINT) AS day_idx,
+               COUNT(*) AS y
+        FROM events GROUP BY 1, 2
+    ), based AS (
+        SELECT event_type,
+               day_idx - MIN(day_idx) OVER (PARTITION BY event_type) AS x,
+               y
+        FROM daily
+    ), s AS (
+        SELECT event_type,
+               COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM based GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS intercept,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE))
+             * (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+    FROM s
+    """,
+)
+def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type ORDINARY LEAST SQUARES trend over the daily event series —
+    the regression face next to the ACF (cycle), CUSUM (level shift) and
+    Pearson (cross-series) monitors: slope (events/day drift), intercept,
+    and R² per event_type. All sufficient statistics (n, Σx, Σy, Σx²,
+    Σxy, Σy²) are EXACT integer sums over the day-indexed series; the
+    closed-form estimators are then a fixed dag of IEEE double ops on
+    those integers, so both engines agree bit-for-bit (the exact-integer
+    sufficient-statistics recipe). Day index is REBASED per type
+    (x = day − min_day) so the x·y products stay far from bigint range at
+    any realistic scale — absolute epoch-days would put n·Σxy within two
+    decades of overflow at 10⁹ events/day. One groupBy keyed on
+    (type, day) then one on type — keyspace |types|·|days|, every
+    aggregate map-side combinable; R² is composed from the same ratios as
+    the slope (no variance subtraction in floating point)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(
+                F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400
+            ).alias("day_idx"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    based = daily.select(
+        "event_type",
+        (
+            F.col("day_idx")
+            - F.min("day_idx").over(Window.partitionBy("event_type"))
+        ).alias("x"),
+        "y",
+    )
+    s = based.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den_x
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+        (slope * (num / den_y)).alias("r2"),
+    )
+
+
+@register(
     "events_daily_acf",
     oracle="""
     WITH daily AS (
@@ -2451,6 +2903,129 @@ def views_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.unix_timestamp("ts") - F.unix_timestamp("ts_asof")
         ).alias("state_age_s"),
+    )
+
+
+@register(
+    "events_ldiversity_audit",
+    oracle="""
+    WITH qi AS (
+        SELECT event_type,
+               CAST(date_part('epoch', date_trunc('day', ts)) // 86400
+                    AS BIGINT) AS day_idx,
+               CAST(ROUND(value * 100) AS BIGINT) // 1000 AS value_bucket,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS sens
+        FROM events WHERE user_id IS NOT NULL
+    ), cell AS (
+        SELECT event_type, day_idx, value_bucket, sens, COUNT(*) AS c
+        FROM qi GROUP BY 1, 2, 3, 4
+    ), grp AS (
+        SELECT event_type, day_idx, value_bucket,
+               CAST(SUM(c) AS BIGINT) AS gsize,
+               COUNT(*) AS l_distinct,
+               SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+                        AS DECIMAL(28,10))) AS clogc
+        FROM cell GROUP BY 1, 2, 3
+    ), ent AS (
+        SELECT *,
+               exp(ln(CAST(gsize AS DOUBLE))
+                   - CAST(clogc AS DOUBLE) / CAST(gsize AS DOUBLE)) AS ent_l
+        FROM grp
+    ), tot AS (
+        SELECT SUM(gsize) AS n_rows, COUNT(*) AS n_groups,
+               MIN(ent_l) AS min_entropy_l
+        FROM ent
+    )
+    SELECT CAST(lad.l AS INTEGER) AS l_threshold, t.n_groups, t.min_entropy_l,
+           COUNT(CASE WHEN g.l_distinct < lad.l THEN 1 END) AS n_groups_below,
+           CAST(COALESCE(SUM(CASE WHEN g.l_distinct < lad.l THEN g.gsize END),
+                         0) AS BIGINT) AS n_rows_at_risk,
+           CAST(COALESCE(SUM(CASE WHEN g.l_distinct < lad.l THEN g.gsize END),
+                         0) AS DOUBLE)
+               / CAST(t.n_rows AS DOUBLE) AS risk_share
+    FROM ent g
+    CROSS JOIN (SELECT UNNEST([2, 3, 5, 10]) AS l) lad
+    CROSS JOIN tot t
+    GROUP BY lad.l, t.n_groups, t.n_rows, t.min_entropy_l
+    """,
+)
+def events_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY privacy audit — the attribute-disclosure sibling of
+    the k-anonymity face (Machanavajjhala et al. 2007): a QI group can
+    be k-anonymous yet leak its members' sensitive attribute if every
+    row in it shares the same value. Same QI key (type, day, coarse
+    value bucket); sensitive attribute = the ``props.k`` item. Per
+    group: distinct-l and entropy-l (exp of the sensitive-value Shannon
+    entropy — the 'effective number of values'); the report rolls both
+    up over a broadcast l-ladder exactly like the k-audit, plus the
+    corpus-wide minimum entropy-l (the weakest cell).
+
+    Exactness: H = ln(g) − Σc·ln(c)/g over exact integer counts; each
+    c·ln(c) term is rounded to 9 decimals and DECIMAL(28,10)-accumulated
+    (double sums are order-dependent; decimal sums are not — and at
+    |x|≈10⁵ a scale-10 quantum sits three decades above the double ulp,
+    the magnitude-aware scale rule). Scale shape: one map-side-combinable
+    (QI, sens) pre-aggregate, one QI rollup, then ladder×groups — the
+    audit costs one data-sized aggregate regardless of ladder size."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    cell = (
+        e.select(
+            "event_type",
+            F.floor(
+                F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400
+            ).alias("day_idx"),
+            F.floor(F.round(F.col("value") * 100).cast("long") / 1000)
+            .cast("long")
+            .alias("value_bucket"),
+            F.get_json_object("props", "$.k").cast("int").alias("sens"),
+        )
+        .groupBy("event_type", "day_idx", "value_bucket", "sens")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cd = F.col("c").cast("double")
+    grp = cell.groupBy("event_type", "day_idx", "value_bucket").agg(
+        F.sum("c").alias("gsize"),
+        F.count(F.lit(1)).alias("l_distinct"),
+        F.sum(
+            F.round(cd * F.log(cd), 9).cast("decimal(28,10)")
+        ).alias("clogc"),
+    )
+    ent = grp.withColumn(
+        "ent_l",
+        F.exp(
+            F.log(F.col("gsize").cast("double"))
+            - F.col("clogc").cast("double") / F.col("gsize").cast("double")
+        ),
+    )
+    tot = ent.agg(
+        F.sum("gsize").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("ent_l").alias("min_entropy_l"),
+    )
+    ladder = spark.range(0, 4).select(
+        F.element_at(F.array(F.lit(2), F.lit(3), F.lit(5), F.lit(10)),
+                     F.col("id").cast("int") + 1).cast("int").alias("l_threshold")
+    )
+    at_risk = F.when(F.col("l_distinct") < F.col("l_threshold"), F.col("gsize"))
+    return (
+        ent.crossJoin(F.broadcast(ladder))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("l_threshold", "n_groups", "n_rows", "min_entropy_l")
+        .agg(
+            F.count(at_risk).alias("n_groups_below"),
+            F.coalesce(F.sum(at_risk), F.lit(0)).alias("n_rows_at_risk"),
+        )
+        .select(
+            "l_threshold",
+            "n_groups",
+            "min_entropy_l",
+            "n_groups_below",
+            "n_rows_at_risk",
+            (
+                F.col("n_rows_at_risk").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("risk_share"),
+        )
     )
 
 

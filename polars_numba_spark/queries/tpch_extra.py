@@ -844,7 +844,13 @@ def customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle applies the identical candidate generation, so the
     comparison stays exact — and, being complete, the result equals the
     unblocked nation-wide scan."""
-    c = _t(spark, sf_dir, "customer")
+    return fuzzy_name_pairs(_t(spark, sf_dir, "customer"))
+
+
+def fuzzy_name_pairs(c: DataFrame) -> DataFrame:
+    """Frame-level body of :func:`customer_name_fuzzy_pairs` (segment +
+    deletion-neighborhood blocking, edit distance ≤ 2) — extracted so the
+    scale soak can drive it over a replicated customer frame."""
 
     def seg(i: int):
         return F.concat(
@@ -967,13 +973,20 @@ def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse production ER guards against with tighter match rules, and
     exactly the long-chain propagation stress that makes the face a
     worst-case pin for the components loop."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 1500)
+    return golden_record(c)
+
+
+def golden_record(c: DataFrame) -> DataFrame:
+    """Frame-level ER pipeline of :func:`customer_golden_record` (fuzzy
+    match edges → connected components → survivorship aggregate) —
+    extracted so the scale soak can drive the components loop over a
+    replicated customer frame, where duplicate records multiply per-block
+    edge mass the way real cross-system ER input does."""
     from polars_numba_spark.operators.dedup import connected_components
 
-    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 1500)
-    pairs = (
-        customer_name_fuzzy_pairs(spark, sf_dir)
-        .where((F.col("a_key") < 1500) & (F.col("b_key") < 1500))
-        .select(F.col("a_key").alias("a_id"), F.col("b_key").alias("b_id"))
+    pairs = fuzzy_name_pairs(c).select(
+        F.col("a_key").alias("a_id"), F.col("b_key").alias("b_id")
     )
     comps = connected_components(pairs)
     labeled = (
@@ -1121,6 +1134,76 @@ def customer_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_wedges").cast("double")
         ).alias("clustering"),
     )
+
+
+@register(
+    "customer_match_bfs_hops",
+    oracle="""
+    WITH RECURSIVE cust AS (
+        SELECT * FROM customer WHERE c_custkey < 1500
+    ), segs AS (
+        SELECT c_custkey, c_nationkey, c_name, s.i AS seg_i,
+               substr(c_name, 10 + s.i, 1) || substr(c_name, 13 + s.i, 1)
+                 || substr(c_name, 16 + s.i, 1) AS seg
+        FROM cust, (SELECT UNNEST([0, 1, 2]) AS i) s
+    ), dels AS (
+        SELECT c_custkey, c_nationkey, c_name,
+               substr(c_name, 10, d.i - 1) || substr(c_name, 10 + d.i, 9) AS delstr
+        FROM cust, (SELECT UNNEST(range(1, 10)) AS i) d
+    ), cand AS (
+        SELECT DISTINCT a.c_custkey AS a_key, b.c_custkey AS b_key,
+               a.c_name AS an, b.c_name AS bn
+        FROM segs a JOIN segs b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.seg_i = b.seg_i AND a.seg = b.seg
+         AND a.c_custkey < b.c_custkey
+        UNION
+        SELECT DISTINCT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+        FROM dels a JOIN dels b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.delstr = b.delstr
+         AND a.c_custkey < b.c_custkey
+    ), matched AS (
+        SELECT a_key, b_key FROM cand WHERE levenshtein(an, bn) <= 2
+    ), und AS (
+        SELECT a_key AS u, b_key AS v FROM matched
+        UNION
+        SELECT b_key AS u, a_key AS v FROM matched
+    ), walk(id, hops) AS (
+        SELECT c_custkey, 0 FROM cust WHERE c_custkey < 20
+        UNION
+        SELECT e.v, w.hops + 1
+        FROM walk w JOIN und e ON e.u = w.id
+        WHERE w.hops < 3
+    )
+    SELECT id, CAST(MIN(hops) AS INTEGER) AS hops
+    FROM walk GROUP BY id
+    """,
+)
+def customer_match_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the fuzzy-match graph — the
+    shortest-path/blast-radius face of the graph family (PageRank =
+    centrality, components = membership, triangles = density, BFS =
+    reach): every customer within 3 match-hops of the seed set
+    (c_custkey < 20), with its minimum hop count. Drives
+    operators/graphrank.py::bfs_hops — frontier-expansion rounds whose
+    per-round cost tracks the frontier's edge fan-out, never the full
+    graph; the bounded hop count unrolls into a DuckDB recursive-CTE
+    oracle with integer-only arithmetic (nothing to round, engines agree
+    bit-for-bit). Same fixed c_custkey slice as the golden-record face."""
+    from polars_numba_spark.operators.graphrank import bfs_hops
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 1500)
+    pairs = fuzzy_name_pairs(c).select(
+        F.col("a_key").alias("u"), F.col("b_key").alias("v")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    seeds = c.where(F.col("c_custkey") < 20).select(
+        F.col("c_custkey").alias("id")
+    )
+    return bfs_hops(edges, seeds, max_hops=3, src_col="u", dst_col="v")
 
 
 @register(

@@ -247,6 +247,41 @@ def test_containment_join_is_prefix_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in s
 
 
+def test_containment_verify_width_adapts_to_candidate_mass(spark, monkeypatch):
+    """VERDICT r8 #4: the verify repartition width must scale with the
+    SAMPLED verify-array mass (candidate fan-out x mean set size), not
+    sit at a fixed core count — at 30x the fixed width grew per-task
+    ArrayUnion sorter allocations to 4 GiB. With the per-task element
+    target shrunk, even the sf0.001 corpus must demand a width above
+    defaultParallelism, and exactly that width must appear in the verify
+    Exchange."""
+    import re
+
+    from polars_numba_spark.operators import dedup
+    from polars_numba_spark.sources import load_table
+
+    monkeypatch.setattr(dedup, "_VERIFY_TARGET_ELEMS_PER_TASK", 1000)
+    docs = load_table(spark, "documents", SF).limit(80)
+    out = dedup.containment_join(docs, threshold=0.8)
+    s = plans.explain_string(out)
+    par = spark.sparkContext.defaultParallelism
+    widths = [
+        int(m.group(1))
+        for m in re.finditer(r"hashpartitioning\(a_id[^)]*b_id[^)]*?, (\d+)\)", s)
+    ]
+    assert widths, s
+    assert max(widths) > par, (widths, par)
+    # and the default target leaves the small corpus at the core-count
+    # floor — adaptivity must not inflate tiny verifies
+    monkeypatch.setattr(dedup, "_VERIFY_TARGET_ELEMS_PER_TASK", 4_000_000)
+    s2 = plans.explain_string(dedup.containment_join(docs, threshold=0.8))
+    widths2 = [
+        int(m.group(1))
+        for m in re.finditer(r"hashpartitioning\(a_id[^)]*b_id[^)]*?, (\d+)\)", s2)
+    ]
+    assert widths2 and max(widths2) == par, (widths2, par)
+
+
 def test_kmv_shuffle_sits_above_bounded_partial(spark):
     """distinct_users_kmv's one exchange must sit ABOVE the mapInPandas
     partial (the shuffle carries ≤k hashes per group per partition), with

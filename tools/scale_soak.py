@@ -416,6 +416,74 @@ def run_kmv_soak(
     return out
 
 
+def run_winnowing_soak(
+    spark: SparkSession, base_dir: str, big_dir: str, factor: int
+) -> dict:
+    """Soak the MOSS overlap operator over the FULL corpus at both scales
+    (VERDICT r8 #5 — the catalog face is a fixed doc slice, blind to the
+    replicas). The hot-fingerprint boilerplate cut scales with the
+    replication factor (cap x factor), the same corpus-relative rescale
+    as the SemDeDup k — exact replicas multiply every fingerprint's
+    document frequency by the factor, so a fixed absolute cap would
+    reclassify ordinary fingerprints as boilerplate at Nx. Replica pairs
+    are TRUE overlaps, so output mass legitimately grows ~N² per original
+    document — rows are reported for exactly that attribution."""
+    from polars_numba_spark.operators.text import winnowing_overlap_pairs
+    from polars_numba_spark.sources import load_table
+
+    def build(d, cap):
+        docs = load_table(spark, "documents", d)
+        return lambda: winnowing_overlap_pairs(
+            docs, k=8, w=4, portable=False, hot_df_cap=cap, threshold=0.2
+        )
+
+    return _operator_soak(
+        spark,
+        "winnowing_overlap_operator",
+        [
+            ("1x", build(base_dir, 50), {"hot_df_cap_1x": 50}),
+            (
+                f"{factor}x",
+                build(big_dir, 50 * factor),
+                {f"hot_df_cap_{factor}x": 50 * factor},
+            ),
+        ],
+        factor,
+    )
+
+
+def run_golden_soak(spark: SparkSession, base_dir: str, factor: int) -> dict:
+    """Soak the ER golden-record components loop on a replicated customer
+    frame (VERDICT r8 #5 — the one session-3 plan whose iteration count
+    could grow with data). Replicas keep IDENTICAL names under offset
+    keys — the cross-system duplicate-record shape real ER input has —
+    so every block's membership multiplies by the factor and match-edge
+    mass grows ~factor² while entity count stays fixed; the components
+    loop must absorb that edge mass without its round count exploding
+    (cluster diameter gains ~1 from the dense replica cliques)."""
+    from polars_numba_spark.queries.tpch_extra import golden_record
+    from polars_numba_spark.sources import load_table
+
+    def build(n):
+        c = load_table(spark, "customer", base_dir)
+        if n > 1:
+            reps = [c] + [
+                c.withColumn(
+                    "c_custkey", F.col("c_custkey") + F.lit(i * 10_000_000)
+                )
+                for i in range(1, n)
+            ]
+            c = functools.reduce(DataFrame.unionByName, reps)
+        return lambda: golden_record(c)
+
+    return _operator_soak(
+        spark,
+        "golden_record_operator",
+        [("1x", build(1), {}), (f"{factor}x", build(factor), {})],
+        factor,
+    )
+
+
 def run_skew(spark: SparkSession, base_dir: str, skew_dir: str) -> dict:
     """Skew soak: the grouped kernel paths and both physical forms of the
     shingle-fraction operator on the hot-key variant, vs the uniform base."""
@@ -550,6 +618,8 @@ def main() -> int:
     soak.update(run_semdedup_soak(spark, args.sf_dir, big_dir, args.factor))
     soak.update(run_containment_soak(spark, args.sf_dir, mut_dir, args.factor))
     soak.update(run_kmv_soak(spark, args.sf_dir, big_dir, args.factor))
+    soak.update(run_winnowing_soak(spark, args.sf_dir, big_dir, args.factor))
+    soak.update(run_golden_soak(spark, args.sf_dir, args.factor))
     skew = run_skew(spark, args.sf_dir, skew_dir)
     print(json.dumps({"soak": soak, "skew": skew}))
     if args.scale_md:
