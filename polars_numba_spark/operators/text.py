@@ -155,6 +155,107 @@ def winnowing_fingerprints(
     )
 
 
+def kneser_ney_logprob_scores(
+    df, text_col: str = "text", id_col: str = "doc_id", discount: float = 0.75,
+    broadcast_vocab: bool = True,
+):
+    """Interpolated KNESER-NEY bigram LM scoring (Kneser & Ney 1995; the
+    Chen & Goodman 1998 interpolated form with a fixed discount) — the
+    smoothing upgrade of :func:`bigram_logprob_scores`: instead of
+    backing off to raw unigram frequency, unseen/discounted mass goes to
+    the CONTINUATION probability P_cont(w) = N1+(·w) / |bigram types| —
+    "how many contexts does w complete", the quantity that stops
+    high-frequency-but-context-bound tokens (the "Francisco" problem)
+    from absorbing backoff mass:
+
+        P(w|v) = max(c(v,w) − D, 0)/c(v·) + D·N1+(v·)/c(v·) · P_cont(w)
+
+    A document's first token (no context) and tokens after an unseen
+    context score P_cont directly; a token never seen as a continuation
+    anywhere (possible only for corpus-wide document-initial-only
+    tokens) floors at continuation count 1 — both cases documented fixed
+    dags, not epsilons. D = 0.75 is exactly representable in binary.
+
+    Determinism contract: every count (c(v,w), c(v·), N1+(v·), N1+(·w),
+    |bigram types|) is an exact integer aggregate; the probability is one
+    fixed IEEE double dag over them; log rounds to 9 decimals and per-doc
+    sums accumulate as DECIMAL(28,12) — the bigram scorer's contract.
+
+    Scale shape: identical to the bigram scorer (posexplode + per-doc lag
+    window + three map-side-combined count shuffles) plus ONE extra
+    aggregate over the bigram-type table (context/continuation type
+    counts) — all keyed on vocabulary, joined back broadcast by default."""
+    from pyspark.sql import Window
+
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    occ = occ.withColumn("prev", F.lag("tok").over(w))
+
+    big = occ.where(F.col("prev").isNotNull())
+    c2 = big.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = c2.groupBy("prev").agg(
+        F.sum("c2").alias("cprev"), F.count(F.lit(1)).alias("n1fw")
+    )
+    cont = c2.groupBy("tok").agg(F.count(F.lit(1)).alias("n1bw"))
+    btot = c2.agg(F.count(F.lit(1)).alias("b"))
+
+    maybe_b = F.broadcast if broadcast_vocab else (lambda x: x)
+    d = F.lit(discount)
+    pcont = (
+        F.coalesce(F.col("n1bw"), F.lit(1)).cast("double")
+        / F.col("b").cast("double")
+    )
+    cprev_d = F.col("cprev").cast("double")
+    pkn = (
+        F.greatest(
+            F.coalesce(F.col("c2"), F.lit(0)).cast("double") - d, F.lit(0.0)
+        )
+        / cprev_d
+        + d * F.col("n1fw").cast("double") / cprev_d * pcont
+    )
+    scored = (
+        occ.join(maybe_b(cont), "tok", "left")
+        .join(
+            maybe_b(c2.select(F.col("prev").alias("__p2"),
+                              F.col("tok").alias("__t2"), "c2")),
+            (F.col("prev") == F.col("__p2")) & (F.col("tok") == F.col("__t2")),
+            "left",
+        )
+        .join(maybe_b(ctx.select(F.col("prev").alias("__px"),
+                                 "cprev", "n1fw")),
+              F.col("prev") == F.col("__px"), "left")
+        .crossJoin(F.broadcast(btot))
+        .withColumn(
+            "__logp",
+            F.round(
+                F.log(
+                    F.when(
+                        F.col("prev").isNull() | F.col("cprev").isNull(), pcont
+                    ).otherwise(pkn)
+                ),
+                9,
+            ),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__logp").cast("decimal(28,12)")).alias("__sum"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            (
+                F.col("__sum").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("avg_kn_logprob"),
+        )
+    )
+
+
 def winnowing_overlap_pairs(
     df,
     text_col: str = "text",

@@ -138,7 +138,39 @@ _DRIVER_PRIORITY: list[str] = [
     "formats_schema_evolution",         # mergeSchema across generations
     "corpus_datacard",                  # one-row release data card
     "q1_pricing_summary",               # TPC-H sentinel restored (ask #3)
+    # --- the nine round-9 NEW faces (landing WITH their driver slot, the
+    # r7 process lesson; nine more r8-green sentinels rotate out, families
+    # noted in the block below)
+    "customer_match_bfs_hops",          # r9-new: multi-source BFS reach
+    "events_ols_trend",                 # r9-new: per-type OLS drift
+    "events_dow_seasonality",           # r9-new: weekly seasonal indices
+    "item_cooccurrence_recs",           # r9-new: item-item cosine CF
+    "purchase_attribution_items",       # r9-new: multi-touch attribution
+    "events_ldiversity_audit",          # r9-new: l-diversity / entropy-l
+    "orders_benford_audit",             # r9-new: Benford first-digit chi2
+    "event_markov_backtest",            # r9-new: next-event model backtest
+    "doc_kneser_ney_logprob",           # r9-new: Kneser-Ney LM scoring
     # --- retained round-8 slots (families unchanged) ----------------------
+    # Nine further r8 hash-green sentinels rotate out for the r9-new faces:
+    # - event_type_transitions -> event_markov_backtest: the SAME
+    #   transition-count machinery plus a temporal-split evaluation on top.
+    # - order_basket_lift -> item_cooccurrence_recs: the user-keyed
+    #   co-occurrence self-join is the identical plan shape, now scored.
+    # - events_cusum_changepoints + event_type_correlations -> the
+    #   monitoring family keeps source_drift_psi + events_daily_acf
+    #   in-window and gains events_ols_trend + events_dow_seasonality,
+    #   which drive the same exact-integer sufficient-statistics recipe.
+    # - bpe_merge_candidates + doc_rake_keyphrases -> the text family
+    #   keeps doc_char_entropy + doc_quality_calibrated and gains the
+    #   Kneser-Ney face (the LM-counts machinery BPE induction shares).
+    # - doc_phrase_search -> retrieval keeps search_ranking_metrics +
+    #   doc_search_authority_rrf in-window.
+    # - user_rfm_segments -> behavioral keeps funnel_conversion_latency +
+    #   session_top_paths and gains KM survival, the A/B z-test, Pareto
+    #   deciles and multi-touch attribution.
+    # - orders_bloom_prefilter -> the sketch family keeps THREE in-window
+    #   reps (user_events_cms, audience_overlap_kmv, streaming_user_cms)
+    #   plus the two rows-only self-reports.
     "dedup_minhash_keeplist",           # pair-free minhash keep-list
     "dedup_simhash_keeplist",           # pair-free simhash keep-list
     "embedding_topk_lsh",               # LSH ANN top-k
@@ -147,29 +179,20 @@ _DRIVER_PRIORITY: list[str] = [
     "curated_corpus_neardup",           # keep-list curation pipeline
     "order_price_tdigest_report",       # rows-only: t-digest self-report
     "distinct_users_sketch",            # rows-only: HLL-style self-report
-    "orders_bloom_prefilter",           # bloom runtime-filter join
-    "bpe_merge_candidates",             # BPE merge-pair induction
     "doc_char_entropy",                 # char-entropy junk detector
     "doc_quality_calibrated",           # per-source score calibration
     "user_value_ewma",                  # recursively-oracled EWMA scan
-    "event_type_transitions",           # Markov transition matrix
     "streaming_user_ewma",              # stateful float recurrence
     "doc_search_authority_rrf",         # BM25 x PageRank RRF fusion
-    "order_basket_lift",                # market-basket lift mining
     "source_drift_psi",                 # binned PSI drift audit
-    "doc_rake_keyphrases",              # RAKE keyword extraction
-    "user_rfm_segments",                # value-bucketed RFM scores
     "funnel_conversion_latency",        # time-to-convert percentiles
-    "events_cusum_changepoints",        # closed-form CUSUM monitor
     "user_events_cms",                  # count-min frequency sketch
     "audience_overlap_kmv",             # theta-sketch set algebra
-    "doc_phrase_search",                # positional phrase retrieval
     "customer_golden_record",           # entity-resolution survivorship
     "events_daily_acf",                 # exact-integer autocorrelation
     "streaming_user_cms",               # CMS counters as stream state
     "customer_graph_triangles",         # degree-ordered triangle count
     "user_value_holt",                  # coupled-recurrence Holt scan
-    "event_type_correlations",          # exact-integer Pearson pairs
     "session_top_paths",                # session journey mining
     "capped_balance_per_user",          # grouped-fold kernel sentinel
     "sql_surface_running_balance",      # SQL UDTF sentinel

@@ -210,6 +210,67 @@ _BIGRAM_SCORE_SQL = rf"""
     """
 
 
+@register(
+    "doc_kneser_ney_logprob",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, UNNEST(range(1, len(t) + 1)) AS i, t FROM toks
+    ), occ AS (
+        SELECT doc_id, i, t[i] AS tok,
+               CASE WHEN i > 1 THEN t[i - 1] END AS prev
+        FROM pos
+    ), big AS (
+        SELECT prev, tok FROM occ WHERE prev IS NOT NULL
+    ), c2 AS (
+        SELECT prev, tok, COUNT(*) AS c2 FROM big GROUP BY prev, tok
+    ), ctx AS (
+        SELECT prev, CAST(SUM(c2) AS BIGINT) AS cprev, COUNT(*) AS n1fw
+        FROM c2 GROUP BY prev
+    ), cont AS (
+        SELECT tok, COUNT(*) AS n1bw FROM c2 GROUP BY tok
+    ), btot AS (
+        SELECT COUNT(*) AS b FROM c2
+    ), scored AS (
+        SELECT o.doc_id,
+               ROUND(LN(
+                 CASE WHEN o.prev IS NULL OR x.cprev IS NULL THEN
+                   CAST(COALESCE(ct.n1bw, 1) AS DOUBLE) / CAST(bt.b AS DOUBLE)
+                 ELSE
+                   GREATEST(CAST(COALESCE(c.c2, 0) AS DOUBLE) - 0.75, 0.0)
+                     / CAST(x.cprev AS DOUBLE)
+                   + 0.75 * CAST(x.n1fw AS DOUBLE) / CAST(x.cprev AS DOUBLE)
+                     * (CAST(COALESCE(ct.n1bw, 1) AS DOUBLE)
+                        / CAST(bt.b AS DOUBLE))
+                 END), 9) AS logp
+        FROM occ o
+        LEFT JOIN cont ct ON ct.tok = o.tok
+        LEFT JOIN c2 c ON c.prev = o.prev AND c.tok = o.tok
+        LEFT JOIN ctx x ON x.prev = o.prev
+        CROSS JOIN btot bt
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(logp AS DECIMAL(28,12))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_kn_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram LM scoring — the state-of-the-art
+    count-based smoothing (the KenLM default) next to the plain
+    interpolated bigram face: discounted bigram mass redistributes to
+    CONTINUATION probability (contexts-completed, not raw frequency), so
+    context-bound tokens stop absorbing backoff mass. Fully oracled:
+    every count is exact, D = 0.75 is binary-exact, the probability is a
+    fixed double dag, and per-doc log sums use the round-9 +
+    DECIMAL(28,12) contract. See
+    operators/text.py::kneser_ney_logprob_scores for the plan shape."""
+    d = _t(spark, sf_dir, "documents")
+    return X.kneser_ney_logprob_scores(d, "text", "doc_id", discount=0.75)
+
+
 @register("doc_bigram_logprob", oracle=_BIGRAM_SCORE_SQL)
 def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated BIGRAM LM quality proxy (word order now matters —

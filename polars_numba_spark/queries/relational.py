@@ -2907,6 +2907,204 @@ def views_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_benford_audit",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders WHERE o_totalprice > 0
+    ), digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM cents
+    ), obs AS (
+        SELECT digit, COUNT(*) AS observed FROM digits GROUP BY 1
+    ), lad AS (
+        SELECT UNNEST(range(1, 10)) AS digit
+    ), tot AS (
+        SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs
+    ), tbl AS (
+        SELECT l.digit AS digit,
+               CAST(COALESCE(o.observed, 0) AS BIGINT) AS observed,
+               log10(1.0 + 1.0 / CAST(l.digit AS DOUBLE)) AS expected_share,
+               t.n
+        FROM lad l LEFT JOIN obs o ON o.digit = l.digit CROSS JOIN tot t
+    ), chi AS (
+        SELECT SUM(CAST(round(
+            (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * expected_share)
+            * (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * expected_share)
+            / (CAST(n AS DOUBLE) * expected_share), 6) AS DECIMAL(28,8)))
+               AS chi2
+        FROM tbl
+    )
+    SELECT CAST(tbl.digit AS INTEGER) AS digit, observed,
+           CAST(observed AS DOUBLE) / CAST(n AS DOUBLE) AS observed_share,
+           expected_share,
+           CAST(chi.chi2 AS DOUBLE) AS chi2
+    FROM tbl CROSS JOIN chi
+    """,
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S LAW first-digit audit over order totals — the
+    fraud/data-quality screen finance pipelines run on amount columns:
+    observed vs expected (log₁₀(1+1/d)) first-digit shares plus the
+    9-term χ² statistic. First digit is extracted ARITHMETICALLY — cents
+    as bigint, then the first character of the INTEGER's string form
+    (integer rendering is identical across engines; float formatting is
+    not, and floor(log10(x)) is an ulp trap at powers of ten). The χ²
+    sum crosses 9 rows of doubles, so each term is rounded to 6 decimals
+    and DECIMAL(28,8)-accumulated — at |term|≈n the scale-8 quantum
+    stays well above the double ulp (the magnitude-aware scale rule).
+    One scan, one 9-row rollup; the digit ladder and totals broadcast."""
+    cents = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+    )
+    obs = (
+        cents.select(
+            F.col("c").cast("string").substr(1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    lad = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    tot = obs.agg(F.sum("observed").alias("n"))
+    tbl = (
+        lad.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("observed"), F.lit(0)).alias("observed"),
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+            .alias("expected_share"),
+            "n",
+        )
+    )
+    dev = (
+        F.col("observed").cast("double")
+        - F.col("n").cast("double") * F.col("expected_share")
+    )
+    chi = tbl.agg(
+        F.sum(
+            F.round(
+                dev * dev / (F.col("n").cast("double") * F.col("expected_share")),
+                6,
+            ).cast("decimal(28,8)")
+        ).alias("chi2")
+    )
+    return tbl.crossJoin(F.broadcast(chi)).select(
+        "digit",
+        "observed",
+        (F.col("observed").cast("double") / F.col("n").cast("double"))
+        .alias("observed_share"),
+        "expected_share",
+        F.col("chi2").cast("double").alias("chi2"),
+    )
+
+
+@register(
+    "event_markov_backtest",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), tr AS (
+        SELECT prev_type, event_type AS curr_type, ts
+        FROM seq WHERE prev_type IS NOT NULL
+    ), train AS (
+        SELECT prev_type, curr_type, COUNT(*) AS cnt FROM tr
+        WHERE ts < TIMESTAMP '2024-01-22 00:00:00' GROUP BY 1, 2
+    ), model AS (
+        SELECT prev_type, curr_type AS predicted, cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY prev_type ORDER BY cnt DESC, curr_type) AS rn
+        FROM train
+    ), best AS (
+        SELECT prev_type, predicted FROM model WHERE rn = 1
+    ), ntrain AS (
+        SELECT prev_type, CAST(SUM(cnt) AS BIGINT) AS n_train
+        FROM train GROUP BY 1
+    ), test AS (
+        SELECT prev_type, curr_type FROM tr
+        WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+    ), ev AS (
+        SELECT t.prev_type, b.predicted,
+               COUNT(*) AS n_test,
+               COUNT(CASE WHEN t.curr_type = b.predicted THEN 1 END)
+                   AS n_correct
+        FROM test t JOIN best b USING (prev_type)
+        GROUP BY 1, 2
+    )
+    SELECT e.prev_type, e.predicted, n.n_train, e.n_test, e.n_correct,
+           CAST(e.n_correct AS DOUBLE) / CAST(e.n_test AS DOUBLE) AS accuracy
+    FROM ev e JOIN ntrain n USING (prev_type)
+    """,
+)
+def event_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL BACKTEST of a first-order Markov next-event model — the
+    ML-evaluation face next to the transition matrix: train the
+    argmax-next-type predictor on transitions before the 2024-01-22
+    split, evaluate top-1 accuracy on transitions after it, per
+    antecedent type. The train/test boundary is a fixed timestamp
+    literal (a transition belongs to the period of its CURRENT event);
+    argmax ties break lexicographically so the model is a pure function
+    of counts; test rows whose antecedent never occurs in training drop
+    with the inner model join (documented). Exact integer counts and one
+    double division — nothing to round. Scale shape: the lag window
+    partitions by user (the sessionize shuffle); train counts key on the
+    |types|² transition space and the model directory broadcasts into
+    the evaluation join."""
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    split = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    tr = seq.where(F.col("prev_type").isNotNull()).select(
+        "prev_type", F.col("event_type").alias("curr_type"), "ts"
+    )
+    train = (
+        tr.where(F.col("ts") < split)
+        .groupBy("prev_type", "curr_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wm = Window.partitionBy("prev_type").orderBy(
+        F.col("cnt").desc(), F.col("curr_type")
+    )
+    best = (
+        train.withColumn("rn", F.row_number().over(wm))
+        .where(F.col("rn") == 1)
+        .select("prev_type", F.col("curr_type").alias("predicted"))
+    )
+    ntrain = train.groupBy("prev_type").agg(F.sum("cnt").alias("n_train"))
+    test = tr.where(F.col("ts") >= split)
+    ev = (
+        test.join(F.broadcast(best), "prev_type")
+        .groupBy("prev_type", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.count(
+                F.when(F.col("curr_type") == F.col("predicted"), F.lit(1))
+            ).alias("n_correct"),
+        )
+    )
+    return ev.join(F.broadcast(ntrain), "prev_type").select(
+        "prev_type",
+        "predicted",
+        "n_train",
+        "n_test",
+        "n_correct",
+        (F.col("n_correct").cast("double") / F.col("n_test").cast("double"))
+        .alias("accuracy"),
+    )
+
+
+@register(
     "events_ldiversity_audit",
     oracle="""
     WITH qi AS (
