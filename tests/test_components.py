@@ -187,3 +187,19 @@ def test_simhash_keeplist_empty_docs_kept(spark):
     for empty_id in (3, 4, 5):
         assert rows[empty_id]["keep"]
         assert rows[empty_id]["component"] == empty_id
+
+
+def test_bfs_hops_frontier_semantics(spark):
+    """bfs_hops: seeds at 0, min-hop distance, unreachable nodes absent,
+    max_hops bound respected (a chain longer than the bound is cut)."""
+    from pyspark.sql import functions as F
+
+    from polars_numba_spark.operators.graphrank import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (2, 1)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = {r["id"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops out; 10/11 unreachable
