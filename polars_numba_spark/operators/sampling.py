@@ -205,3 +205,76 @@ def weighted_sample_k(
         .where(F.col("__rank") <= k)
         .drop("__rank")
     )
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    frac_bp: int = 2000,
+) -> DataFrame:
+    """EXACT-COUNT proportional stratified sampling by the largest-
+    remainder (Hamilton) method: the total sample size is exactly
+    ``N·frac_bp // 10000`` and every stratum receives its proportional
+    quota — the floor allocation plus one extra seat for the strata with
+    the largest remainders (ties → stratum value ascending). The fraction
+    is a BASIS-POINT integer, so every quota is integer arithmetic: no
+    float rounding anywhere, which is what lets both engines agree on
+    every seat. (Hash-threshold sampling — :func:`sample_by_hash` — only
+    approximates per-stratum counts; evaluation splits and mixture
+    recipes often need them exact.)
+
+    Row selection within a stratum is content-hash rank (portable md5
+    order, key as tie-break): reproducible across runs, engines and row
+    order. Returns the selected rows as ``(strata, key, rank, quota)``.
+
+    Shape: one group-size aggregate (|strata| rows, broadcast), one
+    |strata|-row seat allocation (remainder rank window over the tiny
+    directory), one data-sized window rank per stratum, one broadcast
+    quota join. The directory math is driver-free — everything stays in
+    the plan.
+    """
+    from polars_numba_spark.operators.dedup import md5_long
+
+    s = F.col(strata_col)
+    sizes = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    sizes = sizes.select(
+        strata_col,
+        "__n",
+        (F.col("__n") * frac_bp).alias("__scaled"),
+    ).select(
+        strata_col,
+        "__n",
+        F.expr("__scaled DIV 10000").alias("__base"),
+        (F.col("__scaled") % 10000).alias("__rem"),
+    )
+    tot = sizes.agg(
+        F.sum("__n").alias("__N"), F.sum("__base").alias("__base_sum")
+    ).select(
+        F.expr(f"__N * {frac_bp} DIV 10000").alias("__T"), "__base_sum"
+    )
+    wrem = Window.orderBy(F.col("__rem").desc(), s)
+    quotas = (
+        sizes.crossJoin(F.broadcast(tot))
+        .withColumn("__seat_rank", F.row_number().over(wrem))
+        .select(
+            strata_col,
+            (
+                F.col("__base")
+                + F.when(
+                    F.col("__seat_rank") <= F.col("__T") - F.col("__base_sum"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("quota"),
+        )
+    )
+    wr = Window.partitionBy(strata_col).orderBy(
+        md5_long(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.select(strata_col, key_col)
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .join(F.broadcast(quotas), strata_col)
+        .where(F.col("rank") <= F.col("quota"))
+        .select(strata_col, key_col, "rank", F.col("quota").cast("long"))
+    )

@@ -150,6 +150,12 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_benford_audit",             # r9-new: Benford first-digit chi2
     "event_markov_backtest",            # r9-new: next-event model backtest
     "doc_kneser_ney_logprob",           # r9-new: Kneser-Ney LM scoring
+    # --- four second-batch r9 faces (same-round landing; four more
+    # r8-green sentinels rotate out, noted in the block below)
+    "doc_stratified_sample",            # r9-new: largest-remainder sampling
+    "user_churn_features",              # r9-new: leakage-safe feature matrix
+    "customer_label_propagation",       # r9-new: LPA communities (3 rounds)
+    "user_value_holt_winters",          # r9-new: seasonal triple recurrence
     # --- retained round-8 slots (families unchanged) ----------------------
     # Nine further r8 hash-green sentinels rotate out for the r9-new faces:
     # - event_type_transitions -> event_markov_backtest: the SAME
@@ -171,6 +177,17 @@ _DRIVER_PRIORITY: list[str] = [
     # - orders_bloom_prefilter -> the sketch family keeps THREE in-window
     #   reps (user_events_cms, audience_overlap_kmv, streaming_user_cms)
     #   plus the two rows-only self-reports.
+    # Second-batch evictions (all r8 hash-green, oracled + local-gated):
+    # - user_value_holt -> user_value_holt_winters: the SAME SizedArray
+    #   multi-output kernel path carrying a strictly harder (5-wide,
+    #   rotating) state; EWMA keeps the single-state scan in-window.
+    # - customer_golden_record -> the graph/ER family gains TWO new
+    #   in-window reps (BFS hops + label propagation, both over the same
+    #   fuzzy-match edges) and keeps customer_graph_triangles.
+    # - funnel_conversion_latency -> behavioral keeps session_top_paths
+    #   plus the new KM/z-test/Pareto/attribution/churn-feature slots.
+    # - doc_char_entropy -> text quality keeps doc_quality_calibrated and
+    #   gains the Kneser-Ney LM face.
     "dedup_minhash_keeplist",           # pair-free minhash keep-list
     "dedup_simhash_keeplist",           # pair-free simhash keep-list
     "embedding_topk_lsh",               # LSH ANN top-k
@@ -179,20 +196,16 @@ _DRIVER_PRIORITY: list[str] = [
     "curated_corpus_neardup",           # keep-list curation pipeline
     "order_price_tdigest_report",       # rows-only: t-digest self-report
     "distinct_users_sketch",            # rows-only: HLL-style self-report
-    "doc_char_entropy",                 # char-entropy junk detector
     "doc_quality_calibrated",           # per-source score calibration
     "user_value_ewma",                  # recursively-oracled EWMA scan
     "streaming_user_ewma",              # stateful float recurrence
     "doc_search_authority_rrf",         # BM25 x PageRank RRF fusion
     "source_drift_psi",                 # binned PSI drift audit
-    "funnel_conversion_latency",        # time-to-convert percentiles
     "user_events_cms",                  # count-min frequency sketch
     "audience_overlap_kmv",             # theta-sketch set algebra
-    "customer_golden_record",           # entity-resolution survivorship
     "events_daily_acf",                 # exact-integer autocorrelation
     "streaming_user_cms",               # CMS counters as stream state
     "customer_graph_triangles",         # degree-ordered triangle count
-    "user_value_holt",                  # coupled-recurrence Holt scan
     "session_top_paths",                # session journey mining
     "capped_balance_per_user",          # grouped-fold kernel sentinel
     "sql_surface_running_balance",      # SQL UDTF sentinel
@@ -1438,6 +1451,102 @@ def user_value_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("lt", 1).alias("level"),
         F.element_at("lt", 2).alias("trend"),
         (F.element_at("lt", 1) + F.element_at("lt", 2)).alias("forecast_next"),
+    )
+
+
+# Holt-Winters additive-seasonal constants, single-sourced like HOLT_*.
+HW_ALPHA = 0.3
+HW_BETA = 0.1
+HW_GAMMA = 0.2
+
+
+HW_ORACLE = f"""
+    WITH RECURSIVE ordered AS (
+        SELECT event_id, user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   AS rn
+        FROM events
+    ), rec AS (
+        SELECT NULL::BIGINT AS event_id, user_id, 0 AS rn,
+               CAST(0.0 AS DOUBLE) AS level, CAST(0.0 AS DOUBLE) AS trend,
+               CAST(0.0 AS DOUBLE) AS s0, CAST(0.0 AS DOUBLE) AS s1,
+               CAST(0.0 AS DOUBLE) AS s2,
+               CAST(0.0 AS DOUBLE) AS forecast_next
+        FROM (SELECT DISTINCT user_id FROM events)
+        UNION ALL
+        SELECT o.event_id, o.user_id, o.rn,
+               {HW_ALPHA!r} * (o.value - r.s0)
+                   + (1.0 - {HW_ALPHA!r}) * (r.level + r.trend) AS level,
+               {HW_BETA!r} * (({HW_ALPHA!r} * (o.value - r.s0)
+                   + (1.0 - {HW_ALPHA!r}) * (r.level + r.trend)) - r.level)
+                   + (1.0 - {HW_BETA!r}) * r.trend AS trend,
+               r.s1 AS s0, r.s2 AS s1,
+               {HW_GAMMA!r} * (o.value - ({HW_ALPHA!r} * (o.value - r.s0)
+                   + (1.0 - {HW_ALPHA!r}) * (r.level + r.trend)))
+                   + (1.0 - {HW_GAMMA!r}) * r.s0 AS s2,
+               ({HW_ALPHA!r} * (o.value - r.s0)
+                   + (1.0 - {HW_ALPHA!r}) * (r.level + r.trend))
+                   + ({HW_BETA!r} * (({HW_ALPHA!r} * (o.value - r.s0)
+                       + (1.0 - {HW_ALPHA!r}) * (r.level + r.trend)) - r.level)
+                       + (1.0 - {HW_BETA!r}) * r.trend)
+                   + r.s1 AS forecast_next
+        FROM ordered o JOIN rec r
+          ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, level, trend, s2 AS seasonal, forecast_next
+    FROM rec WHERE rn >= 1
+    """
+
+
+@register("user_value_holt_winters", oracle=HW_ORACLE)
+def user_value_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS additive-seasonal smoothing per user — the TRIPLE
+    recurrence with a ROTATING seasonal register bank, the hardest
+    kernel-state shape in the catalog: the accumulator carries
+    (level, trend, s0, s1, s2) where the seasonal slots shift down each
+    step so the CURRENT step's seasonal index is always s0 — the step
+    function needs no position counter, which is what keeps it a pure
+    fold. Period 3 keeps the state (and the unrolled oracle) compact;
+    the rotation pattern generalizes to any period. The oracle seeds a
+    virtual rn=0 all-zero state row per user and recurses with the FULL
+    step expression — unlike the Holt spelling there is no special-cased
+    first row, so Spark's kernel and DuckDB's recursion evaluate the
+    IDENTICAL IEEE expression tree on every row (bit-exact, no
+    rounding). Kernel side: the A10 SizedArray(5) multi-output path
+    through the same grouped scan shuffle as EWMA/Holt."""
+    from pyspark.sql import types as T
+
+    from polars_numba_spark.dtypes import SizedArray
+
+    e = _t(spark, sf_dir, "events")
+
+    def hw_step(acc, value):
+        level = HW_ALPHA * (value - acc[2]) + (1.0 - HW_ALPHA) * (acc[0] + acc[1])
+        trend = HW_BETA * (level - acc[0]) + (1.0 - HW_BETA) * acc[1]
+        seasonal = HW_GAMMA * (value - level) + (1.0 - HW_GAMMA) * acc[2]
+        return (level, trend, acc[3], acc[4], seasonal)
+
+    return grouped_scan(
+        e.select("event_id", "user_id", "ts", "value"),
+        "user_id",
+        hw_step,
+        (0.0, 0.0, 0.0, 0.0, 0.0),
+        SizedArray(T.DoubleType(), 5),
+        columns=["value"],
+        order_by=["ts", "event_id"],
+        result_name="hw",
+    ).select(
+        "event_id",
+        "user_id",
+        F.element_at("hw", 1).alias("level"),
+        F.element_at("hw", 2).alias("trend"),
+        F.element_at("hw", 5).alias("seasonal"),
+        (
+            F.element_at("hw", 1)
+            + F.element_at("hw", 2)
+            + F.element_at("hw", 3)
+        ).alias("forecast_next"),
     )
 
 

@@ -2907,6 +2907,112 @@ def views_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_churn_features",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(date_part('epoch', date_trunc('day', ts)) // 86400
+                    AS BIGINT) AS day_idx
+        FROM events
+    ), agg AS (
+        SELECT user_id,
+               MAX(CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00'
+                        THEN day_idx END) AS last_pre_day,
+               COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                           AND ts < TIMESTAMP '2024-01-22 00:00:00'
+                          THEN 1 END) AS freq_7d,
+               COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+                           AND ts < TIMESTAMP '2024-01-22 00:00:00'
+                          THEN 1 END) AS freq_14d,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                            AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+                            AND ts < TIMESTAMP '2024-01-22 00:00:00'
+                           THEN CAST(value AS DECIMAL(18,6)) END), 0)
+                    AS DOUBLE) AS monetary_14d,
+               COUNT(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+                                    AND ts < TIMESTAMP '2024-01-22 00:00:00'
+                                   THEN event_type END) AS distinct_types_14d,
+               MAX(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00'
+                         AND ts < TIMESTAMP '2024-01-29 00:00:00'
+                        THEN 1 ELSE 0 END) AS label_active_next7
+        FROM e GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(19744 - last_pre_day AS BIGINT) AS recency_days,
+           freq_7d, freq_14d, monetary_14d,
+           distinct_types_14d,
+           CAST(label_active_next7 AS INTEGER) AS label_active_next7
+    FROM agg WHERE last_pre_day IS NOT NULL
+    """,
+)
+def user_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-STORE matrix for churn/activity prediction — the
+    point-in-time-correct training table an ML pipeline materializes:
+    per user, RFM-style features computed strictly BEFORE the
+    2024-01-22 cutoff (recency in whole days, 7/14-day frequencies,
+    14-day purchase value, type diversity) and the label strictly AFTER
+    it (any activity in the next 7 days) — the leakage boundary is the
+    same fixed literal on every column, so no feature can see the label
+    window. Users with no pre-cutoff history drop (cold-start rows have
+    no features; documented). One scan, one user-keyed aggregate —
+    every feature a conditional aggregate (map-side combinable), value
+    sums decimal-exact, recency from epoch-day integers."""
+    cutoff = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    w7 = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    w14 = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    horizon = F.lit("2024-01-29 00:00:00").cast("timestamp")
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        F.floor(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400
+        ).alias("day_idx"),
+    )
+    pre14 = (F.col("ts") >= w14) & (F.col("ts") < cutoff)
+    agg = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("ts") < cutoff, F.col("day_idx"))).alias(
+            "last_pre_day"
+        ),
+        F.count(
+            F.when((F.col("ts") >= w7) & (F.col("ts") < cutoff), F.lit(1))
+        ).alias("freq_7d"),
+        F.count(F.when(pre14, F.lit(1))).alias("freq_14d"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase") & pre14,
+                    F.col("value").cast("decimal(18,6)"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("monetary_14d"),
+        F.countDistinct(F.when(pre14, F.col("event_type"))).alias(
+            "distinct_types_14d"
+        ),
+        F.max(
+            F.when(
+                (F.col("ts") >= cutoff) & (F.col("ts") < horizon), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("int")
+        .alias("label_active_next7"),
+    )
+    return agg.where(F.col("last_pre_day").isNotNull()).select(
+        "user_id",
+        (F.lit(19744) - F.col("last_pre_day")).cast("long").alias("recency_days"),
+        "freq_7d",
+        "freq_14d",
+        "monetary_14d",
+        "distinct_types_14d",
+        "label_active_next7",
+    )
+
+
+@register(
     "orders_benford_audit",
     oracle="""
     WITH cents AS (

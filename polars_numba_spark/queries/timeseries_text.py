@@ -264,6 +264,55 @@ def doc_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_stratified_sample",
+    oracle="""
+    WITH sizes AS (
+        SELECT source, COUNT(*) AS n,
+               (COUNT(*) * 2000) // 10000 AS base,
+               (COUNT(*) * 2000) % 10000 AS rem
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT (SUM(n) * 2000) // 10000 AS t, SUM(base) AS base_sum
+        FROM sizes
+    ), seats AS (
+        SELECT source,
+               base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                                <= t.t - t.base_sum
+                           THEN 1 ELSE 0 END AS quota
+        FROM sizes CROSS JOIN tot t
+    ), ranked AS (
+        SELECT source, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(CAST(('0x' || substr(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                       AS BIGINT), doc_id
+               ) AS INTEGER) AS rank
+        FROM documents
+    )
+    SELECT r.source, r.doc_id, r.rank, CAST(s.quota AS BIGINT) AS quota
+    FROM ranked r JOIN seats s USING (source)
+    WHERE r.rank <= s.quota
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-COUNT proportional stratified sample (largest-remainder /
+    Hamilton allocation) — a 20% corpus sample whose TOTAL size is
+    exactly N·0.2 rounded down and whose per-source quotas are
+    proportional to the floor plus largest-remainder seats: the
+    allocation evaluation splits and mixture recipes need, where
+    hash-threshold sampling only lands near the fraction in expectation.
+    The fraction is the basis-point integer 2000, so every quota is pure
+    integer arithmetic; row selection is portable-md5 rank within each
+    stratum — membership, not just counts, is hash-proven. See
+    operators/sampling.py::stratified_exact_sample for the plan shape
+    (the |strata|-row seat window runs over the broadcast directory, not
+    the data)."""
+    d = _t(spark, sf_dir, "documents")
+    return SAMPLING.stratified_exact_sample(d, "source", "doc_id", frac_bp=2000)
+
+
+@register(
     "doc_source_caps",
     oracle=f"""
     WITH ranked AS (

@@ -5,7 +5,7 @@ aggregate it must equal).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polars_numba_spark.operators.sessionize import sessionize
@@ -1204,6 +1204,120 @@ def customer_match_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id")
     )
     return bfs_hops(edges, seeds, max_hops=3, src_col="u", dst_col="v")
+
+
+_LPA_EDGES_CTE = """
+    WITH cust AS (
+        SELECT * FROM customer WHERE c_custkey < 1500
+    ), segs AS (
+        SELECT c_custkey, c_nationkey, c_name, s.i AS seg_i,
+               substr(c_name, 10 + s.i, 1) || substr(c_name, 13 + s.i, 1)
+                 || substr(c_name, 16 + s.i, 1) AS seg
+        FROM cust, (SELECT UNNEST([0, 1, 2]) AS i) s
+    ), dels AS (
+        SELECT c_custkey, c_nationkey, c_name,
+               substr(c_name, 10, d.i - 1) || substr(c_name, 10 + d.i, 9) AS delstr
+        FROM cust, (SELECT UNNEST(range(1, 10)) AS i) d
+    ), cand AS (
+        SELECT DISTINCT a.c_custkey AS a_key, b.c_custkey AS b_key,
+               a.c_name AS an, b.c_name AS bn
+        FROM segs a JOIN segs b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.seg_i = b.seg_i AND a.seg = b.seg
+         AND a.c_custkey < b.c_custkey
+        UNION
+        SELECT DISTINCT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+        FROM dels a JOIN dels b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.delstr = b.delstr
+         AND a.c_custkey < b.c_custkey
+    ), matched AS (
+        SELECT a_key, b_key FROM cand WHERE levenshtein(an, bn) <= 2
+    ), und AS (
+        SELECT a_key AS u, b_key AS v FROM matched
+        UNION
+        SELECT b_key AS u, a_key AS v FROM matched
+    )
+"""
+
+_LPA_ROUND_SQL = """
+    , m{r} AS (
+        SELECT e.v AS id, l.lab, COUNT(*) AS c
+        FROM und e JOIN l{p} l ON l.id = e.u GROUP BY 1, 2
+    ), b{r} AS (
+        SELECT id, lab FROM (
+            SELECT id, lab, ROW_NUMBER() OVER (
+                PARTITION BY id ORDER BY c DESC, lab) AS rn
+            FROM m{r}
+        ) WHERE rn = 1
+    ), l{r} AS (
+        SELECT l{p}.id, COALESCE(b{r}.lab, l{p}.lab) AS lab
+        FROM l{p} LEFT JOIN b{r} ON b{r}.id = l{p}.id
+    )
+"""
+
+
+@register(
+    "customer_label_propagation",
+    oracle=(
+        _LPA_EDGES_CTE
+        + ", l0 AS (SELECT c_custkey AS id, c_custkey AS lab FROM cust)"
+        + "".join(_LPA_ROUND_SQL.format(r=r, p=r - 1) for r in (1, 2, 3))
+        + " SELECT id, CAST(lab AS BIGINT) AS community FROM l3"
+    ),
+)
+def customer_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL PROPAGATION community detection (Raghavan et al. 2007,
+    synchronous variant) over the fuzzy-match graph — the community face
+    of the graph family, next to components (connectivity), PageRank
+    (centrality), triangles (density) and BFS (reach): unlike min-label
+    components, LPA's neighbor-MAJORITY vote finds densely-knit groups
+    inside a connected blob. Three SYNCHRONOUS rounds (fixed count — the
+    unrollable-oracle posture): every node adopts its neighbors'
+    most-frequent label (ties → smallest label; isolated nodes keep
+    their own), labels initialized to node ids. Exact integer votes,
+    ROW_NUMBER argmax — nothing to round. Scale shape per round: one
+    edge⋈label join + one (node, label) count + one per-node argmax
+    window, all keyed on node id; the label frame is localCheckpointed
+    per round (the components-loop lineage pin)."""
+    from polars_numba_spark.plans.checkpoint import (
+        register_session_scoped,
+        release,
+        tracked_local_checkpoint,
+    )
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 1500)
+    pairs = fuzzy_name_pairs(c).select(
+        F.col("a_key").alias("u"), F.col("b_key").alias("v")
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    und, e_ids = tracked_local_checkpoint(und)
+    lab = c.select(
+        F.col("c_custkey").alias("id"), F.col("c_custkey").alias("lab")
+    )
+    lab, l_ids = tracked_local_checkpoint(lab)
+    for _ in range(3):
+        msgs = und.join(
+            lab.select(F.col("id").alias("u"), "lab"), "u"
+        ).select(F.col("v").alias("id"), "lab")
+        counts = msgs.groupBy("id", "lab").agg(F.count(F.lit(1)).alias("c"))
+        wv = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("lab"))
+        best = (
+            counts.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select("id", F.col("lab").alias("blab"))
+        )
+        lab = lab.join(best, "id", "left").select(
+            "id", F.coalesce(F.col("blab"), F.col("lab")).alias("lab")
+        )
+        lab, new_ids = tracked_local_checkpoint(lab)
+        release(spark, l_ids)
+        l_ids = new_ids
+    release(spark, e_ids)
+    register_session_scoped(l_ids)
+    return lab.select("id", F.col("lab").alias("community"))
 
 
 @register(

@@ -15,7 +15,7 @@ import pytest
      "example_multimodal.py", "example_dedup_sketch.py",
      "example_cdc_sketch.py", "example_training_layout.py",
      "example_streaming_ingest_dedup.py", "example_retrieval_rank.py",
-     "example_quality_curation.py"],
+     "example_quality_curation.py", "example_decision_science.py"],
 )
 def test_example_runs(script):
     proc = subprocess.run(
