@@ -413,11 +413,17 @@ def containment_pairs(
 
 
 # Adaptive verify-width targets (VERDICT r8 #4): size the verify-stage
-# repartition so each task's ArrayUnion sorter holds roughly this many
-# array elements — the 30x soak measured a 4 GiB per-task sorter
-# allocation when the width was fixed at defaultParallelism. ~4M string
-# elements ≈ a few hundred MB of sorter, comfortably per-core-sized.
-_VERIFY_TARGET_ELEMS_PER_TASK = 4_000_000
+# repartition so each task's ArrayUnion sorter allocation stays bounded —
+# the 30x soak measured a 4 GiB per-task sorter when the width was fixed
+# at defaultParallelism (32). The estimator's unit is PRE-DISTINCT
+# pair-token incidences (candidate fan-out x 2 x mean set size), an
+# overcount of real verify mass; the target is CALIBRATED against the
+# measured 30x point (~1.2e11 incidences <-> 32 x 4 GiB of sorter), so
+# width = incidences / 1.2e8 lands ~1000 tasks there, i.e. a
+# low-hundreds-of-MB sorter per task. A first cut at 4M incidences/task
+# produced 32k tasks at 30x — GC-clean but ~6 minutes of pure task-launch
+# overhead; the width must bound allocations, not minimize them.
+_VERIFY_TARGET_ELEMS_PER_TASK = 120_000_000
 _VERIFY_MAX_WIDTH = 32768
 
 
@@ -520,6 +526,18 @@ def containment_join(
     index = occ.select(F.col("id").alias("b_id"), "tok").repartition(
         par, "tok"
     )
+    # The width estimator below consumes `prefixes` a SECOND time, and its
+    # lineage contains the expensive rarity-sort groupBy — materialize it
+    # once so the stats aggregate and the candidate join read rows, not
+    # the plan (unmaterialized, the 30x soak re-paid ~7 minutes of sort;
+    # the checkpoint write is corpus-linear (a_id, tok) rows).
+    from polars_numba_spark.plans.checkpoint import (
+        register_session_scoped,
+        tracked_local_checkpoint,
+    )
+
+    prefixes, p_ids = tracked_local_checkpoint(prefixes)
+    register_session_scoped(p_ids)
     cands = (
         prefixes.join(index, "tok")
         .where(F.col("a_id") != F.col("b_id"))
