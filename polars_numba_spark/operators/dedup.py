@@ -427,28 +427,45 @@ _VERIFY_TARGET_ELEMS_PER_TASK = 120_000_000
 _VERIFY_MAX_WIDTH = 32768
 
 
-def _adaptive_verify_width(prefixes, dfreq, toks, par: int) -> int:
+def _adaptive_verify_width(toks, dfreq, threshold: float, par: int) -> int:
     """Width for the containment verify stage, sized by SAMPLED verify
-    mass instead of a fixed core count: total array elements flowing into
-    the verify ≈ (pre-distinct candidate fan-out) × 2 × (mean token-set
-    size). The fan-out is exactly Σ over prefix entries of that token's
-    document frequency — one linear join+sum over data the main plan
-    already computes; the mean set size is one linear aggregate. Both are
-    plan-time sketches (the same documented posture as skew.py's
-    sampler). Floor at ``par`` (never narrower than the cores available),
-    cap at ``_VERIFY_MAX_WIDTH`` (a shuffle with 32k partitions of two
-    longs each is still tiny)."""
+    mass instead of a fixed core count. Estimated incidences ≈ n_docs ×
+    mean-prefix-length × mean-token-df × 2 × mean-set-size, from TWO
+    LINEAR aggregates (the per-doc set sizes and the df table — both
+    frames the main plan already derives). Deliberately NOT the exact
+    Σ-over-prefix-entries fan-out: that sum needs the rarity-sorted
+    prefixes themselves, and both ways of obtaining them a second time
+    were measured catastrophic at 30× (recomputing the sort lineage
+    ≈ +7 min; localCheckpointing the corpus-scale prefix table ≈ +8 min
+    of storage pressure). A width estimate only needs the order of
+    magnitude; using the GLOBAL mean df where the prefix holds the
+    RAREST tokens overestimates, which errs toward more, smaller sorter
+    allocations — the safe direction. Plan-time sketch (skew.py's
+    documented posture). Floor at ``par``, cap at ``_VERIFY_MAX_WIDTH``."""
     import math
 
     row = (
-        prefixes.join(dfreq, "tok")
-        .agg(F.sum("__df").alias("__fanout"))
-        .crossJoin(F.broadcast(toks.agg(F.avg("n_toks").alias("__avg_n"))))
+        toks.agg(
+            F.count(F.lit(1)).alias("__n_docs"), F.avg("n_toks").alias("__avg_n")
+        )
+        .crossJoin(
+            F.broadcast(
+                dfreq.agg(
+                    F.count(F.lit(1)).alias("__vocab"),
+                    F.sum("__df").alias("__occ"),
+                )
+            )
+        )
         .collect()[0]
     )
-    fanout = row["__fanout"] or 0
+    n_docs = row["__n_docs"] or 0
     avg_n = row["__avg_n"] or 0.0
-    width = math.ceil(fanout * 2.0 * avg_n / _VERIFY_TARGET_ELEMS_PER_TASK)
+    vocab = row["__vocab"] or 1
+    occ = row["__occ"] or 0
+    prefix_len = avg_n * (1.0 - threshold) + 1.0
+    avg_df = occ / max(vocab, 1)
+    incidences = n_docs * prefix_len * avg_df * 2.0 * avg_n
+    width = math.ceil(incidences / _VERIFY_TARGET_ELEMS_PER_TASK)
     return int(min(_VERIFY_MAX_WIDTH, max(par, width)))
 
 
@@ -526,18 +543,6 @@ def containment_join(
     index = occ.select(F.col("id").alias("b_id"), "tok").repartition(
         par, "tok"
     )
-    # The width estimator below consumes `prefixes` a SECOND time, and its
-    # lineage contains the expensive rarity-sort groupBy — materialize it
-    # once so the stats aggregate and the candidate join read rows, not
-    # the plan (unmaterialized, the 30x soak re-paid ~7 minutes of sort;
-    # the checkpoint write is corpus-linear (a_id, tok) rows).
-    from polars_numba_spark.plans.checkpoint import (
-        register_session_scoped,
-        tracked_local_checkpoint,
-    )
-
-    prefixes, p_ids = tracked_local_checkpoint(prefixes)
-    register_session_scoped(p_ids)
     cands = (
         prefixes.join(index, "tok")
         .where(F.col("a_id") != F.col("b_id"))
@@ -549,7 +554,7 @@ def containment_join(
     # allocations grow with candidate mass (4 GiB each at the 30x soak
     # point); sizing the width by sampled verify-array mass keeps the
     # allocation per-core-sized at any scale (SCALE.md, VERDICT r8 #4).
-    verify_width = _adaptive_verify_width(prefixes, dfreq, toks, par)
+    verify_width = _adaptive_verify_width(toks, dfreq, threshold, par)
     scored = containment_pairs(
         df, cands, text_col, id_col, shingle_n, verify_partitions=verify_width
     )

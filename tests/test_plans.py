@@ -287,7 +287,7 @@ def test_containment_verify_width_adapts_to_candidate_mass(spark, monkeypatch):
     from polars_numba_spark.operators import dedup
     from polars_numba_spark.sources import load_table
 
-    monkeypatch.setattr(dedup, "_VERIFY_TARGET_ELEMS_PER_TASK", 1000)
+    monkeypatch.setattr(dedup, "_VERIFY_TARGET_ELEMS_PER_TASK", 10)
     docs = load_table(spark, "documents", SF).limit(80)
     out = dedup.containment_join(docs, threshold=0.8)
     s = plans.explain_string(out)
