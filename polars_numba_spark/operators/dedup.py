@@ -415,57 +415,33 @@ def containment_pairs(
 # Adaptive verify-width targets (VERDICT r8 #4): size the verify-stage
 # repartition so each task's ArrayUnion sorter allocation stays bounded —
 # the 30x soak measured a 4 GiB per-task sorter when the width was fixed
-# at defaultParallelism (32). The estimator's unit is PRE-DISTINCT
-# pair-token incidences (candidate fan-out x 2 x mean set size), an
-# overcount of real verify mass; the target is CALIBRATED against the
-# measured 30x point (~1.2e11 incidences <-> 32 x 4 GiB of sorter), so
-# width = incidences / 1.2e8 lands ~1000 tasks there, i.e. a
-# low-hundreds-of-MB sorter per task. A first cut at 4M incidences/task
-# produced 32k tasks at 30x — GC-clean but ~6 minutes of pure task-launch
-# overhead; the width must bound allocations, not minimize them.
-_VERIFY_TARGET_ELEMS_PER_TASK = 120_000_000
+# at defaultParallelism (32). Width = corpus docs / _VERIFY_DOCS_PER_TASK,
+# calibrated at the 30x point: 1.5M docs / 1500 ≈ 1000 tasks, a
+# low-hundreds-of-MB sorter each where r8 warned at 4 GiB. The unit is
+# deliberately DOCUMENTS, not a verify-mass estimate: every richer
+# estimator was measured to cost more than it saved at 30x — the exact
+# Σ-over-prefix-entries fan-out re-pays the rarity-sort lineage (+7 min)
+# or a corpus-scale checkpoint (+8 min of storage pressure), and even
+# linear token aggregates re-tokenize the corpus (+4 min). A doc count
+# is one metadata-cheap action, and the calibration corpus (the mutated
+# 30x build) is duplication-HEAVY, so the per-task candidate mass it
+# implies is the conservative end. A first cut targeting 4M incidences
+# produced 32k tasks — GC-clean but ~6 min of pure task-launch overhead;
+# the width must bound allocations, not minimize them.
+_VERIFY_DOCS_PER_TASK = 1500
 _VERIFY_MAX_WIDTH = 32768
 
 
-def _adaptive_verify_width(toks, dfreq, threshold: float, par: int) -> int:
-    """Width for the containment verify stage, sized by SAMPLED verify
-    mass instead of a fixed core count. Estimated incidences ≈ n_docs ×
-    mean-prefix-length × mean-token-df × 2 × mean-set-size, from TWO
-    LINEAR aggregates (the per-doc set sizes and the df table — both
-    frames the main plan already derives). Deliberately NOT the exact
-    Σ-over-prefix-entries fan-out: that sum needs the rarity-sorted
-    prefixes themselves, and both ways of obtaining them a second time
-    were measured catastrophic at 30× (recomputing the sort lineage
-    ≈ +7 min; localCheckpointing the corpus-scale prefix table ≈ +8 min
-    of storage pressure). A width estimate only needs the order of
-    magnitude; using the GLOBAL mean df where the prefix holds the
-    RAREST tokens overestimates, which errs toward more, smaller sorter
-    allocations — the safe direction. Plan-time sketch (skew.py's
-    documented posture). Floor at ``par``, cap at ``_VERIFY_MAX_WIDTH``."""
+def _adaptive_verify_width(df, par: int) -> int:
+    """Width for the containment verify stage, sized by corpus scale
+    instead of a fixed core count (see the calibration comment above):
+    ``clamp(par, n_docs / _VERIFY_DOCS_PER_TASK, _VERIFY_MAX_WIDTH)``.
+    One count(1) plan-time action (skew.py's documented sketch posture);
+    floor at ``par`` so small corpora keep the plain core-count verify."""
     import math
 
-    row = (
-        toks.agg(
-            F.count(F.lit(1)).alias("__n_docs"), F.avg("n_toks").alias("__avg_n")
-        )
-        .crossJoin(
-            F.broadcast(
-                dfreq.agg(
-                    F.count(F.lit(1)).alias("__vocab"),
-                    F.sum("__df").alias("__occ"),
-                )
-            )
-        )
-        .collect()[0]
-    )
-    n_docs = row["__n_docs"] or 0
-    avg_n = row["__avg_n"] or 0.0
-    vocab = row["__vocab"] or 1
-    occ = row["__occ"] or 0
-    prefix_len = avg_n * (1.0 - threshold) + 1.0
-    avg_df = occ / max(vocab, 1)
-    incidences = n_docs * prefix_len * avg_df * 2.0 * avg_n
-    width = math.ceil(incidences / _VERIFY_TARGET_ELEMS_PER_TASK)
+    n_docs = df.count()
+    width = math.ceil(n_docs / _VERIFY_DOCS_PER_TASK)
     return int(min(_VERIFY_MAX_WIDTH, max(par, width)))
 
 
@@ -554,7 +530,7 @@ def containment_join(
     # allocations grow with candidate mass (4 GiB each at the 30x soak
     # point); sizing the width by sampled verify-array mass keeps the
     # allocation per-core-sized at any scale (SCALE.md, VERDICT r8 #4).
-    verify_width = _adaptive_verify_width(toks, dfreq, threshold, par)
+    verify_width = _adaptive_verify_width(df, par)
     scored = containment_pairs(
         df, cands, text_col, id_col, shingle_n, verify_partitions=verify_width
     )

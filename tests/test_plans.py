@@ -278,7 +278,7 @@ def test_containment_verify_width_adapts_to_candidate_mass(spark, monkeypatch):
     """VERDICT r8 #4: the verify repartition width must scale with the
     SAMPLED verify-array mass (candidate fan-out x mean set size), not
     sit at a fixed core count — at 30x the fixed width grew per-task
-    ArrayUnion sorter allocations to 4 GiB. With the per-task element
+    ArrayUnion sorter allocations to 4 GiB. With the per-task document
     target shrunk, even the sf0.001 corpus must demand a width above
     defaultParallelism, and exactly that width must appear in the verify
     Exchange."""
@@ -287,7 +287,7 @@ def test_containment_verify_width_adapts_to_candidate_mass(spark, monkeypatch):
     from polars_numba_spark.operators import dedup
     from polars_numba_spark.sources import load_table
 
-    monkeypatch.setattr(dedup, "_VERIFY_TARGET_ELEMS_PER_TASK", 10)
+    monkeypatch.setattr(dedup, "_VERIFY_DOCS_PER_TASK", 1)
     docs = load_table(spark, "documents", SF).limit(80)
     out = dedup.containment_join(docs, threshold=0.8)
     s = plans.explain_string(out)
@@ -300,7 +300,7 @@ def test_containment_verify_width_adapts_to_candidate_mass(spark, monkeypatch):
     assert max(widths) > par, (widths, par)
     # and the default target leaves the small corpus at the core-count
     # floor — adaptivity must not inflate tiny verifies
-    monkeypatch.setattr(dedup, "_VERIFY_TARGET_ELEMS_PER_TASK", 4_000_000)
+    monkeypatch.setattr(dedup, "_VERIFY_DOCS_PER_TASK", 1500)
     s2 = plans.explain_string(dedup.containment_join(docs, threshold=0.8))
     widths2 = [
         int(m.group(1))
