@@ -482,9 +482,20 @@ def containment_join(
     ).withColumn("n_toks", F.size("toks"))
     occ = toks.select("id", F.explode("toks").alias("tok"))
     dfreq = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    # Adaptive width, shared by the TWO corpus-mass stages (VERDICT r8 #4):
+    # the rarity-sort groupBy below and the verify repartition. Both were
+    # AQE/core-count narrow and grew per-task buffers with corpus scale —
+    # the groupBy's collect_list buffers fired a transient 4 GiB
+    # TaskMemoryManager page warning in 2 of 5 instrumented 30x runs (the
+    # 10-wide AQE-coalesced shape), the verify's ArrayUnion sorter warned
+    # at 4 GiB every r8 pass. The explicit repartition doubles as the agg
+    # exchange (already partitioned on id, Catalyst adds no second one).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    stage_width = _adaptive_verify_width(df, par)
     # rarity-sorted token array: ascending (df, token) — total order
     ranked = (
         occ.join(dfreq, "tok")
+        .repartition(stage_width, "id")
         .groupBy("id")
         .agg(
             F.transform(
@@ -515,7 +526,6 @@ def containment_join(
     # on 4 cores in the 10x soak. Repartitioning the big side by the join
     # key to defaultParallelism pins the stage width; the shuffle it adds
     # moves (id, token) pairs — linear in corpus size.
-    par = df.sparkSession.sparkContext.defaultParallelism
     index = occ.select(F.col("id").alias("b_id"), "tok").repartition(
         par, "tok"
     )
@@ -530,7 +540,7 @@ def containment_join(
     # allocations grow with candidate mass (4 GiB each at the 30x soak
     # point); sizing the width by sampled verify-array mass keeps the
     # allocation per-core-sized at any scale (SCALE.md, VERDICT r8 #4).
-    verify_width = _adaptive_verify_width(df, par)
+    verify_width = stage_width
     scored = containment_pairs(
         df, cands, text_col, id_col, shingle_n, verify_partitions=verify_width
     )
