@@ -416,8 +416,12 @@ def containment_pairs(
 # repartition so each task's ArrayUnion sorter allocation stays bounded —
 # the 30x soak measured a 4 GiB per-task sorter when the width was fixed
 # at defaultParallelism (32). Width = corpus docs / _VERIFY_DOCS_PER_TASK,
-# calibrated at the 30x point: 1.5M docs / 1500 ≈ 1000 tasks, a
-# low-hundreds-of-MB sorter each where r8 warned at 4 GiB. The unit is
+# calibrated at the 30x point: 1.5M docs / 3000 ≈ 500 tasks, a
+# few-hundred-MB sorter each where r8 warned at 4 GiB; corpora that land
+# at or under the core count keep the plain core-count verify and the
+# AQE-coalesced rarity sort (the widening is a corpus-scale remedy — at
+# sf0.1 an unconditional explicit exchange cost ~3s of a 5.7s floor for
+# a hazard that only exists at corpus scale). The unit is
 # deliberately DOCUMENTS, not a verify-mass estimate: every richer
 # estimator was measured to cost more than it saved at 30x — the exact
 # Σ-over-prefix-entries fan-out re-pays the rarity-sort lineage (+7 min)
@@ -428,7 +432,7 @@ def containment_pairs(
 # implies is the conservative end. A first cut targeting 4M incidences
 # produced 32k tasks — GC-clean but ~6 min of pure task-launch overhead;
 # the width must bound allocations, not minimize them.
-_VERIFY_DOCS_PER_TASK = 1500
+_VERIFY_DOCS_PER_TASK = 3000
 _VERIFY_MAX_WIDTH = 32768
 
 
@@ -492,10 +496,16 @@ def containment_join(
     # exchange (already partitioned on id, Catalyst adds no second one).
     par = df.sparkSession.sparkContext.defaultParallelism
     stage_width = _adaptive_verify_width(df, par)
-    # rarity-sorted token array: ascending (df, token) — total order
+    # rarity-sorted token array: ascending (df, token) — total order.
+    # The explicit widening kicks in only when the corpus demands a width
+    # ABOVE the core count: at small scale the AQE-coalesced shape is
+    # measurably faster (the explicit exchange cost ~3s of the 5.7s sf0.1
+    # floor), and the buffer hazard it exists for is a corpus-scale one.
+    ranked_input = occ.join(dfreq, "tok")
+    if stage_width > par:
+        ranked_input = ranked_input.repartition(stage_width, "id")
     ranked = (
-        occ.join(dfreq, "tok")
-        .repartition(stage_width, "id")
+        ranked_input
         .groupBy("id")
         .agg(
             F.transform(
@@ -540,7 +550,7 @@ def containment_join(
     # allocations grow with candidate mass (4 GiB each at the 30x soak
     # point); sizing the width by sampled verify-array mass keeps the
     # allocation per-core-sized at any scale (SCALE.md, VERDICT r8 #4).
-    verify_width = stage_width
+    verify_width = stage_width if stage_width > par else par
     scored = containment_pairs(
         df, cands, text_col, id_col, shingle_n, verify_partitions=verify_width
     )
