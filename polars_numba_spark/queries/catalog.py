@@ -156,6 +156,7 @@ _DRIVER_PRIORITY: list[str] = [
     "user_churn_features",              # r9-new: leakage-safe feature matrix
     "customer_label_propagation",       # r9-new: LPA communities (3 rounds)
     "user_value_holt_winters",          # r9-new: seasonal triple recurrence
+    "ab_value_cuped",                   # r9-new: CUPED variance reduction
     # --- retained round-8 slots (families unchanged) ----------------------
     # Nine further r8 hash-green sentinels rotate out for the r9-new faces:
     # - event_type_transitions -> event_markov_backtest: the SAME
@@ -188,6 +189,11 @@ _DRIVER_PRIORITY: list[str] = [
     #   plus the new KM/z-test/Pareto/attribution/churn-feature slots.
     # - doc_char_entropy -> text quality keeps doc_quality_calibrated and
     #   gains the Kneser-Ney LM face.
+    # - events_daily_acf -> the exact-integer-stats monitoring family
+    #   keeps source_drift_psi in-window and gains events_ols_trend +
+    #   events_dow_seasonality (the same sufficient-statistics recipe);
+    #   ab_value_cuped joins ab_conversion_ztest as the experimentation
+    #   pair.
     "dedup_minhash_keeplist",           # pair-free minhash keep-list
     "dedup_simhash_keeplist",           # pair-free simhash keep-list
     "embedding_topk_lsh",               # LSH ANN top-k
@@ -203,7 +209,6 @@ _DRIVER_PRIORITY: list[str] = [
     "source_drift_psi",                 # binned PSI drift audit
     "user_events_cms",                  # count-min frequency sketch
     "audience_overlap_kmv",             # theta-sketch set algebra
-    "events_daily_acf",                 # exact-integer autocorrelation
     "streaming_user_cms",               # CMS counters as stream state
     "customer_graph_triangles",         # degree-ordered triangle count
     "session_top_paths",                # session journey mining

@@ -3572,6 +3572,199 @@ def signup_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ab_value_cuped",
+    oracle="""
+    WITH u AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+    ), pre AS (
+        SELECT user_id, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                             AS BIGINT) AS x
+        FROM events
+        WHERE event_type = 'purchase'
+          AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY user_id
+    ), post AS (
+        SELECT user_id, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                             AS BIGINT) AS y
+        FROM events
+        WHERE event_type = 'purchase'
+          AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY user_id
+    ), assigned AS (
+        SELECT u.user_id,
+               CAST(CAST(('0x' || substr(md5(CAST(u.user_id AS VARCHAR)
+                        || '#ab'), 1, 15)) AS UBIGINT) AS BIGINT) % 2
+                   AS variant,
+               COALESCE(pre.x, 0) AS x, COALESCE(post.y, 0) AS y
+        FROM u
+        LEFT JOIN pre ON pre.user_id = u.user_id
+        LEFT JOIN post ON post.user_id = u.user_id
+    ), s AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy,
+               COUNT(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+               SUM(CASE WHEN variant = 0 THEN x ELSE 0 END) AS sx_a,
+               SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS sy_a,
+               SUM(CASE WHEN variant = 0 THEN x * x ELSE 0 END) AS sxx_a,
+               SUM(CASE WHEN variant = 0 THEN y * y ELSE 0 END) AS syy_a,
+               SUM(CASE WHEN variant = 0 THEN x * y ELSE 0 END) AS sxy_a,
+               COUNT(CASE WHEN variant = 1 THEN 1 END) AS n_b,
+               SUM(CASE WHEN variant = 1 THEN x ELSE 0 END) AS sx_b,
+               SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS sy_b,
+               SUM(CASE WHEN variant = 1 THEN x * x ELSE 0 END) AS sxx_b,
+               SUM(CASE WHEN variant = 1 THEN y * y ELSE 0 END) AS syy_b,
+               SUM(CASE WHEN variant = 1 THEN x * y ELSE 0 END) AS sxy_b
+        FROM assigned
+    ), t AS (
+        SELECT *,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    ELSE 0.0 END AS theta
+        FROM s
+    ), arms AS (
+        SELECT n_a, n_b, theta,
+               (CAST(sy_a AS DOUBLE) - theta * CAST(sx_a AS DOUBLE))
+                   / CAST(n_a AS DOUBLE) AS m_a,
+               (CAST(sy_b AS DOUBLE) - theta * CAST(sx_b AS DOUBLE))
+                   / CAST(n_b AS DOUBLE) AS m_b,
+               (CAST(syy_a AS DOUBLE) - 2.0 * theta * CAST(sxy_a AS DOUBLE)
+                + theta * theta * CAST(sxx_a AS DOUBLE))
+                   / CAST(n_a AS DOUBLE) AS q_a,
+               (CAST(syy_b AS DOUBLE) - 2.0 * theta * CAST(sxy_b AS DOUBLE)
+                + theta * theta * CAST(sxx_b AS DOUBLE))
+                   / CAST(n_b AS DOUBLE) AS q_b,
+               CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m0_a,
+               CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m0_b,
+               CAST(syy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS q0_a,
+               CAST(syy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS q0_b,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS cnum,
+               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS cdenx,
+               (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS cdeny
+        FROM t
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, theta,
+           m_a - m_b AS adj_diff_cents,
+           CASE WHEN (q0_a - m0_a * m0_a) / CAST(n_a AS DOUBLE)
+                     + (q0_b - m0_b * m0_b) / CAST(n_b AS DOUBLE) > 0.0
+                THEN (m0_a - m0_b)
+                     / SQRT((q0_a - m0_a * m0_a) / CAST(n_a AS DOUBLE)
+                            + (q0_b - m0_b * m0_b) / CAST(n_b AS DOUBLE))
+           END AS z_raw,
+           CASE WHEN (q_a - m_a * m_a) / CAST(n_a AS DOUBLE)
+                     + (q_b - m_b * m_b) / CAST(n_b AS DOUBLE) > 0.0
+                THEN (m_a - m_b)
+                     / SQRT((q_a - m_a * m_a) / CAST(n_a AS DOUBLE)
+                            + (q_b - m_b * m_b) / CAST(n_b AS DOUBLE))
+           END AS z_cuped,
+           CASE WHEN cdenx > 0.0 AND cdeny > 0.0
+                THEN (cnum / cdenx) * (cnum / cdeny) END AS rho2
+    FROM arms
+    """,
+)
+def ab_value_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013 — the
+    industry-standard A/B sensitivity booster): per-user POST-period
+    purchase value adjusted by the PRE-period covariate
+    (Y − θ·X, θ = cov/var from the pooled sample), then the two-sample
+    z on adjusted means next to the raw z — the variance the covariate
+    explains (ρ²) is exactly the sensitivity gained. Same deterministic
+    md5 arm assignment as the conversion z-test.
+
+    Exactness: per-user values are integer CENTS, so every sufficient
+    statistic (ΣX, ΣY, ΣX², ΣY², ΣXY, per arm and pooled) is an exact
+    integer sum; θ and both z-statistics are one fixed double dag over
+    those integers — per-arm adjusted means and variances come from the
+    ALGEBRAIC EXPANSION (ΣY² − 2θΣXY + θ²ΣX²), never a per-user float
+    Y_adj column whose sum would be order-dependent. Zero-variance and
+    singular-covariate cases guarded NULL/0 (ANSI-safe). Scale shape:
+    one distinct, two user-keyed conditional aggregates, one global
+    18-way aggregate — all map-side combinable; population-variance
+    (/n) form, documented."""
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    e = _t(spark, sf_dir, "events")
+    u = e.where(F.col("user_id").isNotNull()).select("user_id").distinct()
+    cents = F.round(F.col("value") * 100).cast("long")
+    pre = (
+        e.where((F.col("event_type") == "purchase") & (F.col("ts") < split))
+        .groupBy("user_id")
+        .agg(F.sum(cents).alias("x"))
+    )
+    post = (
+        e.where((F.col("event_type") == "purchase") & (F.col("ts") >= split))
+        .groupBy("user_id")
+        .agg(F.sum(cents).alias("y"))
+    )
+    from polars_numba_spark.operators.dedup import md5_long
+
+    assigned = (
+        u.join(pre, "user_id", "left")
+        .join(post, "user_id", "left")
+        .select(
+            (md5_long(F.concat(F.col("user_id").cast("string"), F.lit("#ab")))
+             % 2).alias("variant"),
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+
+    def arm(g, expr):
+        return F.sum(F.when(F.col("variant") == g, expr).otherwise(F.lit(0)))
+
+    x, y = F.col("x"), F.col("y")
+    s = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+        F.count(F.when(F.col("variant") == 0, F.lit(1))).alias("n_a"),
+        arm(0, x).alias("sx_a"), arm(0, y).alias("sy_a"),
+        arm(0, x * x).alias("sxx_a"), arm(0, y * y).alias("syy_a"),
+        arm(0, x * y).alias("sxy_a"),
+        F.count(F.when(F.col("variant") == 1, F.lit(1))).alias("n_b"),
+        arm(1, x).alias("sx_b"), arm(1, y).alias("sy_b"),
+        arm(1, x * x).alias("sxx_b"), arm(1, y * y).alias("syy_b"),
+        arm(1, x * y).alias("sxy_b"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    cdenx = d("n") * d("sxx") - d("sx") * d("sx")
+    cdeny = d("n") * d("syy") - d("sy") * d("sy")
+    cnum = d("n") * d("sxy") - d("sx") * d("sy")
+    t = s.withColumn(
+        "theta",
+        F.when(cdenx > 0.0, cnum / cdenx).otherwise(F.lit(0.0)),
+    )
+    th = F.col("theta")
+    m_a = (d("sy_a") - th * d("sx_a")) / d("n_a")
+    m_b = (d("sy_b") - th * d("sx_b")) / d("n_b")
+    q_a = (d("syy_a") - 2.0 * th * d("sxy_a") + th * th * d("sxx_a")) / d("n_a")
+    q_b = (d("syy_b") - 2.0 * th * d("sxy_b") + th * th * d("sxx_b")) / d("n_b")
+    m0_a, m0_b = d("sy_a") / d("n_a"), d("sy_b") / d("n_b")
+    q0_a, q0_b = d("syy_a") / d("n_a"), d("syy_b") / d("n_b")
+    se0 = (q0_a - m0_a * m0_a) / d("n_a") + (q0_b - m0_b * m0_b) / d("n_b")
+    se = (q_a - m_a * m_a) / d("n_a") + (q_b - m_b * m_b) / d("n_b")
+    return t.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "theta",
+        (m_a - m_b).alias("adj_diff_cents"),
+        F.when(se0 > 0.0, (m0_a - m0_b) / F.sqrt(se0)).alias("z_raw"),
+        F.when(se > 0.0, (m_a - m_b) / F.sqrt(se)).alias("z_cuped"),
+        F.when((cdenx > 0.0) & (cdeny > 0.0), (cnum / cdenx) * (cnum / cdeny))
+        .alias("rho2"),
+    )
+
+
+@register(
     "ab_conversion_ztest",
     oracle="""
     WITH u AS (
