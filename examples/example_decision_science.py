@@ -23,6 +23,7 @@ TOUR = [
     ("item_cooccurrence_recs", "item-item cosine: top-3 neighbors each"),
     ("purchase_attribution_items", "linear / first / last touch credit"),
     ("event_markov_backtest", "next-event model: train before, score after"),
+    ("ab_value_cuped", "CUPED: the variance the covariate buys back"),
     # how far influence reaches
     ("customer_match_bfs_hops", "BFS blast radius over the match graph"),
     # is the data honest, is the release safe
