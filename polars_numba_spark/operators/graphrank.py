@@ -165,3 +165,93 @@ def bfs_hops(
     release(spark, e_ids)
     register_session_scoped(v_ids)
     return visited
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> tuple[DataFrame, DataFrame]:
+    """HITS (Kleinberg hubs & authorities) over a directed edge list →
+    ``(hubs: (node, hub), auths: (node, auth))`` — the bipartite-centrality
+    sibling of :func:`pagerank`: PageRank scores a single random walk,
+    HITS scores the two SIDES of a link structure (who points well / who
+    is pointed at well), the shape behind query→document, customer→item
+    and doc→term importance splits.
+
+    ENGINE-PORTABLE by the pagerank recipe: every mutual-reinforcement
+    step accumulates 12-decimal-rounded contributions as DECIMAL(28,14)
+    (exact addition, aggregation-order-proof), then L1-normalizes in
+    plain double against the exact decimal total and re-rounds to 12
+    decimals, so a fixed ``iterations`` unrolls into a flat SQL oracle
+    that matches hash-for-hash. Hub scores live on distinct sources,
+    authority scores on distinct destinations (a node appearing on both
+    sides carries both, keyed independently).
+
+    Scale shape: each half-step is one equi-join of the edge list against
+    the current score vector plus one groupBy on the opposite endpoint —
+    both shuffles key on node id; the L1 total is a broadcast 1-row
+    aggregate. The edge list is localCheckpointed once and reused by all
+    2·iterations half-steps."""
+    from polars_numba_spark.plans.checkpoint import (
+        register_session_scoped,
+        release,
+        tracked_local_checkpoint,
+    )
+
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e, e_ids = tracked_local_checkpoint(e)
+
+    srcs = e.select("src").distinct()
+    n_src = srcs.agg(F.count(F.lit(1)).alias("__n"))
+    hubs = srcs.crossJoin(F.broadcast(n_src)).select(
+        "src", F.round(F.lit(1.0) / F.col("__n"), 12).alias("hub")
+    )
+    hub_ids: set[int] = set()
+    auth_ids: set[int] = set()
+    auths = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.round(F.col("hub"), 12).cast("decimal(28,14)")
+                ).alias("__ar")
+            )
+        )
+        a_tot = a_raw.agg(F.sum("__ar").alias("__t"))
+        auths = a_raw.crossJoin(F.broadcast(a_tot)).select(
+            "dst",
+            F.round(
+                F.col("__ar").cast("double") / F.col("__t").cast("double"),
+                12,
+            ).alias("auth"),
+        )
+        auths, new_a = tracked_local_checkpoint(auths)
+        release(spark, auth_ids)
+        auth_ids = new_a
+        h_raw = (
+            e.join(auths, "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("auth").cast("decimal(28,14)")).alias("__hr"))
+        )
+        h_tot = h_raw.agg(F.sum("__hr").alias("__t"))
+        hubs = h_raw.crossJoin(F.broadcast(h_tot)).select(
+            "src",
+            F.round(
+                F.col("__hr").cast("double") / F.col("__t").cast("double"),
+                12,
+            ).alias("hub"),
+        )
+        hubs, new_h = tracked_local_checkpoint(hubs)
+        release(spark, hub_ids)
+        hub_ids = new_h
+    release(spark, e_ids)
+    register_session_scoped(hub_ids | auth_ids)
+    return (
+        hubs.select(F.col("src").alias("node"), "hub"),
+        auths.select(F.col("dst").alias("node"), "auth"),
+    )

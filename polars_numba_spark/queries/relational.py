@@ -3984,3 +3984,539 @@ def user_value_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("t").cast("double")
         ).alias("cum_share_from_top"),
     )
+
+
+@register(
+    "ab_value_mannwhitney",
+    oracle="""
+    WITH u AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+    ), pc AS (
+        SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), a AS (
+        SELECT u.user_id, COALESCE(pc.cents, 0) AS cents,
+               CAST(CAST(('0x' || substr(md5(CAST(u.user_id AS VARCHAR)
+                        || '#mw'), 1, 15)) AS UBIGINT) AS BIGINT) % 2
+                   AS variant
+        FROM u LEFT JOIN pc ON pc.user_id = u.user_id
+    ), rk AS (
+        SELECT cents, variant,
+               ROW_NUMBER() OVER (ORDER BY cents, user_id) AS r
+        FROM a
+    ), blocks AS (
+        SELECT cents, MIN(r) AS rmin, COUNT(*) AS t,
+               COUNT(CASE WHEN variant = 0 THEN 1 END) AS ta
+        FROM rk GROUP BY cents
+    ), s AS (
+        SELECT CAST(SUM(ta * (2 * rmin + t - 1)) AS BIGINT) AS r2a,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tiesum,
+               CAST(SUM(ta) AS BIGINT) AS n_a,
+               CAST(SUM(t - ta) AS BIGINT) AS n_b
+        FROM blocks
+    ), terms AS (
+        SELECT n_a, n_b, tiesum,
+               (CAST(r2a AS DOUBLE)
+                - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0)) / 2.0
+                   AS u_a,
+               CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+               CAST(n_a + n_b AS DOUBLE) AS n,
+               CAST(tiesum AS DOUBLE) AS ts
+        FROM s
+    )
+    SELECT n_a, n_b, u_a,
+           CASE WHEN na * nb / 12.0
+                     * ((n + 1.0) - ts / (n * (n - 1.0))) > 0.0
+                THEN (u_a - na * nb / 2.0)
+                     / SQRT(na * nb / 12.0
+                            * ((n + 1.0) - ts / (n * (n - 1.0))))
+           END AS z_score,
+           CASE WHEN na * nb / 12.0
+                     * ((n + 1.0) - ts / (n * (n - 1.0))) > 0.0
+                THEN ABS((u_a - na * nb / 2.0)
+                         / SQRT(na * nb / 12.0
+                                * ((n + 1.0) - ts / (n * (n - 1.0)))))
+                     > 1.959963984540054
+           END AS significant
+    FROM terms
+    """,
+)
+def ab_value_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) A/B readout over per-user purchase
+    value — the NONPARAMETRIC sibling of ab_conversion_ztest/ab_value_cuped
+    for the heavy-tailed revenue metrics a t-test mis-handles. Variant
+    assignment is the md5-portable 50/50 recipe; non-purchasers keep an
+    exact zero-cents value, deliberately creating a giant tie block that
+    exercises the midrank + tie-variance correction. Rank machinery is the
+    distributed sort-rank (global_ranks — no single-reducer ORDER BY): a
+    unique (cents, user_id) tiebreaker makes per-row ranks deterministic,
+    then midranks come from value-block aggregates (midrank×2 = 2·min_rank
+    + t − 1, an INTEGER, so the A-side rank-sum R2_A = Σ tA·(2·rmin+t−1)
+    and the tie term Σ(t³−t) are both exact BIGINTs). One float expression
+    at the end — z with the standard tie-corrected variance — mirrored
+    token-for-token in the oracle. At 100 TB the only data-sized shuffles
+    are the per-user aggregate and the range-partitioned rank; every later
+    stage is keyed on the (bounded) distinct-value table."""
+    from polars_numba_spark.operators.dedup import md5_long
+    from polars_numba_spark.operators.profile import global_ranks
+
+    e = _t(spark, sf_dir, "events")
+    u = e.where(F.col("user_id").isNotNull()).select("user_id").distinct()
+    pc = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    a = u.join(pc, "user_id", "left").select(
+        "user_id",
+        F.coalesce(F.col("cents"), F.lit(0).cast("long")).alias("cents"),
+        F.pmod(
+            md5_long(F.concat(F.col("user_id").cast("string"), F.lit("#mw"))),
+            F.lit(2),
+        ).alias("variant"),
+    )
+    rk = global_ranks(a, ["cents", "user_id"], rank_col="r")
+    blocks = rk.groupBy("cents").agg(
+        F.min("r").alias("rmin"),
+        F.count(F.lit(1)).alias("t"),
+        F.count(F.when(F.col("variant") == 0, 1)).alias("ta"),
+    )
+    s = blocks.agg(
+        F.sum(
+            F.col("ta") * (2 * F.col("rmin") + F.col("t") - 1)
+        ).alias("r2a"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tiesum"),
+        F.sum("ta").alias("n_a"),
+        F.sum(F.col("t") - F.col("ta")).alias("n_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    ts = F.col("tiesum").cast("double")
+    u_a = (
+        F.col("r2a").cast("double") - na * (na + F.lit(1.0))
+    ) / F.lit(2.0)
+    var = (
+        na * nb / F.lit(12.0)
+        * ((n + F.lit(1.0)) - ts / (n * (n - F.lit(1.0))))
+    )
+    z = (u_a - na * nb / F.lit(2.0)) / F.sqrt(var)
+    return s.select(
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        F.when(var > 0.0, z).alias("z_score"),
+        F.when(var > 0.0, F.abs(z) > F.lit(1.959963984540054)).alias(
+            "significant"
+        ),
+    )
+
+
+@register(
+    "events_chisq_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+               COUNT(*) AS o
+        FROM events GROUP BY event_type, isodow(ts)
+    ), rt AS (
+        SELECT event_type, CAST(SUM(o) AS BIGINT) AS row_n FROM cells
+        GROUP BY event_type
+    ), ct AS (
+        SELECT dow, CAST(SUM(o) AS BIGINT) AS col_n FROM cells GROUP BY dow
+    ), tot AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells
+    ), grid AS (
+        SELECT rt.event_type, ct.dow, rt.row_n, ct.col_n,
+               COALESCE(c.o, 0) AS o
+        FROM rt CROSS JOIN ct
+        LEFT JOIN cells c
+          ON c.event_type = rt.event_type AND c.dow = ct.dow
+    ), contrib AS (
+        SELECT CAST(ROUND(
+                   (CAST(o AS DOUBLE)
+                    - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                      / CAST(tot.n AS DOUBLE))
+                   * (CAST(o AS DOUBLE)
+                      - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                        / CAST(tot.n AS DOUBLE))
+                   / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                      / CAST(tot.n AS DOUBLE)), 9)
+               AS DECIMAL(28,9)) AS c,
+               row_n, col_n
+        FROM grid CROSS JOIN tot
+    )
+    SELECT CAST(CAST(SUM(c) AS DECIMAL(38,9)) AS DOUBLE) AS chi2,
+           CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+             * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
+           (SELECT n FROM tot) AS n,
+           SQRT(CAST(CAST(SUM(c) AS DECIMAL(38,9)) AS DOUBLE)
+                / (CAST((SELECT n FROM tot) AS DOUBLE)
+                   * CAST(LEAST((SELECT COUNT(*) FROM rt) - 1,
+                                (SELECT COUNT(*) FROM ct) - 1) AS DOUBLE)))
+               AS cramers_v
+    FROM contrib
+    """,
+)
+def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event_type and ISO weekday —
+    the categorical-association monitor next to the Pearson/ACF/PSI family
+    (is traffic mix a function of day-of-week?). The contingency table is
+    one keyed groupBy; row/column marginals re-aggregate the CELL table
+    (bounded: #types × 7), the full grid is rebuilt with explicit zero
+    cells (a missing cell still contributes its expectation), and each
+    cell's (o−e)²/e is computed in one mirrored double expression then
+    ROUNDed to 9 decimals and accumulated as DECIMAL(28,9) — exact
+    addition, so neither engine's aggregation order can perturb the
+    statistic. Outputs chi2, degrees of freedom, n, and Cramér's V. At
+    100 TB the single data-sized stage is the first groupBy; everything
+    after runs on a ≤(types×7)-row frame."""
+    e = _t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        (F.weekday(F.col("ts")) + F.lit(1)).cast("long").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    ct = cells.groupBy("dow").agg(F.sum("o").alias("col_n"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        rt.crossJoin(ct)
+        .join(cells, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            "row_n",
+            "col_n",
+            F.coalesce(F.col("o"), F.lit(0).cast("long")).alias("o"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    contrib = grid.select(
+        F.round(
+            (F.col("o").cast("double") - exp)
+            * (F.col("o").cast("double") - exp)
+            / exp,
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("c"),
+        "event_type",
+        "dow",
+        "n",
+    )
+    r_cnt = rt.agg(F.count(F.lit(1)).alias("r")).select("r")
+    c_cnt = ct.agg(F.count(F.lit(1)).alias("c")).select("c")
+    chi2 = F.col("chi2_dec").cast("decimal(38,9)").cast("double")
+    return (
+        contrib.groupBy("n")
+        .agg(F.sum("c").alias("chi2_dec"))
+        .crossJoin(F.broadcast(r_cnt))
+        .crossJoin(F.broadcast(c_cnt))
+        .select(
+            chi2.alias("chi2"),
+            (
+                (F.col("r") - 1).cast("long") * (F.col("c") - 1).cast("long")
+            ).alias("dof"),
+            "n",
+            F.sqrt(
+                chi2
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+                )
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@register(
+    "events_seasonal_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), paired AS (
+        SELECT a.event_type, a.day,
+               a.cents AS actual, f.cents AS forecast
+        FROM daily a JOIN daily f
+          ON f.event_type = a.event_type
+         AND f.day = a.day - INTERVAL 7 DAY
+    ), scored AS (
+        SELECT event_type, actual, forecast,
+               ABS(actual - forecast) AS abs_err,
+               actual - forecast AS err,
+               CASE WHEN actual + forecast > 0 THEN
+                   CAST(ROUND(
+                       2.0 * ABS(CAST(actual AS DOUBLE)
+                                 - CAST(forecast AS DOUBLE))
+                       / (CAST(actual AS DOUBLE) + CAST(forecast AS DOUBLE)),
+                       9) AS DECIMAL(28,9))
+               ELSE CAST(0 AS DECIMAL(28,9)) END AS smape_c
+        FROM paired
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(CAST(SUM(abs_err) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mae_cents,
+           CAST(CAST(SUM(err) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS bias_cents,
+           CAST(CAST(SUM(smape_c) AS DECIMAL(38,9)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS smape
+    FROM scored GROUP BY event_type
+    """,
+)
+def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BACKTEST: predict each (event_type, day)'s
+    value total with the value from the same weekday one week earlier,
+    then score MAE / bias / SMAPE per type — the baseline every fancier
+    forecaster (Holt-Winters, OLS trend, DOW indices — all siblings in
+    this catalog) must beat, and the standard way a pipeline validates a
+    seasonality assumption before using it. Daily totals are exact cents;
+    the 7-day shift is a self-equi-join on (type, day−7) — keyed, no
+    window, no sequential scan. MAE/bias come from BIGINT error sums; each
+    day's SMAPE term is one mirrored double expression rounded to 9
+    decimals and accumulated as DECIMAL(28,9), so the per-type mean is
+    bit-stable under any aggregation order. At 100 TB the daily rollup is
+    the only data-sized shuffle; the join runs on (types × days) rows."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    f = daily.select(
+        F.col("event_type").alias("f_type"),
+        (F.col("day") + F.expr("INTERVAL 7 DAY")).alias("f_day"),
+        F.col("cents").alias("forecast"),
+    )
+    paired = daily.join(
+        f,
+        (F.col("event_type") == F.col("f_type"))
+        & (F.col("day") == F.col("f_day")),
+    ).select("event_type", F.col("cents").alias("actual"), "forecast")
+    ad = F.col("actual").cast("double")
+    fd = F.col("forecast").cast("double")
+    scored = paired.select(
+        "event_type",
+        F.abs(F.col("actual") - F.col("forecast")).alias("abs_err"),
+        (F.col("actual") - F.col("forecast")).alias("err"),
+        F.when(
+            F.col("actual") + F.col("forecast") > 0,
+            F.round(
+                F.lit(2.0) * F.abs(ad - fd) / (ad + fd), 9
+            ).cast("decimal(28,9)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(28,9)"))
+        .alias("smape_c"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.sum("abs_err").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mae_cents"),
+        (
+            F.sum("err").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("bias_cents"),
+        (
+            F.sum("smape_c").cast("decimal(38,9)").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("smape"),
+    )
+
+
+@register(
+    "customer_part_hits",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), srcs AS (
+        SELECT DISTINCT src FROM edges
+    ), h0 AS (
+        SELECT src,
+               ROUND(1.0 / CAST((SELECT COUNT(*) FROM srcs) AS DOUBLE), 12)
+                   AS h
+        FROM srcs
+    ), a1r AS (
+        SELECT dst, SUM(CAST(ROUND(h, 12) AS DECIMAL(28,14))) AS ar
+        FROM edges JOIN h0 USING (src) GROUP BY dst
+    ), a1 AS (
+        SELECT dst,
+               ROUND(CAST(ar AS DOUBLE)
+                     / CAST((SELECT SUM(ar) FROM a1r) AS DOUBLE), 12) AS a
+        FROM a1r
+    ), h1r AS (
+        SELECT src, SUM(CAST(a AS DECIMAL(28,14))) AS hr
+        FROM edges JOIN a1 USING (dst) GROUP BY src
+    ), h1 AS (
+        SELECT src,
+               ROUND(CAST(hr AS DOUBLE)
+                     / CAST((SELECT SUM(hr) FROM h1r) AS DOUBLE), 12) AS h
+        FROM h1r
+    ), a2r AS (
+        SELECT dst, SUM(CAST(ROUND(h, 12) AS DECIMAL(28,14))) AS ar
+        FROM edges JOIN h1 USING (src) GROUP BY dst
+    ), a2 AS (
+        SELECT dst,
+               ROUND(CAST(ar AS DOUBLE)
+                     / CAST((SELECT SUM(ar) FROM a2r) AS DOUBLE), 12) AS a
+        FROM a2r
+    ), h2r AS (
+        SELECT src, SUM(CAST(a AS DECIMAL(28,14))) AS hr
+        FROM edges JOIN a2 USING (dst) GROUP BY src
+    ), h2 AS (
+        SELECT src,
+               ROUND(CAST(hr AS DOUBLE)
+                     / CAST((SELECT SUM(hr) FROM h2r) AS DOUBLE), 12) AS h
+        FROM h2r
+    )
+    SELECT 'hub' AS side, src AS node, h AS score FROM h2
+    UNION ALL
+    SELECT 'auth' AS side, dst AS node, a AS score FROM a2
+    """,
+)
+def customer_part_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the customer→part purchase graph
+    (operators/graphrank.py::hits): hub customers "buy broadly and well",
+    authority parts "are bought by good hubs" — the mutual-reinforcement
+    centrality split PageRank can't express, and the item-importance
+    signal a recommender or curation pipeline reads off a bipartite
+    interaction graph. Two iterations unroll into a flat oracle: every
+    half-step sums 12-decimal-rounded contributions as DECIMAL(28,14)
+    (order-proof exact addition) and L1-normalizes in one mirrored double
+    division — the PageRank portability recipe applied to the two-vector
+    recurrence. Edge list = DISTINCT (custkey, partkey) from one keyed
+    join; each half-step shuffles on a node id; the L1 totals are
+    broadcast 1-row aggregates."""
+    from polars_numba_spark.operators.graphrank import hits
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .distinct()
+    )
+    hubs, auths = hits(edges, iterations=2)
+    return hubs.select(
+        F.lit("hub").alias("side"), "node", F.col("hub").alias("score")
+    ).unionAll(
+        auths.select(
+            F.lit("auth").alias("side"), "node", F.col("auth").alias("score")
+        )
+    )
+
+
+@register(
+    "segment_overlap_bitmap",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT c.c_mktsegment AS seg, c.c_custkey AS k
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ), bm AS (
+        SELECT seg, k // 63 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(k % 63 AS INTEGER)) AS bits
+        FROM active GROUP BY seg, k // 63
+    ), sizes AS (
+        SELECT seg, CAST(SUM(CAST(bit_count(bits) AS BIGINT)) AS BIGINT)
+                   AS n_members
+        FROM bm GROUP BY seg
+    ), inter AS (
+        SELECT a.seg AS seg_a, b.seg AS seg_b,
+               CAST(SUM(CAST(bit_count(a.bits & b.bits) AS BIGINT))
+                   AS BIGINT) AS n_inter
+        FROM bm a JOIN bm b ON a.word = b.word AND a.seg < b.seg
+        GROUP BY a.seg, b.seg
+    )
+    SELECT i.seg_a, i.seg_b, sa.n_members AS n_a, sb.n_members AS n_b,
+           i.n_inter,
+           CAST(i.n_inter AS DOUBLE)
+               / CAST(sa.n_members + sb.n_members - i.n_inter AS DOUBLE)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.seg = i.seg_a
+    JOIN sizes sb ON sb.seg = i.seg_b
+    """,
+)
+def segment_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience-overlap via compressed id bitmaps — the
+    roaring-bitmap technique every OLAP engine uses for segment
+    intersection, next to the KMV/theta APPROXIMATE twin
+    (audience_overlap_kmv): customer ids pack into 63-bit words (bit =
+    id mod 63, word = id div 63 — 63 keeps every mask positive so no
+    engine disagrees on sign-bit semantics), one bit_or-aggregated word
+    table per segment, and segment-pair intersections are bit_count(a&b)
+    summed over equi-joined words. Exact Jaccard from pure integer
+    arithmetic — no hashes, no sketch error. Scale shape: the bitmap
+    table is (segments × id-space/63) rows regardless of row count —
+    the groupBy compresses 63 membership rows into one BIGINT — and the
+    pair stage joins ONLY on word, so a sparse shared word never
+    explodes; a 10⁹-id space is ~16M words per segment, each pair
+    intersection one keyed merge join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    active = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.col("c_mktsegment").alias("seg"), F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    bm = active.groupBy(
+        "seg", F.expr("k div 63").alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(k % 63 AS INT))")
+        ).alias("bits")
+    )
+    sizes = bm.groupBy("seg").agg(
+        F.sum(F.bit_count("bits").cast("long")).alias("n_members")
+    )
+    a = bm.select(
+        F.col("seg").alias("seg_a"), "word", F.col("bits").alias("bits_a")
+    )
+    b = bm.select(
+        F.col("seg").alias("seg_b"),
+        F.col("word").alias("word_b"),
+        F.col("bits").alias("bits_b"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("word") == F.col("word_b"))
+            & (F.col("seg_a") < F.col("seg_b")),
+        )
+        .groupBy("seg_a", "seg_b")
+        .agg(
+            F.sum(
+                F.bit_count(
+                    F.col("bits_a").bitwiseAND(F.col("bits_b"))
+                ).cast("long")
+            ).alias("n_inter")
+        )
+    )
+    sa = sizes.select(F.col("seg").alias("seg_a"), F.col("n_members").alias("n_a"))
+    sb = sizes.select(F.col("seg").alias("seg_b"), F.col("n_members").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "seg_a")
+        .join(F.broadcast(sb), "seg_b")
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
