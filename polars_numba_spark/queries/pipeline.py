@@ -3576,3 +3576,452 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tok").cast("long").alias("min_doc_tokens"),
         F.max("n_tok").cast("long").alias("max_doc_tokens"),
     )
+
+
+@register(
+    "doc_readability",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(length(string_split_regex(trim(lower(text)), '\s+'))
+                   AS BIGINT) AS w,
+               GREATEST(CAST(1 AS BIGINT),
+                        CAST(length(regexp_extract_all(text, '[.!?]+'))
+                            AS BIGINT)) AS s,
+               CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS BIGINT) AS y
+        FROM documents
+    ), agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(w) AS BIGINT) AS sw,
+               CAST(SUM(s) AS BIGINT) AS ss,
+               CAST(SUM(y) AS BIGINT) AS sy
+        FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs,
+           CAST(sw AS DOUBLE) / CAST(ss AS DOUBLE) AS words_per_sentence,
+           CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE) AS syllables_per_word,
+           0.39 * (CAST(sw AS DOUBLE) / CAST(ss AS DOUBLE))
+             + 11.8 * (CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE))
+             - 15.59 AS fk_grade,
+           206.835 - 1.015 * (CAST(sw AS DOUBLE) / CAST(ss AS DOUBLE))
+             - 84.6 * (CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE))
+               AS flesch_ease
+    FROM agg
+    """,
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid readability per source — the classic text-quality
+    screen next to the Gopher rules and char-entropy faces (pre-training
+    curricula routinely window on grade level). Syllables use the
+    standard vowel-group heuristic (runs of [aeiouy]), sentences are
+    [.!?]+ runs floored at one, words are the shared whitespace
+    tokenizer — three exact per-doc integers, so the per-source sums are
+    BIGINTs and grade/ease reduce to ratio-of-sums in one mirrored double
+    expression (the aggregate-readability form: corpus FK from ΣW/ΣS and
+    ΣY/ΣW, no order-sensitive float accumulation anywhere). One scan,
+    one keyed groupBy; the regexes are codegen'd JVM expressions."""
+    d = _t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        X.token_count("text").cast("long").alias("w"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("long"),
+        ).alias("s"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("y"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("sw"),
+        F.sum("s").alias("ss"),
+        F.sum("y").alias("sy"),
+    )
+    wps = F.col("sw").cast("double") / F.col("ss").cast("double")
+    spw = F.col("sy").cast("double") / F.col("sw").cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        wps.alias("words_per_sentence"),
+        spw.alias("syllables_per_word"),
+        (
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+        ).alias("fk_grade"),
+        (
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+        ).alias("flesch_ease"),
+    )
+
+
+@register(
+    "doc_lexical_richness",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source,
+               UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), freq AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
+        FROM toks GROUP BY source, tok
+    ), agg AS (
+        SELECT source,
+               CAST(SUM(f) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v,
+               CAST(COUNT(CASE WHEN f = 1 THEN 1 END) AS BIGINT) AS v1,
+               CAST(SUM(f * f) AS BIGINT) AS f2
+        FROM freq GROUP BY source
+    )
+    SELECT source, n AS n_tokens, v AS vocab, v1 AS hapax,
+           CAST(v AS DOUBLE) / CAST(n AS DOUBLE) AS ttr,
+           CAST(v1 AS DOUBLE) / CAST(v AS DOUBLE) AS hapax_frac,
+           10000.0 * (CAST(f2 AS DOUBLE) - CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS yule_k
+    FROM agg
+    """,
+)
+def doc_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness profile per source: type-token ratio, hapax
+    fraction, and Yule's K (the repetitiveness characteristic
+    10⁴·(Σf²−N)/N², scale-invariant where raw TTR is not) — the
+    vocabulary-side quality signals a corpus curator reads next to
+    Zipf/Heaps fits when deciding whether a source is template spam.
+    Sufficient statistics are all exact BIGINTs off one token-frequency
+    table (N=Σf, V, V1, Σf²), so the three ratios are single mirrored
+    double expressions. Scale shape: explode → one keyed groupBy on
+    (source, token) → per-source re-aggregate; the frequency table is
+    vocabulary-sized, never corpus-sized."""
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select("source", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    agg = freq.groupBy("source").agg(
+        F.sum("f").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.count(F.when(F.col("f") == 1, 1)).alias("v1"),
+        F.sum(F.col("f") * F.col("f")).alias("f2"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("vocab"),
+        F.col("v1").alias("hapax"),
+        (F.col("v").cast("double") / nd).alias("ttr"),
+        (F.col("v1").cast("double") / F.col("v").cast("double")).alias(
+            "hapax_frac"
+        ),
+        (
+            F.lit(10000.0) * (F.col("f2").cast("double") - nd) / (nd * nd)
+        ).alias("yule_k"),
+    )
+
+
+@register(
+    "corpus_mixture_weights",
+    oracle=r"""
+    WITH per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(string_split_regex(trim(lower(text)), '\s+')))
+                   AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+               CAST(COUNT(CASE WHEN source NOT IN ('src0','src1','src2')
+                          THEN 1 END) AS BIGINT) AS n_other
+        FROM per_src
+    ), sh AS (
+        SELECT p.source, p.n_docs, p.n_tokens,
+               CAST(p.n_tokens AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                   AS actual_share,
+               CASE p.source
+                   WHEN 'src0' THEN 0.15
+                   WHEN 'src1' THEN 0.10
+                   WHEN 'src2' THEN 0.08
+                   ELSE 0.67 / CAST(tot.n_other AS DOUBLE)
+               END AS target_share
+        FROM per_src p CROSS JOIN tot
+    ), wts AS (
+        SELECT source, n_docs, n_tokens, actual_share, target_share,
+               target_share / actual_share AS raw_weight,
+               LEAST(target_share / actual_share, 4.0) AS capped_weight,
+               CAST(ROUND(LEAST(target_share / actual_share, 4.0)
+                          * actual_share, 12) AS DECIMAL(28,12)) AS mass
+        FROM sh
+    )
+    SELECT source, n_docs, n_tokens, actual_share, target_share,
+           raw_weight, capped_weight,
+           CAST(mass AS DOUBLE)
+               / CAST((SELECT CAST(SUM(mass) AS DECIMAL(38,12)) FROM wts)
+                      AS DOUBLE) AS achieved_share,
+           capped_weight < raw_weight AS starved
+    FROM wts
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture SOLVER — the step between "measure the corpus" and
+    "sample the corpus" in a pre-training pipeline (doc_weighted_mix
+    APPLIES per-source rates; this face COMPUTES them): token-mass shares
+    per source, a target mixture (named heavy sources + uniform
+    remainder), raw upsampling weight target/actual, an epoch cap at 4.0
+    (never repeat a source more than 4×, the standard repetition-harm
+    guard), and the ACHIEVED post-cap mixture with a starved flag where
+    the cap binds. Per-source token masses are exact BIGINTs; the
+    achieved-share renormalization rounds each capped mass to 12 decimals
+    into DECIMAL(28,12) so the (sources-sized) total is
+    aggregation-order-proof. One scan + one keyed groupBy; everything
+    downstream runs on a #sources-row frame."""
+    d = _t(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count("text").cast("long")).alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("t"),
+        F.count(
+            F.when(~F.col("source").isin("src0", "src1", "src2"), 1)
+        ).alias("n_other"),
+    )
+    sh = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("t").cast("double")).alias(
+            "actual_share"
+        ),
+        F.when(F.col("source") == "src0", F.lit(0.15))
+        .when(F.col("source") == "src1", F.lit(0.10))
+        .when(F.col("source") == "src2", F.lit(0.08))
+        .otherwise(F.lit(0.67) / F.col("n_other").cast("double"))
+        .alias("target_share"),
+    )
+    raw = F.col("target_share") / F.col("actual_share")
+    wts = sh.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "actual_share",
+        "target_share",
+        raw.alias("raw_weight"),
+        F.least(raw, F.lit(4.0)).alias("capped_weight"),
+        F.round(F.least(raw, F.lit(4.0)) * F.col("actual_share"), 12)
+        .cast("decimal(28,12)")
+        .alias("mass"),
+    )
+    mass_tot = wts.agg(
+        F.sum("mass").cast("decimal(38,12)").alias("mt")
+    )
+    return wts.crossJoin(F.broadcast(mass_tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "actual_share",
+        "target_share",
+        "raw_weight",
+        "capped_weight",
+        (F.col("mass").cast("double") / F.col("mt").cast("double")).alias(
+            "achieved_share"
+        ),
+        (F.col("capped_weight") < F.col("raw_weight")).alias("starved"),
+    )
+
+
+@register(
+    "kmeans_silhouette",
+    oracle=_KMEANS2_CTES
+    + """
+    , scored2 AS (
+      SELECT v.vec_id, c.label,
+             ROUND(list_cosine_similarity(v.emb, c.cent), 9) AS rcos
+      FROM v, cent1 c
+    ), own AS (
+      SELECT s.vec_id, s.rcos
+      FROM scored2 s JOIN a2 ON a2.vec_id = s.vec_id AND a2.assigned = s.label
+    ), other AS (
+      SELECT s.vec_id, MAX(s.rcos) AS mo
+      FROM scored2 s JOIN a2 ON a2.vec_id = s.vec_id AND s.label <> a2.assigned
+      GROUP BY s.vec_id
+    ), sil AS (
+      SELECT a2.assigned AS cluster,
+             CAST(ROUND(
+                 CASE WHEN GREATEST(1.0 - own.rcos, 1.0 - other.mo) > 0.0
+                      THEN ((1.0 - other.mo) - (1.0 - own.rcos))
+                           / GREATEST(1.0 - own.rcos, 1.0 - other.mo)
+                      ELSE 0.0 END, 9) AS DECIMAL(28,9)) AS s
+      FROM a2 JOIN own ON own.vec_id = a2.vec_id
+              JOIN other ON other.vec_id = a2.vec_id
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(CAST(SUM(s) AS DECIMAL(38,9)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_silhouette
+    FROM sil GROUP BY cluster
+    """,
+)
+def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette — the CLUSTER-QUALITY judge for the
+    k-means face (is k=8 actually separating the embedding space?): per
+    vector, a = cosine distance to its own centroid, b = distance to the
+    nearest OTHER centroid, s = (b−a)/max(a,b); per-cluster mean s is the
+    standard "how tight vs how confusable" readout (simplified/centroid
+    silhouette — the O(n·k) form; the classic O(n²) pairwise definition
+    can't survive corpus scale). Centroids and assignments are the shared
+    two-iteration Lloyd recipe (_KMEANS2_CTES — same seeding, same
+    decimal-exact centroid means), so the oracle unrolls exactly.
+    Cosines are rounded to 9 decimals BEFORE the silhouette arithmetic
+    (both engines agree at 9dp; rounding first makes the downstream
+    doubles bit-identical), each s re-rounds to 9dp into DECIMAL(28,9)
+    for order-proof per-cluster means. Scale: one broadcast-centroid scan
+    (n×k scored rows, argmax partial-combined map-side) + keyed joins on
+    vec_id."""
+    from polars_numba_spark.operators.vector import (
+        assign_nearest_centroid,
+        kmeans_iterations,
+    )
+    from polars_numba_spark.operators.similarity import cosine_with_norms, norm
+    from polars_numba_spark.operators.vector import as_double
+
+    e = _t(spark, sf_dir, "embeddings")
+    _, cent1 = kmeans_iterations(e, k=8, iterations=1)
+    a2 = assign_nearest_centroid(e, cent1).select(
+        "vec_id", "assigned"
+    )
+    c = cent1.select(
+        F.col("label").alias("__cid"), as_double("centroid").alias("__cv")
+    ).withColumn("__cn", norm(F.col("__cv")))
+    scored = (
+        e.select("vec_id", as_double("embedding").alias("__v"))
+        .withColumn("__vn", norm(F.col("__v")))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            "__cid",
+            F.round(
+                cosine_with_norms(
+                    F.col("__v"), F.col("__cv"), F.col("__vn"), F.col("__cn")
+                ),
+                9,
+            ).alias("rcos"),
+        )
+    )
+    own = scored.join(
+        a2,
+        (scored.vec_id == a2.vec_id) & (scored.__cid == a2.assigned),
+    ).select(a2.vec_id.alias("o_id"), F.col("rcos").alias("own_r"))
+    other = (
+        scored.join(
+            a2,
+            (scored.vec_id == a2.vec_id) & (scored.__cid != a2.assigned),
+        )
+        .groupBy(a2.vec_id.alias("t_id"))
+        .agg(F.max("rcos").alias("mo"))
+    )
+    a_dist = F.lit(1.0) - F.col("own_r")
+    b_dist = F.lit(1.0) - F.col("mo")
+    s = F.when(
+        F.greatest(a_dist, b_dist) > 0.0,
+        (b_dist - a_dist) / F.greatest(a_dist, b_dist),
+    ).otherwise(F.lit(0.0))
+    sil = (
+        a2.join(own, a2.vec_id == F.col("o_id"))
+        .join(other, a2.vec_id == F.col("t_id"))
+        .select(
+            F.col("assigned").alias("cluster"),
+            F.round(s, 9).cast("decimal(28,9)").alias("s"),
+        )
+    )
+    return sil.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (
+            F.sum("s").cast("decimal(38,9)").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_silhouette"),
+    )
+
+
+@register(
+    "embedding_centroid_classify",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                      || '#cc'), 1, 15)) AS UBIGINT) AS BIGINT) % 5 AS fold
+      FROM embeddings
+    ), train AS (
+      SELECT * FROM v WHERE fold <> 0
+    ), test AS (
+      SELECT * FROM v WHERE fold = 0
+    ), dims AS (
+      SELECT t.label, d.i - 1 AS dim, d.x
+      FROM train t,
+           LATERAL (SELECT UNNEST(t.emb) AS x,
+                           generate_subscripts(t.emb, 1) AS i) d
+    ), cent AS (
+      SELECT label, list(mean ORDER BY dim) AS cent FROM (
+        SELECT label, dim,
+               ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                     / COUNT(*), 9) AS mean
+        FROM dims GROUP BY label, dim
+      ) GROUP BY label
+    ), pred AS (
+      SELECT vec_id, true_label, label AS predicted FROM (
+        SELECT t.vec_id, t.label AS true_label, c.label,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                   ORDER BY list_cosine_similarity(t.emb, c.cent) DESC,
+                            c.label) AS rn
+        FROM test t, cent c
+      ) WHERE rn = 1
+    )
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(predicted AS BIGINT) AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM pred GROUP BY true_label, predicted
+    """,
+)
+def embedding_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification with a held-out split —
+    the cheapest embedding-quality probe a pipeline runs before training
+    anything: md5-deterministic 80/20 split, per-label mean centroid from
+    TRAIN only (the decimal-exact group_centroids recipe shared with
+    k-means and label_centroids), argmax-cosine prediction on TEST, and
+    the full confusion matrix as (true_label, predicted, n) rows — the
+    diagonal is accuracy, off-diagonals name the confusable classes. A
+    LEAKAGE-SAFE eval by construction: centroids never see a test vector
+    (the doc_leakage_safe_split discipline applied to embeddings). Scale:
+    centroid training is one exploded keyed aggregate over train; scoring
+    is one broadcast-centroid scan over test with map-side argmax."""
+    from polars_numba_spark.operators.dedup import md5_long
+    from polars_numba_spark.operators.vector import (
+        assign_nearest_centroid,
+        group_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "fold",
+        F.pmod(
+            md5_long(F.concat(F.col("vec_id").cast("string"), F.lit("#cc"))),
+            F.lit(5),
+        ),
+    )
+    train = e.where(F.col("fold") != 0)
+    test = e.where(F.col("fold") == 0)
+    cents = group_centroids(
+        train.select("label", "embedding"), "embedding", "label"
+    ).select("label", "centroid")
+    pred = assign_nearest_centroid(test, cents).select(
+        "vec_id", F.col("assigned").alias("predicted")
+    )
+    return (
+        test.select("vec_id", F.col("label").alias("true_label"))
+        .join(pred, "vec_id")
+        .groupBy("true_label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("predicted").cast("long").alias("predicted"),
+            "n_vecs",
+        )
+    )
