@@ -4520,3 +4520,241 @@ def segment_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "ab_sequential_sprt",
+    oracle="""
+    WITH u AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+    ), pc AS (
+        SELECT user_id, COUNT(*) AS n_purchases FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ), med AS (
+        SELECT quantile_cont(CAST(n_purchases AS DOUBLE), 0.5) AS m FROM pc
+    ), a AS (
+        SELECT u.user_id,
+               CAST(CAST(('0x' || substr(md5(CAST(u.user_id AS VARCHAR)
+                        || '#ab'), 1, 15)) AS UBIGINT) AS BIGINT) % 2
+                   AS variant,
+               COALESCE(CAST(pc.n_purchases AS DOUBLE) > med.m, FALSE)
+                   AS converted
+        FROM u LEFT JOIN pc ON pc.user_id = u.user_id CROSS JOIN med
+    ), inc AS (
+        SELECT variant, user_id,
+               CASE WHEN converted
+                    THEN CAST(0.223143551314 AS DECIMAL(38,12))
+                    ELSE CAST(-0.182321556794 AS DECIMAL(38,12))
+               END AS inc
+        FROM a
+    ), c AS (
+        SELECT variant, user_id,
+               ROW_NUMBER() OVER (PARTITION BY variant ORDER BY user_id)
+                   AS rn,
+               SUM(inc) OVER (PARTITION BY variant ORDER BY user_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM inc
+    ), crossings AS (
+        SELECT variant, rn, cum,
+               ROW_NUMBER() OVER (PARTITION BY variant ORDER BY rn) AS k
+        FROM c
+        WHERE cum >= CAST(2.944438979166 AS DECIMAL(38,12))
+           OR cum <= CAST(-2.944438979166 AS DECIMAL(38,12))
+    ), tot AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users FROM a
+        GROUP BY variant
+    )
+    SELECT t.variant, t.n_users,
+           CASE WHEN x.cum >= CAST(2.944438979166 AS DECIMAL(38,12))
+                THEN 'accept_h1'
+                WHEN x.cum <= CAST(-2.944438979166 AS DECIMAL(38,12))
+                THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           x.rn AS n_at_decision,
+           CAST(x.cum AS DOUBLE) AS llr_at_decision
+    FROM tot t LEFT JOIN (SELECT * FROM crossings WHERE k = 1) x
+      ON x.variant = t.variant
+    """,
+)
+def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SEQUENTIAL probability-ratio test per experiment arm — the
+    early-stopping monitor the fixed-horizon z-test family can't express:
+    users stream in deterministic order, each contributes an exact
+    DECIMAL(38,12) log-likelihood-ratio increment for H1: p=0.5 vs
+    H0: p=0.4 (ln(19) boundaries = 5%/5% error rates), and the arm LATCHES
+    at the first boundary crossing ("how many users did we actually need
+    before the evidence was conclusive?"). All running arithmetic is
+    decimal — exact, aggregation-order-proof — so the cumulative LLR and
+    the crossing index match DuckDB's window spelling hash-for-hash. The
+    Spark plan is the DISTRIBUTED PREFIX SUM, not a single-reducer window:
+    users bucket by id (2²⁰ per bucket), per-(arm, bucket) sums cumulate
+    over the bounded bucket spine, and within-bucket windows run one
+    bounded task each — the two-pass scan decomposition at any scale.
+    Conversion reuses ab_conversion_ztest's self-calibrating definition
+    and '#ab' assignment, so this face reads the SAME experiment."""
+    from polars_numba_spark.operators.dedup import md5_long
+    from decimal import Decimal
+
+    e = _t(spark, sf_dir, "events")
+    u = e.where(F.col("user_id").isNotNull()).select("user_id").distinct()
+    pc = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    med = pc.agg(
+        F.percentile(F.col("n_purchases").cast("double"), F.lit(0.5)).alias("m")
+    )
+    a = (
+        u.join(pc, "user_id", "left")
+        .crossJoin(F.broadcast(med))
+        .select(
+            "user_id",
+            F.pmod(
+                md5_long(
+                    F.concat(F.col("user_id").cast("string"), F.lit("#ab"))
+                ),
+                F.lit(2),
+            ).alias("variant"),
+            F.coalesce(
+                F.col("n_purchases").cast("double") > F.col("m"),
+                F.lit(False),
+            ).alias("converted"),
+        )
+    )
+    up = F.lit(Decimal("0.223143551314")).cast("decimal(38,12)")
+    dn = F.lit(Decimal("-0.182321556794")).cast("decimal(38,12)")
+    hi = F.lit(Decimal("2.944438979166")).cast("decimal(38,12)")
+    lo = F.lit(Decimal("-2.944438979166")).cast("decimal(38,12)")
+    inc = a.select(
+        "variant",
+        "user_id",
+        F.when(F.col("converted"), up).otherwise(dn).alias("inc"),
+        F.expr("user_id div 1048576").alias("bucket"),
+    )
+    per_bucket = inc.groupBy("variant", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("inc").alias("s")
+    )
+    wb = (
+        Window.partitionBy("variant")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "variant",
+        "bucket",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0).cast("long")).alias(
+            "off_cnt"
+        ),
+        F.coalesce(
+            F.sum("s").over(wb), F.lit(Decimal("0")).cast("decimal(38,12)")
+        ).alias("off_s"),
+    )
+    wl = Window.partitionBy("variant", "bucket").orderBy("user_id")
+    wls = wl.rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        inc.join(offsets, ["variant", "bucket"])
+        .select(
+            "variant",
+            (F.col("off_cnt") + F.row_number().over(wl)).alias("rn"),
+            (F.col("off_s") + F.sum("inc").over(wls)).alias("cum"),
+        )
+    )
+    crossing = c.where((F.col("cum") >= hi) | (F.col("cum") <= lo))
+    first = crossing.groupBy("variant").agg(
+        F.min(F.struct("rn", "cum")).alias("x")
+    )
+    tot = a.groupBy("variant").agg(F.count(F.lit(1)).alias("n_users"))
+    return tot.join(first, "variant", "left").select(
+        "variant",
+        "n_users",
+        F.when(F.col("x.cum") >= hi, F.lit("accept_h1"))
+        .when(F.col("x.cum") <= lo, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.col("x.rn").alias("n_at_decision"),
+        F.col("x.cum").cast("double").alias("llr_at_decision"),
+    )
+
+
+@register(
+    "events_hill_tail_index",
+    oracle="""
+    WITH pos AS (
+        SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value > 0
+    ), top AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents DESC, event_id) AS rn
+        FROM (SELECT * FROM pos ORDER BY cents DESC, event_id LIMIT 501)
+    ), boundary AS (
+        SELECT cents AS x_k1 FROM top WHERE rn = 501
+    ), terms AS (
+        SELECT CAST(ROUND(ln(CAST(t.cents AS DOUBLE)
+                             / CAST(b.x_k1 AS DOUBLE)), 9)
+                   AS DECIMAL(28,9)) AS term
+        FROM top t CROSS JOIN boundary b
+        WHERE t.rn <= 500
+    )
+    SELECT CAST(500 AS BIGINT) AS k,
+           (SELECT x_k1 FROM boundary) AS x_k1_cents,
+           CAST(CAST(SUM(term) AS DECIMAL(38,9)) AS DOUBLE) AS sum_log,
+           500.0 / CAST(CAST(SUM(term) AS DECIMAL(38,9)) AS DOUBLE)
+               AS hill_alpha
+    FROM terms
+    """,
+)
+def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law TAIL index over event values — the
+    tail-risk companion to the Zipf (rank-frequency) and Pareto-decile
+    faces: α̂ = k / Σᵢ ln(xᵢ/x₍ₖ₊₁₎) over the k=500 largest observations,
+    the standard extreme-value diagnostic for "how heavy is the revenue
+    tail really" (α ≤ 2 ⇒ infinite variance — means alone mislead). The
+    only data-sized operation is a global top-(k+1) — Spark's TakeOrdered
+    push-down, per-partition heaps then one k-row merge, NO total sort —
+    after which every term is one mirrored double log rounded to 9
+    decimals and accumulated as DECIMAL(28,9). Deterministic boundary:
+    ties at the 501st value break on event_id in both engines."""
+    e = _t(spark, sf_dir, "events")
+    pos = e.where(F.col("value") > 0).select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    top = (
+        pos.orderBy(F.col("cents").desc(), F.col("event_id"))
+        .limit(501)
+        .select(
+            "cents",
+            F.row_number()
+            .over(Window.orderBy(F.col("cents").desc(), F.col("event_id")))
+            .alias("rn"),
+        )
+    )
+    boundary = top.where(F.col("rn") == 501).select(
+        F.col("cents").alias("x_k1")
+    )
+    terms = (
+        top.where(F.col("rn") <= 500)
+        .crossJoin(F.broadcast(boundary))
+        .select(
+            F.round(
+                F.log(
+                    F.col("cents").cast("double") / F.col("x_k1").cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("term"),
+            "x_k1",
+        )
+    )
+    sl = F.col("sum_term").cast("decimal(38,9)").cast("double")
+    return (
+        terms.groupBy("x_k1")
+        .agg(F.sum("term").alias("sum_term"))
+        .select(
+            F.lit(500).cast("long").alias("k"),
+            F.col("x_k1").alias("x_k1_cents"),
+            sl.alias("sum_log"),
+            (F.lit(500.0) / sl).alias("hill_alpha"),
+        )
+    )
