@@ -194,27 +194,75 @@ _DRIVER_PRIORITY: list[str] = [
     #   events_dow_seasonality (the same sufficient-statistics recipe);
     #   ab_value_cuped joins ab_conversion_ztest as the experimentation
     #   pair.
+    #
+    # Round 10: the round-9 driver signal never landed in the repo (no
+    # CORRECTNESS_r09.json / r9 VERDICT was delivered), so the 26 round-9
+    # slots above are RETAINED UNCHANGED — rotating them out before a
+    # driver record exists would re-create exactly the debt the r7 verdict
+    # condemned. The twelve round-10 NEW faces below land WITH their
+    # driver slot (the standing process rule) by evicting twelve r8
+    # hash-green sentinels, families covered per slot:
+    # - kmeans_assignments -> kmeans_silhouette: the SAME two-iteration
+    #   Lloyd recipe plus the cluster-quality judge on top.
+    # - embedding_topk_lsh -> embedding_centroid_classify: the embedding
+    #   family keeps kmeans_silhouette plus this held-out Rocchio eval;
+    #   topk_lsh holds its r8 green.
+    # - doc_pagerank_centrality -> customer_part_hits: the identical
+    #   decimal-iterative graph recipe (12dp-rounded contributions into
+    #   DECIMAL(28,14), unrolled oracle) on the two-vector recurrence.
+    # - audience_overlap_kmv -> segment_overlap_bitmap: the EXACT bitmap
+    #   twin of the same audience-overlap question; KMV holds its r8
+    #   green and the sketch family keeps the two rows-only reports plus
+    #   streaming_user_cms in-window.
+    # - doc_quality_calibrated -> doc_readability: text-quality family
+    #   (calibration holds its r8 green; Kneser-Ney stays in-window).
+    # - doc_search_authority_rrf -> doc_lexical_richness: retrieval keeps
+    #   search_ranking_metrics in-window; the token-frequency machinery
+    #   gains the TTR/hapax/Yule richness face.
+    # - source_drift_psi -> events_chisq_independence: the same
+    #   exact-integer-sufficient-statistics monitoring recipe; the drift
+    #   family keeps events_ols_trend + events_dow_seasonality in-window.
+    # - user_events_cms -> events_seasonal_backtest: the timeseries-eval
+    #   face joins OLS/DOW/Holt-Winters in-window; batch CMS holds its r8
+    #   green and the stream twin keeps its slot.
+    # - session_top_paths -> ab_value_mannwhitney: behavioral keeps the
+    #   KM/attribution/churn r9 slots; experimentation gains the
+    #   nonparametric rank test (global_ranks machinery stays driven via
+    #   user_value_pareto_deciles).
+    # - user_value_ewma -> ab_sequential_sprt: the scan-recurrence family
+    #   keeps user_value_holt_winters + sql_surface_running_balance
+    #   in-window; the SPRT face drives the distributed prefix-sum
+    #   decomposition of the same cumulative shape.
+    # - customer_graph_triangles -> events_hill_tail_index: the graph
+    #   family keeps BFS hops + label propagation + HITS in-window;
+    #   the tail-index face joins Zipf/Pareto as the third power-law eye.
+    # - streaming_user_ewma -> corpus_mixture_weights: streaming keeps
+    #   THREE in-window reps (burst windows, neardup keep-list, CMS
+    #   state); governance gains the mixture solver next to the data
+    #   card.
+    # --- the twelve round-10 NEW faces ------------------------------------
+    "kmeans_silhouette",                # r10-new: cluster-quality judge
+    "embedding_centroid_classify",      # r10-new: Rocchio held-out eval
+    "customer_part_hits",               # r10-new: HITS hubs/authorities
+    "segment_overlap_bitmap",           # r10-new: exact bitmap overlap
+    "doc_readability",                  # r10-new: Flesch-Kincaid per source
+    "doc_lexical_richness",             # r10-new: TTR/hapax/Yule's K
+    "events_chisq_independence",        # r10-new: chi-square contingency
+    "events_seasonal_backtest",         # r10-new: seasonal-naive MAE/SMAPE
+    "ab_value_mannwhitney",             # r10-new: tie-corrected rank test
+    "ab_sequential_sprt",               # r10-new: Wald SPRT early stopping
+    "events_hill_tail_index",           # r10-new: extreme-value tail index
+    "corpus_mixture_weights",           # r10-new: domain-mixture solver
+    # --- retained round-8 sentinels (families unchanged) ------------------
     "dedup_minhash_keeplist",           # pair-free minhash keep-list
     "dedup_simhash_keeplist",           # pair-free simhash keep-list
-    "embedding_topk_lsh",               # LSH ANN top-k
     "dedup_clusters",                   # LSH pairs -> components -> verdict
-    "kmeans_assignments",               # decimal-exact k-means assignment
     "curated_corpus_neardup",           # keep-list curation pipeline
     "order_price_tdigest_report",       # rows-only: t-digest self-report
     "distinct_users_sketch",            # rows-only: HLL-style self-report
-    "doc_quality_calibrated",           # per-source score calibration
-    "user_value_ewma",                  # recursively-oracled EWMA scan
-    "streaming_user_ewma",              # stateful float recurrence
-    "doc_search_authority_rrf",         # BM25 x PageRank RRF fusion
-    "source_drift_psi",                 # binned PSI drift audit
-    "user_events_cms",                  # count-min frequency sketch
-    "audience_overlap_kmv",             # theta-sketch set algebra
     "streaming_user_cms",               # CMS counters as stream state
-    "customer_graph_triangles",         # degree-ordered triangle count
-    "session_top_paths",                # session journey mining
     "capped_balance_per_user",          # grouped-fold kernel sentinel
     "sql_surface_running_balance",      # SQL UDTF sentinel
-    "doc_pagerank_centrality",          # fully-oracled PageRank
     "multimodal_audio_meta",            # WAV header parse hard-gate
     "multimodal_video_meta",            # MP4 box-walk hard-gate
     "streaming_neardup_keeplist",       # incremental LSH keep-list

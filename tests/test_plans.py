@@ -742,3 +742,149 @@ def test_datacard_is_one_scan_one_aggregate(spark):
     assert "Join" not in s
     assert "Window" not in s
     assert "- Generate" not in s
+
+
+def test_mannwhitney_ranks_are_range_partitioned(spark):
+    """ab_value_mannwhitney: the rank stage must be the distributed
+    sort-rank (range partitioning + per-partition ranks), never a
+    single-reducer global ORDER BY; no cartesian anywhere."""
+    df = q(spark, "ab_value_mannwhitney")
+    s = plans.explain_string(df)
+    assert "rangepartitioning" in s.lower()
+    assert "CartesianProduct" not in s
+
+
+def test_chisq_reads_two_columns_and_combines(spark):
+    """events_chisq_independence: the contingency groupBy partial-combines
+    map-side and the events scan reads only event_type + ts."""
+    df = q(spark, "events_chisq_independence")
+    assert plans.has_partial_aggregation(df)
+    schemas = plans.read_schemas(df)
+    cols = sorted(
+        c.split(":")[0]
+        for c in schemas[0][len("struct<"):-1].split(",")
+    )
+    assert cols == ["event_type", "ts"]
+    assert "CartesianProduct" not in plans.explain_string(df)
+
+
+def test_seasonal_backtest_is_keyed_self_join(spark):
+    """events_seasonal_backtest: daily rollup then a keyed self-join on
+    (type, day-7) — no window, no cartesian, three columns read."""
+    df = q(spark, "events_seasonal_backtest")
+    s = plans.explain_string(df)
+    assert "Window" not in s
+    assert "CartesianProduct" not in s
+    schemas = plans.read_schemas(df)
+    for sch in schemas:
+        cols = sorted(
+            c.split(":")[0] for c in sch[len("struct<"):-1].split(",")
+        )
+        assert cols == ["event_type", "ts", "value"]
+
+
+def test_sprt_prefix_sum_is_bucketed_not_global(spark):
+    """ab_sequential_sprt: every Window must carry a partition spec (the
+    two-level prefix sum) — a Window whose partitionBy is empty except
+    the bounded bucket spine would funnel all users through one task.
+    The only unpartitioned window runs on the per-(arm, bucket) spine,
+    which is bounded by id-space/2^20, not by rows."""
+    df = q(spark, "ab_sequential_sprt")
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+    # the within-bucket windows must be keyed by variant AND bucket
+    assert "bucket" in s
+
+
+def test_hill_tail_cut_is_takeordered(spark):
+    """events_hill_tail_index: the top-501 cut ships per-partition heaps
+    (TakeOrderedAndProject), never a full sort of the event table."""
+    df = q(spark, "events_hill_tail_index")
+    s = plans.explain_string(df)
+    assert "TakeOrderedAndProject" in s
+    assert "CartesianProduct" not in s
+
+
+def test_hits_is_keyed_joins_with_broadcast_totals(spark):
+    """customer_part_hits: every mutual-reinforcement half-step is a keyed
+    equi-join plus a broadcast 1-row L1 total — no cartesian, no global
+    sort."""
+    df = q(spark, "customer_part_hits")
+    s = plans.explain_string(df)
+    # every half-step was eagerly localCheckpointed during construction
+    # (keyed joins + broadcast L1 totals ran there); the returned plan must
+    # be ONLY a union of the two checkpointed score vectors — re-deriving
+    # any iteration here would mean the lineage truncation regressed.
+    assert "CartesianProduct" not in s
+    assert "Scan ExistingRDD" in s
+    assert "Join" not in s
+
+
+def test_bitmap_overlap_compresses_before_joining(spark):
+    """segment_overlap_bitmap: the bit_or groupBy partial-combines (63
+    membership rows become one BIGINT map-side) and the pair stage is an
+    equi-join on word — never a cartesian of members."""
+    df = q(spark, "segment_overlap_bitmap")
+    assert plans.has_partial_aggregation(df)
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+    schemas = plans.read_schemas(df)
+    cust = [sch for sch in schemas if "c_custkey" in sch]
+    assert cust and all(
+        sorted(c.split(":")[0] for c in sch[len("struct<"):-1].split(","))
+        == ["c_custkey", "c_mktsegment"]
+        for sch in cust
+    )
+
+
+def test_readability_is_one_scan_one_aggregate(spark):
+    """doc_readability: codegen'd regex features over one scan, one keyed
+    groupBy — no join, no window, no explode."""
+    df = q(spark, "doc_readability")
+    s = plans.explain_string(df)
+    assert "Join" not in s
+    assert "Window" not in s
+    assert "- Generate" not in s
+    assert plans.has_partial_aggregation(df)
+
+
+def test_lexical_richness_single_explode(spark):
+    """doc_lexical_richness: exactly one Generate (the token explode)
+    feeding two keyed aggregates — no join, no window."""
+    df = q(spark, "doc_lexical_richness")
+    s = plans.explain_string(df)
+    assert s.count("- Generate") == 1
+    assert "Join" not in s
+    assert "Window" not in s
+
+
+def test_mixture_weights_runs_on_source_rows(spark):
+    """corpus_mixture_weights: one documents scan + broadcast 1-row
+    totals; everything after the groupBy runs on #sources rows (no
+    cartesian, no window, no explode)."""
+    df = q(spark, "corpus_mixture_weights")
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+    assert "Window" not in s
+    assert "- Generate" not in s
+    assert "BroadcastExchange" in s
+
+
+def test_silhouette_scores_via_broadcast_centroids(spark):
+    """kmeans_silhouette: the n×k scoring pass must broadcast the
+    centroids (BroadcastNestedLoopJoin over a k-row build side is the
+    intended shape) and partial-combine the argmax."""
+    df = q(spark, "kmeans_silhouette")
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastExchange" in s
+    assert plans.has_partial_aggregation(df)
+
+
+def test_centroid_classify_broadcasts_model(spark):
+    """embedding_centroid_classify: train centroids broadcast to the test
+    scan; the confusion matrix is one keyed aggregate."""
+    df = q(spark, "embedding_centroid_classify")
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastExchange" in s
