@@ -4418,9 +4418,10 @@ def customer_part_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segment_overlap_bitmap",
     oracle="""
     WITH active AS (
-        SELECT DISTINCT c.c_mktsegment AS seg, c.c_custkey AS k
+        SELECT DISTINCT c.c_mktsegment AS seg, l.l_partkey AS k
         FROM customer c
-        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ), bm AS (
         SELECT seg, k // 63 AS word,
                bit_or(CAST(1 AS BIGINT) << CAST(k % 63 AS INTEGER)) AS bits
@@ -4447,25 +4448,29 @@ def customer_part_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def segment_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT audience-overlap via compressed id bitmaps — the
+    """EXACT basket-overlap via compressed id bitmaps — the
     roaring-bitmap technique every OLAP engine uses for segment
     intersection, next to the KMV/theta APPROXIMATE twin
-    (audience_overlap_kmv): customer ids pack into 63-bit words (bit =
-    id mod 63, word = id div 63 — 63 keeps every mask positive so no
-    engine disagrees on sign-bit semantics), one bit_or-aggregated word
-    table per segment, and segment-pair intersections are bit_count(a&b)
-    summed over equi-joined words. Exact Jaccard from pure integer
-    arithmetic — no hashes, no sketch error. Scale shape: the bitmap
-    table is (segments × id-space/63) rows regardless of row count —
-    the groupBy compresses 63 membership rows into one BIGINT — and the
-    pair stage joins ONLY on word, so a sparse shared word never
-    explodes; a 10⁹-id space is ~16M words per segment, each pair
-    intersection one keyed merge join."""
+    (audience_overlap_kmv): each market segment's PURCHASED-PART set
+    (parts genuinely recur across segments, so the intersections are
+    non-degenerate — customer ids would partition disjointly) packs into
+    63-bit words (bit = id mod 63, word = id div 63 — 63 keeps every mask
+    positive so no engine disagrees on sign-bit semantics), one
+    bit_or-aggregated word table per segment, and segment-pair
+    intersections are bit_count(a&b) summed over equi-joined words.
+    Exact Jaccard from pure integer arithmetic — no hashes, no sketch
+    error. Scale shape: the bitmap table is (segments × id-space/63) rows
+    regardless of fact-row count — the groupBy compresses 63 membership
+    rows into one BIGINT — and the pair stage joins ONLY on word, so a
+    sparse shared word never explodes; a 10⁹-id space is ~16M words per
+    segment, each pair intersection one keyed merge join."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
     active = (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .select(F.col("c_mktsegment").alias("seg"), F.col("c_custkey").alias("k"))
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .select(F.col("c_mktsegment").alias("seg"), F.col("l_partkey").alias("k"))
         .distinct()
     )
     bm = active.groupBy(

@@ -15,7 +15,8 @@ import pytest
      "example_multimodal.py", "example_dedup_sketch.py",
      "example_cdc_sketch.py", "example_training_layout.py",
      "example_streaming_ingest_dedup.py", "example_retrieval_rank.py",
-     "example_quality_curation.py", "example_decision_science.py"],
+     "example_quality_curation.py", "example_decision_science.py",
+     "example_eval_statistics.py"],
 )
 def test_example_runs(script):
     proc = subprocess.run(

@@ -1484,3 +1484,25 @@ def test_char_entropy_values_and_empty_doc(spark):
     assert 3 not in out  # whitespace-only: no chars -> no row (both engines)
     assert abs(out[4]["char_entropy"] - math.log(2)) < 1e-8
     assert out[4]["n_chars"] == 4  # whitespace stripped before counting
+
+
+def test_hits_bipartite_invariants(spark):
+    """hits: a hub pointing at every authority must out-score a hub
+    pointing at one; scores L1-normalize to ~1 per side; a rerun is
+    bit-identical (the decimal-accumulation determinism contract)."""
+    from polars_numba_spark.operators.graphrank import hits
+
+    # hub 1 -> {10, 11, 12}; hub 2 -> {10}; 10 is the strongest authority
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10)], "src long, dst long"
+    )
+    hubs, auths = hits(edges, iterations=2)
+    h = {r["node"]: r["hub"] for r in hubs.collect()}
+    a = {r["node"]: r["auth"] for r in auths.collect()}
+    assert h[1] > h[2]
+    assert a[10] > a[11] == a[12]
+    assert abs(sum(h.values()) - 1.0) < 1e-9
+    assert abs(sum(a.values()) - 1.0) < 1e-9
+    hubs2, auths2 = hits(edges, iterations=2)
+    assert {r["node"]: r["hub"] for r in hubs2.collect()} == h
+    assert {r["node"]: r["auth"] for r in auths2.collect()} == a
