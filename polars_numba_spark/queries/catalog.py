@@ -240,6 +240,26 @@ _DRIVER_PRIORITY: list[str] = [
     #   THREE in-window reps (burst windows, neardup keep-list, CMS
     #   state); governance gains the mixture solver next to the data
     #   card.
+    # Second round-10 batch (same-round landing; three more r8-green
+    # sentinels rotate out):
+    # - streaming_user_cms -> streaming_sprt_monitor: streaming keeps
+    #   burst windows + the neardup keep-list in-window and gains the
+    #   sequential-testing twin (whose per-user state is the same
+    #   bounded-keyed-counter shape CMS carries); batch+stream CMS hold
+    #   their r8 greens.
+    # - dedup_simhash_keeplist -> source_drift_wasserstein: the dedup
+    #   family keeps FOUR in-window reps (minhash keep-list, clusters,
+    #   curated corpus, streaming keep-list); the drift family pairs W1
+    #   magnitude with the new chi-square and the retained OLS/DOW
+    #   sufficient-statistics recipe.
+    # - dedup_clusters -> events_entropy_rate: the capped cross-engine
+    #   closure differential holds r8 greens and stays local-gated; the
+    #   components machinery keeps its in-window reps via both keep-list
+    #   faces, and the behavioral-model family pairs entropy rate with
+    #   the Markov backtest's transition machinery.
+    "streaming_sprt_monitor",           # r10-new: SPRT as a stream job
+    "source_drift_wasserstein",         # r10-new: earth-mover drift
+    "events_entropy_rate",              # r10-new: behavior predictability
     # --- the twelve round-10 NEW faces ------------------------------------
     "kmeans_silhouette",                # r10-new: cluster-quality judge
     "embedding_centroid_classify",      # r10-new: Rocchio held-out eval
@@ -255,12 +275,9 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_mixture_weights",           # r10-new: domain-mixture solver
     # --- retained round-8 sentinels (families unchanged) ------------------
     "dedup_minhash_keeplist",           # pair-free minhash keep-list
-    "dedup_simhash_keeplist",           # pair-free simhash keep-list
-    "dedup_clusters",                   # LSH pairs -> components -> verdict
     "curated_corpus_neardup",           # keep-list curation pipeline
     "order_price_tdigest_report",       # rows-only: t-digest self-report
     "distinct_users_sketch",            # rows-only: HLL-style self-report
-    "streaming_user_cms",               # CMS counters as stream state
     "capped_balance_per_user",          # grouped-fold kernel sentinel
     "sql_surface_running_balance",      # SQL UDTF sentinel
     "multimodal_audio_meta",            # WAV header parse hard-gate

@@ -41,6 +41,7 @@ from polars_numba_spark.queries.catalog import (
 from polars_numba_spark.queries.relational import (
     _BURST_ORACLE_SQL as _BURST_ORACLE_SQL_STREAM,
     _CMS_ORACLE_SQL as _CMS_ORACLE_SQL_STREAM,
+    _SPRT_ORACLE_SQL as _SPRT_ORACLE_SQL_STREAM,
 )
 from polars_numba_spark.sources import load_stream
 from polars_numba_spark.sources.formats import (
@@ -1377,3 +1378,74 @@ def formats_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_DSUM.format(x="o_totalprice")).alias("total_price"),
         F.min("o_orderkey").alias("min_key"),
     )
+
+
+@register("streaming_sprt_monitor", oracle=_SPRT_ORACLE_SQL_STREAM)
+def streaming_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPRT early-stopping monitor run as an actual Structured
+    Streaming job — sequential testing IS a streaming problem, so this is
+    the face's deployment shape: the stream maintains the per-user
+    sufficient statistic (purchase count per user — bounded by users, the
+    same state size the CMS/EWMA twins carry per key) in a complete-mode
+    aggregate, and the SPRT readout (self-calibrating median conversion
+    cut, md5 '#ab' arm assignment, exact-decimal LLR prefix sum, first
+    boundary crossing) runs over the final state exactly as the batch
+    face does. Bounded input ⇒ the sink state equals the batch per-user
+    aggregate, so the face shares ab_sequential_sprt's oracle verbatim
+    (_SPRT_ORACLE_SQL, single-sourced — the burst/CMS/EWMA-twin
+    pattern)."""
+    from polars_numba_spark.operators.dedup import md5_long
+    from polars_numba_spark.queries.relational import sprt_decision
+
+    stream = load_stream(spark, "events", sf_dir)
+    per_user = (
+        stream.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(
+                F.when(F.col("event_type") == "purchase", 1)
+            ).alias("n_purchases")
+        )
+    )
+    run_id = uuid.uuid4().hex[:8]
+    sink = f"pns_stream_sprt_{run_id}"
+    query = (
+        per_user.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError(
+                "streaming_sprt_monitor: availableNow stream did not finish "
+                "in 300s — refusing to read a partial complete-mode aggregate"
+            )
+        staged = _fresh_dir(_scratch_dir("sprt_state", sf_dir), run_id)
+        spark.table(sink).write.mode("overwrite").parquet(staged)
+    finally:
+        spark.catalog.dropTempView(sink)
+    state = spark.read.parquet(staged)
+    med = (
+        state.where(F.col("n_purchases") > 0)
+        .agg(
+            F.percentile(
+                F.col("n_purchases").cast("double"), F.lit(0.5)
+            ).alias("m")
+        )
+    )
+    a = state.crossJoin(F.broadcast(med)).select(
+        "user_id",
+        F.pmod(
+            md5_long(F.concat(F.col("user_id").cast("string"), F.lit("#ab"))),
+            F.lit(2),
+        ).alias("variant"),
+        F.coalesce(
+            (F.col("n_purchases") > 0)
+            & (F.col("n_purchases").cast("double") > F.col("m")),
+            F.lit(False),
+        ).alias("converted"),
+    )
+    return sprt_decision(a)

@@ -4025,3 +4025,58 @@ def embedding_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vecs",
         )
     )
+
+
+@register(
+    "source_drift_wasserstein",
+    oracle="""
+    WITH v AS (
+        SELECT source AS g, n_chars AS x FROM documents
+        WHERE n_chars IS NOT NULL
+    ), per_gv AS (
+        SELECT g, x, COUNT(*) AS c FROM v GROUP BY g, x
+    ), per_v AS (
+        SELECT x, COUNT(*) AS call FROM v GROUP BY x
+    ), totals AS (
+        SELECT g, COUNT(*) AS n_g FROM v GROUP BY g
+    ), na AS (
+        SELECT COUNT(*) AS n_all FROM v
+    ), grid AS (
+        SELECT t.g, pv.x, pv.call FROM totals t CROSS JOIN per_v pv
+    ), joined AS (
+        SELECT grid.g, grid.x, COALESCE(pg.c, 0) AS c, grid.call
+        FROM grid LEFT JOIN per_gv pg ON pg.g = grid.g AND pg.x = grid.x
+    ), cum AS (
+        SELECT g, x,
+               SUM(c) OVER (PARTITION BY g ORDER BY x) AS cum_g,
+               SUM(call) OVER (PARTITION BY g ORDER BY x) AS cum_all,
+               LEAD(x) OVER (PARTITION BY g ORDER BY x) AS x_next
+        FROM joined
+    ), seg AS (
+        SELECT c.g, t.n_g,
+               CAST(ROUND(
+                   ABS(CAST(cum_g AS DOUBLE) / CAST(t.n_g AS DOUBLE)
+                       - CAST(cum_all AS DOUBLE)
+                         / CAST((SELECT n_all FROM na) AS DOUBLE))
+                   * (CAST(x_next AS DOUBLE) - CAST(x AS DOUBLE)), 9)
+               AS DECIMAL(28,9)) AS seg
+        FROM cum c JOIN totals t ON c.g = t.g
+        WHERE x_next IS NOT NULL
+    )
+    SELECT g AS source, CAST(MAX(n_g) AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(seg) AS DECIMAL(38,9)) AS DOUBLE) AS w1
+    FROM seg GROUP BY g
+    """,
+)
+def source_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 1-Wasserstein drift of the document-length distribution
+    against the whole corpus — the MAGNITUDE companion to the KS (sup) and
+    PSI (binned) faces over the same stat: KS says a source drifted, W1
+    says by how many characters of transported mass, the unit a
+    rebalancing decision needs (operators/profile.py::wasserstein_drift;
+    same integer-count CDF grid as ks_drift, per-segment |ΔCDF|·Δx rounded
+    into DECIMAL(28,9))."""
+    from polars_numba_spark.operators.profile import wasserstein_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return wasserstein_drift(d, "n_chars", "source")

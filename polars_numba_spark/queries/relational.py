@@ -4527,9 +4527,11 @@ def segment_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ab_sequential_sprt",
-    oracle="""
+# Shared by ab_sequential_sprt and its streaming twin (single-sourced —
+# the burst/CMS/EWMA-twin pattern): bounded input means the stream's
+# per-user state must equal the batch per-user aggregate, so both faces
+# share one oracle verbatim.
+_SPRT_ORACLE_SQL = """
     WITH u AS (
         SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
     ), pc AS (
@@ -4579,54 +4581,16 @@ def segment_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(x.cum AS DOUBLE) AS llr_at_decision
     FROM tot t LEFT JOIN (SELECT * FROM crossings WHERE k = 1) x
       ON x.variant = t.variant
-    """,
-)
-def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wald's SEQUENTIAL probability-ratio test per experiment arm — the
-    early-stopping monitor the fixed-horizon z-test family can't express:
-    users stream in deterministic order, each contributes an exact
-    DECIMAL(38,12) log-likelihood-ratio increment for H1: p=0.5 vs
-    H0: p=0.4 (ln(19) boundaries = 5%/5% error rates), and the arm LATCHES
-    at the first boundary crossing ("how many users did we actually need
-    before the evidence was conclusive?"). All running arithmetic is
-    decimal — exact, aggregation-order-proof — so the cumulative LLR and
-    the crossing index match DuckDB's window spelling hash-for-hash. The
-    Spark plan is the DISTRIBUTED PREFIX SUM, not a single-reducer window:
-    users bucket by id (2²⁰ per bucket), per-(arm, bucket) sums cumulate
-    over the bounded bucket spine, and within-bucket windows run one
-    bounded task each — the two-pass scan decomposition at any scale.
-    Conversion reuses ab_conversion_ztest's self-calibrating definition
-    and '#ab' assignment, so this face reads the SAME experiment."""
-    from polars_numba_spark.operators.dedup import md5_long
+    """
+
+
+def sprt_decision(a: DataFrame) -> DataFrame:
+    """The SPRT latch over assigned users ``(user_id, variant,
+    converted)`` — shared by the batch face and the streaming twin. See
+    :func:`ab_sequential_sprt` for the statistics and the
+    distributed-prefix-sum plan shape."""
     from decimal import Decimal
 
-    e = _t(spark, sf_dir, "events")
-    u = e.where(F.col("user_id").isNotNull()).select("user_id").distinct()
-    pc = (
-        e.where(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_purchases"))
-    )
-    med = pc.agg(
-        F.percentile(F.col("n_purchases").cast("double"), F.lit(0.5)).alias("m")
-    )
-    a = (
-        u.join(pc, "user_id", "left")
-        .crossJoin(F.broadcast(med))
-        .select(
-            "user_id",
-            F.pmod(
-                md5_long(
-                    F.concat(F.col("user_id").cast("string"), F.lit("#ab"))
-                ),
-                F.lit(2),
-            ).alias("variant"),
-            F.coalesce(
-                F.col("n_purchases").cast("double") > F.col("m"),
-                F.lit(False),
-            ).alias("converted"),
-        )
-    )
     up = F.lit(Decimal("0.223143551314")).cast("decimal(38,12)")
     dn = F.lit(Decimal("-0.182321556794")).cast("decimal(38,12)")
     hi = F.lit(Decimal("2.944438979166")).cast("decimal(38,12)")
@@ -4680,6 +4644,55 @@ def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.rn").alias("n_at_decision"),
         F.col("x.cum").cast("double").alias("llr_at_decision"),
     )
+
+
+@register("ab_sequential_sprt", oracle=_SPRT_ORACLE_SQL)
+def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SEQUENTIAL probability-ratio test per experiment arm — the
+    early-stopping monitor the fixed-horizon z-test family can't express:
+    users stream in deterministic order, each contributes an exact
+    DECIMAL(38,12) log-likelihood-ratio increment for H1: p=0.5 vs
+    H0: p=0.4 (ln(19) boundaries = 5%/5% error rates), and the arm LATCHES
+    at the first boundary crossing ("how many users did we actually need
+    before the evidence was conclusive?"). All running arithmetic is
+    decimal — exact, aggregation-order-proof — so the cumulative LLR and
+    the crossing index match DuckDB's window spelling hash-for-hash. The
+    Spark plan is the DISTRIBUTED PREFIX SUM, not a single-reducer window:
+    users bucket by id (2²⁰ per bucket), per-(arm, bucket) sums cumulate
+    over the bounded bucket spine, and within-bucket windows run one
+    bounded task each — the two-pass scan decomposition at any scale.
+    Conversion reuses ab_conversion_ztest's self-calibrating definition
+    and '#ab' assignment, so this face reads the SAME experiment."""
+    from polars_numba_spark.operators.dedup import md5_long
+
+    e = _t(spark, sf_dir, "events")
+    u = e.where(F.col("user_id").isNotNull()).select("user_id").distinct()
+    pc = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    med = pc.agg(
+        F.percentile(F.col("n_purchases").cast("double"), F.lit(0.5)).alias("m")
+    )
+    a = (
+        u.join(pc, "user_id", "left")
+        .crossJoin(F.broadcast(med))
+        .select(
+            "user_id",
+            F.pmod(
+                md5_long(
+                    F.concat(F.col("user_id").cast("string"), F.lit("#ab"))
+                ),
+                F.lit(2),
+            ).alias("variant"),
+            F.coalesce(
+                F.col("n_purchases").cast("double") > F.col("m"),
+                F.lit(False),
+            ).alias("converted"),
+        )
+    )
+    return sprt_decision(a)
 
 
 @register(
@@ -4761,5 +4774,96 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x_k1").alias("x_k1_cents"),
             sl.alias("sum_log"),
             (F.lit(500.0) / sl).alias("hill_alpha"),
+        )
+    )
+
+
+@register(
+    "events_entropy_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   AS prev_type
+        FROM events
+    ), pairs AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ), tot AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from FROM pairs
+        GROUP BY prev_type
+    ), na AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM pairs
+    ), h AS (
+        SELECT p.prev_type,
+               CAST(SUM(CAST(ROUND(
+                   -(CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE))
+                   * ln(CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE)), 9)
+               AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS h_dec
+        FROM pairs p JOIN tot t USING (prev_type)
+        GROUP BY p.prev_type
+    )
+    SELECT t.prev_type, t.n_from,
+           CAST(h.h_dec AS DOUBLE) AS h_cond_nats,
+           CAST(t.n_from AS DOUBLE)
+               / CAST((SELECT n_all FROM na) AS DOUBLE) AS pi,
+           (CAST(t.n_from AS DOUBLE)
+               / CAST((SELECT n_all FROM na) AS DOUBLE))
+               * CAST(h.h_dec AS DOUBLE) AS contribution_nats
+    FROM tot t JOIN h USING (prev_type)
+    """,
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov ENTROPY RATE of user behavior — how predictable the next
+    event is, per source state and in aggregate (Σ of the contribution
+    column): the information-theoretic readout of the same transition
+    matrix event_type_transitions estimates and event_markov_backtest
+    scores (H→0 means the argmax predictor is near-perfect; H→ln(k) means
+    behavior is noise — the model-capacity ceiling quantified BEFORE
+    training anything). Transition counts ride the one user-keyed lag
+    window; each −p·ln p term is one mirrored double expression rounded
+    to 9 decimals into DECIMAL(28,9) (order-proof addition over the
+    bounded |types|² cells); the stationary weights are empirical
+    transition-mass ratios of exact BIGINTs. Everything after the lag
+    window runs on a ≤|types|²-row frame."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    pairs = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    na = pairs.agg(F.sum("n").alias("n_all"))
+    p = F.col("n").cast("double") / F.col("n_from").cast("double")
+    h = (
+        pairs.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            F.round(-p * F.log(p), 9).cast("decimal(28,9)").alias("term"),
+        )
+        .groupBy("prev_type")
+        .agg(F.sum("term").cast("decimal(38,9)").alias("h_dec"))
+    )
+    pi = F.col("n_from").cast("double") / F.col("n_all").cast("double")
+    return (
+        tot.join(h, "prev_type")
+        .crossJoin(F.broadcast(na))
+        .select(
+            "prev_type",
+            "n_from",
+            F.col("h_dec").cast("double").alias("h_cond_nats"),
+            pi.alias("pi"),
+            (pi * F.col("h_dec").cast("double")).alias("contribution_nats"),
         )
     )
