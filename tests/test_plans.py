@@ -888,3 +888,36 @@ def test_centroid_classify_broadcasts_model(spark):
     s = plans.explain_string(df)
     assert "CartesianProduct" not in s
     assert "BroadcastExchange" in s
+
+
+def test_wasserstein_reads_two_columns(spark):
+    """source_drift_wasserstein: the documents scan reads only
+    (source, n_chars); the grid stage is the bounded value-grid × groups
+    cross of AGGREGATE outputs (the ks_drift shape), never a cross of
+    data rows."""
+    df = q(spark, "source_drift_wasserstein")
+    schemas = plans.read_schemas(df)
+    for sch in schemas:
+        cols = set(
+            c.split(":")[0] for c in sch[len("struct<"):-1].split(",")
+        )
+        # the grid branch prunes down to n_chars alone — a subset is the
+        # win being pinned; reading anything else is the regression
+        assert cols <= {"n_chars", "source"} and "n_chars" in cols
+    assert plans.has_partial_aggregation(df)
+
+
+def test_entropy_rate_is_one_lag_window_then_bounded(spark):
+    """events_entropy_rate: one user-keyed lag window over the scan; every
+    later stage runs on the ≤|types|² cell table (broadcast totals, no
+    cartesian beyond broadcast 1-row joins)."""
+    df = q(spark, "events_entropy_rate")
+    s = plans.explain_string(df)
+    assert s.count("Window") >= 1
+    assert "CartesianProduct" not in s
+    schemas = plans.read_schemas(df)
+    for sch in schemas:
+        cols = sorted(
+            c.split(":")[0] for c in sch[len("struct<"):-1].split(",")
+        )
+        assert cols == ["event_id", "event_type", "ts", "user_id"]

@@ -36,6 +36,15 @@ QUERIES = [
     "embedding_centroid_classify",
 ]
 
+# wave-2 faces (streaming_sprt_monitor is excluded like the other
+# availableNow twins: its wall is micro-batch orchestration, not data
+# volume, and its per-user state is exactly the batch aggregate that
+# ab_value_mannwhitney / ab_sequential_sprt soak above)
+QUERIES_PART2 = [
+    "source_drift_wasserstein",
+    "events_entropy_rate",
+]
+
 
 def main() -> int:
     spark = get_spark(app_name="r10-soaks")
@@ -44,8 +53,11 @@ def main() -> int:
     if not os.path.exists(f"{big}/events.parquet"):
         print("building replicated x10 variant...", flush=True)
         build_replicated(spark, "/root/testdata/sf0.1", big, 10)
-    results = run_soak(spark, "/root/testdata/sf0.1", big, 10, QUERIES)
-    print(json.dumps({"part": "r10_new_faces_10x", "results": results}))
+    part2 = "--part2" in sys.argv
+    qs = QUERIES_PART2 if part2 else QUERIES
+    results = run_soak(spark, "/root/testdata/sf0.1", big, 10, qs)
+    tag = "r10_new_faces_10x_part2" if part2 else "r10_new_faces_10x"
+    print(json.dumps({"part": tag, "results": results}))
     return 0
 
 
