@@ -622,3 +622,39 @@ def test_phrase_search_matches_python_model(spark, texts):
             if c:
                 want[(pid, i)] = c
     assert got == want
+
+
+def test_hits_partition_invariant(spark):
+    """hits: the decimal-accumulation recipe must make scores identical
+    under any physical partitioning of the edge list (the determinism
+    claim the oracle portability rests on)."""
+    from polars_numba_spark.operators.graphrank import hits
+
+    rows = [(i % 7, (i * 3) % 11 + 100) for i in range(200)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    outs = []
+    for parts in (1, 7, 32):
+        hubs, auths = hits(edges.repartition(parts), iterations=2)
+        outs.append(
+            (
+                sorted(map(tuple, hubs.collect())),
+                sorted(map(tuple, auths.collect())),
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_wasserstein_partition_invariant_and_zero_on_self(spark):
+    """wasserstein_drift: partition-invariant (decimal segment sums), and
+    a group distributed identically to the corpus has W1 == 0."""
+    from polars_numba_spark.operators.profile import wasserstein_drift
+
+    rows = [(g, v) for g in ("a", "b") for v in range(50)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    outs = [
+        sorted(map(tuple, wasserstein_drift(df.repartition(p), "x", "g").collect()))
+        for p in (1, 32)
+    ]
+    assert outs[0] == outs[1]
+    # both groups are uniform over the same values -> identical to corpus
+    assert all(w1 == 0.0 for (_, _, w1) in outs[0])
