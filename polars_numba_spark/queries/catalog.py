@@ -260,6 +260,20 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_sprt_monitor",           # r10-new: SPRT as a stream job
     "source_drift_wasserstein",         # r10-new: earth-mover drift
     "events_entropy_rate",              # r10-new: behavior predictability
+    # Third round-10 batch (same-round landing): the two rows-only
+    # self-reports rotate out — they earned their (maximal) rows-only
+    # records in r8 and rows-only slots are better spent on hash-checkable
+    # faces; the allowance set stays declared for the record but unused.
+    # - order_price_tdigest_report -> orders_incremental_rollup: the
+    #   quantile-sketch family keeps order_price_hist_quantiles oracled +
+    #   local-gated; the new face gates the mergeable-partial-aggregate
+    #   algebra every incremental pipeline rests on.
+    # - distinct_users_sketch -> ab_bootstrap_ci: KMV/HLL machinery stays
+    #   evidenced by audience_overlap_kmv's r8 green + the portable-HLL
+    #   oracle locally; experimentation gains the distribution-free
+    #   interval next to z/CUPED/rank/SPRT.
+    "orders_incremental_rollup",        # r10-new: incremental MV merge
+    "ab_bootstrap_ci",                  # r10-new: hash-weight bootstrap CI
     # --- the twelve round-10 NEW faces ------------------------------------
     "kmeans_silhouette",                # r10-new: cluster-quality judge
     "embedding_centroid_classify",      # r10-new: Rocchio held-out eval
@@ -276,8 +290,6 @@ _DRIVER_PRIORITY: list[str] = [
     # --- retained round-8 sentinels (families unchanged) ------------------
     "dedup_minhash_keeplist",           # pair-free minhash keep-list
     "curated_corpus_neardup",           # keep-list curation pipeline
-    "order_price_tdigest_report",       # rows-only: t-digest self-report
-    "distinct_users_sketch",            # rows-only: HLL-style self-report
     "capped_balance_per_user",          # grouped-fold kernel sentinel
     "sql_surface_running_balance",      # SQL UDTF sentinel
     "multimodal_audio_meta",            # WAV header parse hard-gate

@@ -4867,3 +4867,176 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pi * F.col("h_dec").cast("double")).alias("contribution_nats"),
         )
     )
+
+
+@register(
+    "orders_incremental_rollup",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders GROUP BY date_trunc('month', o_orderdate), o_orderstatus
+    """,
+)
+def orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance — the batch shape behind
+    every incremental pipeline: a rollup "snapshot" built from orders
+    before a cutover date merges with the new delta's PARTIAL aggregate
+    by re-aggregating mergeable statistics (counts and sums add; this is
+    exactly what Spark's own partial/final aggregation does across
+    partitions, applied across TIME), and the result must equal the
+    full-table rollup bit-for-bit — which is precisely what the oracle
+    checks, since it computes the full rollup directly. At 100 TB the
+    snapshot side reads a pre-aggregated (months × statuses)-row table,
+    not history: only the delta is scanned, the merge re-aggregates
+    bounded partials. Both scans here carry their cutover predicate into
+    the parquet scan (pushdown-pinned in tests)."""
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("2001-06-01").cast("timestamp")
+    rollup = lambda df: df.groupBy(  # noqa: E731
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("revenue_cents"),
+    )
+    snapshot = rollup(o.where(F.col("o_orderdate") < cut))
+    delta = rollup(o.where(F.col("o_orderdate") >= cut))
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("month", "o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "ab_bootstrap_ci",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        GROUP BY user_id
+    ), a AS (
+        SELECT user_id, cents,
+               CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                        || '#ab'), 1, 15)) AS UBIGINT) AS BIGINT) % 2
+                   AS variant
+        FROM u
+    ), w AS (
+        SELECT a.variant, b.b, a.cents,
+               CAST(CAST(('0x' || substr(md5(CAST(a.user_id AS VARCHAR)
+                        || '#bs' || CAST(b.b AS VARCHAR)), 1, 15))
+                    AS UBIGINT) AS BIGINT) % 3 AS wt
+        FROM a CROSS JOIN (SELECT UNNEST(range(1, 101)) AS b) b
+    ), means AS (
+        SELECT variant, b,
+               CAST(SUM(wt * cents) AS DOUBLE)
+                   / CAST(SUM(wt) AS DOUBLE) AS m
+        FROM w GROUP BY variant, b
+        HAVING SUM(wt) > 0
+    ), ranked AS (
+        SELECT variant, m,
+               ROW_NUMBER() OVER (PARTITION BY variant ORDER BY m, b) AS r,
+               COUNT(*) OVER (PARTITION BY variant) AS nb
+        FROM means
+    )
+    SELECT variant,
+           CAST(MAX(nb) AS BIGINT) AS n_resamples,
+           MAX(CASE WHEN r = CAST(ceil(0.025 * nb) AS BIGINT) THEN m END)
+               AS ci_lo,
+           MAX(CASE WHEN r = CAST(ceil(0.975 * nb) AS BIGINT) THEN m END)
+               AS ci_hi
+    FROM ranked GROUP BY variant
+    """,
+)
+def ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-weighted BOOTSTRAP confidence interval for mean revenue per
+    arm — the distribution-free uncertainty readout next to the z/CUPED/
+    rank/SPRT faces (for heavy-tailed revenue the normal-theory interval
+    lies; the bootstrap doesn't): 100 deterministic resamples, each
+    reweighting every user by md5(user, b) mod 3 ∈ {0,1,2} (mean-1
+    integer weights — the Rao-Wu random-reweighting bootstrap made
+    engine-reproducible: no RNG, the hash IS the resample), each
+    resample's weighted mean an exact-integer ratio, nearest-rank 2.5%/
+    97.5% quantiles over the 100 means. EMBARRASSINGLY PARALLEL at any
+    scale: one per-user aggregate, a 100-way explode of the users-sized
+    frame (never the event table), and B×2 keyed partial-combined means —
+    the reason hash-weight bootstraps are the production standard at
+    fleet scale. Deterministic ties: means rank with the resample index
+    as tiebreaker."""
+    from polars_numba_spark.operators.dedup import md5_long
+
+    e = _t(spark, sf_dir, "events")
+    u = (
+        e.where(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    a = u.select(
+        "user_id",
+        "cents",
+        F.pmod(
+            md5_long(F.concat(F.col("user_id").cast("string"), F.lit("#ab"))),
+            F.lit(2),
+        ).alias("variant"),
+    )
+    w = a.select(
+        "variant",
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(100))).alias("b"),
+        "user_id",
+    ).select(
+        "variant",
+        "b",
+        "cents",
+        F.pmod(
+            md5_long(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit("#bs"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            F.lit(3),
+        ).alias("wt"),
+    )
+    means = (
+        w.groupBy("variant", "b")
+        .agg(
+            F.sum(F.col("wt") * F.col("cents")).alias("swx"),
+            F.sum("wt").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            "variant",
+            "b",
+            (F.col("swx").cast("double") / F.col("sw").cast("double")).alias(
+                "m"
+            ),
+        )
+    )
+    wr = Window.partitionBy("variant").orderBy("m", "b")
+    wn = Window.partitionBy("variant")
+    ranked = means.select(
+        "variant",
+        "m",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("nb"),
+    )
+    lo_r = F.ceil(F.lit(0.025) * F.col("nb")).cast("long")
+    hi_r = F.ceil(F.lit(0.975) * F.col("nb")).cast("long")
+    return ranked.groupBy("variant").agg(
+        F.max("nb").cast("long").alias("n_resamples"),
+        F.max(F.when(F.col("r") == lo_r, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("r") == hi_r, F.col("m"))).alias("ci_hi"),
+    )
