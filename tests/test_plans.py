@@ -921,3 +921,33 @@ def test_entropy_rate_is_one_lag_window_then_bounded(spark):
             c.split(":")[0] for c in sch[len("struct<"):-1].split(",")
         )
         assert cols == ["event_id", "event_type", "ts", "user_id"]
+
+
+def test_incremental_rollup_pushes_cutover_predicates(spark):
+    """orders_incremental_rollup: both the snapshot and delta branches
+    carry their o_orderdate cutover into the parquet scan, and the merge
+    re-aggregates with map-side partials."""
+    df = q(spark, "orders_incremental_rollup")
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "o_orderdate" in pushed
+    assert plans.has_partial_aggregation(df)
+    assert "CartesianProduct" not in plans.explain_string(df)
+
+
+def test_bootstrap_explodes_users_not_events(spark):
+    """ab_bootstrap_ci: the 100-way resample explode must sit ABOVE the
+    per-user aggregate (users-sized frame), never on the raw event scan,
+    and the events scan reads only the three referenced columns."""
+    df = q(spark, "ab_bootstrap_ci")
+    s = plans.explain_string(df)
+    assert s.count("- Generate") == 1
+    assert "CartesianProduct" not in s
+    schemas = plans.read_schemas(df)
+    for sch in schemas:
+        cols = sorted(
+            c.split(":")[0] for c in sch[len("struct<"):-1].split(",")
+        )
+        assert cols == ["event_type", "user_id", "value"]
+    # the Generate's child must be an aggregate output, not the scan:
+    # pin by ensuring partial aggregation exists below the explode
+    assert plans.has_partial_aggregation(df)
