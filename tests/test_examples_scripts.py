@@ -16,7 +16,7 @@ import pytest
      "example_cdc_sketch.py", "example_training_layout.py",
      "example_streaming_ingest_dedup.py", "example_retrieval_rank.py",
      "example_quality_curation.py", "example_decision_science.py",
-     "example_eval_statistics.py"],
+     "example_product_analytics.py", "example_eval_statistics.py"],
 )
 def test_example_runs(script):
     proc = subprocess.run(
