@@ -274,6 +274,18 @@ _DRIVER_PRIORITY: list[str] = [
     #   interval next to z/CUPED/rank/SPRT.
     "orders_incremental_rollup",        # r10-new: incremental MV merge
     "ab_bootstrap_ci",                  # r10-new: hash-weight bootstrap CI
+    # Fourth round-10 batch (same-round landing; two more r8-green
+    # sentinels rotate out):
+    # - multimodal_audio_meta -> multimodal_mp3_meta: the container
+    #   family keeps multimodal_video_meta in-window and gains its
+    #   FOURTH format (MPEG-1 Layer III sync-header walking); the WAV
+    #   face holds its r8 green.
+    # - dedup_minhash_keeplist -> events_runs_test: the dedup family
+    #   keeps curated_corpus_neardup + streaming_neardup_keeplist
+    #   in-window (the keep-list machinery rides both); the monitoring
+    #   family gains the runs-test randomness audit beside chi-square.
+    "multimodal_mp3_meta",              # r10-new: MPEG sync-header walk
+    "events_runs_test",                 # r10-new: Wald-Wolfowitz runs
     # --- the twelve round-10 NEW faces ------------------------------------
     "kmeans_silhouette",                # r10-new: cluster-quality judge
     "embedding_centroid_classify",      # r10-new: Rocchio held-out eval
@@ -288,11 +300,9 @@ _DRIVER_PRIORITY: list[str] = [
     "events_hill_tail_index",           # r10-new: extreme-value tail index
     "corpus_mixture_weights",           # r10-new: domain-mixture solver
     # --- retained round-8 sentinels (families unchanged) ------------------
-    "dedup_minhash_keeplist",           # pair-free minhash keep-list
     "curated_corpus_neardup",           # keep-list curation pipeline
     "capped_balance_per_user",          # grouped-fold kernel sentinel
     "sql_surface_running_balance",      # SQL UDTF sentinel
-    "multimodal_audio_meta",            # WAV header parse hard-gate
     "multimodal_video_meta",            # MP4 box-walk hard-gate
     "streaming_neardup_keeplist",       # incremental LSH keep-list
 ]

@@ -4080,3 +4080,58 @@ def source_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return wasserstein_drift(d, "n_chars", "source")
+
+
+@register(
+    "multimodal_mp3_meta",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               1 + doc_id % 14 AS bidx,
+               doc_id % 3 AS sridx,
+               3 + doc_id % 5 AS n_frames
+        FROM documents WHERE doc_id < 300
+    ), mapped AS (
+        SELECT doc_id, n_frames,
+               CASE bidx WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                         WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                         WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                         WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+                         WHEN 13 THEN 256 WHEN 14 THEN 320 END AS br,
+               CASE sridx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                          WHEN 2 THEN 32000 END AS sr
+        FROM params
+    )
+    SELECT doc_id,
+           'audio/mpeg' AS mime,
+           CAST(br AS INTEGER) AS bitrate_kbps,
+           CAST(sr AS INTEGER) AS sample_rate,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_frames * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(n_frames * ((144 * br * 1000) // sr) AS INTEGER) AS n_bytes
+    FROM mapped
+    """,
+)
+def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-audio decoding through the hard gate — the fourth
+    container format beside PNG/JPEG/GIF, WAV and MP4: genuine CBR MPEG-1
+    Layer III streams are synthesized in-plan (true 4-byte sync headers,
+    ISO 11172-3 bitrate/sample-rate index tables, spec frame length
+    144·bitrate/rate), then the frame-walking parser must recover bitrate
+    / sample rate / frame count FROM THE SYNC HEADERS — each hop
+    re-validates the sync word, so a wrong frame-length computation
+    desynchronizes and truncates the count, and the oracle re-derives
+    every embedded value arithmetically. (Huffman main-data decode needs
+    an audio codec absent here; header/frame accounting is the honest
+    corpus-stats core — duration/bitrate audits at 100 TB must not decode
+    audio. operators/multimodal.py::decode_mp3_frames.)"""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    with_payload = d.select(
+        "doc_id",
+        M.synthesize_mp3_payload(
+            (F.lit(1) + F.col("doc_id") % 14).cast("int"),
+            (F.col("doc_id") % 3).cast("int"),
+            (F.lit(3) + F.col("doc_id") % 5).cast("int"),
+        ).alias("payload"),
+    )
+    return M.extract_mp3_meta(with_payload)

@@ -5040,3 +5040,101 @@ def ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("r") == lo_r, F.col("m"))).alias("ci_lo"),
         F.max(F.when(F.col("r") == hi_r, F.col("m"))).alias("ci_hi"),
     )
+
+
+@register(
+    "events_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), moves AS (
+        SELECT event_type, day,
+               CASE WHEN cents > LAG(cents) OVER w THEN 1
+                    WHEN cents < LAG(cents) OVER w THEN -1 END AS s
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), signs AS (
+        SELECT event_type, day, s,
+               LAG(s) OVER (PARTITION BY event_type ORDER BY day) AS prev_s
+        FROM moves WHERE s IS NOT NULL
+    ), agg AS (
+        SELECT event_type,
+               CAST(COUNT(CASE WHEN s = 1 THEN 1 END) AS BIGINT) AS n_up,
+               CAST(COUNT(CASE WHEN s = -1 THEN 1 END) AS BIGINT) AS n_down,
+               CAST(1 + COUNT(CASE WHEN prev_s IS NOT NULL
+                              AND s <> prev_s THEN 1 END) AS BIGINT) AS runs
+        FROM signs GROUP BY event_type
+    ), terms AS (
+        SELECT event_type, n_up, n_down, runs,
+               CAST(n_up AS DOUBLE) AS a, CAST(n_down AS DOUBLE) AS b
+        FROM agg
+    )
+    SELECT event_type, n_up, n_down, runs,
+           CASE WHEN a + b > 1.0 AND a * b > 0.0 THEN
+               (CAST(runs AS DOUBLE) - (2.0 * a * b / (a + b) + 1.0))
+               / SQRT((2.0 * a * b / (a + b)) * (2.0 * a * b / (a + b) - a - b)
+                      / ((a + b) * (a + b) * (a + b - 1.0)) * -1.0)
+           END AS z_score
+    FROM terms
+    """,
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz RUNS TEST on the day-over-day direction of each
+    event type's daily value total — the randomness audit beside
+    ACF/CUSUM/OLS: too FEW runs means trending/sticky days, too MANY
+    means oscillation; |z| > 2 says the up/down sequence is not
+    exchangeable and a monitor assuming i.i.d. days will misfire. Daily
+    totals are exact cents; moves are sign(Δ) with flat days dropped;
+    the run count and the up/down counts are exact BIGINTs off two
+    type-keyed lag windows over the bounded (types × days) table; the z
+    against μ = 2ab/(a+b)+1, σ² = (μ−1)(μ−2)/(a+b−1) is one mirrored
+    double expression (spelled via the equivalent product form). At
+    100 TB the daily rollup is the only data-sized shuffle."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    w = W.partitionBy("event_type").orderBy("day")
+    moves = daily.select(
+        "event_type",
+        "day",
+        F.when(F.col("cents") > F.lag("cents").over(w), F.lit(1))
+        .when(F.col("cents") < F.lag("cents").over(w), F.lit(-1))
+        .alias("s"),
+    ).where(F.col("s").isNotNull())
+    signs = moves.select(
+        "event_type", "s", F.lag("s").over(w).alias("prev_s")
+    )
+    agg = signs.groupBy("event_type").agg(
+        F.count(F.when(F.col("s") == 1, 1)).alias("n_up"),
+        F.count(F.when(F.col("s") == -1, 1)).alias("n_down"),
+        (
+            F.lit(1)
+            + F.count(
+                F.when(
+                    F.col("prev_s").isNotNull()
+                    & (F.col("s") != F.col("prev_s")),
+                    1,
+                )
+            )
+        ).cast("long").alias("runs"),
+    )
+    a = F.col("n_up").cast("double")
+    b = F.col("n_down").cast("double")
+    mu_part = F.lit(2.0) * a * b / (a + b)
+    z = (F.col("runs").cast("double") - (mu_part + F.lit(1.0))) / F.sqrt(
+        mu_part
+        * (mu_part - a - b)
+        / ((a + b) * (a + b) * (a + b - F.lit(1.0)))
+        * F.lit(-1.0)
+    )
+    return agg.select(
+        "event_type",
+        "n_up",
+        "n_down",
+        "runs",
+        F.when((a + b > 1.0) & (a * b > 0.0), z).alias("z_score"),
+    )
