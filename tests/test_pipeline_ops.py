@@ -1506,3 +1506,24 @@ def test_hits_bipartite_invariants(spark):
     hubs2, auths2 = hits(edges, iterations=2)
     assert {r["node"]: r["hub"] for r in hubs2.collect()} == h
     assert {r["node"]: r["auth"] for r in auths2.collect()} == a
+
+
+def test_mp3_decoder_rejects_and_truncates():
+    """decode_mp3_frames: non-MP3 bytes -> None; a stream whose second
+    frame is corrupted counts only the valid prefix (the desync-truncation
+    contract the face's docstring claims)."""
+    from polars_numba_spark.operators.multimodal import (
+        MP3_BITRATES_KBPS,
+        MP3_SAMPLE_RATES,
+        decode_mp3_frames,
+    )
+
+    assert decode_mp3_frames(b"RIFF....WAVE") is None
+    assert decode_mp3_frames(b"") is None
+    # build two valid frames by hand: bitrate idx 9 (128k), sr idx 0 (44100)
+    size = 144 * 128 * 1000 // 44100
+    frame = bytes([0xFF, 0xFB, (9 << 4) | (0 << 2), 0x00]) + b"\x00" * (size - 4)
+    assert decode_mp3_frames(frame * 3) == (128, 44100, 3)
+    corrupted = frame + b"\x00" + frame[1:]
+    assert decode_mp3_frames(corrupted) == (128, 44100, 1)
+    assert MP3_BITRATES_KBPS[9] == 128 and MP3_SAMPLE_RATES[0] == 44100
