@@ -299,6 +299,14 @@ _DRIVER_PRIORITY: list[str] = [
     "ab_sequential_sprt",               # r10-new: Wald SPRT early stopping
     "events_hill_tail_index",           # r10-new: extreme-value tail index
     "corpus_mixture_weights",           # r10-new: domain-mixture solver
+    # R11 ROTATION QUEUE (window full; the five remaining sentinels below
+    # are the last in-window reps of the reference's grouped-fold and
+    # SQL-UDTF surfaces, the curation/streaming keep-list pipelines and
+    # the MP4 container hard-gate, and stay): doc_encoding_sanity
+    # (mojibake/control-char audit, injection-gated) and
+    # signup_cohort_ltv (weekly-cohort lifetime-value triangle), both
+    # oracled + local-gate green this session — swap them in first next
+    # round.
     # --- retained round-8 sentinels (families unchanged) ------------------
     "curated_corpus_neardup",           # keep-list curation pipeline
     "capped_balance_per_user",          # grouped-fold kernel sentinel

@@ -4135,3 +4135,75 @@ def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return M.extract_mp3_meta(with_payload)
+
+
+@register(
+    "doc_encoding_sanity",
+    oracle=r"""
+    WITH injected AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || chr(65533) || chr(8) || chr(65533)
+                    ELSE text END AS t
+        FROM documents
+    ), per_doc AS (
+        SELECT source,
+               CAST(length(regexp_extract_all(t,
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS ctrl,
+               CAST(length(regexp_extract_all(t, chr(65533))) AS BIGINT)
+                   AS repl,
+               CAST(length(t) AS BIGINT) AS n_chars
+        FROM injected
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN ctrl + repl > 0 THEN 1 END) AS BIGINT)
+               AS n_flagged,
+           CAST(SUM(ctrl) AS BIGINT) AS ctrl_chars,
+           CAST(SUM(repl) AS BIGINT) AS replacement_chars,
+           1.0 - CAST(COUNT(CASE WHEN ctrl + repl > 0 THEN 1 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS clean_frac
+    FROM per_doc GROUP BY source
+    """,
+)
+def doc_encoding_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-sanity audit — the mojibake/control-character screen that
+    runs before any tokenizer sees a crawl (U+FFFD replacement chars mean
+    a decoder already lost bytes; C0 controls mean binary leaked into
+    text): per-source flagged-doc counts, total control / replacement
+    characters, and the clean fraction. The synthetic corpus is clean, so
+    the face INJECTS deterministic damage into every 7th document and
+    both engines must find exactly that damage — the same
+    hard-gate-by-injection recipe as doc_pii_scrub. Tab/CR/LF are
+    deliberately NOT flagged (legitimate whitespace). Pure codegen'd
+    regex counts over one scan + one keyed groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit("�\x08�"),
+        ),
+    ).otherwise(F.col("text"))
+    per_doc = d.select(
+        "source",
+        F.regexp_count(t, F.lit(r"[\x00-\x08\x0B\x0C\x0E-\x1F]"))
+        .cast("long")
+        .alias("ctrl"),
+        F.regexp_count(t, F.lit("�")).cast("long").alias("repl"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("ctrl") + F.col("repl") > 0, 1)).alias(
+            "n_flagged"
+        ),
+        F.sum("ctrl").alias("ctrl_chars"),
+        F.sum("repl").alias("replacement_chars"),
+        (
+            F.lit(1.0)
+            - F.count(F.when(F.col("ctrl") + F.col("repl") > 0, 1)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("clean_frac"),
+    )

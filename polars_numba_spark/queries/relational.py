@@ -5138,3 +5138,93 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "runs",
         F.when((a + b > 1.0) & (a * b > 0.0), z).alias("z_score"),
     )
+
+
+@register(
+    "signup_cohort_ltv",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   // 7 AS BIGINT) AS wk,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ), firsts AS (
+        SELECT user_id, MIN(wk) AS cohort_wk FROM purchases GROUP BY user_id
+    ), cohort_sizes AS (
+        SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM firsts GROUP BY cohort_wk
+    ), cells AS (
+        SELECT f.cohort_wk, p.wk - f.cohort_wk AS weeks_since,
+               CAST(SUM(p.cents) AS BIGINT) AS cents
+        FROM purchases p JOIN firsts f ON f.user_id = p.user_id
+        GROUP BY f.cohort_wk, p.wk - f.cohort_wk
+    ), cum AS (
+        SELECT cohort_wk, weeks_since,
+               CAST(SUM(cents) OVER (PARTITION BY cohort_wk
+                   ORDER BY weeks_since
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        FROM cells
+    )
+    SELECT c.cohort_wk, c.weeks_since, c.cum_cents, s.n_users,
+           CAST(c.cum_cents AS DOUBLE) / CAST(s.n_users AS DOUBLE)
+               AS ltv_cents_per_user
+    FROM cum c JOIN cohort_sizes s ON s.cohort_wk = c.cohort_wk
+    """,
+)
+def signup_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LIFETIME-VALUE curves — the monetary sibling of the
+    retention triangle (retention asks "did they come back", LTV asks
+    "what are they worth by month m"): users cohorted by first-purchase
+    month (exact year·12+month integer arithmetic — no date-diff float
+    ambiguity), per-(cohort, months-since) revenue cells in exact BIGINT
+    cents, cumulated along each cohort's row of the bounded
+    (months × months) triangle, divided by cohort size for the
+    per-user curve. Two user-keyed shuffles (the purchase rollup and the
+    first-purchase join); the window runs on the triangle, never on
+    events. The payback-period readout every acquisition decision
+    needs."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+            " div 7"
+        ).alias("wk"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    firsts = purchases.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = firsts.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    cells = (
+        purchases.join(firsts, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since")
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = (
+        W.partitionBy("cohort_wk")
+        .orderBy("weeks_since")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "cohort_wk",
+        "weeks_since",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_wk").select(
+        "cohort_wk",
+        "weeks_since",
+        "cum_cents",
+        "n_users",
+        (
+            F.col("cum_cents").cast("double") / F.col("n_users").cast("double")
+        ).alias("ltv_cents_per_user"),
+    )
