@@ -951,3 +951,33 @@ def test_bootstrap_explodes_users_not_events(spark):
     # the Generate's child must be an aggregate output, not the scan:
     # pin by ensuring partial aggregation exists below the explode
     assert plans.has_partial_aggregation(df)
+
+
+def test_encoding_sanity_is_one_scan_one_aggregate(spark):
+    """doc_encoding_sanity: codegen'd regex counts over one scan, one
+    keyed groupBy — no join, no window, no explode."""
+    df = q(spark, "doc_encoding_sanity")
+    s = plans.explain_string(df)
+    assert "Join" not in s
+    assert "Window" not in s
+    assert "- Generate" not in s
+    assert plans.has_partial_aggregation(df)
+
+
+def test_cohort_ltv_window_runs_on_triangle(spark):
+    """signup_cohort_ltv: the cumulative window must run on the bounded
+    (cohort, weeks-since) cell table AFTER the aggregate, never over raw
+    purchases, and cohort sizes broadcast back."""
+    df = q(spark, "signup_cohort_ltv")
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastExchange" in s
+    assert plans.has_partial_aggregation(df)
+    schemas = plans.read_schemas(df)
+    for sch in schemas:
+        cols = set(
+            c.split(":")[0] for c in sch[len("struct<"):-1].split(",")
+        )
+        # the firsts branch prunes `value` — subsets are the win; reading
+        # anything beyond the four referenced columns is the regression
+        assert cols <= {"event_type", "ts", "user_id", "value"}
