@@ -304,9 +304,10 @@ _DRIVER_PRIORITY: list[str] = [
     # SQL-UDTF surfaces, the curation/streaming keep-list pipelines and
     # the MP4 container hard-gate, and stay): doc_encoding_sanity
     # (mojibake/control-char audit, injection-gated) and
-    # signup_cohort_ltv (weekly-cohort lifetime-value triangle), both
-    # oracled + local-gate green this session — swap them in first next
-    # round.
+    # signup_cohort_ltv (weekly-cohort lifetime-value triangle), and
+    # sql_surface_capped_fold (the grouped-fold UDTF spelling, sharing
+    # the kernel face's recursive oracle verbatim), all oracled +
+    # local-gate green this session — swap them in first next round.
     # --- retained round-8 sentinels (families unchanged) ------------------
     "curated_corpus_neardup",           # keep-list curation pipeline
     "capped_balance_per_user",          # grouped-fold kernel sentinel
@@ -1232,9 +1233,11 @@ def parallel_scan_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("event_id", "global_balance")
 
 
-@register(
-    "capped_balance_per_user",
-    oracle="""
+# The capped-fold recursive replay — shared verbatim by the kernel face
+# (capped_balance_per_user) and its pure-SQL UDTF spelling
+# (sql_surface_capped_fold, tpch_extra.py): identical semantics must mean
+# identical oracle (the scan-surface SCAN_BALANCE_ORACLE precedent).
+CAPPED_FOLD_ORACLE = """
     WITH RECURSIVE ev AS (
         SELECT user_id, value,
                ROW_NUMBER() OVER (PARTITION BY user_id
@@ -1254,8 +1257,10 @@ def parallel_scan_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT f.user_id AS user_id, f.acc AS capped_balance
     FROM fold f JOIN counts c ON f.user_id = c.user_id AND f.rn = c.n
-    """,
-)
+    """
+
+
+@register("capped_balance_per_user", oracle=CAPPED_FOLD_ORACLE)
 def capped_balance_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship: per-user capped running balance — the reference's
     credit-card fold (`examples_fold.py:47-97`). A purchase that would push

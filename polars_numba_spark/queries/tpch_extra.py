@@ -12,6 +12,7 @@ from polars_numba_spark.operators.sessionize import sessionize
 from polars_numba_spark.operators.skew import salted_agg
 from polars_numba_spark.queries.catalog import (
     _DSUM,
+    CAPPED_FOLD_ORACLE as _CAPPED_FOLD_ORACLE_SQL,
     SCAN_BALANCE_ORACLE,
     _t,
     register,
@@ -1410,4 +1411,47 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
+    )
+
+
+@register("sql_surface_capped_fold", oracle=_CAPPED_FOLD_ORACLE_SQL)
+def sql_surface_capped_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOLD operator through its pure-SQL spelling — the grouped-fold
+    twin of sql_surface_running_balance (§2.C now carries BOTH table-
+    function surfaces): the flagship capped-balance step function
+    registered as a Spark 4 polymorphic UDTF and invoked with TABLE ...
+    PARTITION BY user_id ORDER BY (ts, event_id), one output row per
+    user. Same semantics as the kernel face, so the oracle is the SAME
+    recursive-CTE replay verbatim (CAPPED_FOLD_ORACLE, single-sourced) —
+    a drift between the mapInPandas kernel path and the UDTF path would
+    hash-mismatch one of the two faces. Null-value rows are dropped by
+    the fold null rule inside the UDTF; all-null users emit acc0."""
+    from polars_numba_spark.sql import register_fold_udtf
+
+    def cap_fold(acc, cap, value):
+        candidate = acc + value
+        if candidate > cap or candidate < 0:
+            return acc
+        return candidate
+
+    register_fold_udtf(
+        spark,
+        "pns_capped_fold",
+        cap_fold,
+        0.0,
+        input_cols=["value"],
+        key_cols=["user_id"],
+        return_schema="user_id bigint, capped_balance double",
+        extra_args=(10_000.0,),
+    )
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    e.createOrReplaceTempView("pns_events_for_fold")
+    return spark.sql(
+        """
+        SELECT user_id, capped_balance
+        FROM pns_capped_fold(
+            TABLE(pns_events_for_fold)
+            PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
     )
