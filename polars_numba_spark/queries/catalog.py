@@ -306,8 +306,9 @@ _DRIVER_PRIORITY: list[str] = [
     # (mojibake/control-char audit, injection-gated) and
     # signup_cohort_ltv (weekly-cohort lifetime-value triangle), and
     # sql_surface_capped_fold (the grouped-fold UDTF spelling, sharing
-    # the kernel face's recursive oracle verbatim), all oracled +
-    # local-gate green this session — swap them in first next round.
+    # the kernel face's recursive oracle verbatim), and part_price_index
+    # (matched-Laspeyres weekly price index), all oracled + local-gate
+    # green this session — swap them in first next round.
     # --- retained round-8 sentinels (families unchanged) ------------------
     "curated_corpus_neardup",           # keep-list curation pipeline
     "capped_balance_per_user",          # grouped-fold kernel sentinel

@@ -5228,3 +5228,91 @@ def signup_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_cents").cast("double") / F.col("n_users").cast("double")
         ).alias("ltv_cents_per_user"),
     )
+
+
+@register(
+    "part_price_index",
+    oracle="""
+    WITH li AS (
+        SELECT l_partkey AS pk,
+               CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS wk,
+               l_quantity AS qty, l_extendedprice AS ext
+        FROM lineitem
+    ), pw AS (
+        SELECT pk, wk,
+               CAST(SUM(CAST(ext AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(SUM(CAST(qty AS DECIMAL(18,6))) AS DOUBLE) AS price,
+               CAST(SUM(CAST(qty AS DECIMAL(18,6))) AS DOUBLE) AS q
+        FROM li GROUP BY pk, wk
+    ), base AS (
+        SELECT MIN(wk) AS wk0 FROM li
+    ), base_pw AS (
+        SELECT pk, price AS p0, q AS q0 FROM pw, base WHERE pw.wk = base.wk0
+    ), terms AS (
+        SELECT pw.wk,
+               CAST(ROUND(b.q0 * pw.price, 9) AS DECIMAL(28,9)) AS num,
+               CAST(ROUND(b.q0 * b.p0, 9) AS DECIMAL(28,9)) AS den
+        FROM pw JOIN base_pw b ON b.pk = pw.pk
+    )
+    SELECT wk,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(CAST(SUM(num) AS DECIMAL(38,9)) AS DOUBLE)
+               / CAST(CAST(SUM(den) AS DECIMAL(38,9)) AS DOUBLE)
+               AS laspeyres_index
+    FROM terms GROUP BY wk
+    """,
+)
+def part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres PRICE INDEX per ship-week — the inflation-tracking shape
+    every commerce warehouse computes (index_w = Σ q₀·p_w / Σ q₀·p₀ over
+    the base-week basket): per-(part, week) unit prices as decimal-exact
+    ratio-of-sums, base-week quantities as the fixed weights, matched
+    sample (parts absent from a week drop from that week's basket — the
+    standard matched Laspeyres; n_parts reports the basket size so a
+    thinning basket is visible). Each q₀·p term is one mirrored double
+    product rounded to 9 decimals into DECIMAL(28,9); the base week is a
+    broadcast 1-row MIN. One keyed (part, week) aggregate is the only
+    data-sized shuffle; the index runs on the parts×weeks frame."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.expr(
+            "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')"
+            " AS BIGINT) div 7"
+        ).alias("wk"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("ext"),
+    )
+    pw = li.groupBy("pk", "wk").agg(
+        (
+            F.expr("CAST(SUM(CAST(ext AS DECIMAL(18,6))) AS DOUBLE)")
+            / F.expr("CAST(SUM(CAST(qty AS DECIMAL(18,6))) AS DOUBLE)")
+        ).alias("price"),
+        F.expr("CAST(SUM(CAST(qty AS DECIMAL(18,6))) AS DOUBLE)").alias("q"),
+    )
+    base = li.agg(F.min("wk").alias("wk0"))
+    base_pw = (
+        pw.crossJoin(F.broadcast(base))
+        .where(F.col("wk") == F.col("wk0"))
+        .select(
+            F.col("pk").alias("b_pk"),
+            F.col("price").alias("p0"),
+            F.col("q").alias("q0"),
+        )
+    )
+    terms = pw.join(base_pw, pw.pk == F.col("b_pk")).select(
+        "wk",
+        F.round(F.col("q0") * F.col("price"), 9)
+        .cast("decimal(28,9)")
+        .alias("num"),
+        F.round(F.col("q0") * F.col("p0"), 9)
+        .cast("decimal(28,9)")
+        .alias("den"),
+    )
+    return terms.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (
+            F.sum("num").cast("decimal(38,9)").cast("double")
+            / F.sum("den").cast("decimal(38,9)").cast("double")
+        ).alias("laspeyres_index"),
+    )
