@@ -4708,18 +4708,20 @@ def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), boundary AS (
         SELECT cents AS x_k1 FROM top WHERE rn = 501
     ), terms AS (
-        SELECT CAST(ROUND(ln(CAST(t.cents AS DOUBLE)
+        SELECT b.x_k1,
+               CAST(ROUND(ln(CAST(t.cents AS DOUBLE)
                              / CAST(b.x_k1 AS DOUBLE)), 9)
                    AS DECIMAL(28,9)) AS term
         FROM top t CROSS JOIN boundary b
         WHERE t.rn <= 500
     )
     SELECT CAST(500 AS BIGINT) AS k,
-           (SELECT x_k1 FROM boundary) AS x_k1_cents,
+           x_k1 AS x_k1_cents,
            CAST(CAST(SUM(term) AS DECIMAL(38,9)) AS DOUBLE) AS sum_log,
            500.0 / CAST(CAST(SUM(term) AS DECIMAL(38,9)) AS DOUBLE)
                AS hill_alpha
     FROM terms
+    GROUP BY x_k1
     """,
 )
 def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4732,7 +4734,11 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     push-down, per-partition heaps then one k-row merge, NO total sort —
     after which every term is one mirrored double log rounded to 9
     decimals and accumulated as DECIMAL(28,9). Deterministic boundary:
-    ties at the 501st value break on event_id in both engines."""
+    ties at the 501st value break on event_id in both engines. Both
+    spellings aggregate GROUPED on the boundary value, so a corpus with
+    fewer than 501 positive rows yields an EMPTY result in both engines
+    (no 501st boundary → no terms → no group) rather than one engine
+    emitting a NULL row."""
     e = _t(spark, sf_dir, "events")
     pos = e.where(F.col("value") > 0).select(
         "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
@@ -5071,10 +5077,11 @@ def ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM agg
     )
     SELECT event_type, n_up, n_down, runs,
-           CASE WHEN a + b > 1.0 AND a * b > 0.0 THEN
+           CASE WHEN a + b > 1.0 AND a * b > 0.0
+                AND 2.0 * a * b > a + b THEN
                (CAST(runs AS DOUBLE) - (2.0 * a * b / (a + b) + 1.0))
-               / SQRT((2.0 * a * b / (a + b)) * (2.0 * a * b / (a + b) - a - b)
-                      / ((a + b) * (a + b) * (a + b - 1.0)) * -1.0)
+               / SQRT((2.0 * a * b / (a + b))
+                      * (2.0 * a * b / (a + b) - 1.0) / (a + b - 1.0))
            END AS z_score
     FROM terms
     """,
@@ -5089,8 +5096,8 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the run count and the up/down counts are exact BIGINTs off two
     type-keyed lag windows over the bounded (types × days) table; the z
     against μ = 2ab/(a+b)+1, σ² = (μ−1)(μ−2)/(a+b−1) is one mirrored
-    double expression (spelled via the equivalent product form). At
-    100 TB the daily rollup is the only data-sized shuffle."""
+    double expression, guarded to NULL when σ² would be ≤ 0 (2ab ≤ a+b).
+    At 100 TB the daily rollup is the only data-sized shuffle."""
     from pyspark.sql import Window as W
 
     e = _t(spark, sf_dir, "events")
@@ -5126,17 +5133,16 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.col("n_down").cast("double")
     mu_part = F.lit(2.0) * a * b / (a + b)
     z = (F.col("runs").cast("double") - (mu_part + F.lit(1.0))) / F.sqrt(
-        mu_part
-        * (mu_part - a - b)
-        / ((a + b) * (a + b) * (a + b - F.lit(1.0)))
-        * F.lit(-1.0)
+        mu_part * (mu_part - F.lit(1.0)) / (a + b - F.lit(1.0))
     )
     return agg.select(
         "event_type",
         "n_up",
         "n_down",
         "runs",
-        F.when((a + b > 1.0) & (a * b > 0.0), z).alias("z_score"),
+        F.when(
+            (a + b > 1.0) & (a * b > 0.0) & (F.lit(2.0) * a * b > a + b), z
+        ).alias("z_score"),
     )
 
 
@@ -5176,11 +5182,11 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 def signup_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort LIFETIME-VALUE curves — the monetary sibling of the
     retention triangle (retention asks "did they come back", LTV asks
-    "what are they worth by month m"): users cohorted by first-purchase
-    month (exact year·12+month integer arithmetic — no date-diff float
-    ambiguity), per-(cohort, months-since) revenue cells in exact BIGINT
-    cents, cumulated along each cohort's row of the bounded
-    (months × months) triangle, divided by cohort size for the
+    "what are they worth by week w"): users cohorted by first-purchase
+    WEEK (exact days-since-epoch div 7 integer arithmetic — no
+    date-diff float ambiguity), per-(cohort, weeks-since) revenue cells
+    in exact BIGINT cents, cumulated along each cohort's row of the
+    bounded (weeks × weeks) triangle, divided by cohort size for the
     per-user curve. Two user-keyed shuffles (the purchase rollup and the
     first-purchase join); the window runs on the triangle, never on
     events. The payback-period readout every acquisition decision
