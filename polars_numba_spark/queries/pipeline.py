@@ -1614,11 +1614,18 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Two unrolled Lloyd iterations (k=8, deterministic first-k-ids seeding) as
+# Two unrolled Lloyd iterations (deterministic first-k-ids seeding) as
 # DuckDB CTEs ending in `a2 (vec_id, assigned)` — shared by the
-# kmeans_assignments oracle and the semantic_dedup_pairs oracle (round 5),
-# so the clustering recipe exists in exactly ONE SQL spelling.
-_KMEANS2_CTES = """
+# kmeans_assignments oracle and the semantic_dedup / triplet oracles
+# (round 5/11), so the clustering recipe exists in exactly ONE SQL
+# spelling. ``k_sql`` is the cluster count: a literal ("8") or the
+# self-scaling scalar subquery ``_K_SELF_SCALED`` that mirrors
+# vector.k_for_corpus — the r10 verdict's fix for faces that pinned k=8
+# and let |cluster| (hence the within-cluster pair stage) grow linearly
+# with the corpus.
+def _kmeans2_ctes(k_sql: str = "8") -> str:
+    return (
+        """
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
     ), seeds AS (
@@ -1627,7 +1634,9 @@ _KMEANS2_CTES = """
       SELECT label, cent FROM (
         SELECT emb AS cent, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS label
         FROM v
-      ) WHERE label < 8
+      ) WHERE label < ("""
+        + k_sql
+        + """)
     ), a1 AS (
       SELECT vec_id, label FROM (
         SELECT v.vec_id, s.label,
@@ -1654,6 +1663,15 @@ _KMEANS2_CTES = """
       ) WHERE rn = 1
     )
 """
+    )
+
+
+from polars_numba_spark.operators.vector import K_FOR_CORPUS_SQL  # noqa: E402
+
+_KMEANS2_CTES = _kmeans2_ctes()
+# the self-scaling k: GREATEST(8, CEIL(SQRT(n))) over the SAME corpus the
+# CTE clusters — the SQL twin of vector.k_for_corpus(df.count())
+_K_SELF_SCALED = f"SELECT {K_FOR_CORPUS_SQL} FROM v"
 
 
 @register(
@@ -1677,7 +1695,7 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup_pairs",
-    oracle=_KMEANS2_CTES
+    oracle=_kmeans2_ctes(_K_SELF_SCALED)
     + """
     , pairs AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1695,18 +1713,21 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) end-to-end with a FULL oracle: k-means
-    clusters (2 unrolled Lloyd iterations via the shared ``_KMEANS2_CTES``
+    clusters (2 unrolled Lloyd iterations via the shared ``_kmeans2_ctes``
     recipe — the centroid-mean stage inside it is the same decimal-exact
     spelling label_centroids gates) bound the pairwise stage to
     within-cluster, then cosine ≥ 0.3 pairs survive. The published
-    algorithm's exact shape: clusters exist to bound the quadratic; at
-    corpus scale k grows with n so |cluster| stays bounded and the pair
-    stage is ~linear (operators/vector.py:semantic_dedup_pairs)."""
+    algorithm's exact shape: clusters exist to bound the quadratic, so k
+    SELF-SCALES with the corpus (``k=None`` → ``k_for_corpus`` =
+    ceil(√n), mirrored in SQL by ``_K_SELF_SCALED`` — the r10 verdict's
+    fix: the face previously pinned k=8, letting |cluster| and the
+    within-cluster join grow linearly/quadratically with the corpus)
+    (operators/vector.py:semantic_dedup_pairs)."""
     from polars_numba_spark.operators.vector import semantic_dedup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
     return semantic_dedup_pairs(
-        e, k=8, iterations=2, threshold=0.3, round_to=9
+        e, k=None, iterations=2, threshold=0.3, round_to=9
     ).select(
         "a_id", "b_id", F.col("cluster").cast("int").alias("cluster"), "cosine_sim"
     )
@@ -1714,7 +1735,7 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup_keeplist",
-    oracle=_KMEANS2_CTES
+    oracle=_kmeans2_ctes(_K_SELF_SCALED)
     + """
     , dropped AS (
       SELECT DISTINCT b.vec_id
@@ -1732,14 +1753,16 @@ def semantic_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-id near-duplicate in its cluster is dropped, the survivors come
     back — the full pipeline (cluster → within-cluster pairs → keep) in
     one oracled query (operators/vector.py::semantic_dedup_keep; the
-    DuckDB side rebuilds the drop set through the shared k-means CTE)."""
+    DuckDB side rebuilds the drop set through the shared k-means CTE).
+    k self-scales with the corpus (``k=None`` → ceil(√n), mirrored by
+    ``_K_SELF_SCALED``) — see semantic_dedup_pairs."""
     from polars_numba_spark.operators.vector import (
         semantic_dedup_keep,
         semantic_dedup_pairs,
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    pairs = semantic_dedup_pairs(e, k=8, iterations=2, threshold=0.3, round_to=9)
+    pairs = semantic_dedup_pairs(e, k=None, iterations=2, threshold=0.3, round_to=9)
     return semantic_dedup_keep(e, pairs).select("vec_id", "label")
 
 
@@ -2258,13 +2281,17 @@ _TRIP_PICK = _MD5INT_SQL.format(
 
 @register(
     "embedding_contrastive_triplets",
-    oracle=f"""
-    WITH e AS (
-        SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    oracle=_kmeans2_ctes(_K_SELF_SCALED)
+    + f"""
+    , e AS (
+        SELECT v.vec_id, em.label, v.emb, a2.assigned AS cell
+        FROM v JOIN embeddings em ON em.vec_id = v.vec_id
+        JOIN a2 ON a2.vec_id = v.vec_id
     ), pairs AS (
         SELECT a.vec_id AS aid, b.vec_id AS bid,
                list_cosine_similarity(a.emb, b.emb) AS pos_sim
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+        FROM e a JOIN e b ON a.label = b.label AND a.cell = b.cell
+                         AND a.vec_id <> b.vec_id
     ), pos AS (
         SELECT aid, bid AS positive_id, pos_sim,
                ROW_NUMBER() OVER (
@@ -2308,18 +2335,23 @@ _TRIP_PICK = _MD5INT_SQL.format(
 )
 def embedding_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-learning triplet mining over the labeled embedding
-    corpus — (anchor, hardest same-label positive by cosine, two
+    corpus — (anchor, hardest LOCAL same-label positive by cosine, two
     hash-picked different-label negatives) — the metric-learning
-    data-prep face, FULLY ORACLED: positives are label-bounded pairwise
-    cosine (bit-exact vs list_cosine_similarity, the brute-force face's
-    precedent), negatives are md5-rank-arithmetic picks (pure function of
-    ids — no rand(), no sampling state), so DuckDB rebuilds every triplet
-    identically (operators/vector.py::contrastive_triplets)."""
+    data-prep face, FULLY ORACLED: positives are (label × k-means
+    cell)-bounded pairwise cosine (bit-exact vs list_cosine_similarity;
+    the cell bound is the shared ``_kmeans2_ctes`` recipe with the
+    self-scaling ``_K_SELF_SCALED`` k — the r10 verdict's fix for the
+    label-wide Σ|label|² join, which at 100× corpus with a fixed label
+    set was 10⁴× pair mass), negatives are md5-rank-arithmetic picks
+    (pure function of ids — no rand(), no sampling state), so DuckDB
+    rebuilds every triplet identically
+    (operators/vector.py::contrastive_triplets)."""
     from polars_numba_spark.operators.vector import contrastive_triplets
 
     e = _t(spark, sf_dir, "embeddings")
     return contrastive_triplets(
-        e, id_col="vec_id", label_col="label", vec_col="embedding", negatives=2
+        e, id_col="vec_id", label_col="label", vec_col="embedding",
+        negatives=2, cells="auto",
     )
 
 

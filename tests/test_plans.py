@@ -465,13 +465,35 @@ def test_video_meta_is_shuffle_free(spark):
 def test_contrastive_triplets_broadcasts_directories(spark):
     """embedding_contrastive_triplets must broadcast the small frames (the
     L-row label directory twice, the 1-row label count) and keep every
-    non-broadcast join label- or id-keyed — pairwise cosine stays
-    label-bounded, negatives resolve by equi-join; nothing shuffles an
-    unbounded cross product."""
+    non-broadcast join label- or id-keyed — negatives resolve by
+    equi-join; nothing shuffles an unbounded cross product."""
     df = q(spark, "embedding_contrastive_triplets")
     s = plans.explain_string(df)
     assert s.count("BroadcastExchange") >= 3
     assert "CartesianProduct" not in s
+
+
+def test_contrastive_triplets_positive_join_is_cell_bounded(spark):
+    """The positive-mining self-join must key on (label, k-means cell),
+    never label alone: labels are DATA, not a tunable — a label-wide
+    self-join is Σ|label|² pair mass and grows quadratically at a fixed
+    label set (the r10 verdict's scale-killer finding). The cell id must
+    appear in the pair join's OWN key list; the only label-single-keyed
+    joins allowed are the broadcast directory lookups (L rows)."""
+    import re
+
+    df = q(spark, "embedding_contrastive_triplets")
+    s = plans.explain_string(df)
+    # the pairwise join carries BOTH keys
+    assert re.search(r"keys \[2\]: \[lab#\d+, __cell#\d+\]", s), (
+        "positive mining lost the k-means cell join key"
+    )
+    # and no SortMergeJoin keys on the bare label (the directory joins that
+    # legitimately key on label alone are all BroadcastHashJoins)
+    for m in re.finditer(
+        r"\((\d+)\) (\w*Join\w*)[^(]*?Left keys \[1\]: \[lab#\d+\]", s
+    ):
+        assert "Broadcast" in m.group(2), m.group(0)
 
 
 def test_bloom_prefilter_probe_is_broadcast_only(spark):

@@ -120,7 +120,7 @@ def test_contrastive_triplets_contract(spark):
     df = spark.createDataFrame(
         rows, "vec_id long, label int, embedding array<double>"
     )
-    out = contrastive_triplets(df, negatives=2).collect()
+    out = contrastive_triplets(df, negatives=2, cells=None).collect()
     assert len(out) == 48  # 24 anchors x 2 slots
     labels = {i: i % 4 for i in range(24)}
 
@@ -141,7 +141,65 @@ def test_contrastive_triplets_contract(spark):
             if b != a and labels[b] == labels[a]
         )
         assert abs(r["pos_sim"] - best[0]) < 1e-9 and -best[1] == p
-    out2 = contrastive_triplets(df, negatives=2).collect()
+    out2 = contrastive_triplets(df, negatives=2, cells=None).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_contrastive_triplets_cell_bounded_default(spark):
+    """The default path mines positives within (label x k-means cell) —
+    the scale posture. Invariants: positive shares the anchor's label
+    AND cell, pos_sim matches the brute-force argmax restricted to that
+    (label, cell), negatives cross labels, output is deterministic, and
+    every emitted anchor has >= 1 same-(label, cell) peer. Also checks
+    the operator accepts caller-supplied assignments and agrees with the
+    auto-derived ones (same k, same recipe)."""
+    import math
+
+    from polars_numba_spark.operators.vector import (
+        contrastive_triplets,
+        k_for_corpus,
+        kmeans_iterations,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(24):
+        lab = i % 4
+        vec = [math.sin(0.1 * i * (d + 1)) + lab + 0.5 for d in range(8)]
+        rows.append((i, lab, vec))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = contrastive_triplets(df, negatives=2).collect()
+    assert 0 < len(out) <= 48 and len(out) % 2 == 0
+
+    k = k_for_corpus(24)
+    assert k == 8  # floor dominates below 64 rows
+    assignments, _ = kmeans_iterations(df, k, iterations=2)
+    cell = {r["vec_id"]: r["assigned"] for r in assignments.collect()}
+    labels = {i: i % 4 for i in range(24)}
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return d / (
+            math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v))
+        )
+
+    vecs = {r[0]: r[2] for r in rows}
+    for r in out:
+        a, p, n = r["anchor_id"], r["positive_id"], r["negative_id"]
+        assert labels[p] == labels[a] and cell[p] == cell[a]
+        assert labels[n] != labels[a]
+        best = max(
+            (cos(vecs[a], vecs[b]), -b)
+            for b in vecs
+            if b != a and labels[b] == labels[a] and cell[b] == cell[a]
+        )
+        assert abs(r["pos_sim"] - best[0]) < 1e-9 and -best[1] == p
+
+    # caller-supplied assignments reproduce the auto path exactly
+    supplied = assignments.select("vec_id", F.col("assigned").alias("cell"))
+    out2 = contrastive_triplets(df, negatives=2, cells=supplied).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
