@@ -126,18 +126,41 @@ _ROWS_ONLY_WINDOW_ALLOWANCE = frozenset(
 #   in-window; q1 restores the relational-core sentinel (r8 ask #3).
 _DRIVER_PRIORITY: list[str] = [
     # --- the twelve round-9 swap-ins --------------------------------------
+    # Round 11: seven r10 hash-green sentinels rotate out for the R11
+    # queue (4 faces) + the three r8-orphan faces VERDICT r10 flagged as
+    # never driver-checked; families covered per evictee:
+    # - events_kanonymity_audit -> governance/release keeps
+    #   events_ldiversity_audit in-window (the SAME quasi-identifier
+    #   generalization machinery, strictly harder: adds entropy-l).
+    # - corpus_zipf_fit -> the power-law eye keeps events_hill_tail_index
+    #   in-window (and gains nothing weaker: Hill is the tail-index twin
+    #   of the rank-frequency fit).
+    # - signup_survival_km -> succeeded by signup_cohort_ltv, the SAME
+    #   signup-keyed cohort-triangle machinery carrying revenue instead
+    #   of censoring; KM holds its r10 green.
+    # - ab_conversion_ztest -> experimentation keeps FOUR in-window reps
+    #   (ab_value_cuped, ab_value_mannwhitney, ab_sequential_sprt,
+    #   ab_bootstrap_ci) plus streaming_sprt_monitor.
+    # - doc_winnowing_overlap_pairs -> the fingerprint/dedup family keeps
+    #   curated_corpus_neardup + streaming_neardup_keeplist in-window.
+    # - corpus_datacard -> governance keeps corpus_mixture_weights
+    #   in-window (the datacard's mixture column IS the solver's input).
+    # - user_value_pareto_deciles -> the distributed-ranks machinery
+    #   stays driven by ab_value_mannwhitney (global tie-corrected
+    #   ranks); the concentration eye keeps events_hill_tail_index.
     "views_point_in_time_state",        # SCD2 point-in-time vs as-of differential
-    "events_kanonymity_audit",          # k-anonymity release audit
-    "corpus_zipf_fit",                  # Zipf rank-frequency fit
-    "signup_survival_km",               # Kaplan-Meier survival curve
-    "ab_conversion_ztest",              # two-proportion A/B z-test
     "streaming_burst_windows",          # burst detection as a stream job
-    "user_value_pareto_deciles",        # Pareto curve via distributed ranks
-    "doc_winnowing_overlap_pairs",      # winnowing fingerprint overlap
     "search_ranking_metrics",           # precision@10 / MRR / NDCG judge
     "formats_schema_evolution",         # mergeSchema across generations
-    "corpus_datacard",                  # one-row release data card
     "q1_pricing_summary",               # TPC-H sentinel restored (ask #3)
+    # --- the seven round-11 swap-ins (4 queued + 3 r8 orphans) ----------
+    "sql_surface_capped_fold",          # r11: grouped-fold UDTF spelling
+    "part_price_index",                 # r11: matched-Laspeyres weekly index
+    "signup_cohort_ltv",                # r11: weekly-cohort LTV triangle
+    "doc_encoding_sanity",              # r11: mojibake/control-char audit
+    "distinct_users_hll_portable",      # r8 orphan: portable-HLL registers
+    "streaming_users_hll",              # r8 orphan: HLL as stream state
+    "embedding_contrastive_triplets",   # r8 orphan: cell-bounded triplets
     # --- the nine round-9 NEW faces (landing WITH their driver slot, the
     # r7 process lesson; nine more r8-green sentinels rotate out, families
     # noted in the block below)
@@ -299,17 +322,12 @@ _DRIVER_PRIORITY: list[str] = [
     "ab_sequential_sprt",               # r10-new: Wald SPRT early stopping
     "events_hill_tail_index",           # r10-new: extreme-value tail index
     "corpus_mixture_weights",           # r10-new: domain-mixture solver
-    # R11 ROTATION QUEUE (window full; the five remaining sentinels below
+    # (the R11 rotation queue executed above: all four queued faces plus
+    # the three r8 orphans VERDICT r10 flagged are in-window this round.)
+    # --- retained round-8 sentinels (families unchanged; the five below
     # are the last in-window reps of the reference's grouped-fold and
     # SQL-UDTF surfaces, the curation/streaming keep-list pipelines and
-    # the MP4 container hard-gate, and stay): doc_encoding_sanity
-    # (mojibake/control-char audit, injection-gated) and
-    # signup_cohort_ltv (weekly-cohort lifetime-value triangle), and
-    # sql_surface_capped_fold (the grouped-fold UDTF spelling, sharing
-    # the kernel face's recursive oracle verbatim), and part_price_index
-    # (matched-Laspeyres weekly price index), all oracled + local-gate
-    # green this session — swap them in first next round.
-    # --- retained round-8 sentinels (families unchanged) ------------------
+    # the MP4 container hard-gate) -----------------------------------------
     "curated_corpus_neardup",           # keep-list curation pipeline
     "capped_balance_per_user",          # grouped-fold kernel sentinel
     "sql_surface_running_balance",      # SQL UDTF sentinel
