@@ -1,7 +1,10 @@
 """Benchmark harness: runs the ENTIRE query catalog at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line as the LAST stdout line: {"metric": ..., "value":
+total_sec, "unit": "sec", "queries": {10 slowest}, "sf": ..., "n_queries":
+N, "full_results": "BENCH_LOCAL.json"} — the full per-query map is written
+to BENCH_LOCAL.json and echoed to stderr (VERDICT r10 #4: the full map
+outgrew the driver's stdout tail capture at 237 queries).
 
 Each query is forced end-to-end with a noop write (full computation, no
 driver collect), after a warm-up query to amortize JVM/session start.
@@ -168,11 +171,23 @@ def main() -> None:
         with open(RESULT_FILE, "w") as f:  # partial results survive a kill
             json.dump(summary(partial=True), f)
 
-    line = json.dumps(summary(partial=False))
+    full = summary(partial=False)
     with open(RESULT_FILE, "w") as f:
-        json.dump(summary(partial=False), f)
-    print(line, flush=True)
-    print(line, file=sys.stderr, flush=True)
+        json.dump(full, f)
+    # Round-11 fix (VERDICT r10 #4): the full per-query map at 237 queries
+    # exceeded the driver's stdout tail capture, so BENCH_r10.json recorded
+    # "parsed": null. The LAST stdout line is now a compact summary —
+    # total, counts, the 10 slowest queries — guaranteed to fit any
+    # reasonable tail window; the full map lives in BENCH_LOCAL.json (and
+    # still goes to stderr for human runs).
+    compact = dict(full)
+    compact["queries"] = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    compact["queries_are_top10_slowest"] = True
+    compact["full_results"] = os.path.basename(RESULT_FILE)
+    print(json.dumps(full), file=sys.stderr, flush=True)
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":
