@@ -55,11 +55,11 @@ SOAK_QUERIES = [
     "doc_duplicated_spans",
     "doc_remove_passages",
     "doc_tfidf_top_terms",
-    # semantic_dedup_pairs is deliberately ABSENT: the catalog entry pins
-    # k=8 for the unrolled oracle, and fixed-k SemDeDup is quadratic by
-    # construction (cluster size grows with n). The production recipe —
-    # k scaling with the corpus so |cluster| stays bounded — is soaked by
-    # run_semdedup_soak.
+    # semantic_dedup_pairs joined the soak set in round 11: the catalog
+    # face now SELF-SCALES k (k=None -> k_for_corpus = ceil(sqrt n),
+    # mirrored in the oracle by _K_SELF_SCALED), so soaking the face
+    # directly measures the production posture — see tools/run_r11_soaks.py
+    # and run_semdedup_soak (the original operator-level curve).
     "embedding_topk_bruteforce",
     "kernel_fold_event_cents",
     "kernel_scan_user_balance_cents",
@@ -296,8 +296,9 @@ def run_semdedup_soak(
 ) -> dict:
     """Soak SemDeDup THE WAY IT SCALES: k grows with the corpus so cluster
     size (and with it the within-cluster pair stage) stays bounded — the
-    operator docstring's production recipe. The catalog entry's fixed k=8
-    exists for the unrolled oracle and is quadratic by construction."""
+    operator docstring's production recipe. Since round 11 the catalog
+    face itself self-scales (k=None -> k_for_corpus); this operator-level
+    curve keeps the explicit-k variant measured alongside it."""
     from polars_numba_spark.operators.vector import semantic_dedup_pairs
     from polars_numba_spark.sources import load_table
 
