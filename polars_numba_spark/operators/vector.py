@@ -542,9 +542,12 @@ def contrastive_triplets(
     no positive and is DROPPED from the output (inner join with the
     positive table — the metric-learning convention: a singleton class
     cannot anchor a triplet); a single-label corpus has no valid negative
-    and raises via an explicit in-plan ``raise_error`` guard (independent
-    of the ``spark.sql.ansi.enabled`` setting) rather than silently
-    emitting same-label negatives or an empty frame.
+    and raises rather than silently emitting same-label negatives or an
+    empty frame — driver-side (ValueError, from the same plan-time pass
+    that sizes k) on the ``"auto"`` path, where AQE's empty-side join
+    pruning could skip an in-plan guard, and via an explicit in-plan
+    ``raise_error`` (independent of ``spark.sql.ansi.enabled``) on the
+    other paths.
 
     Scale shape: the label directory (L rows) and the slot table broadcast;
     negative resolution is two equi-joins against the dense-ranked corpus
@@ -562,8 +565,24 @@ def contrastive_triplets(
 
     # positives: (label × cell)-bounded pairwise cosine, top-1 per anchor
     if isinstance(cells, str) and cells == "auto":
+        # one plan-time pass serves BOTH the k sizing and the single-label
+        # guard. The guard must be driver-side here: on the bounded path a
+        # singleton-cell corpus makes `pos` empty, and AQE then prunes the
+        # final join's OTHER side — the in-plan raise_error below would
+        # never evaluate and a single-label corpus would silently return
+        # an empty frame (the exact failure mode the guard exists for).
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col(label_col)).alias("lo"),
+            F.max(F.col(label_col)).alias("hi"),
+        ).first()
+        if stats["n"] > 0 and stats["lo"] == stats["hi"]:
+            raise ValueError(
+                "contrastive_triplets: corpus has a single label — no"
+                " valid negative exists"
+            )
         assignments, _ = kmeans_iterations(
-            df, k_for_corpus(df.count()), iterations=2,
+            df, k_for_corpus(stats["n"]), iterations=2,
             vec_col=vec_col, id_col=id_col,
         )
         cells = assignments.select(

@@ -204,10 +204,13 @@ def test_contrastive_triplets_cell_bounded_default(spark):
 
 
 def test_contrastive_triplets_single_label_raises_even_with_ansi_off(spark):
-    """A single-label corpus has no valid negative. The in-plan
-    raise_error guard must fire regardless of spark.sql.ansi.enabled —
-    with ANSI off, the old `% (L-1)` arithmetic yielded NULL and the
-    function silently returned an empty frame instead of raising."""
+    """A single-label corpus has no valid negative and must raise on
+    EVERY path, regardless of spark.sql.ansi.enabled — with ANSI off,
+    the old `% (L-1)` arithmetic yielded NULL and the function silently
+    returned an empty frame instead of raising. On the bounded "auto"
+    path the raise is driver-side (AQE's empty-side join pruning can
+    skip in-plan guards when `pos` is empty); on the exact path it is
+    the in-plan raise_error."""
     import pytest
 
     from polars_numba_spark.operators.vector import contrastive_triplets
@@ -220,7 +223,9 @@ def test_contrastive_triplets_single_label_raises_even_with_ansi_off(spark):
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try:
         with pytest.raises(Exception, match="single\\s+label"):
-            contrastive_triplets(df, negatives=1).collect()
+            contrastive_triplets(df, negatives=1).collect()  # auto path
+        with pytest.raises(Exception, match="single\\s+label"):
+            contrastive_triplets(df, negatives=1, cells=None).collect()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
 
