@@ -2334,7 +2334,6 @@ def item_cooccurrence_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             - CAST(w.s AS DOUBLE))
                          * (CAST(w.n_dow AS DOUBLE) * CAST(d.y AS DOUBLE)
                             - CAST(w.s AS DOUBLE))
-                         * CAST(w.n_dow AS DOUBLE)
                        > 9.0 * (CAST(w.n_dow AS DOUBLE) * CAST(w.syy AS DOUBLE)
                                 - CAST(w.s AS DOUBLE) * CAST(w.s AS DOUBLE))
                     THEN 1 ELSE 0 END AS isout
@@ -2365,7 +2364,9 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions differ across engines, epoch arithmetic cannot. The index
     is one double division of exact integer products; the 3σ test is a
     fixed double dag over exact integer sufficient statistics with both
-    sides VARIANCE-SCALED (dev²·n > 9·(n·Σy²−(Σy)²)) so no square root,
+    sides VARIANCE-SCALED (dev² > 9·(n·Σy²−(Σy)²), dev = n·y−Σy — both
+    sides carry the n² scale, so the comparison IS |y−ȳ| > 3σ_dow
+    against the population σ) so no square root,
     no mean subtraction in floats, ever — identical bits per engine.
     Keyspace |types|·7 after a |types|·|days| pre-aggregate; everything
     map-side combinable, the dow directory joins broadcast."""
@@ -2405,7 +2406,7 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "dow",
-            F.when(dev * dev * nd > var9, F.lit(1))
+            F.when(dev * dev > var9, F.lit(1))
             .otherwise(F.lit(0))
             .alias("isout"),
         )
@@ -4937,11 +4938,16 @@ def orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS variant
         FROM u
     ), w AS (
-        SELECT a.variant, b.b, a.cents,
-               CAST(CAST(('0x' || substr(md5(CAST(a.user_id AS VARCHAR)
-                        || '#bs' || CAST(b.b AS VARCHAR)), 1, 15))
-                    AS UBIGINT) AS BIGINT) % 3 AS wt
-        FROM a CROSS JOIN (SELECT UNNEST(range(1, 101)) AS b) b
+        SELECT variant, b, cents,
+               CASE WHEN m8 < 3 THEN 0 WHEN m8 < 6 THEN 1
+                    WHEN m8 < 7 THEN 2 ELSE 3 END AS wt
+        FROM (
+            SELECT a.variant, b.b, a.cents,
+                   CAST(CAST(('0x' || substr(md5(CAST(a.user_id AS VARCHAR)
+                            || '#bs' || CAST(b.b AS VARCHAR)), 1, 15))
+                        AS UBIGINT) AS BIGINT) % 8 AS m8
+            FROM a CROSS JOIN (SELECT UNNEST(range(1, 101)) AS b) b
+        )
     ), means AS (
         SELECT variant, b,
                CAST(SUM(wt * cents) AS DOUBLE)
@@ -4968,9 +4974,13 @@ def ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm — the distribution-free uncertainty readout next to the z/CUPED/
     rank/SPRT faces (for heavy-tailed revenue the normal-theory interval
     lies; the bootstrap doesn't): 100 deterministic resamples, each
-    reweighting every user by md5(user, b) mod 3 ∈ {0,1,2} (mean-1
-    integer weights — the Rao-Wu random-reweighting bootstrap made
-    engine-reproducible: no RNG, the hash IS the resample), each
+    reweighting every user by an md5(user, b) mod-8 ladder
+    {0,0,0,1,1,1,2,3} — integer weights with mean 1 AND variance 1,
+    the second-moment condition the generalized (Rao-Wu/Poisson-style)
+    reweighting bootstrap needs for first-order-correct intervals (the
+    round-10 mod-3 uniform had Var[w]=2/3, shrinking every CI by
+    √(2/3)≈0.82 — a "95%" interval that covered ~90%); no RNG, the
+    hash IS the resample. Each
     resample's weighted mean an exact-integer ratio, nearest-rank 2.5%/
     97.5% quantiles over the 100 means. EMBARRASSINGLY PARALLEL at any
     scale: one per-user aggregate, a 100-way explode of the users-sized
@@ -5013,8 +5023,18 @@ def ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("b").cast("string"),
                 )
             ),
-            F.lit(3),
-        ).alias("wt"),
+            F.lit(8),
+        ).alias("m8"),
+    ).select(
+        "variant",
+        "b",
+        "cents",
+        F.when(F.col("m8") < 3, F.lit(0))
+        .when(F.col("m8") < 6, F.lit(1))
+        .when(F.col("m8") < 7, F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long")
+        .alias("wt"),
     )
     means = (
         w.groupBy("variant", "b")
