@@ -56,7 +56,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-RESULT_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+# Subset runs (SPARK_GRAFT_BENCH_QUERIES) write to a scratch file so an
+# iteration-aid run can never clobber the committed full-catalog keeper.
+RESULT_FILE = os.path.join(
+    _REPO,
+    "BENCH_SUBSET_LOCAL.json"
+    if os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    else "BENCH_LOCAL.json",
+)
 
 
 def main() -> None:
