@@ -957,6 +957,7 @@ def orders_rank_in_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY ROLLUP (n_name, o_orderstatus)
+    HAVING COUNT(*) > 0
     """,
 )
 def nation_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -176,7 +176,12 @@ def formats_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
     write_partitioned_parquet(o, base, "o_orderstatus")
-    back = spark.read.parquet(base).where(F.col("o_orderstatus") == "O")
+    # explicit schema: schema-on-read is the production posture (no
+    # inference job at 100 TB) and keeps the read valid when the write
+    # produced zero partition directories (empty source)
+    back = spark.read.schema(o.schema).parquet(base).where(
+        F.col("o_orderstatus") == "O"
+    )
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.expr(_DSUM.format(x="o_totalprice")).alias("total_price"),
@@ -1043,6 +1048,11 @@ def streaming_signup_conversion_outer(spark: SparkSession, sf_dir: str) -> DataF
     # createDataFrame is an RDD-backed local relation whose WRITE spawns a
     # Python worker — measured 4.5s per sentinel vs 0.2s for this form.
     import datetime as _dt
+
+    if max_ts is None:
+        # empty source: any fixed sentinel anchor works — sentinels are
+        # filtered from the sink read, so the join result stays empty
+        max_ts = _dt.datetime(2024, 1, 1)
 
     def _sentinel(tag: str, days: int, bump: int) -> None:
         ts = max_ts + _dt.timedelta(days=days)

@@ -2757,8 +2757,10 @@ def doc_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(cp AS INTEGER) AS checkpoint,
            CAST(n_tokens_cum AS BIGINT) AS n_tokens_cum,
            CAST(vocab_size AS BIGINT) AS vocab_size,
-           ROUND(LN(CAST(vocab_size AS DOUBLE))
-                 / LN(CAST(n_tokens_cum AS DOUBLE)), 9) AS heaps_beta
+           CASE WHEN vocab_size > 0 AND n_tokens_cum > 0
+                THEN ROUND(LN(CAST(vocab_size AS DOUBLE))
+                           / LN(CAST(n_tokens_cum AS DOUBLE)), 9)
+           END AS heaps_beta
     FROM cum
     """,
 )

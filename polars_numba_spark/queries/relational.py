@@ -502,6 +502,7 @@ def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY CUBE (n_name, o_orderstatus)
+    HAVING COUNT(*) > 0
     """,
 )
 def nation_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2033,6 +2034,10 @@ def user_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("cents").cast("double") / F.col("t").cast("double")
     return (
         rk.crossJoin(F.broadcast(st))
+        # keyed on the (single) stats row, NOT an ungrouped agg: an empty
+        # purchase table must yield an empty readout in both engines (the
+        # oracle's FROM rk, st GROUP BY does), not one row of NaNs
+        .groupBy("n", "t", "k")
         .agg(
             F.any_value("n").alias("n_users"),
             F.any_value("t").cast("long").alias("total_cents"),
@@ -2065,6 +2070,9 @@ def user_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("double")
                 / F.any_value("t").cast("double")
             ).alias("top1_share"),
+        )
+        .select(
+            "n_users", "total_cents", "gini", "entropy", "hhi", "top1_share"
         )
     )
 
@@ -4159,6 +4167,7 @@ def ab_value_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (SELECT COUNT(*) FROM ct) - 1) AS DOUBLE)))
                AS cramers_v
     FROM contrib
+    HAVING COUNT(*) > 0
     """,
 )
 def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,56 @@
+"""Empty-corpus regression pins (round-11 sweep, tools/empty_sweep.py).
+
+At 100 TB an empty source / partition / filter result is routine, so a
+face must degrade to an empty (or all-null-spine) frame — not a stack
+trace, and not a row-count the mirrored oracle disagrees with.  The
+round-11 sweep ran all 237 faces against zero-row tables in BOTH
+engines and found seven divergers; these tests pin the fixed behavior
+of each so it cannot regress.  (The other 230 faces already agreed;
+re-running all of them per-suite would cost ~15 minutes, so the sweep
+itself stays a tool, not a test.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sfempty")
+    for t in TABLES:
+        schema = spark.read.parquet(
+            f"/root/testdata/sf0.001/{t}.parquet"
+        ).schema
+        spark.createDataFrame([], schema).coalesce(1).write.parquet(
+            str(d / f"{t}.parquet")
+        )
+    return str(d)
+
+
+def test_empty_corpus_divergers_fixed(spark, empty_dir):
+    from polars_numba_spark.queries import catalog
+
+    qs = catalog.spark_queries()
+    # face -> expected Spark row count on an all-empty corpus
+    expected = {
+        "events_chisq_independence": 0,     # was: oracle emitted 1 NULL row
+        "nation_order_rollup": 0,           # was: DuckDB ROLLUP grand total
+        "nation_order_cube": 0,             # was: DuckDB CUBE grand total
+        "user_value_concentration": 0,      # was: Spark ungrouped agg -> 1
+        "formats_partitioned_pruning": 0,   # was: schema-inference crash
+        "streaming_signup_conversion_outer": 0,  # was: None + timedelta
+        "corpus_vocab_growth": 10,          # fixed 10-row spine, null betas
+    }
+    for name, want in expected.items():
+        got = qs[name](spark, empty_dir)
+        assert got.count() == want, name
+        if name == "corpus_vocab_growth":
+            rows = got.collect()
+            assert all(r["heaps_beta"] is None for r in rows)
+            assert all(r["n_tokens_cum"] == 0 for r in rows)
