@@ -1577,7 +1577,11 @@ def embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n_exact",
         "n_hits",
-        (F.col("n_hits") / F.col("n_exact")).alias("recall"),
+        # no true pairs (degenerate slice) -> recall undefined: NULL, not
+        # an ANSI divide-by-zero
+        F.when(
+            F.col("n_exact") > 0, F.col("n_hits") / F.col("n_exact")
+        ).alias("recall"),
     )
 
 

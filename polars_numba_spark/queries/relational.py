@@ -2459,16 +2459,19 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(n AS BIGINT) AS n_days,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
-           (CAST(sy AS DOUBLE)
-             - (CAST(n * sxy - sx * sy AS DOUBLE)
-                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-               / CAST(n AS DOUBLE) AS intercept,
-           (CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE))
-             * (CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+               (CAST(sy AS DOUBLE)
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) END AS intercept,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE))
+                 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
     FROM s
     """,
 )
@@ -2517,7 +2520,9 @@ def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    slope = num / den_x
+    # single-day / zero-variance series have no trend: NULL, not an ANSI
+    # divide-by-zero (mirrored CASE in the oracle)
+    slope = F.when(den_x > 0.0, num / den_x)
     return s.select(
         "event_type",
         F.col("n").alias("n_days"),
@@ -2526,7 +2531,7 @@ def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
             / F.col("n").cast("double")
         ).alias("intercept"),
-        (slope * (num / den_y)).alias("r2"),
+        F.when(den_y > 0.0, slope * (num / den_y)).alias("r2"),
     )
 
 
@@ -2557,7 +2562,9 @@ def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT n.event_type, CAST(n.lag AS INTEGER) AS lag, n.n_pairs,
-           CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) AS acf
+           CASE WHEN d.den > 0
+                THEN CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE)
+           END AS acf
     FROM num n JOIN den d USING (event_type)
     """,
 )
@@ -2615,7 +2622,12 @@ def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "lag",
         "n_pairs",
-        (F.col("num").cast("double") / F.col("den").cast("double")).alias("acf"),
+        # constant series (den = Σdev² = 0) has undefined autocorrelation:
+        # NULL, not an ANSI divide-by-zero (mirrored CASE in the oracle)
+        F.when(
+            F.col("den") > 0,
+            F.col("num").cast("double") / F.col("den").cast("double"),
+        ).alias("acf"),
     )
 
 
@@ -2775,9 +2787,12 @@ def orders_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM paired GROUP BY 1, 2
     )
     SELECT type_a, type_b, n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-               / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
-                      * CAST(n * syy - sy * sy AS DOUBLE)) AS pearson
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))
+           END AS pearson
     FROM sums
     """,
 )
@@ -2823,22 +2838,22 @@ def event_type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
         )
     )
+    vprod = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
     return sums.select(
         "type_a",
         "type_b",
         "n",
-        (
+        # a zero-variance series has no defined correlation: NULL, not an
+        # ANSI divide-by-zero (mirrored CASE in the oracle)
+        F.when(
+            vprod > 0.0,
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
                 "double"
             )
-            / F.sqrt(
-                (
-                    F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-                ).cast("double")
-                * (
-                    F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-                ).cast("double")
-            )
+            / F.sqrt(vprod),
         ).alias("pearson"),
     )
 

@@ -1068,8 +1068,10 @@ def golden_record(c: DataFrame) -> DataFrame:
                    AS n_wedges
     )
     SELECT s.n_nodes, s.n_edges, t.n_triangles, s.n_wedges,
-           3.0 * CAST(t.n_triangles AS DOUBLE) / CAST(s.n_wedges AS DOUBLE)
-               AS clustering
+           CASE WHEN s.n_wedges > 0 THEN
+               3.0 * CAST(t.n_triangles AS DOUBLE)
+                   / CAST(s.n_wedges AS DOUBLE)
+           END AS clustering
     FROM stats s, tri t
     """,
 )
@@ -1130,9 +1132,12 @@ def customer_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges",
         "n_triangles",
         "n_wedges",
-        (
+        # a wedge-free graph (isolated edges) has no defined clustering
+        # coefficient: NULL, not an ANSI divide-by-zero (mirrored CASE)
+        F.when(
+            F.col("n_wedges") > 0,
             F.lit(3.0) * F.col("n_triangles").cast("double")
-            / F.col("n_wedges").cast("double")
+            / F.col("n_wedges").cast("double"),
         ).alias("clustering"),
     )
 

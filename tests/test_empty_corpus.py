@@ -33,6 +33,54 @@ def empty_dir(spark, tmp_path_factory):
     return str(d)
 
 
+@pytest.fixture(scope="module")
+def micro_dir(spark, tmp_path_factory):
+    """Degenerate micro slices (1-5 rows per pipeline table): the scale
+    where single-day series, zero-variance pairs, wedge-free graphs and
+    empty truth sets appear — all of which must yield NULL statistics,
+    not ANSI divide-by-zero errors."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("sfmicro")
+    preds = {
+        "region": None, "nation": None,
+        "customer": F.col("c_custkey") < 5,
+        "supplier": F.col("s_suppkey") < 3,
+        "part": F.col("p_partkey") < 5,
+        "orders": F.col("o_orderkey") < 40,
+        "lineitem": F.col("l_orderkey") < 40,
+        "events": F.col("event_id") < 60,
+        "documents": F.col("doc_id") < 3,
+        "embeddings": F.col("vec_id") < 5,
+    }
+    for t, pred in preds.items():
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        if pred is not None:
+            df = df.where(pred)
+        df.coalesce(1).write.parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_micro_corpus_no_ansi_divide_by_zero(spark, micro_dir):
+    """Round-11 micro sweep: five faces crashed with DIVIDE_BY_ZERO on
+    degenerate denominators (n=1 OLS, constant-series ACF, zero-variance
+    Pearson, wedge-free clustering, empty recall truth set). All five
+    must now return NULL for the undefined statistic instead."""
+    from polars_numba_spark.queries import catalog
+
+    qs = catalog.spark_queries()
+    for name, col in [
+        ("events_ols_trend", "slope"),
+        ("events_daily_acf", "acf"),
+        ("event_type_correlations", "pearson"),
+        ("customer_graph_triangles", "clustering"),
+        ("embedding_near_dup_recall", "recall"),
+    ]:
+        rows = qs[name](spark, micro_dir).collect()  # must not raise
+        assert rows, name  # the degenerate inputs still produce rows
+        assert col in rows[0].asDict(), name
+
+
 def test_empty_corpus_divergers_fixed(spark, empty_dir):
     from polars_numba_spark.queries import catalog
 
