@@ -59,7 +59,13 @@ def asof_join(
     # A right row with a null `on` value can never be an as-of match
     # (DuckDB/pandas semantics); without this filter Spark's nulls-first
     # ascending sort would place it before every left row and carry it.
+    # Same for a null `by` key: ASOF equality keys never match on NULL
+    # (SQL semantics — and two anonymous rows are not the same entity),
+    # but Spark's partitionBy would happily group them together. Null-key
+    # LEFT rows still flow through and simply find no match.
     right = right.where(F.col(on).isNotNull())
+    for k in keys:
+        right = right.where(F.col(k).isNotNull())
     r = right.select(
         *keys,
         F.col(on).alias("__t"),

@@ -655,15 +655,23 @@ def simhash_signatures(
     per-bit contributions in a single codegen'd hash aggregate with
     map-side combine (one shuffle on the id) — the same
     explode→aggregate rewrite that took shingled MinHash 57.7s→6.7s in
-    round 3. Empty/ tokenless documents survive via ``explode_outer`` with
-    zero contributions, matching the expression's all-zero signature.
+    round 3. EMPTY (tokenless but present) documents survive via
+    ``explode_outer`` with zero contributions, matching the expression's
+    all-zero signature; NULL text (a failed fetch) yields NO signature
+    row — clustering every missing doc at hamming 0 would be a garbage
+    pair explosion, and SQL hash-of-NULL semantics agree.
     """
     if hash_fn is None:
         hash_fn = F.xxhash64
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(distinct_tokens(text_col)).alias("__tok"),
-    ).select("id", "__tok", hash_fn(F.col("__tok")).alias("__h"))
+    text_c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = (
+        df.where(text_c.isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(distinct_tokens(text_col)).alias("__tok"),
+        )
+        .select("id", "__tok", hash_fn(F.col("__tok")).alias("__h"))
+    )
     bit_sums = [
         F.sum(
             F.when(F.col("__tok").isNull(), 0)

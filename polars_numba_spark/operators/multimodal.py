@@ -137,13 +137,18 @@ def extract_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             feats = [
                 decode_payload(p, declared_mime=m["mime"])
+                if p is not None
+                else (None, None, None, None)  # failed fetch: null features
                 for p, m in zip(pdf["payload"], pdf["meta"])
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
                     "mime": [m["mime"] for m in pdf["meta"]],
-                    "n_bytes": [int(m["n_bytes"]) for m in pdf["meta"]],
+                    "n_bytes": [
+                        int(m["n_bytes"]) if m["n_bytes"] is not None else None
+                        for m in pdf["meta"]
+                    ],
                     "width": [f[1] for f in feats],
                     "height": [f[2] for f in feats],
                     "phash": [f[3] for f in feats],
@@ -163,14 +168,20 @@ def extract_image_dims(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = [decode_image_header(p) for p in pdf["payload"]]
+            parsed = [
+                decode_image_header(p) if p is not None else None
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
                     "mime": [x[0] if x else None for x in parsed],
                     "width": [x[1] if x else None for x in parsed],
                     "height": [x[2] if x else None for x in parsed],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "n_bytes": [
+                        len(p) if p is not None else None
+                        for p in pdf["payload"]
+                    ],
                 }
             )
 
@@ -274,6 +285,10 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             mimes, payloads = [], []
             for p in pdf["payload"]:
+                if p is None:  # failed fetch: null in, null out
+                    mimes.append(None)
+                    payloads.append(None)
+                    continue
                 header = decode_image_header(p)
                 mime = header[0] if header else "image/png"
                 mimes.append(mime)
@@ -316,6 +331,8 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, tss, frames = [], [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:  # failed fetch: no container, no frames
+                    continue
                 p = bytes(p)
                 duration_ms = (len(p) * 1000) // 1024
                 n = min(max_frames, max(1, duration_ms // every_ms + 1))
@@ -421,6 +438,12 @@ def extract_audio_meta(df: DataFrame) -> DataFrame:
                 "bits_per_sample", "duration_ms", "n_bytes",
             )}
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:  # failed fetch: all-null metadata row
+                    rows["doc_id"].append(doc_id)
+                    for k in ("mime", "sample_rate", "n_channels",
+                              "bits_per_sample", "duration_ms", "n_bytes"):
+                        rows[k].append(None)
+                    continue
                 p = bytes(p)
                 meta = decode_wav_header(p)
                 rows["doc_id"].append(doc_id)
@@ -593,6 +616,12 @@ def extract_video_meta(df: DataFrame) -> DataFrame:
                 "duration_ms", "width", "height", "n_bytes",
             )}
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:  # failed fetch: all-null metadata row
+                    rows["doc_id"].append(doc_id)
+                    for k in ("mime", "timescale", "duration_ticks",
+                              "duration_ms", "width", "height", "n_bytes"):
+                        rows[k].append(None)
+                    continue
                 p = bytes(p)
                 meta = decode_mp4_meta(p)
                 rows["doc_id"].append(doc_id)
@@ -706,6 +735,12 @@ def extract_mp3_meta(df: DataFrame) -> DataFrame:
                 "n_frames", "duration_ms", "n_bytes",
             )}
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:  # failed fetch: all-null metadata row
+                    rows["doc_id"].append(doc_id)
+                    for k in ("mime", "bitrate_kbps", "sample_rate",
+                              "n_frames", "duration_ms", "n_bytes"):
+                        rows[k].append(None)
+                    continue
                 p = bytes(p)
                 meta = decode_mp3_frames(p)
                 rows["doc_id"].append(doc_id)

@@ -332,8 +332,14 @@ def winnowing_overlap_pairs(
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set. Two documents that are token-permutations of each other get
-    the same fingerprint — the classic shingle-free near-dup bucket key."""
-    return F.md5(F.concat_ws(" ", distinct_tokens(col)))
+    the same fingerprint — the classic shingle-free near-dup bucket key.
+    NULL text → NULL fingerprint (concat_ws would silently coalesce the
+    null token array to '', colliding every failed fetch into the
+    md5('')-bucket — and diverging from SQL md5(NULL) semantics)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.isNotNull(), F.md5(F.concat_ws(" ", distinct_tokens(col)))
+    )
 
 
 def quality_features(col: Column | str) -> dict[str, Column]:

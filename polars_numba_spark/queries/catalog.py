@@ -1273,10 +1273,15 @@ CAPPED_FOLD_ORACLE = """
         SELECT f.user_id AS user_id, f.rn + 1 AS rn,
                CASE WHEN f.acc + e.value > 10000.0 OR f.acc + e.value < 0.0
                     THEN f.acc ELSE f.acc + e.value END AS acc
-        FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+        -- IS NOT DISTINCT FROM: the NULL user is a real group (Spark's
+        -- groupBy and the reference's group_by both keep it); an
+        -- equality join would silently drop it
+        FROM fold f JOIN ev e ON e.user_id IS NOT DISTINCT FROM f.user_id
+                             AND e.rn = f.rn + 1
     )
     SELECT f.user_id AS user_id, f.acc AS capped_balance
-    FROM fold f JOIN counts c ON f.user_id = c.user_id AND f.rn = c.n
+    FROM fold f JOIN counts c ON f.user_id IS NOT DISTINCT FROM c.user_id
+                             AND f.rn = c.n
     """
 
 
@@ -1387,10 +1392,12 @@ def user_running_multi_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT f.user_id AS user_id, f.rn + 1 AS rn,
                CASE WHEN f.acc + e.value > 10000.0 OR f.acc + e.value < 0.0
                     THEN f.acc ELSE f.acc + e.value END AS acc
-        FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+        FROM fold f JOIN ev e ON e.user_id IS NOT DISTINCT FROM f.user_id
+                             AND e.rn = f.rn + 1
     ), capped AS (
         SELECT f.user_id, f.acc AS capped_balance
-        FROM fold f JOIN counts c ON f.user_id = c.user_id AND f.rn = c.n
+        FROM fold f JOIN counts c ON f.user_id IS NOT DISTINCT FROM c.user_id
+                                 AND f.rn = c.n
     ), native AS (
         SELECT user_id, COUNT(*) AS n_events,
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
@@ -1398,7 +1405,7 @@ def user_running_multi_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n.user_id AS user_id, n.n_events AS n_events,
            n.total_cents AS total_cents, c.capped_balance AS capped_balance
-    FROM native n JOIN capped c ON n.user_id = c.user_id
+    FROM native n JOIN capped c ON n.user_id IS NOT DISTINCT FROM c.user_id
     """,
 )
 def user_activity_with_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1456,14 +1463,27 @@ EWMA_ORACLE = f"""
                    AS rn
         FROM events
     ), rec AS (
+        -- the scan null rule (kernels.py): a null input row emits a NULL
+        -- output and leaves the carried accumulator (acc) unchanged; the
+        -- NULL user is a real group (IS NOT DISTINCT FROM join)
         SELECT event_id, user_id, rn,
-               (1.0 - {EWMA_ALPHA!r}) * 0.0 + {EWMA_ALPHA!r} * value AS ewma
+               CASE WHEN value IS NULL THEN NULL
+                    ELSE (1.0 - {EWMA_ALPHA!r}) * 0.0
+                         + {EWMA_ALPHA!r} * value END AS ewma,
+               CASE WHEN value IS NULL THEN 0.0
+                    ELSE (1.0 - {EWMA_ALPHA!r}) * 0.0
+                         + {EWMA_ALPHA!r} * value END AS acc
         FROM ordered WHERE rn = 1
         UNION ALL
         SELECT o.event_id, o.user_id, o.rn,
-               (1.0 - {EWMA_ALPHA!r}) * r.ewma + {EWMA_ALPHA!r} * o.value
+               CASE WHEN o.value IS NULL THEN NULL
+                    ELSE (1.0 - {EWMA_ALPHA!r}) * r.acc
+                         + {EWMA_ALPHA!r} * o.value END,
+               CASE WHEN o.value IS NULL THEN r.acc
+                    ELSE (1.0 - {EWMA_ALPHA!r}) * r.acc
+                         + {EWMA_ALPHA!r} * o.value END
         FROM ordered o JOIN rec r
-          ON o.user_id = r.user_id AND o.rn = r.rn + 1
+          ON o.user_id IS NOT DISTINCT FROM r.user_id AND o.rn = r.rn + 1
     )
     SELECT event_id, user_id, ewma FROM rec
     """
@@ -1513,22 +1533,45 @@ HOLT_ORACLE = f"""
                    AS rn
         FROM events
     ), rec AS (
+        -- scan null rule: null row -> NULL outputs, carried (acc_l,
+        -- acc_t) unchanged; NULL user is a real group (IS NOT DISTINCT
+        -- FROM join)
         SELECT event_id, user_id, rn,
-               {HOLT_ALPHA!r} * value
-                   + (1.0 - {HOLT_ALPHA!r}) * (0.0 + 0.0) AS level,
-               {HOLT_BETA!r} * (({HOLT_ALPHA!r} * value
-                   + (1.0 - {HOLT_ALPHA!r}) * (0.0 + 0.0)) - 0.0)
-                   + (1.0 - {HOLT_BETA!r}) * 0.0 AS trend
+               CASE WHEN value IS NULL THEN NULL
+                    ELSE {HOLT_ALPHA!r} * value
+                         + (1.0 - {HOLT_ALPHA!r}) * (0.0 + 0.0) END AS level,
+               CASE WHEN value IS NULL THEN NULL
+                    ELSE {HOLT_BETA!r} * (({HOLT_ALPHA!r} * value
+                         + (1.0 - {HOLT_ALPHA!r}) * (0.0 + 0.0)) - 0.0)
+                         + (1.0 - {HOLT_BETA!r}) * 0.0 END AS trend,
+               CASE WHEN value IS NULL THEN 0.0
+                    ELSE {HOLT_ALPHA!r} * value
+                         + (1.0 - {HOLT_ALPHA!r}) * (0.0 + 0.0) END AS acc_l,
+               CASE WHEN value IS NULL THEN 0.0
+                    ELSE {HOLT_BETA!r} * (({HOLT_ALPHA!r} * value
+                         + (1.0 - {HOLT_ALPHA!r}) * (0.0 + 0.0)) - 0.0)
+                         + (1.0 - {HOLT_BETA!r}) * 0.0 END AS acc_t
         FROM ordered WHERE rn = 1
         UNION ALL
         SELECT o.event_id, o.user_id, o.rn,
-               {HOLT_ALPHA!r} * o.value
-                   + (1.0 - {HOLT_ALPHA!r}) * (r.level + r.trend),
-               {HOLT_BETA!r} * (({HOLT_ALPHA!r} * o.value
-                   + (1.0 - {HOLT_ALPHA!r}) * (r.level + r.trend)) - r.level)
-                   + (1.0 - {HOLT_BETA!r}) * r.trend
+               CASE WHEN o.value IS NULL THEN NULL
+                    ELSE {HOLT_ALPHA!r} * o.value
+                         + (1.0 - {HOLT_ALPHA!r}) * (r.acc_l + r.acc_t) END,
+               CASE WHEN o.value IS NULL THEN NULL
+                    ELSE {HOLT_BETA!r} * (({HOLT_ALPHA!r} * o.value
+                         + (1.0 - {HOLT_ALPHA!r}) * (r.acc_l + r.acc_t))
+                         - r.acc_l)
+                         + (1.0 - {HOLT_BETA!r}) * r.acc_t END,
+               CASE WHEN o.value IS NULL THEN r.acc_l
+                    ELSE {HOLT_ALPHA!r} * o.value
+                         + (1.0 - {HOLT_ALPHA!r}) * (r.acc_l + r.acc_t) END,
+               CASE WHEN o.value IS NULL THEN r.acc_t
+                    ELSE {HOLT_BETA!r} * (({HOLT_ALPHA!r} * o.value
+                         + (1.0 - {HOLT_ALPHA!r}) * (r.acc_l + r.acc_t))
+                         - r.acc_l)
+                         + (1.0 - {HOLT_BETA!r}) * r.acc_t END
         FROM ordered o JOIN rec r
-          ON o.user_id = r.user_id AND o.rn = r.rn + 1
+          ON o.user_id IS NOT DISTINCT FROM r.user_id AND o.rn = r.rn + 1
     )
     SELECT event_id, user_id, level, trend, level + trend AS forecast_next
     FROM rec
@@ -1593,33 +1636,59 @@ HW_ORACLE = f"""
                    AS rn
         FROM events
     ), rec AS (
+        -- carried state (acc_l, acc_t, a0, a1, a2) is split from the
+        -- emitted outputs so the scan null rule holds: a null-value row
+        -- emits NULLs and leaves the state (and its rotation) untouched;
+        -- the NULL user is a real group (IS NOT DISTINCT FROM join)
         SELECT NULL::BIGINT AS event_id, user_id, 0 AS rn,
-               CAST(0.0 AS DOUBLE) AS level, CAST(0.0 AS DOUBLE) AS trend,
-               CAST(0.0 AS DOUBLE) AS s0, CAST(0.0 AS DOUBLE) AS s1,
-               CAST(0.0 AS DOUBLE) AS s2,
-               CAST(0.0 AS DOUBLE) AS forecast_next
+               CAST(NULL AS DOUBLE) AS level, CAST(NULL AS DOUBLE) AS trend,
+               CAST(NULL AS DOUBLE) AS seasonal_out,
+               CAST(NULL AS DOUBLE) AS forecast_next,
+               CAST(0.0 AS DOUBLE) AS acc_l, CAST(0.0 AS DOUBLE) AS acc_t,
+               CAST(0.0 AS DOUBLE) AS a0, CAST(0.0 AS DOUBLE) AS a1,
+               CAST(0.0 AS DOUBLE) AS a2
         FROM (SELECT DISTINCT user_id FROM events)
         UNION ALL
         SELECT o.event_id, o.user_id, o.rn,
-               {HW_ALPHA!r} * (o.value - r.s0)
-                   + (1.0 - {HW_ALPHA!r}) * (r.level + r.trend) AS level,
-               {HW_BETA!r} * (({HW_ALPHA!r} * (o.value - r.s0)
-                   + (1.0 - {HW_ALPHA!r}) * (r.level + r.trend)) - r.level)
-                   + (1.0 - {HW_BETA!r}) * r.trend AS trend,
-               r.s1 AS s0, r.s2 AS s1,
-               {HW_GAMMA!r} * (o.value - ({HW_ALPHA!r} * (o.value - r.s0)
-                   + (1.0 - {HW_ALPHA!r}) * (r.level + r.trend)))
-                   + (1.0 - {HW_GAMMA!r}) * r.s0 AS s2,
-               ({HW_ALPHA!r} * (o.value - r.s0)
-                   + (1.0 - {HW_ALPHA!r}) * (r.level + r.trend))
-                   + ({HW_BETA!r} * (({HW_ALPHA!r} * (o.value - r.s0)
-                       + (1.0 - {HW_ALPHA!r}) * (r.level + r.trend)) - r.level)
-                       + (1.0 - {HW_BETA!r}) * r.trend)
-                   + r.s1 AS forecast_next
+               CASE WHEN o.value IS NULL THEN NULL ELSE
+                   {HW_ALPHA!r} * (o.value - r.a0)
+                       + (1.0 - {HW_ALPHA!r}) * (r.acc_l + r.acc_t) END,
+               CASE WHEN o.value IS NULL THEN NULL ELSE
+                   {HW_BETA!r} * (({HW_ALPHA!r} * (o.value - r.a0)
+                       + (1.0 - {HW_ALPHA!r}) * (r.acc_l + r.acc_t))
+                       - r.acc_l)
+                       + (1.0 - {HW_BETA!r}) * r.acc_t END,
+               CASE WHEN o.value IS NULL THEN NULL ELSE
+                   {HW_GAMMA!r} * (o.value - ({HW_ALPHA!r} * (o.value - r.a0)
+                       + (1.0 - {HW_ALPHA!r}) * (r.acc_l + r.acc_t)))
+                       + (1.0 - {HW_GAMMA!r}) * r.a0 END,
+               CASE WHEN o.value IS NULL THEN NULL ELSE
+                   ({HW_ALPHA!r} * (o.value - r.a0)
+                       + (1.0 - {HW_ALPHA!r}) * (r.acc_l + r.acc_t))
+                       + ({HW_BETA!r} * (({HW_ALPHA!r} * (o.value - r.a0)
+                           + (1.0 - {HW_ALPHA!r}) * (r.acc_l + r.acc_t))
+                           - r.acc_l)
+                           + (1.0 - {HW_BETA!r}) * r.acc_t)
+                       + r.a1 END,
+               CASE WHEN o.value IS NULL THEN r.acc_l ELSE
+                   {HW_ALPHA!r} * (o.value - r.a0)
+                       + (1.0 - {HW_ALPHA!r}) * (r.acc_l + r.acc_t) END,
+               CASE WHEN o.value IS NULL THEN r.acc_t ELSE
+                   {HW_BETA!r} * (({HW_ALPHA!r} * (o.value - r.a0)
+                       + (1.0 - {HW_ALPHA!r}) * (r.acc_l + r.acc_t))
+                       - r.acc_l)
+                       + (1.0 - {HW_BETA!r}) * r.acc_t END,
+               CASE WHEN o.value IS NULL THEN r.a0 ELSE r.a1 END,
+               CASE WHEN o.value IS NULL THEN r.a1 ELSE r.a2 END,
+               CASE WHEN o.value IS NULL THEN r.a2 ELSE
+                   {HW_GAMMA!r} * (o.value - ({HW_ALPHA!r} * (o.value - r.a0)
+                       + (1.0 - {HW_ALPHA!r}) * (r.acc_l + r.acc_t)))
+                       + (1.0 - {HW_GAMMA!r}) * r.a0 END
         FROM ordered o JOIN rec r
-          ON o.user_id = r.user_id AND o.rn = r.rn + 1
+          ON o.user_id IS NOT DISTINCT FROM r.user_id AND o.rn = r.rn + 1
     )
-    SELECT event_id, user_id, level, trend, s2 AS seasonal, forecast_next
+    SELECT event_id, user_id, level, trend, seasonal_out AS seasonal,
+           forecast_next
     FROM rec WHERE rn >= 1
     """
 

@@ -1002,8 +1002,10 @@ def streaming_signup_purchase_join(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(s.ts AS TIMESTAMP) AS signup_ts,
            p.event_id AS purchase_id,
            CAST(p.ts AS TIMESTAMP) AS purchase_ts
-    FROM (SELECT * FROM events WHERE event_type = 'signup') s
-    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    FROM (SELECT * FROM events
+          WHERE event_type = 'signup' AND user_id IS NOT NULL) s
+    LEFT JOIN (SELECT * FROM events
+               WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
       ON p.user_id = s.user_id
      AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
     """,
@@ -1034,6 +1036,10 @@ def streaming_signup_conversion_outer(spark: SparkSession, sf_dir: str) -> DataF
 
     events = _t(spark, sf_dir, "events").where(
         F.col("event_type").isin("signup", "purchase")
+        # identified users only: a stateful stream-stream join keys its
+        # state store on user_id, and NULL keys never match an equality
+        # join anyway — mirrored in the oracle's WHERE
+        & F.col("user_id").isNotNull()
     ).select("event_id", "user_id", "event_type", "ts")
     max_ts = events.agg(F.max("ts")).first()[0]
     n_real_files = 4
@@ -1144,7 +1150,12 @@ def _streaming_neardup_oracle() -> str:
                list_sort(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
         FROM documents WHERE doc_id < 1000
     ), sigs AS (
+        -- t IS NOT NULL: a failed fetch has no signature (concat_ws would
+        -- otherwise hash every null doc into one md5('') bucket and merge
+        -- all failed fetches into a single garbage component); the lab
+        -- anchor below still carries every doc as its own component
         SELECT doc_id, t, [ {_CLUSTER_SIG} ] AS sig FROM toks
+        WHERE t IS NOT NULL
     ), banded AS (
         {_CLUSTER_BANDS}
     ), star AS (

@@ -593,9 +593,11 @@ def doc_remove_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sample",
     oracle="""
     WITH durations AS (
+        -- text IS NOT NULL mirrors the decoder: a failed fetch (null
+        -- payload) yields no container and therefore no frames
         SELECT doc_id,
                octet_length(encode(text)) * 1000 // 1024 AS duration_ms
-        FROM documents WHERE doc_id < 200
+        FROM documents WHERE doc_id < 200 AND text IS NOT NULL
     ), counts AS (
         SELECT doc_id,
                LEAST(8, GREATEST(1, duration_ms // 100 + 1)) AS n

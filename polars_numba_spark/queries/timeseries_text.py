@@ -52,8 +52,13 @@ def rolling_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gap_fill_user_value",
     oracle="""
     WITH obs AS (
+        -- value IS NOT NULL: a null measurement is a NON-observation; it
+        -- can neither anchor interpolation nor define the grid bounds.
+        -- user_id IS NOT NULL: per-user series need an identified user
+        -- (the ASOF equality join could never match the NULL key anyway)
         SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value AS v
         FROM events WHERE event_type = 'purchase'
+          AND value IS NOT NULL AND user_id IS NOT NULL
     ), bounds AS (
         SELECT user_id, MIN(t) AS t0, MAX(t) AS t1 FROM obs GROUP BY user_id
     ), grid AS (
@@ -82,8 +87,15 @@ def gap_fill_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-fill + linear interpolation of per-user purchase values onto a
     6-hour grid. Our union+window single-pass implementation vs a genuinely
     different algorithm in the oracle (two directional ASOF joins) — same
-    numbers required, including the interpolation arithmetic."""
-    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    numbers required, including the interpolation arithmetic. Contract:
+    identified users, real measurements — null value rows are
+    non-observations and null users have no per-user series (mirrored
+    WHERE in the oracle)."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+    )
     out = gap_fill_interpolate(
         e.select("user_id", "ts", "value"),
         "ts",
@@ -99,9 +111,11 @@ def gap_fill_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_chunks",
     oracle="""
     WITH t AS (
+        -- text IS NOT NULL: a missing doc has no chunks (DuckDB's
+        -- NULL-skipping GREATEST would otherwise fabricate one)
         SELECT doc_id,
                string_split_regex(trim(lower(text)), '\\s+') AS toks
-        FROM documents WHERE doc_id < 100
+        FROM documents WHERE doc_id < 100 AND text IS NOT NULL
     ), s AS (
         SELECT doc_id, toks,
                greatest(CAST(ceil((len(toks) - 16) / 48.0) AS BIGINT), 1) AS ns

@@ -103,6 +103,27 @@ def ingest_neardup_batch(
     bn = _banded_signatures(
         batch, text_col, id_col, num_hashes, bands, portable, shingle_n, []
     )
+    # Tokenless docs (null/empty text — failed fetches) produce no
+    # signature, but the keep-list contract is one verdict row per SEEN
+    # doc (the batch keep-list anchors on its input). Record each as a
+    # singleton sentinel bucket: band_idx -1 with a per-doc bucket hash —
+    # size-1 buckets emit no star edges, so the verdict carries the doc
+    # as its own component without ever merging failed fetches together.
+    sentinel_hash = (
+        F.concat(F.lit("tokenless#"), F.col("id").cast("string"))
+        if dict(bn.dtypes)["band_hash"] == "string"  # portable (md5) mode
+        else F.col("id")  # band_idx -1 holds only sentinels: id is unique
+    )
+    sentinels = (
+        batch.select(F.col(id_col).alias("id"))
+        .join(bn.select("id").distinct(), "id", "left_anti")
+        .select(
+            "id",
+            F.lit(-1).alias("band_idx"),
+            sentinel_hash.alias("band_hash"),
+        )
+    )
+    bn = bn.unionByName(sentinels)
     # the batch is the small side of every join below; materialize it once
     bn = bn.localCheckpoint(eager=True)
 

@@ -1,0 +1,81 @@
+"""Build the three DIRTY-DATA variants the round-11 robustness sweeps use.
+
+At 100 TB, nulls, degenerate slices and empty partitions are routine; the
+driver's synthetic testdata contains none of them (zero nulls in every
+column at every SF), so the cross-engine gate never exercises those paths.
+Each build here is a single-file-parquet variant of sf0.001 that
+tools/check_oracle.py can gate directly:
+
+- ``/tmp/sfnulls``  — deterministic NULL injection: every 7th user_id,
+  every 5th value, every 3rd props, every 9th text, every 6th lang.
+- ``/tmp/sfmicro``  — degenerate 1-5-row slices per pipeline table
+  (single-day series, zero-variance pairs, wedge-free graphs).
+- empty tables are built by tests/test_empty_corpus.py and
+  tools/empty_sweep.py (zero-row frames with the real schemas).
+
+Usage:
+    python tools/build_dirty_corpora.py
+    python tools/check_oracle.py /tmp/sfnulls
+    python tools/check_oracle.py /tmp/sfmicro
+"""
+import os
+import shutil
+
+import duckdb
+
+SRC = "/root/testdata/sf0.001"
+
+VERBATIM = ["region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "embeddings"]
+
+MICRO_SLICES = {
+    "region": "1=1", "nation": "1=1",
+    "customer": "c_custkey < 5", "supplier": "s_suppkey < 3",
+    "part": "p_partkey < 5",
+    "orders": "o_orderkey < 40",
+    "lineitem": "l_orderkey < 40",
+    "events": "event_id < 60",
+    "documents": "doc_id < 3",
+    "embeddings": "vec_id < 5",
+}
+
+
+def build_nulls(dst: str = "/tmp/sfnulls") -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in VERBATIM:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+    con.execute(f"""
+      COPY (SELECT event_id, ts,
+                   CASE WHEN event_id % 7 = 3 THEN NULL ELSE user_id END
+                       AS user_id,
+                   event_type,
+                   CASE WHEN event_id % 5 = 2 THEN NULL ELSE value END
+                       AS value,
+                   CASE WHEN event_id % 3 = 1 THEN NULL ELSE props END
+                       AS props
+            FROM read_parquet('{SRC}/events.parquet'))
+      TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (SELECT doc_id,
+                   CASE WHEN doc_id % 9 = 4 THEN NULL ELSE text END AS text,
+                   CASE WHEN doc_id % 6 = 5 THEN NULL ELSE lang END AS lang,
+                   source, n_chars
+            FROM read_parquet('{SRC}/documents.parquet'))
+      TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+
+
+def build_micro(dst: str = "/tmp/sfmicro") -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t, pred in MICRO_SLICES.items():
+        con.execute(f"""
+            COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')
+                  WHERE {pred})
+            TO '{dst}/{t}.parquet' (FORMAT PARQUET)""")
+
+
+if __name__ == "__main__":
+    build_nulls()
+    build_micro()
+    print("built /tmp/sfnulls and /tmp/sfmicro")
