@@ -1036,9 +1036,11 @@ def _exact_pairs_capped(
     oracle="""
     SELECT doc_id,
            'application/octet-stream' AS mime,
-           CAST(octet_length(text::BLOB) AS INTEGER) AS n_bytes,
-           CAST(64 + (octet_length(text::BLOB) % 577) AS INTEGER) AS width,
-           CAST(64 + ((octet_length(text::BLOB) * 7) % 421) AS INTEGER) AS height,
+           -- encode(), not ::BLOB: the cast errors on non-ASCII text
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(64 + (octet_length(encode(text)) % 577) AS INTEGER) AS width,
+           CAST(64 + ((octet_length(encode(text)) * 7) % 421) AS INTEGER)
+               AS height,
            substr(md5(text), 1, 16) AS phash
     FROM documents
     """,

@@ -1,0 +1,87 @@
+"""Cross-engine Unicode case-mapping caveat — pinned as evidence.
+
+The round-11 unicode-adversarial sweep (tools/build_dirty_corpora.py
+pattern; suffix with Turkish İ, Greek final-sigma candidates, emoji,
+CJK, NBSP) showed 221/237 faces hash-green; the residual divergers are
+ALL downstream of one primitive difference:
+
+- Spark (JVM) implements the FULL Unicode case mapping:
+  lower('İ') → 'i' + U+0307 (combining dot above, 2 code points), and
+  lower('Σ') is context-sensitive (final sigma 'ς' at a word end).
+- DuckDB (utf8proc) implements the SIMPLE 1:1 mapping:
+  lower('İ') → 'i' (the dot is dropped), lower('Σ') → 'σ' always.
+
+Neither is wrong — they are different published Unicode conventions —
+so the engine keeps the richer JVM behavior and the caveat is
+documented (SURVEY §known deviations) instead of papering over it by
+weakening the hot-path tokenizer. These tests pin BOTH sides of the
+contract: the divergence exists exactly as documented (if either
+library changes, this fails and the caveat must be re-verified), and
+on ASCII text — the driver corpus and the overwhelming bulk of any
+tokenized English corpus — the engines agree exactly.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+def _spark_lower(spark, s: str) -> str:
+    return spark.createDataFrame([(s,)], "s string").select(
+        F.lower("s")
+    ).first()[0]
+
+
+def test_divergence_exists_as_documented(spark, duck):
+    # Turkish dotted capital I: full mapping keeps the dot as U+0307
+    sl = _spark_lower(spark, "İstanbul")
+    dl = duck.execute("SELECT lower('İstanbul')").fetchone()[0]
+    assert sl == "i̇stanbul"  # JVM full mapping
+    assert dl == "istanbul"       # utf8proc simple mapping
+    # Greek capital sigma: full mapping is context-sensitive (final form)
+    sl = _spark_lower(spark, "ΣΊΣΥΦΟΣ")
+    dl = duck.execute("SELECT lower('ΣΊΣΥΦΟΣ')").fetchone()[0]
+    assert sl.endswith("ς") and dl.endswith("σ")
+    assert sl[:-1] == dl[:-1]
+
+
+def test_ascii_domain_agreement(spark, duck):
+    """On ASCII text (the gate's operating domain) the engines agree on
+    lower, length and whitespace tokenization exactly."""
+    samples = [
+        "The Quick BROWN fox! 123",
+        "  padded\tmixed CASE\nwith newlines  ",
+        "punct-u-ation's, semi;colons: QUOTES \"q\"",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    rows = df.select(
+        "s",
+        F.lower("s").alias("lo"),
+        F.length("s").alias("n"),
+        F.split(F.trim(F.lower("s")), r"\s+").alias("toks"),
+    ).collect()
+    for r in rows:
+        dlo, dn, dtoks = duck.execute(
+            "SELECT lower(?), length(?), "
+            "string_split_regex(trim(lower(?)), '\\s+')",
+            [r["s"], r["s"], r["s"]],
+        ).fetchone()
+        assert dlo == r["lo"]
+        assert dn == r["n"]
+        assert list(dtoks) == list(r["toks"])
+
+
+def test_agreeing_unicode_subset(spark, duck):
+    """Much of Unicode DOES agree between the mappings — pinned so the
+    caveat stays narrow: only full-vs-simple mapping divergers differ."""
+    for s in ["IĞDIR", "Καφέ", "straße", "café", "中文测试", "😀🚀"]:
+        sl = _spark_lower(spark, s)
+        dl = duck.execute("SELECT lower(?)", [s]).fetchone()[0]
+        assert sl == dl, s
