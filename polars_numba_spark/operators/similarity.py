@@ -66,12 +66,17 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank, cosine_sim).
 
     ``queries`` is broadcast (top-k workloads have small query sets); the
     corpus scan parallelizes; the only shuffle is the per-query window. Ties
-    break on neighbor id for a total order.
+    break on neighbor id for a total order. ``round_to`` rounds the cosine
+    BEFORE ranking (the libm-absorbing recipe): on duplicate-heavy corpora
+    exact-copy neighbors score 1.0±1ulp depending on the engine's
+    normalization order, and rounding makes the tie (and therefore the id
+    tiebreak) engine-exact.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
@@ -79,16 +84,13 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
     ).withColumn("cn", norm(F.col("cv")))
+    cos = cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_with_norms(
-                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
-            ).alias("cosine_sim"),
-        )
+        .select("query_id", "neighbor_id", cos.alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -155,8 +157,10 @@ def lsh_topk(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table hyperplane LSH.
+    ``round_to`` rounds cosines before ranking (see brute_force_topk).
 
     A candidate is any corpus vector sharing ≥1 (table, bucket) key with the
     query; candidates are deduped, scored, and top-k'd. Recall/cost dial:
@@ -190,12 +194,11 @@ def lsh_topk(
         .select("query_id", "neighbor_id", "qv", "cv", "qn", "cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    cos = cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
     scored = candidates.select(
-        "query_id",
-        "neighbor_id",
-        cosine_with_norms(
-            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
-        ).alias("cosine_sim"),
+        "query_id", "neighbor_id", cos.alias("cosine_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")

@@ -501,6 +501,7 @@ def contrastive_triplets(
     vec_col: str = "embedding",
     negatives: int = 2,
     cells: DataFrame | str | None = "auto",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Deterministic (anchor, positive, negatives) triplet mining for
     contrastive / metric-learning training data:
@@ -605,13 +606,15 @@ def contrastive_triplets(
         F.col("vn").alias("bn"),
     )
     pairs = a.join(b, pair_keys).where(F.col("aid") != F.col("bid"))
-    scored = pairs.select(
-        "aid",
-        F.col("bid"),
-        cosine_with_norms(
-            F.col("av"), F.col("bv"), F.col("an"), F.col("bn")
-        ).alias("pos_sim"),
+    _cos = cosine_with_norms(
+        F.col("av"), F.col("bv"), F.col("an"), F.col("bn")
     )
+    if round_to is not None:
+        # libm-absorbing recipe: exact-duplicate vectors score 1.0 +/- 1ulp
+        # depending on normalization order; rounding makes the positive
+        # tie (and its id tiebreak) engine-exact on duplicate-heavy corpora
+        _cos = F.round(_cos, round_to)
+    scored = pairs.select("aid", F.col("bid"), _cos.alias("pos_sim"))
     w = Window.partitionBy("aid").orderBy(F.col("pos_sim").desc(), F.col("bid"))
     pos = (
         scored.withColumn("__rn", F.row_number().over(w))

@@ -896,8 +896,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
     scored AS (
+        -- ROUND 9dp before ranking (libm-absorbing recipe): exact-copy
+        -- neighbors score 1.0±1ulp depending on normalization order, and
+        -- the rounding makes the tie + id tiebreak engine-exact
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-               list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cosine_sim
+               ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]), 9)
+                   AS cosine_sim
         FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
     )
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim FROM (
@@ -910,9 +915,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for 10 query vectors over the full corpus —
     broadcast queries, partition-parallel scoring, one window shuffle.
-    Oracle is bit-exact (index-ordered double accumulation both engines)."""
+    Cosines round to 9dp before ranking in BOTH spellings so duplicate
+    vectors tie exactly (and tie-break on id identically) cross-engine."""
     e = _t(spark, sf_dir, "embeddings")
-    return S.brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
+    return S.brute_force_topk(
+        e, e.where(F.col("vec_id") < 10), k=5, round_to=9
+    )
 
 
 def _lsh_oracle_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 8, k: int = 5) -> str:
@@ -953,8 +961,9 @@ def _lsh_oracle_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 8, k: int 
       FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
       WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
     ), scored AS (
+      -- ROUND 9dp before ranking: duplicate vectors must tie engine-exact
       SELECT cand.query_id, cand.neighbor_id,
-             list_cosine_similarity(qv.emb, cv.emb) AS cosine_sim
+             ROUND(list_cosine_similarity(qv.emb, cv.emb), 9) AS cosine_sim
       FROM cand
       JOIN v qv ON qv.vec_id = cand.query_id
       JOIN v cv ON cv.vec_id = cand.neighbor_id
@@ -975,9 +984,12 @@ def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracled despite being 'approximate': the approximation is deterministic
     given the seeded planes, so DuckDB reproduces every stage — plane
     projections (bit-exact string-literal weights + left-to-right reduce),
-    sign buckets, multi-table candidate union, cosine ranking."""
+    sign buckets, multi-table candidate union, cosine ranking (9dp-rounded
+    so duplicate vectors tie engine-exact)."""
     e = _t(spark, sf_dir, "embeddings")
-    return S.lsh_topk(e, e.where(F.col("vec_id") < 10), dim=64, k=5)
+    return S.lsh_topk(
+        e, e.where(F.col("vec_id") < 10), dim=64, k=5, round_to=9
+    )
 
 
 @register(
@@ -2296,8 +2308,10 @@ _TRIP_PICK = _MD5INT_SQL.format(
         FROM v JOIN embeddings em ON em.vec_id = v.vec_id
         JOIN a2 ON a2.vec_id = v.vec_id
     ), pairs AS (
+        -- ROUND 9dp: duplicate vectors must tie engine-exact (see
+        -- contrastive_triplets round_to)
         SELECT a.vec_id AS aid, b.vec_id AS bid,
-               list_cosine_similarity(a.emb, b.emb) AS pos_sim
+               ROUND(list_cosine_similarity(a.emb, b.emb), 9) AS pos_sim
         FROM e a JOIN e b ON a.label = b.label AND a.cell = b.cell
                          AND a.vec_id <> b.vec_id
     ), pos AS (
@@ -2359,7 +2373,7 @@ def embedding_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFram
     e = _t(spark, sf_dir, "embeddings")
     return contrastive_triplets(
         e, id_col="vec_id", label_col="label", vec_col="embedding",
-        negatives=2, cells="auto",
+        negatives=2, cells="auto", round_to=9,
     )
 
 

@@ -3256,8 +3256,9 @@ def event_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cell GROUP BY 1, 2, 3
     ), ent AS (
         SELECT *,
-               exp(ln(CAST(gsize AS DOUBLE))
-                   - CAST(clogc AS DOUBLE) / CAST(gsize AS DOUBLE)) AS ent_l
+               ROUND(exp(ln(CAST(gsize AS DOUBLE))
+                   - CAST(clogc AS DOUBLE) / CAST(gsize AS DOUBLE)), 9)
+                   AS ent_l
         FROM grp
     ), tot AS (
         SELECT SUM(gsize) AS n_rows, COUNT(*) AS n_groups,
@@ -3320,9 +3321,15 @@ def events_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ent = grp.withColumn(
         "ent_l",
-        F.exp(
-            F.log(F.col("gsize").cast("double"))
-            - F.col("clogc").cast("double") / F.col("gsize").cast("double")
+        # ROUND 9dp: exp/ln are libm calls whose last bit differs across
+        # engines on some inputs (surfaced by the replicated soak build);
+        # the rounding makes the MIN and the emitted value engine-exact
+        F.round(
+            F.exp(
+                F.log(F.col("gsize").cast("double"))
+                - F.col("clogc").cast("double") / F.col("gsize").cast("double")
+            ),
+            9,
         ),
     )
     tot = ent.agg(
