@@ -2,9 +2,11 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 compact JSON line as the LAST stdout line: {"metric": ..., "value":
 total_sec, "unit": "sec", "queries": {10 slowest}, "sf": ..., "n_queries":
-N, "full_results": "BENCH_LOCAL.json"} — the full per-query map is written
-to BENCH_LOCAL.json and echoed to stderr (VERDICT r10 #4: the full map
-outgrew the driver's stdout tail capture at 237 queries).
+N, "full_results": "BENCH_RUN_LOCAL.json"} — the full per-query map is
+written to the result file and echoed to stderr (VERDICT r10 #4: the full
+map outgrew the driver's stdout tail capture at 237 queries). Full runs
+write BENCH_RUN_LOCAL.json (gitignored); pass ``--keeper`` to deliberately
+update the committed BENCH_LOCAL.json floor of record (VERDICT r11 #6).
 
 Each query is forced end-to-end with a noop write (full computation, no
 driver collect), after a warm-up query to amortize JVM/session start.
@@ -57,14 +59,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
-# Subset runs (SPARK_GRAFT_BENCH_QUERIES) write to a scratch file so an
-# iteration-aid run can never clobber the committed full-catalog keeper.
-RESULT_FILE = os.path.join(
-    _REPO,
-    "BENCH_SUBSET_LOCAL.json"
-    if os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
-    else "BENCH_LOCAL.json",
-)
+# Keeper discipline (VERDICT r11 #6): the committed BENCH_LOCAL.json is the
+# quiet-host floor of record and may only change deliberately. Subset runs
+# (SPARK_GRAFT_BENCH_QUERIES) write to BENCH_SUBSET_LOCAL.json; FULL runs
+# write to BENCH_RUN_LOCAL.json (gitignored) unless --keeper is passed —
+# so the driver's own per-round bench can never clobber the keeper.
+def _result_file() -> str:
+    if os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
+        return os.path.join(_REPO, "BENCH_SUBSET_LOCAL.json")
+    if "--keeper" in sys.argv[1:]:
+        return os.path.join(_REPO, "BENCH_LOCAL.json")
+    return os.path.join(_REPO, "BENCH_RUN_LOCAL.json")
+
+
+RESULT_FILE = _result_file()
 
 
 def main() -> None:

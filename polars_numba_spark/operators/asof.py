@@ -45,6 +45,14 @@ def asof_join(
     ``by`` — equality key(s); ``value_cols`` — right-side columns to carry
     (default: all non-key, non-time right columns), appearing in the output
     as ``<name><suffix>``. Left rows with no prior right row get nulls.
+
+    Null contract (part of the public API, matching DuckDB/pandas ASOF
+    semantics): right rows with a NULL ``on`` value or a NULL ``by`` key are
+    never match candidates — NULL equality keys do not match anything, so
+    those rows are dropped from the right side before the join. Left rows
+    with NULL keys still flow through and simply find no match (null
+    ``value_cols``). Callers needing Spark's null-safe grouping (NULL keys
+    matching each other) should pre-coalesce the keys to a sentinel value.
     """
     keys = as_list(by)
     if value_cols is None:

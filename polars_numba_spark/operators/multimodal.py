@@ -135,8 +135,11 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # meta may arrive null from callers other than attach_payload
+            # (which always builds the struct) — treat it like a null
+            # payload: no declared mime, null metadata passthrough.
             feats = [
-                decode_payload(p, declared_mime=m["mime"])
+                decode_payload(p, declared_mime=m["mime"] if m is not None else None)
                 if p is not None
                 else (None, None, None, None)  # failed fetch: null features
                 for p, m in zip(pdf["payload"], pdf["meta"])
@@ -144,9 +147,11 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "mime": [m["mime"] if m is not None else None for m in pdf["meta"]],
                     "n_bytes": [
-                        int(m["n_bytes"]) if m["n_bytes"] is not None else None
+                        int(m["n_bytes"])
+                        if m is not None and m["n_bytes"] is not None
+                        else None
                         for m in pdf["meta"]
                     ],
                     "width": [f[1] for f in feats],

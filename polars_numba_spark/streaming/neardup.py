@@ -109,13 +109,24 @@ def ingest_neardup_batch(
     # singleton sentinel bucket: band_idx -1 with a per-doc bucket hash —
     # size-1 buckets emit no star edges, so the verdict carries the doc
     # as its own component without ever merging failed fetches together.
+    # The sentinel's bucket hash must match band_hash's dtype for ANY id
+    # type (the operator is generic — string doc ids are legal). Portable
+    # (md5) mode keys buckets by string: a prefixed id is collision-free.
+    # xxhash64 mode keys by bigint: integral ids cast losslessly (still
+    # collision-free); non-integral ids are hashed — a 64-bit collision
+    # between two tokenless docs is the only (negligible) merge risk.
+    id_is_integral = dict(batch.dtypes)[id_col] in ("tinyint", "smallint", "int", "bigint")
     sentinel_hash = (
         F.concat(F.lit("tokenless#"), F.col("id").cast("string"))
         if dict(bn.dtypes)["band_hash"] == "string"  # portable (md5) mode
-        else F.col("id")  # band_idx -1 holds only sentinels: id is unique
+        else (F.col("id").cast("bigint") if id_is_integral else F.xxhash64(F.col("id")))
     )
+    # distinct(): a replayed/concatenated micro-batch may repeat doc_ids;
+    # without it every ingest would append duplicate sentinel band rows to
+    # the persisted store (verdict-safe but unbounded store bloat).
     sentinels = (
         batch.select(F.col(id_col).alias("id"))
+        .distinct()
         .join(bn.select("id").distinct(), "id", "left_anti")
         .select(
             "id",

@@ -477,6 +477,28 @@ def test_multimodal_extract_features_roundtrip(spark):
         assert (r["width"], r["height"], r["phash"]) == (w, h, p)
 
 
+def test_multimodal_extract_features_null_meta(spark):
+    """ADVICE r11: a NULL meta struct (possible for callers other than
+    attach_payload) must behave like a missing declaration — sniff mode,
+    null mime/n_bytes passthrough — not a worker TypeError."""
+    df = spark.createDataFrame(
+        [
+            (1, b"payload bytes", ("application/octet-stream", 13)),
+            (2, b"other payload", None),  # null meta, non-null payload
+            (3, None, None),  # both null
+        ],
+        "doc_id long, payload binary, meta struct<mime string, n_bytes int>",
+    )
+    rows = {r["doc_id"]: r for r in M.extract_features(df).collect()}
+    assert len(rows) == 3
+    assert rows[1]["mime"] == "application/octet-stream"
+    assert rows[2]["mime"] is None and rows[2]["n_bytes"] is None
+    # null meta still decodes the payload in sniff mode (deterministic path)
+    _, w, h, p = M.decode_payload(b"other payload")
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["phash"]) == (w, h, p)
+    assert rows[3]["width"] is None and rows[3]["phash"] is None
+
+
 def test_simhash_full_64_bits(spark):
     """bits=64 must build a valid plan (bit 63 via shiftleft, not 2**63
     literal overflow) and identical docs still collide at Hamming 0."""

@@ -134,3 +134,50 @@ def test_per_batch_store_reads_are_bucket_filtered(spark, store_dir):
     s = plans.explain_string(members)
     assert "BroadcastHashJoin" in s
     assert "CartesianProduct" not in s
+
+
+def test_nonportable_string_ids_with_tokenless_docs(spark, store_dir):
+    """ADVICE r11: the operator is generic over id type — with STRING doc
+    ids in xxhash64 (non-portable) mode, tokenless-doc sentinels must hash
+    the id into band_hash's bigint dtype instead of reusing the id verbatim
+    (which would fail or silently coerce the union to string)."""
+    import os
+
+    docs = spark.createDataFrame(
+        [
+            ("doc-a", "alpha beta gamma delta epsilon zeta"),
+            ("doc-b", "alpha beta gamma delta epsilon zeta"),
+            ("doc-c", None),  # failed fetch: tokenless sentinel
+            ("doc-d", ""),  # empty text: banded as the empty token set
+        ],
+        "doc_id string, text string",
+    )
+    ingest_neardup_batch(spark, docs, store_dir, num_hashes=16, bands=4,
+                         portable=False)
+    bands = spark.read.parquet(os.path.join(store_dir, "bands"))
+    assert dict(bands.dtypes)["band_hash"] == "bigint"
+    verdict = _verdict_map(neardup_verdict(spark, store_dir))
+    assert set(verdict) == {"doc-a", "doc-b", "doc-c", "doc-d"}
+    # exact clones share a component; each tokenless doc is its own
+    assert verdict["doc-a"][0] == verdict["doc-b"][0]
+    assert verdict["doc-c"] == ("doc-c", True)
+    assert verdict["doc-d"] == ("doc-d", True)
+
+
+def test_replayed_batch_appends_no_duplicate_sentinels(spark, store_dir):
+    """ADVICE r11: a micro-batch that repeats doc_ids (a replay concatenated
+    into one batch) must not append duplicate sentinel band rows per ingest
+    — verdict-safe but unbounded store bloat."""
+    import os
+
+    one = spark.createDataFrame(
+        [(101, None), (102, None)], "doc_id long, text string"
+    )
+    replayed = one.union(one).union(one)  # each tokenless doc 3x in a batch
+    ingest_neardup_batch(spark, replayed, store_dir, num_hashes=16, bands=4,
+                         portable=True)
+    bands = spark.read.parquet(os.path.join(store_dir, "bands"))
+    sentinels = bands.where(F.col("band_idx") == -1)
+    assert sentinels.count() == 2  # one row per distinct tokenless doc
+    verdict = _verdict_map(neardup_verdict(spark, store_dir))
+    assert verdict == {101: (101, True), 102: (102, True)}
