@@ -80,9 +80,14 @@ def register(name: str, oracle: str | None = None):
 # rows-only record in r7 and park outside; this round's pair is the
 # t-digest and KMV/HLL self-evaluating reports, rows-only BY CONSTRUCTION —
 # their output IS the approx-vs-exact differential.
-_ROWS_ONLY_WINDOW_ALLOWANCE = frozenset(
-    {"order_price_tdigest_report", "distinct_users_sketch"}
-)
+# Round 12 rotates the allowance one final time: embedding_pq_recall — the
+# ONLY catalog face with no driver record of any kind (landed r8 after that
+# window froze, rows-only BY CONSTRUCTION: its output IS the PQ-vs-exact
+# recall differential) — takes the single rows-only slot, closing the books
+# at 237/237 faces with a driver record. The r8 pair (t-digest / KMV-HLL
+# self-reports) earned their maximal rows-only records in r8 and park
+# outside the window, as do the r7 recall-report pair.
+_ROWS_ONLY_WINDOW_ALLOWANCE = frozenset({"embedding_pq_recall"})
 # Round 9 executes the documented "R9 ROTATION QUEUE" (r8 verdict
 # next-round #1 and #3): the twelve swap-ins are the eleven queue faces —
 # oracled + local-gate green late in round 8 but never driver-checked —
@@ -124,7 +129,88 @@ _ROWS_ONLY_WINDOW_ALLOWANCE = frozenset(
 # - source_drift_ks -> q1_pricing_summary: the drift family keeps
 #   source_drift_psi + events_cusum_changepoints + events_daily_acf
 #   in-window; q1 restores the relational-core sentinel (r8 ask #3).
+# Round 12: the catalog is feature-complete (VERDICT r11 #8: hold growth
+# flat), so the window's job flips from gating new faces to re-certifying
+# the OLDEST driver records. Entering this round 236/237 faces hold a PASS
+# record; embedding_pq_recall (never checked, see the allowance note above)
+# takes slot 1. The other 49 slots go to the hash-checkable faces whose
+# LATEST driver record is oldest — all 34 r1-r5-latest faces (the three
+# rows-only pair/recall reports with r1 records are excluded: they already
+# hold their maximal rows-only records and the slots are better spent
+# hash-checkable) — plus 15 family-spread r6 sentinels chosen so every
+# operator family the 34 miss keeps an in-window rep: kernel arity +
+# SizedArray multi-output, both declared-parallel fold/scan paths, the
+# TPC-H join core, as-of join (its null contract was re-documented this
+# round), the prefix-filtered SSJoin and both SemDeDup faces (this round's
+# 100x soak targets), streaming stateful scan + sessionization, tumbling
+# windows, the KMV sketch, the anti-join shape, and the CSV/JSONL format
+# round-trip. Every r11-window evictee is hash-green as of
+# CORRECTNESS_r11.json (50/50, zero errors) and stays oracled +
+# local-gated; the full r11 window is retained below as
+# _DRIVER_PRIORITY_R11 for the rotation record.
 _DRIVER_PRIORITY: list[str] = [
+    "embedding_pq_recall",              # NEVER driver-checked; rows-only slot
+    # --- the 11 hash-checkable faces whose latest record is r1 ------------
+    "calendar_order_coverage",          # date-spine coverage audit
+    "curated_corpus",                   # multi-filter curation pipeline
+    "doc_quality_scores",               # length/punct/stopword quality
+    "embedding_array_stats",            # array-column norm/moment stats
+    "events_sessionize_stats",          # sessionize operator stats
+    "multimodal_features",              # payload feature extraction
+    "nation_order_cube",                # CUBE grouping-sets sentinel
+    "orders_by_month",                  # date-function rollup
+    "part_brand_stats",                 # string-function aggregates
+    "running_max_order_price",          # assoc-scan window fast path
+    "top_customers_by_spend",           # top-k / limit sentinel
+    # --- r2/r3-latest ------------------------------------------------------
+    "gap_fill_user_value",              # calendar gap-fill + ffill
+    "user_running_event_count",         # assoc grouped-scan fast path
+    "dedup_fingerprint_groups",         # rolling-hash fingerprint dedup
+    "top_bigrams",                      # n-gram frequency mining
+    # --- r4-latest ---------------------------------------------------------
+    "dedup_minhash_portable",           # portable-hash minhash banding
+    "doc_chunks",                       # fixed-token chunking
+    "doc_token_stats",                  # tokenizer count statistics
+    "doc_train_valid_test_split",       # content-hash split
+    "label_centroids",                  # per-label embedding centroids
+    "q4_order_priority",                # TPC-H EXISTS-subquery shape
+    "user_sessions",                    # gaps-and-islands sessionize
+    # --- r5-latest (kernel faces + the TPC-H spread) -----------------------
+    "doc_language_id",                  # n-gram language heuristic
+    "embedding_near_dup_pairs",         # cosine near-dup pair join
+    "kernel_fold_event_cents",          # expr-fold kernel sentinel
+    "kernel_scan_running_max",          # collect_scan kernel sentinel
+    "kernel_scan_user_balance_cents",   # grouped-scan kernel sentinel
+    "part_supplier_distinct",           # distinct-agg sentinel
+    "q13_customer_order_distribution",  # left-outer-join histogram
+    "q18_large_volume_orders",          # having-subquery join
+    "q19_disjunctive_predicates",       # OR-of-ANDs predicate pushdown
+    "q22_idle_rich_customers",          # anti-join + scalar subquery
+    "q5_local_supplier_volume",         # six-way join cycle
+    "q6_revenue_forecast",              # scan-pushdown sentinel
+    # --- 15 family-spread r6 sentinels -------------------------------------
+    "kernel_fold_two_columns",          # fold arity sweep sentinel
+    "kernel_scan_multi_output",         # SizedArray multi-output sentinel
+    "parallel_fold_total_cents",        # combine= parallel fold path
+    "parallel_scan_running_balance",    # two-pass parallel prefix scan
+    "q3_shipping_priority",             # TPC-H join-core sentinel
+    "asof_last_signup_before_purchase", # as-of join null-contract face
+    "dedup_containment_complete",       # prefix-filtered SSJoin (r12 soak)
+    "semantic_dedup_pairs",             # SemDeDup pairs (r12 soak)
+    "semantic_dedup_keeplist",          # SemDeDup keep-list (r12 soak)
+    "streaming_scan_user_balance",      # stateful streaming scan
+    "streaming_user_sessions",          # streaming sessionization
+    "events_daily_windows",             # tumbling/sliding time windows
+    "distinct_users_kmv",               # KMV sketch family
+    "customers_without_orders",         # anti-join family
+    "formats_csv_jsonl_roundtrip",      # CSV/JSONL source/sink family
+]
+# The full round-11 window, retained as the rotation record (50/50 all
+# three checks green, zero errors in CORRECTNESS_r11.json; every member
+# remains oracled + local-gated and registered — pinned by
+# tests/test_catalog_priority.py). Per-slot rotation documentation is
+# preserved verbatim from the round-9/10/11 edits below.
+_DRIVER_PRIORITY_R11: list[str] = [
     # --- the twelve round-9 swap-ins --------------------------------------
     # Round 11: seven r10 hash-green sentinels rotate out for the R11
     # queue (4 faces) + the three r8-orphan faces VERDICT r10 flagged as

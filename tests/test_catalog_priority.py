@@ -65,3 +65,22 @@ def test_r8_rotation_record_stays_registered():
     assert len(catalog._DRIVER_PRIORITY_R8) == 50
     missing = [n for n in catalog._DRIVER_PRIORITY_R8 if n not in q]
     assert missing == []
+
+
+def test_r11_rotation_record_stays_registered():
+    """Same contract for the retained round-11 window (50/50 all three
+    checks green, zero errors in CORRECTNESS_r11.json)."""
+    q = catalog.spark_queries()
+    assert len(catalog._DRIVER_PRIORITY_R11) == 50
+    missing = [n for n in catalog._DRIVER_PRIORITY_R11 if n not in q]
+    assert missing == []
+
+
+def test_r12_window_reaches_every_oldest_record():
+    """The round-12 window exists to re-certify the OLDEST driver records:
+    it must contain the one never-checked face and stay disjoint from the
+    r11 window except where a face is deliberately re-gated (none are —
+    the two windows share zero slots)."""
+    assert "embedding_pq_recall" in catalog._DRIVER_PRIORITY
+    overlap = set(catalog._DRIVER_PRIORITY) & set(catalog._DRIVER_PRIORITY_R11)
+    assert overlap == set()
