@@ -11,6 +11,8 @@ query built on them carries an exact DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -27,10 +29,57 @@ STOPWORDS = {
 LANG_ORDER = ["en", "fr", "es", "de", "zh"]  # deterministic tie-break order
 
 
-def tokens(col: Column | str) -> Column:
+# Case-mapping mode for every casefolding text operator (VERDICT r11 #3).
+# 'full' (default) is the JVM's full Unicode case mapping — the richer,
+# Spark-native behavior. 'simple' reproduces the 1:1 SIMPLE mapping that
+# utf8proc-based engines (DuckDB) apply, for users who need cross-engine
+# bit-reproducible dedup/tokenization on multilingual corpora. The two
+# mappings differ on exactly two lowercase inputs (SpecialCasing.txt):
+# U+0130 İ (full: 'i'+U+0307 combining dot; simple: 'i') and U+03A3 Σ
+# (full: context-sensitive final sigma 'ς'; simple: 'σ' always) — so
+# 'simple' pre-translates those two characters before lower(), which
+# leaves every other code point (and all ASCII) byte-identical to 'full'.
+# A pre-existing lowercase 'ς' in the input is untouched by BOTH engines
+# (its simple mapping is itself), which is why the translation must happen
+# BEFORE lower(), never after. Pinned by tests/test_unicode_caveats.py.
+_CASEFOLD_MODES = ("full", "simple")
+_casefold_mode = os.environ.get("PNS_CASEFOLD", "full")
+if _casefold_mode not in _CASEFOLD_MODES:  # fail at import, not mid-query
+    raise ValueError(
+        f"PNS_CASEFOLD must be one of {_CASEFOLD_MODES}, got {_casefold_mode!r}"
+    )
+
+
+def set_casefold(mode: str) -> None:
+    """Set the process-wide default case-mapping mode ('full' | 'simple').
+    Column expressions built AFTER the call use the new mode; the env var
+    ``PNS_CASEFOLD`` seeds the initial default."""
+    global _casefold_mode
+    if mode not in _CASEFOLD_MODES:
+        raise ValueError(f"casefold must be one of {_CASEFOLD_MODES}, got {mode!r}")
+    _casefold_mode = mode
+
+
+def get_casefold() -> str:
+    return _casefold_mode
+
+
+def casefolded(col: Column | str, casefold: str | None = None) -> Column:
+    """Lowercase with selectable Unicode case-mapping semantics (see the
+    module note above). ``casefold=None`` uses the process default."""
+    c = F.col(col) if isinstance(col, str) else col
+    mode = casefold if casefold is not None else _casefold_mode
+    if mode not in _CASEFOLD_MODES:
+        raise ValueError(f"casefold must be one of {_CASEFOLD_MODES}, got {mode!r}")
+    if mode == "simple":
+        c = F.translate(c, "İΣ", "iσ")
+    return F.lower(c)
+
+
+def tokens(col: Column | str, casefold: str | None = None) -> Column:
     """Whitespace tokenization of lowercased, trimmed text."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(F.lower(c)), r"\s+")
+    return F.split(F.trim(casefolded(c, casefold)), r"\s+")
 
 
 def token_count(col: Column | str) -> Column:
@@ -124,7 +173,7 @@ def winnowing_fingerprints(
     from polars_numba_spark.operators.dedup import md5_long
 
     c = F.col(text_col)
-    s = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    s = F.regexp_replace(F.trim(casefolded(c)), r"\s+", " ")
     n_grams = F.length(s) - (k - 1)
 
     def h(gram: Column) -> Column:

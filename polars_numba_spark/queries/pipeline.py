@@ -2654,7 +2654,7 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     s = d.select(
         "doc_id",
-        F.regexp_replace(F.lower("text"), r"\s+", "").alias("s"),
+        F.regexp_replace(X.casefolded("text"), r"\s+", "").alias("s"),
     )
     # sequence(1, 0) counts DOWN for empty/whitespace-only docs (the
     # token_shingles guard) — emit an empty char array instead, matching
@@ -3685,7 +3685,7 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("long"),
             F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("long"),
         ).alias("s"),
-        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+        F.regexp_count(X.casefolded(F.col("text")), F.lit("[aeiouy]+"))
         .cast("long")
         .alias("y"),
     )

@@ -85,3 +85,72 @@ def test_agreeing_unicode_subset(spark, duck):
         sl = _spark_lower(spark, s)
         dl = duck.execute("SELECT lower(?)", [s]).fetchone()[0]
         assert sl == dl, s
+
+
+def _spark_simple(spark, s: str):
+    from polars_numba_spark.operators import text as X
+
+    return spark.createDataFrame([(s,)], "s string").select(
+        X.casefolded("s", casefold="simple").alias("lo")
+    ).first()["lo"]
+
+
+def test_simple_casefold_matches_duckdb_on_divergers(spark, duck):
+    """VERDICT r11 #3: the opt-in casefold='simple' mode reproduces the
+    utf8proc SIMPLE mapping on exactly the full-vs-simple divergers, so
+    multilingual corpora can choose cross-engine-reproducible
+    tokenization. Checked against DuckDB live, not against constants."""
+    for s in [
+        "İstanbul",           # dotted capital I
+        "DİYARBAKIR",
+        "ΣΊΣΥΦΟΣ",            # final-sigma candidates
+        "ΟΔΥΣΣΕΥΣ ΣΟΦΙΑ",
+        "ήρως τῆς πόλεως",    # pre-lowered final sigmas: untouched
+        "Mixed İ and ΑΣ in ASCII text",
+    ]:
+        sl = _spark_simple(spark, s)
+        dl = duck.execute("SELECT lower(?)", [s]).fetchone()[0]
+        assert sl == dl, s
+
+
+def test_simple_casefold_is_identity_with_full_on_ascii(spark):
+    """On ASCII (the default corpus), 'simple' and 'full' are
+    byte-identical — opting in cannot perturb the existing gates."""
+    from polars_numba_spark.operators import text as X
+
+    samples = ["The Quick BROWN fox! 123", "straße café 中文 😀"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    rows = df.select(
+        X.casefolded("s", casefold="full").alias("full"),
+        X.casefolded("s", casefold="simple").alias("simple"),
+    ).collect()
+    for r in rows:
+        assert r["full"] == r["simple"]
+
+
+def test_set_casefold_switches_the_default(spark):
+    from polars_numba_spark.operators import text as X
+
+    assert X.get_casefold() == "full"
+    try:
+        X.set_casefold("simple")
+        out = spark.createDataFrame([("ΑΣ İ",)], "s string").select(
+            X.tokens("s").alias("t")
+        ).first()["t"]
+        assert out == ["ασ", "i"]
+    finally:
+        X.set_casefold("full")
+    # full mode: ΑΣ ends a word after a cased letter -> final sigma ς
+    out = spark.createDataFrame([("ΑΣ İ",)], "s string").select(
+        X.tokens("s").alias("t")
+    ).first()["t"]
+    assert out == ["ας", "i̇"]
+
+
+def test_set_casefold_rejects_unknown_mode():
+    import pytest as _pytest
+
+    from polars_numba_spark.operators import text as X
+
+    with _pytest.raises(ValueError):
+        X.set_casefold("turkish")

@@ -10,6 +10,11 @@ tools/check_oracle.py can gate directly:
   every 5th value, every 3rd props, every 9th text, every 6th lang.
 - ``/tmp/sfmicro``  — degenerate 1-5-row slices per pipeline table
   (single-day series, zero-variance pairs, wedge-free graphs).
+- ``/tmp/sfunicode`` — unicode-adversarial documents (Turkish İ, Greek
+  final-sigma candidates, CJK/emoji, NBSP). Under the default
+  ``casefold='full'`` mode the known JVM-vs-utf8proc case-mapping
+  divergers remain (documented caveat); ``PNS_CASEFOLD=simple`` clears
+  them (tools/dirty_gate.py runs it that way).
 - empty tables are built by tests/test_empty_corpus.py and
   tools/empty_sweep.py (zero-row frames with the real schemas).
 
@@ -17,6 +22,7 @@ Usage:
     python tools/build_dirty_corpora.py
     python tools/check_oracle.py /tmp/sfnulls
     python tools/check_oracle.py /tmp/sfmicro
+    PNS_CASEFOLD=simple python tools/check_oracle.py /tmp/sfunicode
 """
 import os
 import shutil
@@ -65,6 +71,32 @@ def build_nulls(dst: str = "/tmp/sfnulls") -> None:
       TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
 
 
+def build_unicode(dst: str = "/tmp/sfunicode") -> None:
+    """Unicode-adversarial documents (the round-11 sweep, codified):
+    deterministic suffix/infix injection of exactly the character classes
+    that stress cross-engine text semantics — Turkish dotted İ, Greek
+    final-sigma candidates (UPPERCASE sigma that full mapping lowers
+    context-sensitively), pre-lowered final sigma, CJK+emoji, and NBSP
+    inside the whitespace run. Every other table is verbatim."""
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in VERBATIM + ["events"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+    con.execute(f"""
+      COPY (SELECT doc_id,
+                   CASE doc_id % 6
+                     WHEN 0 THEN text || ' İstanbul DİYARBAKIR'
+                     WHEN 1 THEN text || ' ΟΔΥΣΣΕΥΣ ΣΟΦΙΑ'
+                     WHEN 2 THEN text || ' ήρως τῆς πόλεως'
+                     WHEN 3 THEN text || ' 中文测试 😀🚀 café'
+                     WHEN 4 THEN replace(text, ' ', chr(160))
+                     ELSE text
+                   END AS text,
+                   lang, source, n_chars
+            FROM read_parquet('{SRC}/documents.parquet'))
+      TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+
+
 def build_micro(dst: str = "/tmp/sfmicro") -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
@@ -78,4 +110,5 @@ def build_micro(dst: str = "/tmp/sfmicro") -> None:
 if __name__ == "__main__":
     build_nulls()
     build_micro()
-    print("built /tmp/sfnulls and /tmp/sfmicro")
+    build_unicode()
+    print("built /tmp/sfnulls, /tmp/sfmicro and /tmp/sfunicode")
