@@ -534,17 +534,32 @@ def containment_join(
     # broadcast prefix side the stage inherits the index side's (tiny,
     # coalesced) partitioning and the whole fan-out + partial distinct ran
     # on 4 cores in the 10x soak. Repartitioning the big side by the join
-    # key to defaultParallelism pins the stage width; the shuffle it adds
-    # moves (id, token) pairs — linear in corpus size.
+    # key pins the stage width; the shuffle it adds moves (id, token)
+    # pairs — linear in corpus size. The width is the SAME adaptive
+    # stage_width as the rarity sort and verify (round-12 100× finding:
+    # pinned at defaultParallelism, the 32-way join+partial-distinct stage
+    # spilled ~67 GB behind three hot-token stragglers on the 500k-doc
+    # mutated build while the widened stages around it were fine — each
+    # task's partial-aggregate hash table must be fan-out/width-sized,
+    # so the width has to track candidate mass here too).
+    join_width = stage_width if stage_width > par else par
     index = occ.select(F.col("id").alias("b_id"), "tok").repartition(
-        par, "tok"
+        join_width, "tok"
     )
     cands = (
         prefixes.join(index, "tok")
         .where(F.col("a_id") != F.col("b_id"))
         .select("a_id", "b_id")
-        .distinct()
     )
+    if stage_width > par:
+        # this explicit pair-keyed exchange doubles as the distinct's
+        # aggregation exchange (same trick as the rarity groupBy above:
+        # Catalyst sees the child partitioning satisfies the aggregate) —
+        # without it the final distinct would run at the 32-way
+        # spark.sql.shuffle.partitions default, which AQE can only
+        # coalesce DOWN, never widen for candidate mass.
+        cands = cands.repartition(stage_width, "a_id", "b_id")
+    cands = cands.distinct()
     # Widen the verify too (the same narrow-stage hazard one stage later) —
     # ADAPTIVELY: a fixed core-count width let per-task ArrayUnion sorter
     # allocations grow with candidate mass (4 GiB each at the 30x soak

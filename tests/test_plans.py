@@ -309,6 +309,36 @@ def test_containment_verify_width_adapts_to_candidate_mass(spark, monkeypatch):
     assert widths2 and max(widths2) == par, (widths2, par)
 
 
+def test_containment_candidate_stage_width_adapts_too(spark, monkeypatch):
+    """Round-12 100x finding: the candidate join (index repartition by
+    tok) and the candidate distinct were pinned at defaultParallelism
+    while the stages around them widened — at 500k docs the 32-way
+    join+partial-distinct spilled ~67 GB behind three hot-token
+    stragglers. Both stages must now carry the SAME adaptive width, and
+    the distinct must reuse the explicit pair-keyed exchange (exactly one
+    a_id,b_id hashpartitioning at the widened width, never a second
+    shuffle.partitions-sized one)."""
+    import re
+
+    from polars_numba_spark.operators import dedup
+    from polars_numba_spark.sources import load_table
+
+    monkeypatch.setattr(dedup, "_VERIFY_DOCS_PER_TASK", 1)
+    docs = load_table(spark, "documents", SF).limit(80)
+    s = plans.explain_string(dedup.containment_join(docs, threshold=0.8))
+    par = spark.sparkContext.defaultParallelism
+    tok_widths = [
+        int(m.group(1))
+        for m in re.finditer(r"hashpartitioning\(tok[^)]*?, (\d+)\)", s)
+    ]
+    assert tok_widths and max(tok_widths) > par, (tok_widths, par)
+    pair_parts = re.findall(r"hashpartitioning\(a_id[^)]*b_id[^)]*?, (\d+)\)", s)
+    assert pair_parts and all(int(w) > par for w in pair_parts), pair_parts
+    # the shuffle.partitions default must not appear as a pair exchange
+    shuffle_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert str(shuffle_default) not in pair_parts, pair_parts
+
+
 def test_kmv_shuffle_sits_above_bounded_partial(spark):
     """distinct_users_kmv's one exchange must sit ABOVE the mapInPandas
     partial (the shuffle carries ≤k hashes per group per partition), with
