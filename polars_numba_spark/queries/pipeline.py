@@ -1805,7 +1805,15 @@ def embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
         hits.agg(F.count(F.lit(1)).alias("n_hits"))
-    ).select("n_exact", "n_hits", (F.col("n_hits") / F.col("n_exact")).alias("recall_at_5"))
+    ).select(
+        "n_exact",
+        "n_hits",
+        # empty corpus -> no truth set -> recall undefined: NULL, not an
+        # ANSI divide-by-zero (the near_dup_recall guard convention)
+        F.when(
+            F.col("n_exact") > 0, F.col("n_hits") / F.col("n_exact")
+        ).alias("recall_at_5"),
+    )
 
 
 @register("embedding_int8_recall")  # self-evaluating — quantized vs exact
@@ -1853,7 +1861,10 @@ def embedding_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_exact",
             "n_hits",
-            (F.col("n_hits") / F.col("n_exact")).alias("recall_at_5"),
+            # empty corpus -> recall undefined: NULL (near_dup_recall guard)
+            F.when(
+                F.col("n_exact") > 0, F.col("n_hits") / F.col("n_exact")
+            ).alias("recall_at_5"),
             "mean_abs_cos_err",
         )
     )
@@ -2902,9 +2913,17 @@ def embedding_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n_corpus)
         .select(
             "n_exact",
-            (F.col("__adc_hits") / F.col("n_exact")).alias("adc_recall_at_5"),
-            (F.col("__rr_hits") / F.col("n_exact")).alias("rerank_recall_at_5"),
-            (F.lit(50.0) / F.col("n_corpus")).alias("exact_scan_frac"),
+            # empty corpus -> recall/scan-frac undefined: NULL, not an
+            # ANSI divide-by-zero (the near_dup_recall guard convention)
+            F.when(
+                F.col("n_exact") > 0, F.col("__adc_hits") / F.col("n_exact")
+            ).alias("adc_recall_at_5"),
+            F.when(
+                F.col("n_exact") > 0, F.col("__rr_hits") / F.col("n_exact")
+            ).alias("rerank_recall_at_5"),
+            F.when(
+                F.col("n_corpus") > 0, F.lit(50.0) / F.col("n_corpus")
+            ).alias("exact_scan_frac"),
             "mean_abs_cos_err",
         )
     )
@@ -3595,7 +3614,9 @@ def search_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT source) AS n_sources,
            COUNT(DISTINCT lang) AS n_langs,
            CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
-           1.0 - CAST(COUNT(DISTINCT dg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           CASE WHEN COUNT(*) > 0
+                THEN 1.0 - CAST(COUNT(DISTINCT dg) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) END
                AS exact_dup_rate,
            CAST(MIN(n_tok) AS BIGINT) AS min_doc_tokens,
            CAST(MAX(n_tok) AS BIGINT) AS max_doc_tokens
@@ -3624,10 +3645,13 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum("n_chars").cast("long").alias("n_chars_total"),
-        (
+        # guarded NULL on an empty corpus (ANSI divide-by-zero), CASE
+        # WHEN mirrored in the oracle
+        F.when(
+            F.count(F.lit(1)) > 0,
             F.lit(1.0)
             - F.countDistinct("dg").cast("double")
-            / F.count(F.lit(1)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
         ).alias("exact_dup_rate"),
         F.min("n_tok").cast("long").alias("min_doc_tokens"),
         F.max("n_tok").cast("long").alias("max_doc_tokens"),

@@ -2734,8 +2734,11 @@ def orders_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+            # count(when(...)) not sum(when/otherwise): the oracle's
+            # COUNT(*) FILTER yields 0 on an EMPTY join while SUM yields
+            # NULL — the empty-corpus gate caught the asymmetry
+            F.count(
+                F.when(F.col("o_orderkey").isNull(), F.lit(1))
             ).alias("v"),
         )
     )
@@ -3822,12 +3825,17 @@ def ab_value_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     , terms AS (
         SELECT n_a, n_b, c_a, c_b,
-               CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
-               CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+               CASE WHEN n_a > 0
+                    THEN CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) END
+                   AS rate_a,
+               CASE WHEN n_b > 0
+                    THEN CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) END
+                   AS rate_b,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
                (CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
                * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
                * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
-                   AS var_term
+               END AS var_term
         FROM sums
     )
     SELECT n_a, n_b, c_a, c_b, rate_a, rate_b,
@@ -3898,24 +3906,30 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pp = (F.col("c_a") + F.col("c_b")).cast("double") / (
         F.col("n_a") + F.col("n_b")
     ).cast("double")
+    # empty-arm guards (empty corpus -> n_a = n_b = 0): rates and the
+    # pooled variance are undefined, NULL in both spellings (the
+    # empty-corpus gate caught Spark's ANSI divide-by-zero here)
     terms = sums.select(
         "n_a",
         "n_b",
         "c_a",
         "c_b",
-        (F.col("c_a").cast("double") / F.col("n_a").cast("double")).alias(
-            "rate_a"
-        ),
-        (F.col("c_b").cast("double") / F.col("n_b").cast("double")).alias(
-            "rate_b"
-        ),
-        (
+        F.when(
+            F.col("n_a") > 0,
+            F.col("c_a").cast("double") / F.col("n_a").cast("double"),
+        ).alias("rate_a"),
+        F.when(
+            F.col("n_b") > 0,
+            F.col("c_b").cast("double") / F.col("n_b").cast("double"),
+        ).alias("rate_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
             pp
             * (F.lit(1.0) - pp)
             * (
                 F.lit(1.0) / F.col("n_a").cast("double")
                 + F.lit(1.0) / F.col("n_b").cast("double")
-            )
+            ),
         ).alias("var_term"),
     )
     z = (F.col("rate_a") - F.col("rate_b")) / F.sqrt(F.col("var_term"))

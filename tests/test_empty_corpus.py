@@ -102,3 +102,34 @@ def test_empty_corpus_divergers_fixed(spark, empty_dir):
             rows = got.collect()
             assert all(r["heaps_beta"] is None for r in rows)
             assert all(r["n_tokens_cum"] == 0 for r in rows)
+
+
+def test_empty_corpus_round12_dirty_gate_divergers_fixed(spark, empty_dir):
+    """Round-12: the one-command dirty gate runs the FULL differential on
+    the empty build (the r11 sweep used a weaker crash-vs-rows check) and
+    found six more faces that crashed or diverged on zero rows — five
+    ANSI divide-by-zero crashes (three recall reports, the datacard
+    dup-rate, both z-test arms) and one COUNT-FILTER-vs-SUM asymmetry in
+    the DQ referential-integrity rule. All must now return their one-row
+    (or 7-row) report with NULLs for the undefined statistics."""
+    from polars_numba_spark.queries import catalog
+
+    qs = catalog.spark_queries()
+    r = qs["embedding_pq_recall"](spark, empty_dir).collect()
+    assert len(r) == 1 and r[0]["adc_recall_at_5"] is None
+    assert r[0]["rerank_recall_at_5"] is None and r[0]["exact_scan_frac"] is None
+    r = qs["embedding_ivf_recall"](spark, empty_dir).collect()
+    assert len(r) == 1 and r[0]["recall_at_5"] is None
+    r = qs["embedding_int8_recall"](spark, empty_dir).collect()
+    assert len(r) == 1 and r[0]["recall_at_5"] is None
+    r = qs["corpus_datacard"](spark, empty_dir).collect()
+    assert len(r) == 1 and r[0]["exact_dup_rate"] is None
+    assert r[0]["n_docs"] == 0
+    r = qs["ab_conversion_ztest"](spark, empty_dir).collect()
+    assert len(r) == 1 and r[0]["rate_a"] is None and r[0]["z_score"] is None
+    rows = {x["rule"]: x for x in qs["orders_dq_expectations"](spark, empty_dir).collect()}
+    assert len(rows) == 7
+    # COUNT FILTER semantics: the FK rule reports 0 violations / pass on
+    # an empty join, matching the oracle (SUM would yield NULL)
+    assert rows["lineitem_fk_orders"]["n_violations"] == 0
+    assert rows["lineitem_fk_orders"]["pass"] is True
