@@ -66,6 +66,14 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 # so the driver's own per-round bench can never clobber the keeper.
 def _result_file() -> str:
     if os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
+        if "--keeper" in sys.argv[1:]:
+            # ADVICE r12: a subset run can never be a valid keeper — fail
+            # loudly instead of silently writing BENCH_SUBSET_LOCAL.json.
+            raise SystemExit(
+                "--keeper cannot be combined with SPARK_GRAFT_BENCH_QUERIES: "
+                "the committed keeper must be a FULL-catalog run. Unset the "
+                "subset env var to update BENCH_LOCAL.json."
+            )
         return os.path.join(_REPO, "BENCH_SUBSET_LOCAL.json")
     if "--keeper" in sys.argv[1:]:
         return os.path.join(_REPO, "BENCH_LOCAL.json")
@@ -73,6 +81,47 @@ def _result_file() -> str:
 
 
 RESULT_FILE = _result_file()
+
+# Keeper-integrity band (VERDICT r12 #7): the committed keeper's total wall
+# must sit inside this band — r1..r12 full-catalog quiet-host floors ranged
+# 330-420s at sf0.1; a subset clobber (n_queries wrong) or a wildly noisy /
+# truncated run (value outside band) fails the startup check loudly. Update
+# the band deliberately when the keeper is re-earned, never to paper over a
+# failing check.
+_KEEPER_BAND_SEC = (150.0, 900.0)
+
+
+def check_keeper_integrity(n_catalog: int, keeper_path: str | None = None) -> list[str]:
+    """Return the list of integrity problems with the committed
+    BENCH_LOCAL.json keeper (empty list = healthy or absent). The r11→r12
+    driver run once silently clobbered the keeper; the write-path fix
+    (--keeper gate) prevents a recurrence from THIS script, but a clobber
+    from any other path should fail loudly at the next bench startup."""
+    path = keeper_path or os.path.join(_REPO, "BENCH_LOCAL.json")
+    if not os.path.exists(path):
+        return []  # a fresh checkout re-earns the keeper; absence is legal
+    try:
+        with open(path) as f:
+            keeper = json.load(f)
+    except Exception as exc:
+        return [f"keeper unparseable: {type(exc).__name__}: {exc}"]
+    problems: list[str] = []
+    if keeper.get("partial"):
+        problems.append("keeper is a partial (mid-run) snapshot")
+    if keeper.get("n_errors"):
+        problems.append(f"keeper recorded {keeper['n_errors']} query errors")
+    n = keeper.get("n_queries")
+    if n != n_catalog:
+        problems.append(
+            f"keeper n_queries={n} != catalog size {n_catalog} "
+            "(subset clobber, or the keeper was not re-earned after a "
+            "catalog change — run `python bench.py --keeper`)"
+        )
+    v = keeper.get("value")
+    lo, hi = _KEEPER_BAND_SEC
+    if not isinstance(v, (int, float)) or not (lo <= v <= hi):
+        problems.append(f"keeper value {v!r} outside sanity band [{lo}, {hi}]s")
+    return problems
 
 
 def main() -> None:
@@ -88,6 +137,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     all_queries = catalog.spark_queries()
+
+    # Startup assertion (VERDICT r12 #7): a clobbered/stale keeper fails
+    # loudly BEFORE any timing is spent. --keeper runs are exempt (they
+    # exist to repair the keeper); PNS_KEEPER_CHECK=warn downgrades to a
+    # stderr warning for emergency full runs against a known-stale keeper.
+    problems = check_keeper_integrity(len(all_queries))
+    if problems and "--keeper" not in sys.argv[1:]:
+        msg = "BENCH_LOCAL.json keeper integrity check FAILED:\n  - " + "\n  - ".join(
+            problems
+        )
+        if os.environ.get("PNS_KEEPER_CHECK") == "warn":
+            print(f"WARNING: {msg}", file=sys.stderr, flush=True)
+        else:
+            raise SystemExit(msg)
+
     queries = all_queries
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if subset:  # iteration aid: bench only the named queries

@@ -449,37 +449,17 @@ def _adaptive_verify_width(df, par: int) -> int:
     return int(min(_VERIFY_MAX_WIDTH, max(par, width)))
 
 
-def containment_join(
+def _prefix_probe_tables(
     df: DataFrame,
-    threshold: float = 0.9,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_n: int | None = None,
-) -> DataFrame:
-    """COMPLETE containment search via prefix filtering (the SSJoin/PPJoin
-    family, Chaudhuri et al. 2006 / Xiao et al. 2008): every directional
-    pair with ``|A∩B| / |A| ≥ threshold`` is found — no LSH recall loss.
-
-    The filter: sort each document's token set by global rarity (ascending
-    document frequency, ties on the token string — a total, deterministic
-    order). If A is ≥t-contained in B, fewer than ``|A|·(1-t) + 1`` of A's
-    tokens can be outside B — so among A's ``⌊|A|·(1-t)⌋ + 1`` RAREST
-    tokens (its prefix), at least one is shared with B. Candidates are
-    therefore (A.prefix-token = B.any-token) equi-join hits, then exact
-    containment verifies. Completeness needs the prefix side to probe the
-    full index, which is why only A takes a prefix.
-
-    Scale shape: the prefix join's fan-out per prefix token is that
-    token's document frequency — and prefix tokens are each document's
-    RAREST, so hot stopwords never enter the probe side (they still sit in
-    the index side, where they are join targets only for documents rare
-    enough to need them). One df-count aggregate, one rarity sort per doc
-    (array_sort, in-expression), one equi-join, one verify join — all
-    standard shuffles; AQE covers residual token skew.
-
-    Returns directional rows ``(a_id, b_id, containment_a, containment_b)``
-    with ``containment_a ≥ threshold`` (a_id ≠ b_id; a pair contained both
-    ways appears twice, once per direction).
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    shingle_n: int | None,
+):
+    """Shared SSJoin front half for :func:`containment_join` and
+    :func:`containment_keep_list`: token postings, global rarity sort, and
+    the epsilon-guarded prefix table. Returns
+    ``(occ, prefixes, stage_width, par)``.
     """
     toks = df.select(
         F.col(id_col).alias("id"), _token_sets(text_col, shingle_n).alias("toks")
@@ -528,6 +508,44 @@ def containment_join(
     prefixes = ranked.select(
         F.col("id").alias("a_id"),
         F.explode(F.slice("sorted_toks", 1, prefix_len)).alias("tok"),
+    )
+    return occ, prefixes, stage_width, par
+
+
+def containment_join(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """COMPLETE containment search via prefix filtering (the SSJoin/PPJoin
+    family, Chaudhuri et al. 2006 / Xiao et al. 2008): every directional
+    pair with ``|A∩B| / |A| ≥ threshold`` is found — no LSH recall loss.
+
+    The filter: sort each document's token set by global rarity (ascending
+    document frequency, ties on the token string — a total, deterministic
+    order). If A is ≥t-contained in B, fewer than ``|A|·(1-t) + 1`` of A's
+    tokens can be outside B — so among A's ``⌊|A|·(1-t)⌋ + 1`` RAREST
+    tokens (its prefix), at least one is shared with B. Candidates are
+    therefore (A.prefix-token = B.any-token) equi-join hits, then exact
+    containment verifies. Completeness needs the prefix side to probe the
+    full index, which is why only A takes a prefix.
+
+    Scale shape: the prefix join's fan-out per prefix token is that
+    token's document frequency — and prefix tokens are each document's
+    RAREST, so hot stopwords never enter the probe side (they still sit in
+    the index side, where they are join targets only for documents rare
+    enough to need them). One df-count aggregate, one rarity sort per doc
+    (array_sort, in-expression), one equi-join, one verify join — all
+    standard shuffles; AQE covers residual token skew.
+
+    Returns directional rows ``(a_id, b_id, containment_a, containment_b)``
+    with ``containment_a ≥ threshold`` (a_id ≠ b_id; a pair contained both
+    ways appears twice, once per direction).
+    """
+    occ, prefixes, stage_width, par = _prefix_probe_tables(
+        df, threshold, text_col, id_col, shingle_n
     )
     # The prefix⋈index join is the EXPLOSIVE stage (its output is the
     # candidate fan-out), but AQE sizes its width from input BYTES: with a

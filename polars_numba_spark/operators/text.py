@@ -53,7 +53,13 @@ if _casefold_mode not in _CASEFOLD_MODES:  # fail at import, not mid-query
 def set_casefold(mode: str) -> None:
     """Set the process-wide default case-mapping mode ('full' | 'simple').
     Column expressions built AFTER the call use the new mode; the env var
-    ``PNS_CASEFOLD`` seeds the initial default."""
+    ``PNS_CASEFOLD`` seeds the initial default.
+
+    This is deliberately a process-global (it models a corpus-wide
+    normalization convention, set once at session start): it is not
+    thread-safe, and expressions built BEFORE a mid-session call keep the
+    mode they were built under — mixing modes in one plan is on the caller.
+    Prefer the per-call ``casefold=`` argument when two modes must coexist."""
     global _casefold_mode
     if mode not in _CASEFOLD_MODES:
         raise ValueError(f"casefold must be one of {_CASEFOLD_MODES}, got {mode!r}")
@@ -62,6 +68,22 @@ def set_casefold(mode: str) -> None:
 
 def get_casefold() -> str:
     return _casefold_mode
+
+
+def py_casefolded(s: str, casefold: str | None = None) -> str:
+    """Driver-side (plain Python) twin of :func:`casefolded`, for the few
+    places that tokenize QUERY strings on the driver (BM25 / phrase search)
+    while documents go through :func:`tokens`. Under ``casefold='simple'``
+    Python's full-Unicode ``str.lower()`` diverges from the column path on
+    exactly the two code points the knob exists for ('İ'→'i̇', final-sigma
+    'ΑΣ'→'ας'), so query terms could never match document tokens; the same
+    pre-translation keeps both sides consistent (ADVICE r12)."""
+    mode = casefold if casefold is not None else _casefold_mode
+    if mode not in _CASEFOLD_MODES:
+        raise ValueError(f"casefold must be one of {_CASEFOLD_MODES}, got {mode!r}")
+    if mode == "simple":
+        s = s.translate({ord("İ"): "i", ord("Σ"): "σ"})
+    return s.lower()
 
 
 def casefolded(col: Column | str, casefold: str | None = None) -> Column:
@@ -802,7 +824,7 @@ def bm25_topk(
 
     spark = df.sparkSession
     qrows = sorted(
-        {(qid, t) for qid, qtext in queries for t in qtext.lower().split()}
+        {(qid, t) for qid, qtext in queries for t in py_casefolded(qtext).split()}
     )
     qdf = spark.createDataFrame(qrows, "query_id string, term string")
 
@@ -990,11 +1012,11 @@ def phrase_search(
     qrows = [
         (pid, term, off)
         for pid, ptext in phrases
-        for off, term in enumerate(ptext.lower().split())
+        for off, term in enumerate(py_casefolded(ptext).split())
     ]
     qdf = spark.createDataFrame(qrows, "phrase_id string, term string, off int")
     plen = spark.createDataFrame(
-        [(pid, len(ptext.lower().split())) for pid, ptext in phrases],
+        [(pid, len(py_casefolded(ptext).split())) for pid, ptext in phrases],
         "phrase_id string, plen int",
     )
     pos = df.select(

@@ -1,0 +1,118 @@
+"""Keeper-integrity + keeper-write-path guards (VERDICT r12 #7, ADVICE r12).
+
+The r11→r12 driver run once silently clobbered the committed
+BENCH_LOCAL.json keeper; bench.py now (a) refuses --keeper combined with a
+subset env var, and (b) runs a startup integrity check against the
+committed keeper so any clobber fails loudly at the NEXT bench run. The
+suite-level test against the REAL committed keeper also catches "catalog
+changed but keeper not re-earned" before the driver ever runs bench.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+import bench  # noqa: E402
+
+
+def _write_keeper(tmp_path, payload) -> str:
+    p = tmp_path / "BENCH_LOCAL.json"
+    p.write_text(json.dumps(payload))
+    return str(p)
+
+
+def _healthy(n=239, value=350.0):
+    return {
+        "metric": "full_catalog_total_wall",
+        "value": value,
+        "unit": "sec",
+        "queries": {},
+        "sf": 0.1,
+        "n_queries": n,
+    }
+
+
+def test_absent_keeper_is_legal(tmp_path):
+    assert bench.check_keeper_integrity(239, str(tmp_path / "nope.json")) == []
+
+
+def test_healthy_keeper_passes(tmp_path):
+    p = _write_keeper(tmp_path, _healthy())
+    assert bench.check_keeper_integrity(239, p) == []
+
+
+def test_partial_snapshot_flagged(tmp_path):
+    k = _healthy()
+    k["partial"] = True
+    p = _write_keeper(tmp_path, k)
+    problems = bench.check_keeper_integrity(239, p)
+    assert any("partial" in m for m in problems)
+
+
+def test_error_run_flagged(tmp_path):
+    k = _healthy()
+    k["n_errors"] = 2
+    k["errors"] = {"q": "boom", "r": "boom"}
+    p = _write_keeper(tmp_path, k)
+    problems = bench.check_keeper_integrity(239, p)
+    assert any("errors" in m for m in problems)
+
+
+def test_subset_clobber_flagged(tmp_path):
+    # a subset run has the wrong n_queries — the classic clobber signature
+    p = _write_keeper(tmp_path, _healthy(n=12, value=20.0))
+    problems = bench.check_keeper_integrity(239, p)
+    assert any("n_queries" in m for m in problems)
+    assert any("sanity band" in m for m in problems)
+
+
+def test_out_of_band_value_flagged(tmp_path):
+    p = _write_keeper(tmp_path, _healthy(value=5000.0))
+    problems = bench.check_keeper_integrity(239, p)
+    assert problems and any("sanity band" in m for m in problems)
+
+
+def test_unparseable_keeper_flagged(tmp_path):
+    p = tmp_path / "BENCH_LOCAL.json"
+    p.write_text("{not json")
+    problems = bench.check_keeper_integrity(239, str(p))
+    assert problems and "unparseable" in problems[0]
+
+
+def test_committed_keeper_matches_catalog():
+    """The suite-level staleness gate: the COMMITTED keeper must match the
+    CURRENT catalog size and sit in the sanity band. Fails the test suite
+    (not just the next bench run) when the catalog changes without
+    re-earning the keeper via `python bench.py --keeper`."""
+    if os.environ.get("PNS_KEEPER_CHECK") == "warn":
+        pytest.skip("keeper staleness acknowledged for this mid-round run")
+    from polars_numba_spark.queries import catalog
+
+    n = len(catalog.spark_queries())
+    problems = bench.check_keeper_integrity(n)
+    assert problems == [], f"committed BENCH_LOCAL.json is stale/clobbered: {problems}"
+
+
+def test_keeper_plus_subset_env_refused():
+    """ADVICE r12: --keeper with SPARK_GRAFT_BENCH_QUERIES must exit loudly
+    (a subset run can never be a valid keeper). Subprocess because the
+    guard runs at bench.py import/arg-parse time."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_QUERIES"] = "q6_revenue_forecast"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py"), "--keeper"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode != 0
+    assert "cannot be combined" in (proc.stderr + proc.stdout)

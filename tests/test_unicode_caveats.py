@@ -154,3 +154,54 @@ def test_set_casefold_rejects_unknown_mode():
 
     with _pytest.raises(ValueError):
         X.set_casefold("turkish")
+
+
+def test_py_casefolded_twin_matches_column_path(spark):
+    """ADVICE r12: the driver-side query tokenizer (BM25 / phrase search)
+    must casefold identically to the column path in BOTH modes, else
+    İ/Σ query terms can never match document tokens under 'simple'."""
+    from polars_numba_spark.operators import text as X
+
+    samples = [
+        "İstanbul ΣΊΣΥΦΟΣ",
+        "Mixed İ and ΑΣ in ASCII text",
+        "The Quick BROWN fox! 123",
+        "straße café 中文 😀",
+    ]
+    for mode in ("full", "simple"):
+        df = spark.createDataFrame([(s,) for s in samples], "s string")
+        rows = df.select(
+            "s", X.casefolded("s", casefold=mode).alias("lo")
+        ).collect()
+        for r in rows:
+            assert X.py_casefolded(r["s"], casefold=mode) == r["lo"], (
+                mode,
+                r["s"],
+            )
+
+
+def test_bm25_query_terms_match_documents_in_simple_mode(spark):
+    """End-to-end: under casefold='simple', a query containing İ retrieves
+    the document containing İstanbul (pre-fix it silently matched nothing:
+    query term 'i̇stanbul' vs document token 'istanbul')."""
+    from polars_numba_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [(1, "İstanbul is a city"), (2, "plain ascii filler text")],
+        "doc_id long, text string",
+    )
+    X.set_casefold("simple")
+    try:
+        hits = X.bm25_topk(df, [("q1", "İSTANBUL")], k=5).collect()
+    finally:
+        X.set_casefold("full")
+    assert [(h["doc_id"]) for h in hits] == [1]
+
+    X.set_casefold("simple")
+    try:
+        ph = X.phrase_search(
+            df, [("p1", "İSTANBUL is")], k=5
+        ).collect()
+    finally:
+        X.set_casefold("full")
+    assert [(h["doc_id"]) for h in ph] == [1]
