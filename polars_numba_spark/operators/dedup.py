@@ -518,6 +518,7 @@ def containment_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int | None = None,
+    emit: str = "pairs",
 ) -> DataFrame:
     """COMPLETE containment search via prefix filtering (the SSJoin/PPJoin
     family, Chaudhuri et al. 2006 / Xiao et al. 2008): every directional
@@ -543,7 +544,17 @@ def containment_join(
     Returns directional rows ``(a_id, b_id, containment_a, containment_b)``
     with ``containment_a ≥ threshold`` (a_id ≠ b_id; a pair contained both
     ways appears twice, once per direction).
+
+    ``emit`` is the output-mass contract (the minhash/simhash convention):
+    ``'pairs'`` (default) is the complete directional pair set — O(k²) per
+    k-copy duplicate cluster by construction; ``'keeplist'`` dispatches to
+    :func:`containment_keep_list` — star emission, linear edge mass, one
+    verdict row per doc, the production posture at 100 TB.
     """
+    if emit == "keeplist":
+        return containment_keep_list(df, threshold, text_col, id_col, shingle_n)
+    if emit != "pairs":
+        raise ValueError(f"emit must be 'pairs' or 'keeplist', got {emit!r}")
     occ, prefixes, stage_width, par = _prefix_probe_tables(
         df, threshold, text_col, id_col, shingle_n
     )
@@ -1088,6 +1099,88 @@ def simhash_dedup_keep_list(
         .dropDuplicates(["a_id", "b_id"])
     )
     comps = connected_components(star, max_iterations)
+    ids = df.select(F.col(id_col).alias("id"))
+    labeled = ids.join(comps, "id", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("id"))
+    )
+    return labeled.withColumn("keep", F.col("id") == F.col("component"))
+
+
+def containment_keep_list(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int | None = None,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Containment dedup at PAIR-FREE cost (VERDICT r12 #2): the
+    ``emit='keeplist'`` pattern applied to the prefix-filtered SSJoin.
+    Returns (id, component, keep) — one verdict row per document.
+
+    Why it exists: :func:`containment_join` is complete, but its candidate
+    set is the prefix⋈index fan-out — on a duplicate-heavy corpus a
+    k-copy cluster implies O(k²) candidate pairs, and the r12 100× soak
+    pinned the single-host ceiling at exactly that cumulative candidate
+    shuffle (SCALE.md round-12). Production dedup wants one canonical doc
+    per cluster, not the pair set.
+
+    Shape: per prefix-ACTIVE token (a token appearing in ≥1 document's
+    rarity prefix — the same epsilon-guarded prefix as the complete join),
+    the candidate group is every document containing that token; STAR
+    edges connect the group's minimum id to each member (k-1 edges instead
+    of k(k-1)/2, so total edge mass is bounded by the posting mass of
+    prefix-active tokens — linear in corpus size). Only those O(rows)
+    edges are containment-verified (kept when EITHER direction ≥
+    ``threshold`` — components need undirected edges), then connected
+    components label each doc and ``keep = (id == component)``. The
+    group-min is computed with a partial-agg-friendly groupBy + equi-join,
+    NOT a window: token groups are unbounded (a hot token whose bucket is
+    corpus-sized would serialize a window MIN onto one task), while a
+    groupBy MIN combines map-side.
+
+    Semantics contract (the simhash keep-list precedent,
+    :func:`simhash_dedup_keep_list`): every drop is justified by a CHAIN
+    of exact-verified ≥ ``threshold`` containment edges — precision is
+    exact. Recall REFINES the complete pair graph: a pair whose every
+    shared prefix-active-token group has an unrelated minimum may stay
+    split (it typically shares a rarer token's group where one member IS
+    the min; duplicate CLUSTERS — the case the keep-list exists for —
+    always share their own prefix tokens, so the cluster min is a member
+    and the cluster collapses). Conservative in the safe direction for
+    dedup. Tokenless documents have no postings, hence no edges: they are
+    trivially kept as singleton components via the ids left-join.
+    """
+    occ, prefixes, stage_width, par = _prefix_probe_tables(
+        df, threshold, text_col, id_col, shingle_n
+    )
+    active_toks = prefixes.select("tok").distinct()
+    members = occ.join(active_toks, "tok")
+    if stage_width > par:
+        # same corpus-scale stage widening as the complete join: the
+        # member semi-join and group-min keys move posting mass
+        members = members.repartition(stage_width, "tok")
+    mins = members.groupBy("tok").agg(F.min("id").alias("__u"))
+    star = (
+        members.join(mins, "tok")
+        .where(F.col("id") != F.col("__u"))
+        .select(F.col("__u").alias("a_id"), F.col("id").alias("b_id"))
+    )
+    if stage_width > par:
+        # doubles as the dropDuplicates aggregation exchange (the complete
+        # join's distinct trick) — AQE can only coalesce the default
+        # width, never widen it for edge mass
+        star = star.repartition(stage_width, "a_id", "b_id")
+    star = star.dropDuplicates(["a_id", "b_id"])
+    verify_width = stage_width if stage_width > par else par
+    scored = containment_pairs(
+        df, star, text_col, id_col, shingle_n, verify_partitions=verify_width
+    )
+    edges = scored.where(
+        F.greatest(F.col("containment_a"), F.col("containment_b"))
+        >= F.lit(threshold)
+    ).select("a_id", "b_id")
+    comps = connected_components(edges, max_iterations)
     ids = df.select(F.col(id_col).alias("id"))
     labeled = ids.join(comps, "id", "left").withColumn(
         "component", F.coalesce(F.col("component"), F.col("id"))

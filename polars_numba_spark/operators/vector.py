@@ -754,22 +754,33 @@ def _pq_subvectors(df: DataFrame, m: int, vec_col: str, id_col: str) -> DataFram
     )
 
 
-def _pq_assign(subs: DataFrame, cents: DataFrame, carry_vec: bool) -> DataFrame:
+def _pq_assign(
+    subs: DataFrame,
+    cents: DataFrame,
+    carry_vec: bool,
+    round_to: int | None = None,
+) -> DataFrame:
     """Argmin-L2 code per (id, s): broadcast the m*k centroid table, join
     on the subspace key, struct-min over d^2 = |v|^2 - 2<v,c> + |c|^2
     (|v|^2 is constant per row, so -2<v,c> + |c|^2 alone orders the
-    argmin; code breaks exact ties deterministically)."""
+    argmin; code breaks exact ties deterministically). ``round_to`` rounds
+    the distance before the argmin — the house round-before-compare
+    convention for cross-engine-reproducible tie behavior (portable
+    faces only; the production path stays unrounded)."""
     dot = F.aggregate(
         F.zip_with(F.col("subvec"), F.col("__cv"), lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    d2 = F.lit(-2.0) * dot + F.col("__cn2")
+    if round_to is not None:
+        d2 = F.round(d2, round_to)
     scored = subs.join(F.broadcast(cents), "s").select(
         "id",
         "s",
         "subvec",
         F.col("__code"),
-        (F.lit(-2.0) * dot + F.col("__cn2")).alias("__d2"),
+        d2.alias("__d2"),
     )
     aggs = [
         F.min(F.struct(F.col("__d2"), F.col("__code").alias("code"))).alias(
@@ -792,6 +803,7 @@ def pq_train_codebooks(
     iterations: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou et al. 2011): split each
     vector into ``m`` contiguous subspaces and run an independent L2
@@ -805,6 +817,13 @@ def pq_train_codebooks(
     per vector (64× here: 4 bytes vs 256) and search decomposes exactly —
     ``<q, x> ≈ Σ_s <q_s, c(x,s)>`` and ``|x|² ≈ Σ_s |c(x,s)|²`` are table
     lookups into the per-query ADC table, never touching raw vectors.
+
+    ``round_to`` (VERDICT r12 #4) makes training cross-engine-exact: the
+    per-dim centroid means accumulate as DECIMAL(28,12) and round to
+    ``round_to`` decimals (the _KMEANS2_CTES recipe), and every argmin
+    rounds its distance first — so given the same corpus, a DuckDB SQL
+    unroll reproduces the codebooks and codes bit-exactly. Production
+    training stays unrounded (``None``).
     """
     from polars_numba_spark.plans.checkpoint import (
         register_session_scoped,
@@ -832,16 +851,24 @@ def pq_train_codebooks(
     cents, ids_cur = tracked_local_checkpoint(seeds)
     ids_prev: set[int] = set()
     for _ in range(iterations):
-        assigned = _pq_assign(subs, cents, carry_vec=True)
+        assigned = _pq_assign(subs, cents, carry_vec=True, round_to=round_to)
+        sum_x = (
+            F.sum("x")
+            if round_to is None
+            else F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+        )
         per_dim = (
             assigned.select(
                 "s", "code", F.posexplode("subvec").alias("dim", "x")
             )
             .groupBy("s", "code", "dim")
-            .agg(F.sum("x").alias("__sx"), F.count("x").alias("__n"))
+            .agg(sum_x.alias("__sx"), F.count("x").alias("__n"))
         )
+        mean = F.col("__sx") / F.col("__n")
+        if round_to is not None:
+            mean = F.round(mean, round_to)
         new_cents = (
-            per_dim.withColumn("__mean", F.col("__sx") / F.col("__n"))
+            per_dim.withColumn("__mean", mean)
             .groupBy("s", "code")
             .agg(
                 F.array_sort(
@@ -876,17 +903,23 @@ def pq_encode(
     m: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Encode vectors to PQ codes: ``(id, s, code)`` — m small ints per
     vector, the stored form. One broadcast join + argmin, no shuffle of
-    raw vectors beyond the subspace explode."""
+    raw vectors beyond the subspace explode. Given FIXED codebooks this is
+    a pure deterministic function; with ``round_to`` (the portable-face
+    convention, see :func:`pq_train_codebooks`) the argmin distance is
+    rounded first so a SQL twin reproduces codes bit-exactly."""
     cents = codebooks.select(
         "s",
         F.col("code").alias("__code"),
         F.col("centroid").alias("__cv"),
         F.col("cn2").alias("__cn2"),
     )
-    return _pq_assign(_pq_subvectors(df, m, vec_col, id_col), cents, False)
+    return _pq_assign(
+        _pq_subvectors(df, m, vec_col, id_col), cents, False, round_to=round_to
+    )
 
 
 def pq_adc_topk(

@@ -129,6 +129,79 @@ _ROWS_ONLY_WINDOW_ALLOWANCE = frozenset({"embedding_pq_recall"})
 # - source_drift_ks -> q1_pricing_summary: the drift family keeps
 #   source_drift_psi + events_cusum_changepoints + events_daily_acf
 #   in-window; q1 restores the relational-core sentinel (r8 ask #3).
+# Round 13 (VERDICT r12 #1/#2/#4): the window continues the oldest-record
+# re-certification policy. Entering this round every face holds a driver
+# record (the r12 books-closed state); the union of CORRECTNESS_r*.json
+# puts 32 hash-checkable faces at an r6-latest record and 48 at r7. The
+# window = the 2 round-13 NEW faces (landing WITH their driver slot, the
+# r7 process lesson: dedup_containment_keeplist — the pair-free star
+# emission that closes the r12 100× containment ceiling — and
+# embedding_pq_encode — the portable-Lloyd PQ encode that retires the
+# last no-oracle window record) + ALL 32 r6-latest faces + 16
+# family-spread r7 sentinels chosen so the families the r6 set misses
+# keep an in-window rep: the TPC-H deep-join quartet (q7/q8/q9/q10), the
+# window-function zoo + grouped multi-metric scan, partitioned-pruning +
+# ORC formats, the stream-stream join (this round's variance-band target,
+# VERDICT r12 #3) + streaming dedup, skew salting, the blocked fuzzy
+# join, weighted sampling + contamination audit, robust outliers, and
+# PII scrubbing. Every evictee is hash-green as of CORRECTNESS_r12.json
+# (49/50 + the rows-only allowance) and stays oracled + local-gated; the
+# full r12 window is retained below as _DRIVER_PRIORITY_R12.
+_DRIVER_PRIORITY: list[str] = [
+    # --- the 2 round-13 new faces (land with their driver slot) -----------
+    "dedup_containment_keeplist",       # pair-free SSJoin star keep-list
+    "embedding_pq_encode",              # portable-Lloyd PQ encode
+    # --- all 32 r6-latest hash-checkable faces -----------------------------
+    "dedup_exact_digests",              # exact-dup content digests
+    "dedup_incremental_pairs",          # delta-vs-corpus banding
+    "dedup_jaccard_pairs",              # banded jaccard verify
+    "dedup_simhash_portable",           # portable simhash pairs
+    "doc_duplicated_spans",             # positioned-shingle spans
+    "doc_heavy_tokens",                 # Misra-Gries frequent tokens
+    "doc_remove_passages",              # span removal rewrite
+    "doc_repetition_stats",             # repetition/compression stats
+    "doc_sequence_packing",             # greedy sequence packing
+    "doc_source_caps",                  # per-source doc caps
+    "doc_tfidf_top_terms",              # TF-IDF top terms
+    "doc_unigram_logprob",              # unigram LM scoring
+    "embedding_topk_bruteforce",        # exact cosine top-k
+    "events_json_props",                # JSON property extraction
+    "events_profile",                   # one-pass column profiler
+    "global_longest_hot_streak",        # global non-assoc fold face
+    "multimodal_image_dims",            # image header parsing
+    "nation_order_rollup",              # ROLLUP grouping sets
+    "order_price_quantiles",            # exact quantiles
+    "orders_merge_upsert",              # CDC merge/upsert window
+    "orders_rank_in_customer",          # rank/analytic windows
+    "recent_order_pressure",            # decayed recency scores
+    "repeat_customers_setops",          # INTERSECT/EXCEPT set ops
+    "rolling_hour_user_value",          # rolling time-range frames
+    "scalar_function_zoo",              # scalar fn parity sweep
+    "streaming_enriched_segments",      # stream-static broadcast join
+    "streaming_signup_conversion_outer",# stream-stream LEFT OUTER
+    "streaming_users_kmv",              # KMV as stream state
+    "training_data_pipeline",           # end-to-end curation pipeline
+    "user_activity_with_fold",          # agg_with_fold fusion
+    "user_event_type_pivot",            # pivot/unpivot
+    "user_state_scd2",                  # SCD2 validity intervals
+    # --- 16 family-spread r7 sentinels -------------------------------------
+    "q7_nation_pair_volume",            # nation-pair deep join
+    "q8_market_share",                  # market-share join tree
+    "q9_product_profit",                # product-profit join tree
+    "q10_returned_items",               # returned-items join+topk
+    "window_function_zoo",              # full window-function sweep
+    "user_running_multi_metrics",       # grouped multi-metric scan
+    "formats_partitioned_pruning",      # hive-partition pruning
+    "formats_orc_roundtrip",            # ORC source/sink
+    "streaming_signup_purchase_join",   # stream-stream inner (r12 #3)
+    "streaming_dedup_docs",             # streaming exact dedup
+    "salted_event_type_totals",         # skew salting
+    "customer_name_fuzzy_pairs",        # blocked fuzzy join
+    "doc_weighted_sample",              # weighted sampling
+    "split_contamination_audit",        # split contamination audit
+    "order_price_outliers",             # robust outlier flags
+    "doc_pii_scrub",                    # PII scrubbing rewrite
+]
 # Round 12: the catalog is feature-complete (VERDICT r11 #8: hold growth
 # flat), so the window's job flips from gating new faces to re-certifying
 # the OLDEST driver records. Entering this round 236/237 faces hold a PASS
@@ -148,7 +221,7 @@ _ROWS_ONLY_WINDOW_ALLOWANCE = frozenset({"embedding_pq_recall"})
 # CORRECTNESS_r11.json (50/50, zero errors) and stays oracled +
 # local-gated; the full r11 window is retained below as
 # _DRIVER_PRIORITY_R11 for the rotation record.
-_DRIVER_PRIORITY: list[str] = [
+_DRIVER_PRIORITY_R12: list[str] = [
     "embedding_pq_recall",              # NEVER driver-checked; rows-only slot
     # --- the 11 hash-checkable faces whose latest record is r1 ------------
     "calendar_order_coverage",          # date-spine coverage audit

@@ -849,6 +849,76 @@ def dedup_containment_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_join(d, threshold=0.9, shingle_n=8)
 
 
+@register(
+    "dedup_containment_keeplist",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, {X.sql_token_shingles('text', 8)} AS t
+        FROM documents WHERE doc_id < 300
+    ), occ AS (
+        SELECT doc_id, UNNEST(t) AS tok FROM toks
+    ), dfreq AS (
+        SELECT tok, COUNT(*) AS df FROM occ GROUP BY tok
+    ), ranked AS (
+        SELECT doc_id, list(o.tok ORDER BY d.df, o.tok) AS sorted_toks
+        FROM occ o JOIN dfreq d ON o.tok = d.tok GROUP BY doc_id
+    ), prefix_toks AS (
+        SELECT DISTINCT UNNEST(sorted_toks[1 : CAST(len(sorted_toks)
+                   - CEIL(len(sorted_toks) * 0.9 - 1e-9) + 1 AS INTEGER)]) AS tok
+        FROM ranked
+    ), star AS (
+        SELECT MIN(o.doc_id) OVER (PARTITION BY o.tok) AS u, o.doc_id AS v
+        FROM occ o JOIN prefix_toks p ON o.tok = p.tok
+    ), star_edges AS (
+        SELECT DISTINCT u AS a_id, v AS b_id FROM star WHERE u <> v
+    ), verified AS (
+        SELECT a_id, b_id
+        FROM star_edges
+        JOIN toks ta ON ta.doc_id = a_id
+        JOIN toks tb ON tb.doc_id = b_id
+        WHERE GREATEST(
+            CAST(len(ta.t) + len(tb.t) - len(list_distinct(list_concat(ta.t, tb.t))) AS DOUBLE)
+                / len(ta.t),
+            CAST(len(ta.t) + len(tb.t) - len(list_distinct(list_concat(ta.t, tb.t))) AS DOUBLE)
+                / len(tb.t)
+        ) >= 0.9
+    ), edges AS (
+        SELECT a_id AS u, b_id AS v FROM verified
+        UNION
+        SELECT b_id AS u, a_id AS v FROM verified
+    ), lab AS (
+        SELECT doc_id AS id, doc_id AS label FROM toks
+        UNION
+        SELECT e.v AS id, l.label
+        FROM lab l JOIN edges e ON e.u = l.id
+        WHERE l.label < e.v
+    )
+    SELECT id, MIN(label) AS component,
+           CAST(id = MIN(label) AS BOOLEAN) AS keep
+    FROM lab GROUP BY id
+    """,
+)
+def dedup_containment_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup at PAIR-FREE cost (VERDICT r12 #2): the
+    ``emit='keeplist'`` contract applied to the prefix-filtered SSJoin.
+    Per prefix-active 8-shingle, STAR edges connect the posting group's
+    minimum id to each member (edge mass bounded by prefix-active posting
+    mass — linear, however duplicate-heavy the corpus, where the complete
+    join's candidate set is O(k²) per k-copy cluster: the r12 100× soak
+    pinned that candidate shuffle as the single-host ceiling); only those
+    edges are containment-verified (either direction ≥0.9), then
+    components → one keep/drop verdict per doc. The oracle rebuilds the
+    whole pipeline independently: rarity sort, the epsilon-guarded prefix,
+    window-MIN star over prefix-active postings, exact verify with
+    GREATEST symmetrization, recursive min-label components. Same bit-exact
+    differential cap as dedup_containment_complete (doc_id < 300); the
+    operator (operators/dedup.py::containment_keep_list) runs uncapped and
+    its refinement contract is pinned in tests/test_components.py."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    verdict = D.containment_keep_list(d, threshold=0.9, shingle_n=8)
+    return verdict.orderBy("id").select("id", "component", "keep")
+
+
 @register("dedup_minhash_pairs")  # Spark xxhash64 — no portable oracle
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline over 8-token SHINGLES (shingle →
@@ -2926,6 +2996,98 @@ def embedding_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_scan_frac"),
             "mean_abs_cos_err",
         )
+    )
+
+
+def _pq_assign_sql(out: str, cents: str, keep_vec: bool) -> str:
+    """One PQ argmin-assignment CTE body: round-9 L2 distance
+    (-2·<v,c> + |c|², the exact Spark expression in _pq_assign with
+    round_to=9), ties on code — cn2 computed as an ordered left fold so
+    both engines evaluate bit-identical float expressions."""
+    vec = ", subvec" if keep_vec else ""
+    return f"""{out} AS (
+      SELECT vec_id, s{vec}, code FROM (
+        SELECT su.vec_id, su.s, su.subvec, c.code,
+               ROW_NUMBER() OVER (PARTITION BY su.vec_id, su.s
+                   ORDER BY ROUND(-2.0 * list_dot_product(su.subvec, c.cent)
+                       + list_reduce(list_transform(c.cent, x -> x * x),
+                                     (a, b) -> a + b), 9),
+                        c.code) AS rn
+        FROM subs su JOIN {cents} c ON su.s = c.s
+      ) WHERE rn = 1
+    )"""
+
+
+def _pq_update_sql(i: int, assigned: str) -> str:
+    """One Lloyd centroid-update CTE pair: decimal-exact per-dim means
+    rounded to 9 (the _KMEANS2_CTES recipe, = pq_train_codebooks with
+    round_to=9)."""
+    return f"""dims{i} AS (
+      SELECT a.s, a.code, d.i - 1 AS dim, d.x
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.subvec) AS x,
+                           generate_subscripts(a.subvec, 1) AS i) d
+    ), cent{i} AS (
+      SELECT s, code, list(mean ORDER BY dim) AS cent FROM (
+        SELECT s, code, dim,
+               ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*), 9) AS mean
+        FROM dims{i} GROUP BY s, code, dim
+      ) GROUP BY s, code
+    )"""
+
+
+_PQ_ENCODE_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), subs AS (
+      -- _pq_subvectors: m=4 contiguous subspaces, last absorbs dim % m
+      SELECT vec_id, s.s AS s,
+             CASE WHEN s.s = 3
+                  THEN emb[3 * (len(emb) // 4) + 1 : len(emb)]
+                  ELSE emb[s.s * (len(emb) // 4) + 1
+                           : (s.s + 1) * (len(emb) // 4)]
+             END AS subvec
+      FROM v, (SELECT UNNEST(range(4)) AS s) s
+    ), sids AS (
+      -- deterministic seeding: first k=16 vectors by id, codes 0..15
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code FROM v
+    ), cent0 AS (
+      SELECT su.s, si.code, su.subvec AS cent
+      FROM subs su JOIN sids si ON su.vec_id = si.vec_id
+      WHERE si.code < 16
+    ), {_pq_assign_sql('a1', 'cent0', keep_vec=True)},
+    {_pq_update_sql(1, 'a1')},
+    {_pq_assign_sql('a2', 'cent1', keep_vec=True)},
+    {_pq_update_sql(2, 'a2')},
+    {_pq_assign_sql('enc', 'cent2', keep_vec=False)}
+    SELECT vec_id, s, code FROM enc
+"""
+
+
+@register("embedding_pq_encode", oracle=_PQ_ENCODE_ORACLE)
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ's deterministic stages made hash-checkable (VERDICT r12 #4 —
+    embedding_pq_recall was the last no-oracle window record; given FIXED
+    codebooks, encode is a pure function): 4 subspaces × 16 codes trained
+    by the portable 2-iteration Lloyd recipe (``round_to=9``: decimal-exact
+    per-dim means rounded to 9, round-before-compare argmins — the
+    _KMEANS2_CTES conventions), then the corpus encoded to (vec_id, s,
+    code). The oracle unrolls training AND encode into plain SQL — seeding,
+    both Lloyd iterations, every argmin — so the hash gate pins the full
+    train→encode pipeline bit-exactly; the recall REPORT (production
+    unrounded path) stays a rows-only self-evaluation by construction
+    (operators/vector.py::pq_train_codebooks, ::pq_encode)."""
+    from polars_numba_spark.operators.vector import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(e, m=4, k=16, iterations=2, round_to=9)
+    codes = pq_encode(e, books, m=4, round_to=9)
+    return codes.orderBy("id", "s").select(
+        F.col("id").alias("vec_id"), "s", "code"
     )
 
 

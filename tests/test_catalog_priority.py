@@ -76,11 +76,31 @@ def test_r11_rotation_record_stays_registered():
     assert missing == []
 
 
-def test_r12_window_reaches_every_oldest_record():
-    """The round-12 window exists to re-certify the OLDEST driver records:
-    it must contain the one never-checked face and stay disjoint from the
-    r11 window except where a face is deliberately re-gated (none are —
-    the two windows share zero slots)."""
-    assert "embedding_pq_recall" in catalog._DRIVER_PRIORITY
-    overlap = set(catalog._DRIVER_PRIORITY) & set(catalog._DRIVER_PRIORITY_R11)
+def test_r12_rotation_record_stays_registered():
+    """The retained round-12 window (49 hash-green + the rows-only
+    allowance in CORRECTNESS_r12.json) re-certified the oldest records:
+    it contains the once-never-checked face and shares zero slots with
+    the r11 window."""
+    q = catalog.spark_queries()
+    assert len(catalog._DRIVER_PRIORITY_R12) == 50
+    missing = [n for n in catalog._DRIVER_PRIORITY_R12 if n not in q]
+    assert missing == []
+    assert "embedding_pq_recall" in catalog._DRIVER_PRIORITY_R12
+    overlap = set(catalog._DRIVER_PRIORITY_R12) & set(
+        catalog._DRIVER_PRIORITY_R11
+    )
     assert overlap == set()
+
+
+def test_r13_window_continues_oldest_record_policy():
+    """The round-13 window = the two r13-new faces (landing WITH their
+    driver slot) + re-certification of stale records — so it must be
+    disjoint from BOTH retained predecessor windows (r11, r12) and fully
+    hash-checkable (no rows-only slot this round)."""
+    w = set(catalog._DRIVER_PRIORITY)
+    assert "dedup_containment_keeplist" in w
+    assert "embedding_pq_encode" in w
+    assert w & set(catalog._DRIVER_PRIORITY_R12) == set()
+    assert w & set(catalog._DRIVER_PRIORITY_R11) == set()
+    oracles = catalog.oracle_queries()
+    assert [n for n in w if n not in oracles] == []

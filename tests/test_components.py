@@ -150,12 +150,18 @@ def test_emit_dispatch_and_rejects_unknown(spark):
     from polars_numba_spark.sources import load_table
 
     docs = load_table(spark, "documents", "/root/testdata/sf0.001").limit(20)
+    from polars_numba_spark.operators.dedup import containment_join
+
     kl = minhash_dedup_pairs(docs, emit="keeplist")
     assert set(kl.columns) == {"id", "component", "keep"}
+    ckl = containment_join(docs, emit="keeplist")
+    assert set(ckl.columns) == {"id", "component", "keep"}
     with pytest.raises(ValueError, match="emit"):
         minhash_dedup_pairs(docs, emit="edges")
     with pytest.raises(ValueError, match="emit"):
         simhash_dedup_pairs(docs, emit="edges")
+    with pytest.raises(ValueError, match="emit"):
+        containment_join(docs, emit="edges")
 
 
 def test_simhash_keeplist_empty_docs_kept(spark):
@@ -203,3 +209,85 @@ def test_bfs_hops_frontier_semantics(spark):
     seeds = spark.createDataFrame([(1,)], "id long")
     out = {r["id"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
     assert out == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops out; 10/11 unreachable
+
+
+def test_containment_keeplist_collapses_clusters_and_refines(spark):
+    """containment_keep_list (VERDICT r12 #2): exact clones AND a short doc
+    pasted inside a long one collapse into one component (8-shingle sets —
+    unigram containment saturates on shared vocabulary, the r2 lesson);
+    the verdict is a refinement of the complete pair graph (every drop is also justified by
+    containment_join); one verdict row per input doc."""
+    from polars_numba_spark.operators.dedup import (
+        containment_join,
+        containment_keep_list,
+    )
+    from polars_numba_spark.sources import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").limit(50)
+    # exact clones (containment 1.0 both ways) + a subset doc: the first
+    # 60% of doc 2's tokens is >=0.9-contained in doc 2 on unigram sets
+    clones = docs.where(F.col("doc_id") < 3).withColumn(
+        "doc_id", F.col("doc_id") + 80000
+    )
+    subset = docs.where(F.col("doc_id") == 2).select(
+        (F.col("doc_id") + 90000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.split(F.trim(F.lower("text")), r"\s+"),
+                1,
+                200,
+            ),
+            " ",
+        ).alias("text"),
+        *[
+            F.col(c)
+            for c in docs.columns
+            if c not in ("doc_id", "text")
+        ],
+    )
+    with_dups = docs.unionByName(clones).unionByName(subset)
+    verdict = containment_keep_list(with_dups, threshold=0.9, shingle_n=8)
+    rows = {r["id"]: r for r in verdict.collect()}
+    assert len(rows) == with_dups.count()
+    for orig in range(3):
+        assert rows[orig]["keep"] and not rows[orig + 80000]["keep"]
+        assert rows[orig + 80000]["component"] == orig
+    # the subset doc: unigram containment of a 200-token prefix slice in
+    # its source doc is 1.0 -> must be dropped in favour of doc 2's cluster
+    assert not rows[90002]["keep"]
+    assert rows[90002]["component"] == 2
+    # refinement: every drop must be justified by the COMPLETE pair graph —
+    # build undirected components over containment_join pairs and check
+    # each dropped doc shares a complete-graph component with its rep
+    pairs = containment_join(with_dups, threshold=0.9, shingle_n=8).select(
+        "a_id", "b_id"
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in dedup_keep_list(with_dups, pairs).collect()
+    }
+    for i, r in rows.items():
+        if not r["keep"]:
+            assert comp[i] == comp[r["component"]], (i, r)
+
+
+def test_containment_keeplist_tokenless_docs_kept(spark):
+    """NULL / whitespace-only docs have no postings, hence no edges: each
+    must survive as its own singleton keep=True component."""
+    from polars_numba_spark.operators.dedup import containment_keep_list
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, None),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in containment_keep_list(df, 0.9).collect()}
+    assert len(rows) == 4
+    assert rows[1]["keep"] and not rows[2]["keep"]
+    assert rows[2]["component"] == 1
+    assert rows[3]["keep"] and rows[3]["component"] == 3
+    assert rows[4]["keep"] and rows[4]["component"] == 4

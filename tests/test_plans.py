@@ -247,6 +247,17 @@ def test_containment_join_is_prefix_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in s
 
 
+def test_containment_keeplist_is_star_not_all_pairs(spark):
+    """dedup_containment_keeplist (VERDICT r12 #2): star emission must keep
+    every stage an equi-join/aggregate — no cartesian, no nested loop — and
+    the plan must carry the group-min aggregate (HashAggregate on the token
+    key), the pair-free signature that replaces the candidate self-join."""
+    df = q(spark, "dedup_containment_keeplist")
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
 def test_item_recs_broadcast_norms_no_cartesian(spark):
     """item_cooccurrence_recs: the pair stage must equi-join on user_id
     (never doc×doc), and the item-norm directory joins must broadcast."""

@@ -107,8 +107,64 @@ def build_micro(dst: str = "/tmp/sfmicro") -> None:
             TO '{dst}/{t}.parquet' (FORMAT PARQUET)""")
 
 
+def build_combined(dst: str = "/tmp/sfcombined") -> None:
+    """Combined-adversity corpus (VERDICT r12 #6): nulls + unicode + ×3
+    duplicates in ONE build — six single-axis corpora leave damage-class
+    INTERACTIONS unexercised (e.g. a NULL text replicated into a 3-copy
+    duplicate group, or a unicode-suffixed doc whose replicas co-bucket).
+    Damage order: null injection first (the nulls recipe), unicode
+    injection second (NULL text stays NULL — `NULL || suffix` is NULL in
+    both engines), then the scale_soak id-offset ×3 replication of the
+    three pipeline tables (pure SQL here — the offsets are engine-neutral
+    arithmetic; NULL ids replicate as NULL). Gate it under
+    ``PNS_CASEFOLD=simple`` like the unicode leg."""
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in VERBATIM:
+        if t != "embeddings":
+            shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+    offset = 10_000_000  # scale_soak.ID_OFFSET
+    rep = lambda inner, id_col: " UNION ALL ".join(  # noqa: E731
+        f"SELECT * REPLACE (CAST({id_col} + {k * offset} AS BIGINT) "
+        f"AS {id_col}) FROM ({inner})"
+        for k in range(3)
+    )
+    events_dirty = f"""
+        SELECT event_id, ts,
+               CASE WHEN event_id % 7 = 3 THEN NULL ELSE user_id END AS user_id,
+               event_type,
+               CASE WHEN event_id % 5 = 2 THEN NULL ELSE value END AS value,
+               CASE WHEN event_id % 3 = 1 THEN NULL ELSE props END AS props
+        FROM read_parquet('{SRC}/events.parquet')"""
+    docs_dirty = f"""
+        SELECT doc_id,
+               CASE doc_id % 6
+                 WHEN 0 THEN text || ' İstanbul DİYARBAKIR'
+                 WHEN 1 THEN text || ' ΟΔΥΣΣΕΥΣ ΣΟΦΙΑ'
+                 WHEN 2 THEN text || ' ήρως τῆς πόλεως'
+                 WHEN 3 THEN text || ' 中文测试 😀🚀 café'
+                 WHEN 4 THEN replace(text, ' ', chr(160))
+                 ELSE text
+               END AS text,
+               lang, source, n_chars
+        FROM (SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 4 THEN NULL ELSE text END AS text,
+                     CASE WHEN doc_id % 6 = 5 THEN NULL ELSE lang END AS lang,
+                     source, n_chars
+              FROM read_parquet('{SRC}/documents.parquet'))"""
+    emb = f"SELECT * FROM read_parquet('{SRC}/embeddings.parquet')"
+    con.execute(f"COPY ({rep(events_dirty, 'event_id')}) "
+                f"TO '{dst}/events.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY ({rep(docs_dirty, 'doc_id')}) "
+                f"TO '{dst}/documents.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY ({rep(emb, 'vec_id')}) "
+                f"TO '{dst}/embeddings.parquet' (FORMAT PARQUET)")
+
+
 if __name__ == "__main__":
     build_nulls()
     build_micro()
     build_unicode()
-    print("built /tmp/sfnulls, /tmp/sfmicro and /tmp/sfunicode")
+    build_combined()
+    print("built /tmp/sfnulls, /tmp/sfmicro, /tmp/sfunicode "
+          "and /tmp/sfcombined")

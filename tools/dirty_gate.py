@@ -1,4 +1,4 @@
-"""One-command dirty-data gate (VERDICT r11 #4): build the six adversarial
+"""One-command dirty-data gate (VERDICT r11 #4): build the seven adversarial
 corpus variants, run the FULL cross-engine differential on each, emit one
 verdict JSON.
 
@@ -9,7 +9,7 @@ mirrored into the oracle. The round-11 sweeps found ~30 real fixes this
 way; this tool makes the sweep a single end-of-round ritual that survives
 context resets.
 
-The six corpora (all single-file parquet under /tmp, derived from
+The seven corpora (all single-file parquet under /tmp, derived from
 sf0.001):
 
 - ``nulls``    — deterministic NULL injection (build_dirty_corpora)
@@ -23,13 +23,15 @@ sf0.001):
                  boilerplate text (scale_soak.build_skewed)
 - ``dup``      — pipeline tables replicated x3 with id offsets
                  (scale_soak.build_replicated)
+- ``combined`` — nulls + unicode + x3 duplicates in ONE build (r12 #6:
+                 damage-class interactions); ``PNS_CASEFOLD=simple``
 
 Each differential runs ``tools/check_oracle.py`` in a SUBPROCESS (fresh
 JVM + correct env per corpus); per-corpus ok/FAIL counts and the overall
 verdict land in ``/tmp/dirty_gate.json`` and on stdout.
 
 Usage:
-    python tools/dirty_gate.py              # all six (~25-40 min)
+    python tools/dirty_gate.py              # all seven (~30-45 min)
     python tools/dirty_gate.py nulls empty  # subset of corpora
 """
 
@@ -58,6 +60,10 @@ CORPORA = {
     "empty": {"dir": "/tmp/sfempty_gate"},
     "skewed": {"dir": "/tmp/sfskew_gate"},
     "dup": {"dir": "/tmp/sfdup_gate"},
+    # seventh leg (VERDICT r12 #6): nulls + unicode + x3 duplicates in ONE
+    # build — damage-class interactions are the blind spot six single-axis
+    # corpora leave. Unicode text => same casefold env as the unicode leg.
+    "combined": {"dir": "/tmp/sfcombined", "env": {"PNS_CASEFOLD": "simple"}},
 }
 
 
@@ -88,6 +94,8 @@ def build(names: list[str]) -> None:
         B.build_micro(CORPORA["micro"]["dir"])
     if "unicode" in names:
         B.build_unicode(CORPORA["unicode"]["dir"])
+    if "combined" in names:
+        B.build_combined(CORPORA["combined"]["dir"])
     if "empty" in names:
         dst = CORPORA["empty"]["dir"]
         os.makedirs(dst, exist_ok=True)
