@@ -658,3 +658,56 @@ def test_wasserstein_partition_invariant_and_zero_on_self(spark):
     assert outs[0] == outs[1]
     # both groups are uniform over the same values -> identical to corpus
     assert all(w1 == 0.0 for (_, _, w1) in outs[0])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=corpus_strategy,
+    threshold=st.sampled_from([0.5, 0.7, 0.9]),
+)
+def test_containment_keeplist_precision_and_refinement(spark, corpus, threshold):
+    """Property (r13, the keep-list contract on random corpora): every
+    document the keep-list DROPS must be connected to its component
+    representative through a chain of genuine >=threshold containment
+    edges (exact precision — verified against the brute-force pair
+    graph's components), components REFINE the brute-force components
+    (never merge across them), and the verdict covers every doc exactly
+    once with keep <=> id == component."""
+    from polars_numba_spark.operators.dedup import containment_keep_list
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["id"]: (r["component"], r["keep"])
+        for r in containment_keep_list(df, threshold=threshold).collect()
+    }
+    assert len(rows) == len(corpus)
+    # brute-force undirected containment graph -> components by min label
+    sets = {i: set(toks) for i, toks in enumerate(corpus)}
+    adj = {i: set() for i in sets}
+    for a in sets:
+        for b in sets:
+            if a != b and len(sets[a] & sets[b]) / len(sets[a]) >= threshold:
+                adj[a].add(b)
+                adj[b].add(a)
+    brute_comp = {}
+    for start in sorted(sets):
+        if start in brute_comp:
+            continue
+        stack, seen = [start], {start}
+        while stack:
+            cur = stack.pop()
+            for nxt in adj[cur]:
+                if nxt not in seen:
+                    seen.add(nxt)
+                    stack.append(nxt)
+        for i in seen:
+            brute_comp[i] = min(seen)
+    for i, (comp, keep) in rows.items():
+        assert keep == (i == comp)
+        # refinement: the keep-list may split brute components, never
+        # merge across them — and every drop stays inside its brute
+        # component (the chain-of-verified-edges guarantee)
+        assert brute_comp[i] == brute_comp[comp], (i, comp)
