@@ -258,6 +258,18 @@ def test_containment_keeplist_is_star_not_all_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in s
 
 
+def test_pq_encode_broadcasts_codebooks(spark):
+    """embedding_pq_encode: the m*k codebook table must BROADCAST onto the
+    subvector stream (the whole point of PQ search shape at 100 TB — no
+    shuffle of raw vectors beyond the subspace explode), and nothing may
+    degenerate to a cartesian/nested-loop."""
+    df = q(spark, "embedding_pq_encode")
+    s = plans.explain_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "BroadcastHashJoin" in s
+
+
 def test_item_recs_broadcast_norms_no_cartesian(spark):
     """item_cooccurrence_recs: the pair stage must equi-join on user_id
     (never doc×doc), and the item-norm directory joins must broadcast."""
