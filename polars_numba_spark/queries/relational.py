@@ -3421,8 +3421,11 @@ def events_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = grp.agg(
         F.sum("gsize").alias("n_rows"), F.count(F.lit(1)).alias("n_groups")
     )
-    ks = spark.range(0).sparkSession.createDataFrame(
-        [(2,), (5,), (10,), (20,)], "k bigint"
+    # VALUES literal (LocalRelation), not createDataFrame: same 4 rows, but
+    # the ladder stays a provably-bounded local relation in the plan instead
+    # of an opaque Python-RDD scan (tools/plan_gate.py's bounded-build rule).
+    ks = spark.sql(
+        "SELECT CAST(k AS BIGINT) AS k FROM VALUES (2), (5), (10), (20) AS t(k)"
     )
     return (
         grp.crossJoin(F.broadcast(ks))

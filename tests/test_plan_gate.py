@@ -1,0 +1,123 @@
+"""The catalog-wide plan gate's prover, pinned on synthetic plans + faces.
+
+tools/plan_gate.py sweeps every batch face for scale-killer nodes
+(CartesianProduct, unbounded BroadcastNestedLoopJoin, BatchEvalPython).
+These tests pin the bounded-build-side prover's verdicts on plans whose
+row bounds are known by construction, then spot-check real catalog faces
+from each verdict class so the gate's semantics can't drift silently.
+The full 224-face sweep runs as a tool (committed record in SURVEY.md);
+re-running it per-test-session would double the suite's wall clock.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.plan_gate import ALLOW, _audit_plan  # noqa: E402
+from polars_numba_spark.queries import catalog  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def q(spark, name):
+    return catalog.spark_queries()[name](spark, SF)
+
+
+# --- prover verdicts on plans with known row bounds ---------------------
+
+
+def test_scalar_aggregate_cross_is_bounded(spark):
+    """crossJoin against a grouping-free aggregate: the scalar-threshold
+    pattern. The build side provably yields 1 row -> no hit."""
+    df = spark.range(1000).toDF("x")
+    thr = df.agg(F.avg("x").alias("t"))
+    joined = df.crossJoin(F.broadcast(thr)).where(F.col("x") > F.col("t"))
+    assert _audit_plan(joined) == []
+
+
+def test_values_literal_cross_is_bounded(spark):
+    """crossJoin against a VALUES literal (LocalTableScan) is bounded by
+    the literal's size."""
+    ladder = spark.sql("SELECT * FROM VALUES (2), (5), (10) AS t(k)")
+    joined = spark.range(1000).crossJoin(F.broadcast(ladder))
+    assert _audit_plan(joined) == []
+
+
+def test_limit_bounded_cross_is_bounded(spark):
+    """crossJoin against an ordered top-k (TakeOrderedAndProject) is
+    bounded by k."""
+    top = spark.range(1000).toDF("x").orderBy(F.desc("x")).limit(5)
+    joined = spark.range(1000).crossJoin(F.broadcast(top))
+    assert _audit_plan(joined) == []
+
+
+def test_unbounded_cross_is_flagged(spark):
+    """crossJoin of two real (unbounded-to-the-prover) relations is the
+    all-pairs scale-killer the gate exists to catch."""
+    a = spark.read.parquet(f"{SF}/region.parquet")
+    b = spark.read.parquet(f"{SF}/nation.parquet")
+    hits = _audit_plan(a.crossJoin(F.broadcast(b)))
+    assert "BroadcastNestedLoopJoin" in hits
+
+
+def test_keyed_aggregate_build_is_not_bounded(spark):
+    """A grouped aggregate has no static row bound: the prover must NOT
+    accept it even though the group count happens to be small here."""
+    a = spark.read.parquet(f"{SF}/nation.parquet")
+    grouped = a.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("c"))
+    hits = _audit_plan(a.crossJoin(F.broadcast(grouped)))
+    assert "BroadcastNestedLoopJoin" in hits
+
+
+def test_row_python_udf_is_flagged(spark):
+    """A row-at-a-time Python UDF plans as BatchEvalPython -> flagged."""
+    from pyspark.sql.types import LongType
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    df = spark.range(10).select(slow(F.col("id")).alias("y"))
+    assert "BatchEvalPython" in _audit_plan(df)
+
+
+def test_arrow_paths_are_not_flagged(spark):
+    """The engine's sanctioned Python surface (the kernels' mapInArrow
+    stream) must pass the gate: the kernel scan face plans Python work as
+    an Arrow node, not BatchEvalPython."""
+    assert _audit_plan(q(spark, "kernel_scan_user_balance_cents")) == []
+
+
+# --- real catalog faces, one from each verdict class --------------------
+
+
+def test_scalar_threshold_faces_are_clean(spark):
+    """q11's value-fraction threshold and RFM's max-date anchor both ride
+    scalar-aggregate crossJoins: provably bounded, no waiver needed."""
+    assert _audit_plan(q(spark, "q11_important_stock")) == []
+    assert _audit_plan(q(spark, "user_rfm_segments")) == []
+
+
+def test_kanonymity_ladder_is_provable(spark):
+    """The k-ladder is a VALUES literal precisely so the plan carries its
+    own 4-row bound (not an opaque Python-RDD scan)."""
+    assert _audit_plan(q(spark, "events_kanonymity_audit")) == []
+
+
+def test_allowlisted_faces_hit_exactly_their_waiver(spark):
+    """Allowlisted faces must still exhibit the tolerated node (a stale
+    waiver is a gate failure too) and nothing beyond it."""
+    for name in ("semantic_dedup_pairs", "sql_surface_capped_fold"):
+        hits = _audit_plan(q(spark, name))
+        assert hits == sorted(ALLOW[name]), (name, hits)
+
+
+def test_allowlist_names_exist_in_catalog():
+    """Every waiver names a live face — a renamed face may not keep a
+    zombie entry alive."""
+    names = set(catalog.spark_queries())
+    missing = [n for n in ALLOW if n not in names]
+    assert missing == []

@@ -1,0 +1,321 @@
+"""Catalog-wide physical-plan gate: the anti-pattern sweep, automated.
+
+Previous rounds' plan audits pinned ~50 hand-picked faces in
+tests/test_plans.py and left the catalog-wide "no scale-killers anywhere"
+claim to a manual grep (VERDICT r12's anti-pattern sweep).  This tool makes
+that claim mechanical: it builds EVERY batch face in ``queries()`` at a tiny
+scale factor and rejects the physical plan if it contains a node that is
+wrong at 100 TB regardless of row correctness:
+
+- ``CartesianProduct`` — an unconditioned all-pairs join.  Never tolerated.
+- ``BroadcastNestedLoopJoin`` — all-pairs against a broadcast side.
+  Tolerated only when the BUILD side is *provably bounded*, checked
+  mechanically on the JVM plan tree (not by face name) by a recursive
+  row-bound prover: grouping-free aggregates bound to 1 row (the
+  scalar-threshold crossJoin pattern: q11's value fraction, RFM's max
+  date, recall denominators), ``Range``/``LocalTableScan`` bound to their
+  literal sizes, limits (``TakeOrderedAndProject``/``GlobalLimit``/
+  ``LocalLimit``) bound to their k, row-preserving single-child nodes
+  (Project/Filter/Exchange/Sort/Window/...) pass their child's bound
+  through, and joins multiply their children's bounds.  A build side with
+  no finite proof (an RDD scan, a keyed aggregate over a category-bounded
+  domain, a capped probe over a real table) needs a per-face ALLOW entry
+  with a written reason.
+- ``BatchEvalPython`` — a row-at-a-time Python UDF/UDTF in the plan.  The
+  Arrow paths (ArrowEvalPython*, MapInArrow, FlatMapGroupsInPandas*) are
+  the engine's sanctioned Python surfaces and pass.
+
+Faces with the ``streaming_`` prefix are excluded *from the sweep only*:
+constructing them EXECUTES an availableNow stream and returns a batch frame
+over the sink, so the post-hoc plan no longer contains the streaming
+operators of interest.  Their plan shape is pinned by the dedicated
+streaming tests instead; the gate output lists them explicitly as
+``skipped_streaming`` so the exclusion is visible, not silent.
+
+Every ALLOW entry names the face, the tolerated node, and why the shape is
+scale-safe.  An allowlisted face whose plan STOPS needing the waiver is
+reported as ``stale_allowlist``, so the list cannot rot into a blanket
+waiver.
+
+Usage: python tools/plan_gate.py [sf_dir] [--json OUT]
+Exit code 0 = every swept face clean or covered by a live allowlist entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMALL_SIDE_ROWS = 1000
+
+# Single-child nodes that preserve or reduce their child's row count, so a
+# bound passes through them unchanged.
+_PASS_THROUGH = {
+    "ProjectExec", "FilterExec", "ShuffleExchangeExec", "BroadcastExchangeExec",
+    "CoalesceExec", "SortExec", "AQEShuffleReadExec", "ColumnarToRowExec",
+    "InputAdapter", "WholeStageCodegenExec", "WindowExec",
+    "WindowGroupLimitExec", "SubqueryBroadcastExec",
+}
+_AGGS = {"HashAggregateExec", "ObjectHashAggregateExec", "SortAggregateExec"}
+_LIMITS = {"TakeOrderedAndProjectExec", "GlobalLimitExec", "LocalLimitExec"}
+_JOINS = {
+    "BroadcastHashJoinExec", "SortMergeJoinExec", "ShuffledHashJoinExec",
+    "BroadcastNestedLoopJoinExec", "CartesianProductExec",
+}
+
+# face -> {node: reason}.  Reasons must be concrete enough to re-verify.
+ALLOW: dict[str, dict[str, str]] = {
+    # k-means centroid tables arrive via spark.createDataFrame (an RDD scan,
+    # no static row bound for the prover) but hold exactly k rows by
+    # construction, with self-scaling k << corpus (operators/vector.py);
+    # the crossJoin is the standard bounded-fanout centroid assignment.
+    "semantic_dedup_pairs": {
+        "BroadcastNestedLoopJoin": "k-row centroid table via createDataFrame (RDD scan); bounded fanout k"
+    },
+    "semantic_dedup_keeplist": {
+        "BroadcastNestedLoopJoin": "k-row centroid table via createDataFrame (RDD scan); bounded fanout k"
+    },
+    "kmeans_assignments": {
+        "BroadcastNestedLoopJoin": "k-row centroid table via createDataFrame (RDD scan); bounded fanout k"
+    },
+    "kmeans_silhouette": {
+        "BroadcastNestedLoopJoin": "k-row centroid table via createDataFrame (RDD scan); bounded fanout k"
+    },
+    "embedding_centroid_classify": {
+        "BroadcastNestedLoopJoin": "k-row centroid table via createDataFrame (RDD scan); bounded fanout k"
+    },
+    # The documented capped recall probes: exact ground truth is computed on
+    # a fixed id-capped slice (doc_id/vec_id bound), so the probe's build
+    # side is a real-table scan with a constant row cap — audit scope, not a
+    # production plan (queries/pipeline.py capped-probe convention).
+    "embedding_near_dup_recall": {
+        "BroadcastNestedLoopJoin": "capped exact-recall probe: id-capped slice, constant rows by construction"
+    },
+    "embedding_ivf_recall": {
+        "BroadcastNestedLoopJoin": "capped exact-recall probe: id-capped slice, constant rows by construction"
+    },
+    "embedding_int8_recall": {
+        "BroadcastNestedLoopJoin": "capped exact-recall probe: id-capped slice, constant rows by construction"
+    },
+    "embedding_pq_recall": {
+        "BroadcastNestedLoopJoin": "capped exact-recall probe: id-capped slice, constant rows by construction"
+    },
+    "dedup_minhash_recall": {
+        "BroadcastNestedLoopJoin": "capped exact-recall probe: id-capped slice, constant rows by construction"
+    },
+    "embedding_near_dup_pairs": {
+        "BroadcastNestedLoopJoin": "capped exact differential: vec_id-capped slice, constant rows by construction"
+    },
+    # Other shapes whose smallness is by documented construction, not
+    # provable from the plan alone:
+    "audience_overlap_kmv": {
+        "BroadcastNestedLoopJoin": "KMV synopsis cross: <=k=256 sketch rows per audience group (docstring contract); the data-sized exact-audit join is keyed"
+    },
+    "dedup_simhash_portable": {
+        "BroadcastNestedLoopJoin": "id-capped portable differential (doc_id<150 inequality self-join); production path is pigeonhole-blocked simhash_dedup_pairs"
+    },
+    "doc_search_authority_rrf": {
+        "BroadcastNestedLoopJoin": "driver-provided query-term literal table (createDataFrame -> RDD scan), bounded by the query list"
+    },
+    "embedding_contrastive_triplets": {
+        "BroadcastNestedLoopJoin": "k-means cell centroid tables via createDataFrame (RDD scan); self-scaling k, bounded fanout"
+    },
+    "embedding_topk_bruteforce": {
+        "BroadcastNestedLoopJoin": "documented brute-force baseline: 10-query broadcast slice crossed with the corpus"
+    },
+    "events_chisq_independence": {
+        "BroadcastNestedLoopJoin": "contingency-grid rebuild: row x column marginal cross, <= #event_types x 7 rows (docstring contract)"
+    },
+    "orders_bloom_prefilter": {
+        "BroadcastNestedLoopJoin": "broadcast Bloom bitmap: bloom_build emits exactly ONE (m_bits, words) row by construction (operators/sketch.py contract); the keyed word agg hides the bound from the prover"
+    },
+    "source_drift_ks": {
+        "BroadcastNestedLoopJoin": "bounded value-grid x group cross (operators/profile.py contract): distinct integer stat values x sources"
+    },
+    "source_drift_psi": {
+        "BroadcastNestedLoopJoin": "bounded value-grid x group cross (operators/profile.py contract): distinct integer stat values x sources"
+    },
+    "source_drift_wasserstein": {
+        "BroadcastNestedLoopJoin": "bounded value-grid x group cross (operators/profile.py contract): distinct integer stat values x sources"
+    },
+    # The SQL UDTF spelling is the documented slow-path surface: Spark's PTF
+    # protocol calls eval per row by design, and Arrow UDTF transport was
+    # measured SLOWER both times it was tried (2.6x on the round-5 form,
+    # 3.7x re-measured on the round-13 buffered form — BASELINE.md "UDTF
+    # overhead").  Both registrars carry a max_rows_per_group guard that
+    # fails oversized groups with a pointer at the vectorized operator.
+    "sql_surface_running_balance": {
+        "BatchEvalPython": "SQL UDTF spelling: per-row PTF protocol by design, size-guarded; Arrow transport measured 3.7x slower"
+    },
+    "sql_surface_capped_fold": {
+        "BatchEvalPython": "SQL UDTF spelling: per-row PTF protocol by design, size-guarded; Arrow transport measured 3.7x slower"
+    },
+}
+
+
+def _children(node):
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _cls(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def _row_bound(node) -> float:
+    """A provable upper bound on the subtree's output rows (inf = no proof).
+
+    Conservative by construction: grouping-free aggregates emit exactly one
+    row; literal relations carry their size; limits cap their child; joins
+    multiply (an over-bound for every join type once outer-padding rows,
+    <= left + right, are added); row-preserving unary nodes pass the bound
+    through.  Anything else — scans, keyed aggregates, generators — is
+    unbounded as far as the prover can see.
+    """
+    c = _cls(node)
+    if c in _AGGS:
+        return 1.0 if node.groupingExpressions().isEmpty() else float("inf")
+    if c == "RangeExec":
+        try:
+            return float(int(str(node.numElements())))
+        except Exception:
+            return float("inf")
+    if c == "LocalTableScanExec":
+        try:
+            return float(int(node.rows().size()))
+        except Exception:
+            return float("inf")
+    if c in _LIMITS:
+        try:
+            return float(int(str(node.limit())))
+        except Exception:
+            return float("inf")
+    if c in _PASS_THROUGH:
+        ch = _children(node)
+        return _row_bound(ch[0]) if len(ch) == 1 else float("inf")
+    if c in _JOINS:
+        ch = _children(node)
+        if len(ch) != 2:
+            return float("inf")
+        left, right = _row_bound(ch[0]), _row_bound(ch[1])
+        return left * right + left + right  # inner mass + outer padding
+    return float("inf")
+
+
+def _build_side_bounded(node) -> bool:
+    """True if the subtree provably yields <= SMALL_SIDE_ROWS rows."""
+    return _row_bound(node) <= SMALL_SIDE_ROWS
+
+
+def _walk(node):
+    yield node
+    for c in _children(node):
+        yield from _walk(c)
+
+
+def _audit_plan(df) -> list[str]:
+    """Forbidden-node hits for one face (node names, deduped)."""
+    from polars_numba_spark.plans import explain_string
+
+    hits: set[str] = set()
+    plan = df._jdf.queryExecution().sparkPlan()
+    for node in _walk(plan):
+        c = _cls(node)
+        if c == "CartesianProductExec":
+            hits.add("CartesianProduct")
+        elif c == "BroadcastNestedLoopJoinExec":
+            side = node.buildSide().toString()
+            ch = _children(node)
+            build = ch[1] if side == "BuildRight" else ch[0]
+            if not _build_side_bounded(build):
+                hits.add("BroadcastNestedLoopJoin")
+    # Python-eval nodes are simplest to spot in the plan text; BatchEvalPython
+    # covers both row-UDF and row-UDTF spellings, Arrow nodes do not match.
+    text = explain_string(df, "simple")
+    if "BatchEvalPython" in text:
+        hits.add("BatchEvalPython")
+    return sorted(hits)
+
+
+def sweep(sf_dir: str) -> dict:
+    from polars_numba_spark import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="plan-gate")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    results: dict[str, dict] = {}
+    skipped = sorted(n for n in queries if n.startswith("streaming_"))
+    for name in sorted(queries):
+        if name.startswith("streaming_"):
+            continue
+        t0 = time.time()
+        try:
+            df = queries[name](spark, sf_dir)
+            hits = _audit_plan(df)
+        except Exception as exc:  # a face that cannot even plan is a failure
+            results[name] = {"status": "error", "detail": repr(exc)[:300]}
+            continue
+        allowed = ALLOW.get(name, {})
+        bad = [n for n in hits if n not in allowed]
+        stale = [n for n in allowed if n not in hits]
+        status = "clean"
+        if bad:
+            status = "forbidden"
+        elif stale:
+            status = "stale_allowlist"
+        elif hits:
+            status = "allowed"
+        results[name] = {
+            "status": status,
+            "hits": hits,
+            "bad": bad,
+            "stale": stale,
+            "plan_secs": round(time.time() - t0, 2),
+        }
+    return {
+        "sf_dir": sf_dir,
+        "swept": len(results),
+        "skipped_streaming": skipped,
+        "clean": sum(1 for r in results.values() if r["status"] == "clean"),
+        "allowed": sorted(n for n, r in results.items() if r["status"] == "allowed"),
+        "failures": {
+            n: r for n, r in results.items()
+            if r["status"] in ("forbidden", "stale_allowlist", "error")
+        },
+        "results": results,
+    }
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+    )
+    out_path = None
+    if "--json" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--json") + 1]
+
+    report = sweep(sf_dir)
+    summary = {
+        "swept": report["swept"],
+        "clean": report["clean"],
+        "allowed": report["allowed"],
+        "skipped_streaming": len(report["skipped_streaming"]),
+        "failures": {n: {k: v for k, v in r.items() if k != "plan_secs"}
+                     for n, r in report["failures"].items()},
+    }
+    print(json.dumps(summary, indent=2))
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(report, fh, indent=2)
+    return 1 if report["failures"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
