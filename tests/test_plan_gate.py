@@ -5,8 +5,10 @@ tools/plan_gate.py sweeps every batch face for scale-killer nodes
 These tests pin the bounded-build-side prover's verdicts on plans whose
 row bounds are known by construction, then spot-check real catalog faces
 from each verdict class so the gate's semantics can't drift silently.
-The full 224-face sweep runs as a tool (committed record in SURVEY.md);
-re-running it per-test-session would double the suite's wall clock.
+The full sweep (224 batch faces planned + 15 streaming faces executed and
+audited on their micro-batch plans) runs as a tool (committed record in
+PLANGATE.json / SURVEY.md); re-running it per-test-session would double
+the suite's wall clock.
 """
 
 from __future__ import annotations
@@ -113,6 +115,29 @@ def test_allowlisted_faces_hit_exactly_their_waiver(spark):
     for name in ("semantic_dedup_pairs", "sql_surface_capped_fold"):
         hits = _audit_plan(q(spark, name))
         assert hits == sorted(ALLOW[name]), (name, hits)
+
+
+def test_streaming_face_audit_reads_the_executed_stream_plan(spark):
+    """The gate's streaming leg captures the queries a face launches and
+    audits the EXECUTED micro-batch plan (not the returned sink frame):
+    the rollup face must yield at least one real stream plan and no
+    forbidden node."""
+    from tools.plan_gate import _audit_streaming_face
+
+    fn = catalog.spark_queries()["streaming_daily_rollup"]
+    assert _audit_streaming_face(fn, spark, SF) == []
+
+
+def test_streaming_audit_fails_loud_when_no_stream_runs(spark):
+    """A 'streaming' face that never starts a query must error, not pass
+    silently — the leg's value is that it saw a real plan."""
+    from tools.plan_gate import _audit_streaming_face
+
+    def batch_only(s, sf):
+        return s.range(3)
+
+    with pytest.raises(RuntimeError, match="no streaming plan captured"):
+        _audit_streaming_face(batch_only, spark, SF)
 
 
 def test_allowlist_names_exist_in_catalog():

@@ -25,12 +25,18 @@ wrong at 100 TB regardless of row correctness:
   Arrow paths (ArrowEvalPython*, MapInArrow, FlatMapGroupsInPandas*) are
   the engine's sanctioned Python surfaces and pass.
 
-Faces with the ``streaming_`` prefix are excluded *from the sweep only*:
-constructing them EXECUTES an availableNow stream and returns a batch frame
-over the sink, so the post-hoc plan no longer contains the streaming
-operators of interest.  Their plan shape is pinned by the dedicated
-streaming tests instead; the gate output lists them explicitly as
-``skipped_streaming`` so the exclusion is visible, not silent.
+Faces with the ``streaming_`` prefix execute an availableNow stream on
+construction and return a batch frame over the sink, so the interesting
+plan is the STREAM's, not the returned frame's.  The gate audits them
+anyway: it wraps ``DataStreamWriter.start`` to capture every
+``StreamingQuery`` a face launches, lets the face run to completion at the
+tiny scale factor, then reads each query's executed micro-batch plan
+(``explainInternal``) and applies the same forbidden-node text audit.
+(The bounded-build prover needs the JVM node tree and does not run on
+streaming plans; no streaming face currently plans a nested-loop join, so
+the text audit alone is currently decisive.  foreachBatch INNER batch
+plans are not captured — those faces' sink-side work is pinned by the
+dedicated streaming tests.)
 
 Every ALLOW entry names the face, the tolerated node, and why the shape is
 scale-safe.  An allowlisted face whose plan STOPS needing the waiver is
@@ -49,6 +55,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 
 SMALL_SIDE_ROWS = 1000
 
@@ -241,6 +249,63 @@ def _audit_plan(df) -> list[str]:
     return sorted(hits)
 
 
+def _audit_streaming_face(fn, spark, sf_dir: str) -> list[str]:
+    """Run one streaming face with DataStreamWriter.start wrapped, then
+    text-audit every launched query's executed micro-batch plan."""
+    from pyspark.sql.streaming.readwriter import DataStreamWriter
+
+    captured = []
+    orig_start = DataStreamWriter.start
+
+    def capturing_start(self, *args, **kwargs):
+        q = orig_start(self, *args, **kwargs)
+        captured.append(q)
+        return q
+
+    DataStreamWriter.start = capturing_start
+    try:
+        fn(spark, sf_dir)
+    finally:
+        DataStreamWriter.start = orig_start
+
+    hits: set[str] = set()
+    plans_seen = 0
+    for q in captured:
+        try:
+            text = q._jsq.explainInternal(False)
+            plans_seen += 1
+        except Exception:
+            continue  # a query that never ran a batch has no plan
+        for node in FORBIDDEN:
+            if node in text:
+                hits.add(node)
+    if not plans_seen:
+        raise RuntimeError(
+            f"no streaming plan captured ({len(captured)} queries started)"
+        )
+    return sorted(hits)
+
+
+def _classify(name: str, hits: list[str], secs: float) -> dict:
+    allowed = ALLOW.get(name, {})
+    bad = [n for n in hits if n not in allowed]
+    stale = [n for n in allowed if n not in hits]
+    status = "clean"
+    if bad:
+        status = "forbidden"
+    elif stale:
+        status = "stale_allowlist"
+    elif hits:
+        status = "allowed"
+    return {
+        "status": status,
+        "hits": hits,
+        "bad": bad,
+        "stale": stale,
+        "plan_secs": round(secs, 2),
+    }
+
+
 def sweep(sf_dir: str) -> dict:
     from polars_numba_spark import get_spark
     import __spark_entry__ as entrymod
@@ -250,45 +315,41 @@ def sweep(sf_dir: str) -> dict:
     queries = entrymod.queries()
 
     results: dict[str, dict] = {}
-    skipped = sorted(n for n in queries if n.startswith("streaming_"))
+    streaming: dict[str, dict] = {}
     for name in sorted(queries):
-        if name.startswith("streaming_"):
-            continue
+        is_stream = name.startswith("streaming_")
+        bucket = streaming if is_stream else results
         t0 = time.time()
         try:
-            df = queries[name](spark, sf_dir)
-            hits = _audit_plan(df)
+            if is_stream:
+                hits = _audit_streaming_face(queries[name], spark, sf_dir)
+            else:
+                hits = _audit_plan(queries[name](spark, sf_dir))
         except Exception as exc:  # a face that cannot even plan is a failure
-            results[name] = {"status": "error", "detail": repr(exc)[:300]}
+            bucket[name] = {"status": "error", "detail": repr(exc)[:300]}
             continue
-        allowed = ALLOW.get(name, {})
-        bad = [n for n in hits if n not in allowed]
-        stale = [n for n in allowed if n not in hits]
-        status = "clean"
-        if bad:
-            status = "forbidden"
-        elif stale:
-            status = "stale_allowlist"
-        elif hits:
-            status = "allowed"
-        results[name] = {
-            "status": status,
-            "hits": hits,
-            "bad": bad,
-            "stale": stale,
-            "plan_secs": round(time.time() - t0, 2),
-        }
+        bucket[name] = _classify(name, hits, time.time() - t0)
+    bad_states = ("forbidden", "stale_allowlist", "error")
     return {
         "sf_dir": sf_dir,
         "swept": len(results),
-        "skipped_streaming": skipped,
+        "swept_streaming": len(streaming),
         "clean": sum(1 for r in results.values() if r["status"] == "clean"),
-        "allowed": sorted(n for n, r in results.items() if r["status"] == "allowed"),
+        "clean_streaming": sum(
+            1 for r in streaming.values() if r["status"] == "clean"
+        ),
+        "allowed": sorted(
+            n
+            for n, r in {**results, **streaming}.items()
+            if r["status"] == "allowed"
+        ),
         "failures": {
-            n: r for n, r in results.items()
-            if r["status"] in ("forbidden", "stale_allowlist", "error")
+            n: r
+            for n, r in {**results, **streaming}.items()
+            if r["status"] in bad_states
         },
         "results": results,
+        "streaming": streaming,
     }
 
 
@@ -305,8 +366,9 @@ def main() -> int:
     summary = {
         "swept": report["swept"],
         "clean": report["clean"],
+        "swept_streaming": report["swept_streaming"],
+        "clean_streaming": report["clean_streaming"],
         "allowed": report["allowed"],
-        "skipped_streaming": len(report["skipped_streaming"]),
         "failures": {n: {k: v for k, v in r.items() if k != "plan_secs"}
                      for n, r in report["failures"].items()},
     }
