@@ -58,6 +58,12 @@ def build_mutated_exploded(spark, src_dir: str, out_dir: str, factor: int) -> No
             ).otherwise(t),
         ),
     )
+    # Repartition on the replica index before writing: the exploded frame
+    # otherwise inherits the single-file source's one split and lands as one
+    # duplicate-dense ~100x-compressed part file, which byte-based split
+    # sizing then scans with 1-4 tasks — serializing every downstream
+    # explode (see build_replicated_exploded in run_r13c_soak.py; one part
+    # file per replica mirrors the union builder's layout).
     (
         rep.withColumn(
             "text", F.when(F.col("k") == 0, F.col("text")).otherwise(mutated_text)
@@ -68,6 +74,7 @@ def build_mutated_exploded(spark, src_dir: str, out_dir: str, factor: int) -> No
                 "long"
             ),
         )
+        .repartition(factor, F.col("k"))
         .drop("k", "_one")
         .write.mode("overwrite")
         .parquet(f"{out_dir}/documents.parquet")
