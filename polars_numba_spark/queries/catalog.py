@@ -87,7 +87,10 @@ def register(name: str, oracle: str | None = None):
 # at 237/237 faces with a driver record. The r8 pair (t-digest / KMV-HLL
 # self-reports) earned their maximal rows-only records in r8 and park
 # outside the window, as do the r7 recall-report pair.
-_ROWS_ONLY_WINDOW_ALLOWANCE = frozenset({"embedding_pq_recall"})
+# Round 14: the allowance is EMPTY — every one of the 8 rows-only-by-
+# construction faces holds its maximal rows-only record (r1/r7/r8/r12) and
+# parks outside the window; all 50 r14 slots are hash-checkable.
+_ROWS_ONLY_WINDOW_ALLOWANCE = frozenset()
 # Round 9 executes the documented "R9 ROTATION QUEUE" (r8 verdict
 # next-round #1 and #3): the twelve swap-ins are the eleven queue faces —
 # oracled + local-gate green late in round 8 but never driver-checked —
@@ -129,6 +132,84 @@ _ROWS_ONLY_WINDOW_ALLOWANCE = frozenset({"embedding_pq_recall"})
 # - source_drift_ks -> q1_pricing_summary: the drift family keeps
 #   source_drift_psi + events_cusum_changepoints + events_daily_acf
 #   in-window; q1 restores the relational-core sentinel (r8 ask #3).
+# Round 14 (VERDICT r13 #1): record-freshness rotation, continuing the
+# oldest-record re-certification policy. Entering this round every face
+# holds a driver record and the union of CORRECTNESS_r*.json puts the
+# oldest HASH-CHECKABLE records at r7 (32 faces) and r8 (43 faces) — the
+# judge's 34/45 counts include the r7 recall-report pair and the r8
+# t-digest/KMV self-reports, which are rows-only BY CONSTRUCTION, already
+# hold their maximal rows-only records, and stay parked outside per the
+# established r12 policy (slots are better spent hash-checkable). The
+# window = ALL 32 r7-latest hash-checkable faces + 18 family-spread r8
+# sentinels chosen so every family the r7 set misses keeps an in-window
+# rep: all three dedup keep-list/recall faces touched by this round's
+# minhash cost-curve work (dedup_minhash_keeplist/recall,
+# dedup_simhash_keeplist) + dedup_clusters, the ANN/vector pair
+# (embedding_topk_lsh, kmeans_assignments), multimodal audio, retrieval
+# (doc_bm25_search — an r13 bench-outlier face), quality filtering
+# (doc_gopher_filter), tokenizer machinery (bpe_merge_candidates), the
+# graph pair (doc_pagerank_centrality, customer_golden_record), Z-order
+# formats, the streaming stateful pair (streaming_user_ewma,
+# streaming_user_cms), the bloom prefilter, drift (source_drift_psi) and
+# cohort analytics (user_retention_cohorts). Zero overlap with the r13
+# and r12 windows (pinned by test). Every evictee is hash-green as of
+# CORRECTNESS_r13.json (50/50, zero errors) and stays oracled +
+# local-gated; the full r13 window is retained below as
+# _DRIVER_PRIORITY_R13.
+_DRIVER_PRIORITY: list[str] = [
+    # --- all 32 r7-latest hash-checkable faces -----------------------------
+    "decontamination_overlap",          # train/eval n-gram contamination
+    "dedup_containment_pairs",          # prefix-filtered containment pairs
+    "doc_bigram_logprob",               # bigram LM scoring
+    "doc_corpus_diff",                  # corpus A-vs-B token diff
+    "doc_duplicated_passages",          # cross-doc passage duplication
+    "doc_leakage_safe_split",           # leakage-safe split assignment
+    "doc_novelty_scores",               # vs-corpus novelty scoring
+    "doc_perplexity_buckets",           # LM perplexity bucketing
+    "doc_token_budget",                 # token-budget selection
+    "doc_weighted_mix",                 # mixture-weight resampling
+    "document_length_histogram",        # length histogram
+    "embedding_sign_stats",             # sign-bit embedding stats
+    "event_user_skew_report",           # key-skew diagnostic report
+    "events_hourly_heatmap",            # hour-of-week heatmap
+    "events_unpivoted_flags",           # unpivot/stack flags
+    "formats_sorted_skipping",          # sorted-file row-group skipping
+    "lineitem_price_moments",           # higher-moment aggregates
+    "multimodal_frame_sample",          # MP4 frame sampling
+    "order_price_changes",              # lag/lead price deltas
+    "order_price_distribution",         # price distribution summary
+    "order_price_hist_quantiles",       # histogram-sketch quantiles
+    "q2_min_cost_supplier",             # correlated-subquery min-cost
+    "q11_important_stock",              # group-by + global HAVING scalar
+    "q12_late_shipment_priority",       # two-way conditional agg
+    "q14_promo_revenue_share",          # conditional revenue share
+    "q15_top_supplier",                 # view + global-max join
+    "q16_part_supplier_counts",         # not-in subquery + distinct agg
+    "q17_small_quantity_revenue",       # correlated avg subquery
+    "q20_promotion_suppliers",          # nested IN-subquery chain
+    "q21_waiting_suppliers",            # exists/not-exists multi-join
+    "streaming_daily_rollup",           # streaming tumbling rollup
+    "streaming_user_latest_state",      # streaming latest-state upsert
+    # --- 18 family-spread r8 sentinels -------------------------------------
+    "dedup_minhash_keeplist",           # minhash pair-free keep-list
+    "dedup_minhash_recall",             # minhash recall s-curve (cost-curve target)
+    "dedup_simhash_keeplist",           # simhash pair-free keep-list
+    "dedup_clusters",                   # connected-components clusters
+    "embedding_topk_lsh",               # hyperplane-LSH top-k
+    "kmeans_assignments",               # k-means assignment face
+    "multimodal_audio_meta",            # WAV header parsing
+    "doc_bm25_search",                  # BM25 inverted-index search
+    "doc_gopher_filter",                # Gopher quality rules
+    "bpe_merge_candidates",             # BPE merge-pair mining
+    "doc_pagerank_centrality",          # link-graph PageRank
+    "customer_golden_record",           # survivorship golden record
+    "formats_zorder_skipping",          # Z-order interleaved skipping
+    "streaming_user_ewma",              # streaming stateful EWMA scan
+    "streaming_user_cms",               # streaming CMS sketch state
+    "orders_bloom_prefilter",           # bloom-filter join prefilter
+    "source_drift_psi",                 # PSI drift monitor
+    "user_retention_cohorts",           # signup-cohort retention
+]
 # Round 13 (VERDICT r12 #1/#2/#4): the window continues the oldest-record
 # re-certification policy. Entering this round every face holds a driver
 # record (the r12 books-closed state); the union of CORRECTNESS_r*.json
@@ -147,7 +228,7 @@ _ROWS_ONLY_WINDOW_ALLOWANCE = frozenset({"embedding_pq_recall"})
 # PII scrubbing. Every evictee is hash-green as of CORRECTNESS_r12.json
 # (49/50 + the rows-only allowance) and stays oracled + local-gated; the
 # full r12 window is retained below as _DRIVER_PRIORITY_R12.
-_DRIVER_PRIORITY: list[str] = [
+_DRIVER_PRIORITY_R13: list[str] = [
     # --- the 2 round-13 new faces (land with their driver slot) -----------
     "dedup_containment_keeplist",       # pair-free SSJoin star keep-list
     "embedding_pq_encode",              # portable-Lloyd PQ encode

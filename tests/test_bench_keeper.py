@@ -116,3 +116,59 @@ def test_keeper_plus_subset_env_refused():
     )
     assert proc.returncode != 0
     assert "cannot be combined" in (proc.stderr + proc.stdout)
+
+
+# ---------------------------------------------------------------------------
+# Contention self-description (VERDICT r13 #2): the r13 driver capture read
+# 839.6s for an engine whose quiet-host floor is 327.2s and the judge had to
+# re-time faces by hand. These pin the pure helpers behind the fix: the
+# worst-k retry candidate pick and the loadavg/ratio contention report.
+# ---------------------------------------------------------------------------
+
+
+def test_retry_candidates_are_k_slowest():
+    timings = {"a": 1.0, "b": 9.0, "c": 3.0, "d": 7.0, "e": 0.5}
+    assert bench.pick_retry_candidates(timings, k=3) == ["b", "d", "c"]
+    # k larger than the map returns everything, slowest first
+    assert bench.pick_retry_candidates({"a": 1.0}, k=10) == ["a"]
+
+
+def test_contention_report_flags_hot_capture():
+    keeper = {f"q{i}": 1.0 for i in range(20)}
+    hot = {f"q{i}": 2.0 for i in range(20)}  # uniformly 2x the keeper floor
+    rep = bench.contention_report(hot, keeper, {"q0": [33.0, 35.0]})
+    assert rep["contended"] is True
+    assert rep["median_ratio_vs_keeper"] == 2.0
+    assert rep["n_vs_keeper"] == 20
+    assert rep["loadavg_max"] == 35.0
+
+
+def test_contention_report_quiet_capture_is_not_flagged():
+    keeper = {f"q{i}": 1.0 for i in range(20)}
+    quiet = {f"q{i}": 1.05 for i in range(20)}
+    rep = bench.contention_report(quiet, keeper, {})
+    assert rep["contended"] is False
+    assert rep["median_ratio_vs_keeper"] == 1.05
+
+
+def test_contention_report_single_outlier_does_not_flag():
+    """One transient spike must not mark the whole capture contended —
+    that is the retry pass's job to heal, not the flag's job to report."""
+    keeper = {f"q{i}": 1.0 for i in range(20)}
+    timings = {f"q{i}": 1.0 for i in range(20)}
+    timings["q7"] = 40.0
+    rep = bench.contention_report(timings, keeper, {})
+    assert rep["contended"] is False
+
+
+def test_contention_report_without_keeper_is_unknown():
+    rep = bench.contention_report({"a": 1.0}, {}, {})
+    assert rep["contended"] is None
+    assert rep["median_ratio_vs_keeper"] is None
+
+
+def test_contention_report_needs_min_overlap():
+    # 5 comparable faces < _MIN_KEEPER_OVERLAP -> unknown, not a verdict
+    keeper = {f"q{i}": 1.0 for i in range(5)}
+    rep = bench.contention_report({f"q{i}": 5.0 for i in range(5)}, keeper, {})
+    assert rep["contended"] is None

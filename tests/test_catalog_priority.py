@@ -92,15 +92,31 @@ def test_r12_rotation_record_stays_registered():
     assert overlap == set()
 
 
-def test_r13_window_continues_oldest_record_policy():
-    """The round-13 window = the two r13-new faces (landing WITH their
-    driver slot) + re-certification of stale records — so it must be
-    disjoint from BOTH retained predecessor windows (r11, r12) and fully
-    hash-checkable (no rows-only slot this round)."""
+def test_r13_rotation_record_stays_registered():
+    """The retained round-13 window (50/50 fully green, zero rows-only in
+    CORRECTNESS_r13.json) stays registered and disjoint from its own
+    predecessors — the invariants it was certified under."""
+    q = catalog.spark_queries()
+    assert len(catalog._DRIVER_PRIORITY_R13) == 50
+    missing = [n for n in catalog._DRIVER_PRIORITY_R13 if n not in q]
+    assert missing == []
+    assert "dedup_containment_keeplist" in catalog._DRIVER_PRIORITY_R13
+    assert "embedding_pq_encode" in catalog._DRIVER_PRIORITY_R13
+    assert set(catalog._DRIVER_PRIORITY_R13) & set(catalog._DRIVER_PRIORITY_R12) == set()
+    assert set(catalog._DRIVER_PRIORITY_R13) & set(catalog._DRIVER_PRIORITY_R11) == set()
+
+
+def test_r14_window_continues_oldest_record_policy():
+    """The round-14 window re-certifies the oldest hash-checkable records
+    (all 32 r7-latest faces + 18 family-spread r8 sentinels, VERDICT r13
+    #1) — so it must be disjoint from BOTH retained predecessor windows
+    (r12, r13) and fully hash-checkable (empty rows-only allowance)."""
     w = set(catalog._DRIVER_PRIORITY)
-    assert "dedup_containment_keeplist" in w
-    assert "embedding_pq_encode" in w
+    assert w & set(catalog._DRIVER_PRIORITY_R13) == set()
     assert w & set(catalog._DRIVER_PRIORITY_R12) == set()
-    assert w & set(catalog._DRIVER_PRIORITY_R11) == set()
     oracles = catalog.oracle_queries()
     assert [n for n in w if n not in oracles] == []
+    assert catalog._ROWS_ONLY_WINDOW_ALLOWANCE == frozenset()
+    # the minhash cost-curve faces this round re-gates must sit in-window
+    for face in ("dedup_minhash_keeplist", "dedup_minhash_recall"):
+        assert face in w
