@@ -146,3 +146,127 @@ def test_allowlist_names_exist_in_catalog():
     names = set(catalog.spark_queries())
     missing = [n for n in ALLOW if n not in names]
     assert missing == []
+
+
+# --- round-14 additions: streaming tree audit, foreachBatch, toTable ----
+
+
+def test_partial_mode_grouping_free_agg_is_not_bounded(spark):
+    """ADVICE r13: a Partial-mode grouping-free aggregate emits one row
+    PER PARTITION, not one row total — the prover must bound only
+    Final/Complete aggregates to 1. Pinned directly on _row_bound over a
+    real plan's nodes so the verdict can't depend on walk order."""
+    from tools.plan_gate import _row_bound, _walk, _cls
+
+    plan = spark.range(1000).groupBy().count()._jdf.queryExecution().sparkPlan()
+    verdicts = {}
+    for node in _walk(plan):
+        if "Aggregate" in _cls(node):
+            exprs = node.aggregateExpressions()
+            modes = {str(exprs.apply(i).mode()) for i in range(exprs.size())}
+            verdicts[frozenset(modes)] = _row_bound(node)
+    assert verdicts[frozenset({"Final"})] == 1.0
+    assert verdicts[frozenset({"Partial"})] == float("inf")
+
+
+def test_streaming_nested_loop_join_is_flagged(spark):
+    """VERDICT r13 #4 red test: a streaming face whose micro-batch plan
+    contains an unbounded stream-static nested-loop join must FAIL the
+    gate — previously the streaming leg was a text audit with no prover,
+    and this shape would have been flagged only by luck of the text
+    match; now the executed tree is walked like any batch plan."""
+    from tools.plan_gate import _audit_streaming_face
+
+    def bnlj_face(s, sf):
+        static = s.read.parquet(f"{sf}/nation.parquet")
+        src = s.readStream.format("rate").option("rowsPerSecond", "50").load()
+        joined = src.join(static, src.value > static.n_nationkey, "inner")
+        q = (
+            joined.writeStream.format("memory").queryName("pns_gate_bnlj")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        q.stop()
+        return s.table("pns_gate_bnlj")
+
+    hits = _audit_streaming_face(bnlj_face, spark, SF)
+    assert "BroadcastNestedLoopJoin" in hits
+    spark.catalog.dropTempView("pns_gate_bnlj")
+
+
+def test_foreachbatch_inner_plan_is_audited(spark):
+    """VERDICT r13 #3: work done INSIDE foreachBatch used to be invisible
+    to the gate (the blind spot documented in r13). The status-store leg
+    must now catch a row-at-a-time Python UDF executed by the batch
+    handler."""
+    from pyspark.sql.types import LongType
+    from tools.plan_gate import _audit_streaming_face
+
+    slow = F.udf(lambda x: x + 1, LongType())
+
+    def feb_face(s, sf):
+        src = s.readStream.format("rate").option("rowsPerSecond", "50").load()
+
+        def handler(batch_df, batch_id):
+            batch_df.select(slow(F.col("value")).alias("y")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        q = (
+            src.writeStream.foreachBatch(handler)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        q.stop()
+        return s.range(1)
+
+    hits = _audit_streaming_face(feb_face, spark, SF)
+    assert "BatchEvalPython" in hits
+
+
+def test_clean_foreachbatch_face_passes(spark):
+    """The same foreachBatch shape doing JVM-side work must stay clean —
+    the new leg must not flag foreachBatch per se."""
+    from tools.plan_gate import _audit_streaming_face
+
+    def feb_face(s, sf):
+        src = s.readStream.format("rate").option("rowsPerSecond", "50").load()
+
+        def handler(batch_df, batch_id):
+            batch_df.groupBy("value").count().write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        q = (
+            src.writeStream.foreachBatch(handler)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        q.stop()
+        return s.range(1)
+
+    assert _audit_streaming_face(feb_face, spark, SF) == []
+
+
+def test_totable_launched_query_is_captured(spark, tmp_path):
+    """ADVICE r13: DataStreamWriter.toTable launches a query without
+    going through Python start(); the gate wraps it too, so a
+    toTable-only face is audited rather than erroring with 'no streaming
+    plan captured'."""
+    from tools.plan_gate import _audit_streaming_face
+
+    def totable_face(s, sf):
+        src = s.readStream.format("rate").option("rowsPerSecond", "50").load()
+        q = (
+            src.writeStream.option(
+                "checkpointLocation", str(tmp_path / "ckpt")
+            ).trigger(availableNow=True).toTable("pns_gate_totable")
+        )
+        q.awaitTermination(60)
+        q.stop()
+        return s.table("pns_gate_totable")
+
+    try:
+        assert _audit_streaming_face(totable_face, spark, SF) == []
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pns_gate_totable")

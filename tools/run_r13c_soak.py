@@ -156,6 +156,13 @@ def main() -> int:
         )
         if "sec" in one and "sec" in big_r and one["sec"]:
             big_r["ratio_vs_1x"] = round(big_r["sec"] / one["sec"], 2)
+        if tripped.is_set():
+            # ADVICE r13: a disk-guard trip must end the whole soak, not
+            # just this operator — the next operator would start its run
+            # on a nearly-full disk and wait for the watchdog to re-trip.
+            print("R13CSOAK disk guard tripped; aborting remaining operators",
+                  flush=True)
+            break
 
     print("R13CSOAK " + json.dumps(results), flush=True)
     return 0
