@@ -27,11 +27,22 @@ from pyspark.sql import functions as F
 
 def as_double(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.transform(c, lambda x: x.cast("double"))
+    return c.cast("array<double>")
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Index-ordered dot product (left-to-right accumulation)."""
+    """Index-ordered dot product (left-to-right accumulation).
+
+    Deliberately the interpreted higher-order spelling. An unrolled
+    flat-expression fast path (64 codegen'd multiply-adds behind a size
+    guard) was measured this round (r14): bit-identical results, NO win on
+    the pair-scoring faces (embedding_near_dup_pairs 4.8s unchanged — the
+    interpreter is not the bottleneck there), and a catastrophic planning
+    blow-up on expression-compounding faces (embedding_topk_lsh 6.4s →
+    65s, kmeans_assignments ~4s → 13-26s: every plane/centroid copy of
+    the 129-node unrolled tree lands in Catalyst's optimizer where the
+    10-node aggregate stays opaque). Reverted; see OPTIMIZATION_r14.md.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -39,8 +50,16 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def sumsq(a: Column) -> Column:
+    """Index-ordered sum of squares — same per-element ops in the same
+    order as ``dot(a, a)`` (x·x then left-to-right add) without the
+    zip_with pass, so results are bit-identical and the array is
+    traversed once."""
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
 def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+    return F.sqrt(sumsq(a))
 
 
 def cosine(a: Column, b: Column) -> Column:

@@ -19,7 +19,9 @@ from polars_numba_spark.operators._prep import as_list
 from polars_numba_spark.operators.similarity import (
     as_double,
     cosine_with_norms,
+    dot as _dot_fast,
     norm,
+    sumsq,
 )
 
 
@@ -767,11 +769,7 @@ def _pq_assign(
     the distance before the argmin — the house round-before-compare
     convention for cross-engine-reproducible tie behavior (portable
     faces only; the production path stays unrounded)."""
-    dot = F.aggregate(
-        F.zip_with(F.col("subvec"), F.col("__cv"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot_fast(F.col("subvec"), F.col("__cv"))
     d2 = F.lit(-2.0) * dot + F.col("__cn2")
     if round_to is not None:
         d2 = F.round(d2, round_to)
@@ -844,9 +842,7 @@ def pq_train_codebooks(
             (F.col("__rn") - 1).alias("__code"),
             F.col("subvec").alias("__cv"),
         )
-        .withColumn("__cn2", F.aggregate(
-            "__cv", F.lit(0.0), lambda acc, x: acc + x * x
-        ))
+        .withColumn("__cn2", sumsq(F.col("__cv")))
     )
     cents, ids_cur = tracked_local_checkpoint(seeds)
     ids_prev: set[int] = set()
@@ -880,9 +876,7 @@ def pq_train_codebooks(
                 F.col("code").alias("__code"),
                 F.transform(F.col("__dm"), lambda e: e["__mean"]).alias("__cv"),
             )
-            .withColumn("__cn2", F.aggregate(
-                "__cv", F.lit(0.0), lambda acc, x: acc + x * x
-            ))
+            .withColumn("__cn2", sumsq(F.col("__cv")))
         )
         cents_new, ids_new = tracked_local_checkpoint(new_cents)
         release(spark, ids_prev)
@@ -944,11 +938,7 @@ def pq_adc_topk(
         )
         .select("qid", norm(F.col("__q")).alias("__qn"))
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("subvec"), F.col("centroid"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot_fast(F.col("subvec"), F.col("centroid"))
     adc = qsubs.join(F.broadcast(codebooks), "s").select(
         F.col("id").alias("qid"), "s", "code", dot.alias("__dot"), "cn2"
     )
@@ -1006,11 +996,7 @@ def pq_rerank_topk(
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("__qv")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("__nv"), F.col("__qv"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot_fast(F.col("__nv"), F.col("__qv"))
     scored = cand.join(F.broadcast(qv), "query_id").select(
         "query_id",
         "neighbor_id",

@@ -56,6 +56,67 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """A byte-valued Spark conf as int (accepts '134217728', '128m', '1g')."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if raw.endswith(suffix):
+            raw = raw[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return default
+
+
+def _parallelize_underscplit_scan(
+    spark: SparkSession, df: DataFrame, path: str
+) -> DataFrame:
+    """Round-robin-repartition a scan whose INPUT SPLIT COUNT is below the
+    core count — the under-split-input hazard (guide §2.5 "input skew",
+    SCALE.md round-13 split-sizing lesson): a table that fits in fewer
+    splits than cores serializes every scan-side computation (tokenize /
+    shingle-explode / hash / pair-scoring — the bulk of this engine's
+    CPU) onto that many tasks. Measured at sf0.1 (r14): the single-file
+    tables plan exactly ONE scan task, so CPU-bound faces ran at
+    parallelism ≈ 1 of 32 (embedding_near_dup_pairs: 6 CPU-s ≈ 5.3s
+    wall single-task; 0.9s wall after this change).
+
+    Scale-adaptive by construction: the split estimate is driver-side
+    metadata only (Hadoop ContentSummary / maxPartitionBytes — correct
+    for any filesystem scheme), and any input big enough to fill the
+    cluster's cores (≥ cores × maxPartitionBytes, e.g. any 100 TB table)
+    takes the no-op branch, so production scans keep their native splits
+    and pay no extra exchange. Filter pushdown and column pruning pass
+    through Repartition (verified in the plan: PushedFilters/ReadSchema
+    unchanged), and the round-robin is deterministic under retry (Spark
+    sorts before round-robin repartition, SPARK-23207). Kill switch:
+    PNS_SCAN_PARALLELIZE=0.
+    """
+    if os.environ.get("PNS_SCAN_PARALLELIZE") == "0":
+        return df
+    par = spark.sparkContext.defaultParallelism
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        size = fs.getContentSummary(hpath).getLength()
+    except Exception:
+        return df  # unreadable metadata: keep the native scan
+    max_bytes = _conf_bytes(
+        spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+    )
+    est_splits = max(1, -(-int(size) // max(1, max_bytes)))
+    if est_splits >= par:
+        return df
+    return df.repartition(par)
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one table; path layout is ``{sf_dir}/{name}.parquet``.
 
@@ -64,9 +125,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     TIMESTAMP(NANOS) parquet (SPARK-40819: read as raw nanos and
     floor-convert to microseconds, the same truncation DuckDB applies),
     though the current testdata ships plain ``timestamp[us]``.
+    Under-split inputs are repartitioned to the core count — see
+    :func:`_parallelize_underscplit_scan`.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = _parallelize_underscplit_scan(spark, spark.read.parquet(path), path)
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql import types as T

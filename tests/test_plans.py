@@ -508,7 +508,17 @@ def test_video_meta_is_shuffle_free(spark):
     """multimodal_video_meta (synthesize -> box-walk parse) must be a pure
     scan->project->MapInPandas pipeline: no shuffle, no join — container
     metadata extraction over 100 TB of video must stream."""
-    df = q(spark, "multimodal_video_meta")
+    # the production branch: at scale the under-split scan repartition
+    # no-ops (sources/tables.py::_parallelize_underscplit_scan), so the
+    # at-scale plan shape is asserted with it disabled; its local firing
+    # is pinned in test_scan_parallelize.py
+    import os
+
+    os.environ["PNS_SCAN_PARALLELIZE"] = "0"
+    try:
+        df = q(spark, "multimodal_video_meta")
+    finally:
+        os.environ.pop("PNS_SCAN_PARALLELIZE", None)
     s = plans.explain_string(df)
     assert "MapInPandas" in s
     for op in ("Exchange", "Join", "CartesianProduct"):
@@ -565,7 +575,15 @@ def test_gopher_filter_is_one_scan(spark):
     """doc_gopher_filter must be pure codegen over a single documents scan
     reading only (doc_id, text) — a quality gate that shuffles or calls
     Python would throttle every downstream curation stage at 100 TB."""
-    df = q(spark, "doc_gopher_filter")
+    # asserted on the production (no-op) branch of the under-split scan
+    # repartition — see test_video_meta_is_shuffle_free
+    import os
+
+    os.environ["PNS_SCAN_PARALLELIZE"] = "0"
+    try:
+        df = q(spark, "doc_gopher_filter")
+    finally:
+        os.environ.pop("PNS_SCAN_PARALLELIZE", None)
     s = plans.explain_string(df)
     for op in ("Exchange", "Join", "MapInPandas", "BatchEvalPython"):
         assert op not in s, op

@@ -52,15 +52,50 @@ def main() -> int:
         scrub()
         return elapsed
 
+    def cpu_tree_seconds() -> float:
+        """Total user+sys CPU seconds of this process and every live
+        descendant (the JVM and its python workers). Wall clock on a
+        shared host is scheduling-noisy; total CPU burned by a query is
+        far more stable, so A/B comparisons report both (r14)."""
+        tick = os.sysconf("SC_CLK_TCK")
+        me = os.getpid()
+        procs: dict[int, tuple[int, float]] = {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().rsplit(")", 1)[1].split()
+                ppid = int(parts[1])
+                cpu = (int(parts[11]) + int(parts[12])) / tick
+                procs[int(pid)] = (ppid, cpu)
+            except OSError:
+                continue
+        total = 0.0
+        for pid, (ppid, cpu) in procs.items():
+            p = pid
+            while p > 1:
+                if p == me:
+                    total += cpu
+                    break
+                p = procs.get(p, (0, 0.0))[0]
+        return total
+
     print(f"load avg at start: {os.getloadavg()}", flush=True)
     for warm in ("q6_revenue_forecast", "capped_balance_per_user"):
         run(warm)
 
     out = {}
     for name in args:
-        runs = [round(run(name), 3) for _ in range(n)]
-        out[name] = {"runs": runs, "floor": min(runs)}
-        print(f"{name}: {' / '.join(f'{r:.2f}' for r in runs)}  floor={min(runs):.2f}",
+        runs, cpus = [], []
+        for _ in range(n):
+            c0 = cpu_tree_seconds()
+            runs.append(round(run(name), 3))
+            cpus.append(round(cpu_tree_seconds() - c0, 2))
+        out[name] = {"runs": runs, "floor": min(runs),
+                     "cpu": cpus, "cpu_floor": min(cpus)}
+        print(f"{name}: {' / '.join(f'{r:.2f}' for r in runs)}  floor={min(runs):.2f}"
+              f"  cpu={' / '.join(f'{c:.1f}' for c in cpus)} cpu_floor={min(cpus):.1f}",
               flush=True)
     print("REMEASURE " + json.dumps({"sf_dir": sf_dir, "results": out,
                                      "load_end": os.getloadavg()}), flush=True)
