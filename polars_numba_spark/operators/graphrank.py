@@ -64,7 +64,18 @@ def pagerank(
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    outdeg, o_ids = tracked_local_checkpoint(outdeg)
+    # Pre-attach the out-degree to the edge list ONCE (r14): the loop used
+    # to join `ranks` against `e` and then against `outdeg` every
+    # iteration — two |nodes|-keyed shuffles of the rank vector per round
+    # where one suffices. outdeg is a static per-src property of the
+    # checkpointed edge set, so (src, dst, outdeg) is materialized before
+    # the loop and each iteration pays exactly one join + one aggregate.
+    # Arithmetic unchanged: the same round(rank / outdeg, 12) per edge.
+    e_deg = e.join(outdeg, e.src == outdeg.node).select(
+        "src", "dst", "outdeg"
+    )
+    e_deg, ed_ids = tracked_local_checkpoint(e_deg)
+    release(spark, e_ids)  # the raw edge set is no longer read by the loop
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("__n"))
 
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
@@ -73,8 +84,7 @@ def pagerank(
     rank_ids: set[int] = set()
     for _ in range(iterations):
         contribs = (
-            e.join(ranks, e.src == ranks.node)
-            .join(outdeg, ranks.node == outdeg.node)
+            e_deg.join(ranks, e_deg.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
                 F.round(F.col("rank") / F.col("outdeg"), 12).alias("__c"),
@@ -105,7 +115,7 @@ def pagerank(
         rank_ids = new_ids
     # the returned frame reads only the FINAL rank blocks: graph-side
     # checkpoints are free now; the final blocks are swept between queries
-    release(spark, e_ids | n_ids | o_ids)
+    release(spark, ed_ids | n_ids)
     register_session_scoped(rank_ids)
     return ranks
 

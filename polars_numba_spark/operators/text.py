@@ -851,10 +851,20 @@ def bm25_topk(
     )
     contrib = F.round(idf * ((F.col("tf") * F.lit(k1 + 1.0)) / denom), 9)
 
+    # Join ORDER is the plan (guide §2.3 "aggregate/filter before you
+    # shuffle"): the r1-r13 spelling attached dl and dfreq to EVERY
+    # posting row and only then applied the broadcast query-term filter —
+    # two full-postings-mass shuffle joins feeding rows that were about
+    # to be dropped (r14 profile: bm25_topk burned 72 CPU-s at sf0.1,
+    # the single largest CPU sink in the text family). Filtering the
+    # postings against the broadcast query terms FIRST leaves a
+    # few-rows-per-matched-(query,doc,term) frame, and dl/dfreq attach to
+    # that. Inner equi-joins commute, every surviving row and every
+    # per-row value is identical — bit-exact, oracle re-verified.
     scored = (
-        tf.join(dl, "id")
+        tf.join(F.broadcast(qdf), "term")
+        .join(dl, "id")
         .join(dfreq, "term")
-        .join(F.broadcast(qdf), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn("__c", contrib)
         .groupBy("query_id", "id")
