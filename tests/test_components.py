@@ -33,7 +33,9 @@ def test_components_long_chain_converges(spark):
 def test_keep_list_on_real_near_dups(spark):
     from polars_numba_spark.sources import load_table
 
-    docs = load_table(spark, "documents", "/root/testdata/sf0.001").limit(40)
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").where(
+        F.col("doc_id") < 40
+    )
     clone = docs.where(F.col("doc_id") < 3).withColumn(
         "doc_id", F.col("doc_id") + 50000
     )
@@ -98,7 +100,9 @@ def test_verified_star_keeplist_refines_pair_clusters(spark):
     from polars_numba_spark.operators.dedup import minhash_dedup_keep_list
     from polars_numba_spark.sources import load_table
 
-    docs = load_table(spark, "documents", "/root/testdata/sf0.001").limit(60)
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").where(
+        F.col("doc_id") < 60
+    )
     clone = docs.where(F.col("doc_id") < 5).withColumn(
         "doc_id", F.col("doc_id") + 70000
     )
@@ -130,7 +134,9 @@ def test_simhash_keeplist_star_edges_are_hamming_verified(spark):
     from polars_numba_spark.operators.dedup import simhash_dedup_keep_list
     from polars_numba_spark.sources import load_table
 
-    docs = load_table(spark, "documents", "/root/testdata/sf0.001").limit(50)
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").where(
+        F.col("doc_id") < 50
+    )
     clone = docs.where(F.col("doc_id") < 4).withColumn(
         "doc_id", F.col("doc_id") + 90000
     )
@@ -223,7 +229,9 @@ def test_containment_keeplist_collapses_clusters_and_refines(spark):
     )
     from polars_numba_spark.sources import load_table
 
-    docs = load_table(spark, "documents", "/root/testdata/sf0.001").limit(50)
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").where(
+        F.col("doc_id") < 50
+    )
     # exact clones (containment 1.0 both ways) + a subset doc: the first
     # 60% of doc 2's tokens is >=0.9-contained in doc 2 on unigram sets
     clones = docs.where(F.col("doc_id") < 3).withColumn(

@@ -82,7 +82,7 @@ def test_quality_score_range(spark):
 
 
 def test_exact_dedup_removes_injected_duplicates(spark):
-    d = docs(spark).limit(50)
+    d = docs(spark).where(F.col("doc_id") < 50)
     doubled = d.union(d.withColumn("doc_id", F.col("doc_id") + 100000))
     kept = D.exact_dedup(doubled)
     assert kept.count() == 50
@@ -237,7 +237,7 @@ def test_exact_dedup_null_ids_keep_real_row(spark):
 def test_minhash_pairs_are_high_jaccard(spark):
     """Everything the LSH+verify pipeline emits really has jaccard ≥ τ
     (verification step), and it finds the obviously-identical pair."""
-    d = docs(spark).limit(30)
+    d = docs(spark).where(F.col("doc_id") < 30)
     with_clone = d.union(
         d.where(F.col("doc_id") == d.select(F.min("doc_id")).collect()[0][0])
         .withColumn("doc_id", F.lit(999999).cast("long"))
@@ -251,7 +251,7 @@ def test_minhash_pairs_are_high_jaccard(spark):
 def test_minhash_recall_vs_exact(spark):
     """LSH candidate recall on near-identical pairs (jaccard ≥ 0.95) should
     be high — banded minhash with 8 bands × 4 rows has ≥99.9% capture at 0.95."""
-    d = docs(spark).limit(60)
+    d = docs(spark).where(F.col("doc_id") < 60)
     ids = d.select("doc_id")
     all_pairs = (
         ids.alias("a")
@@ -372,7 +372,7 @@ def test_simhash_bits_scale_with_corpus():
 def test_simhash_auto_bits_still_complete(spark):
     """bits=None (corpus-sized signature) keeps pigeonhole completeness:
     pairs equal the all-pairs Hamming scan at the auto-chosen width."""
-    d = docs(spark).limit(60)
+    d = docs(spark).where(F.col("doc_id") < 60)
     n = d.count()
     auto_bits = D.bits_for_corpus(n, max_hamming=3)
     blocked = {
@@ -465,7 +465,7 @@ def test_multimodal_decode_payload_deterministic_fallback():
 
 
 def test_multimodal_extract_features_roundtrip(spark):
-    d = docs(spark).limit(20)
+    d = docs(spark).where(F.col("doc_id") < 20)
     out = M.extract_features(M.attach_payload(d))
     rows = out.collect()
     assert len(rows) == 20
@@ -559,7 +559,7 @@ def test_simhash_signatures_match_expression(spark):
 def test_simhash_pigeonhole_blocking_is_complete(spark):
     """Pigeonhole-blocked simhash pairs must EQUAL the all-pairs Hamming
     scan — blocking is a cost lever, never a recall lever."""
-    d = docs(spark).limit(80)
+    d = docs(spark).where(F.col("doc_id") < 80)
     blocked = {
         (r["a_id"], r["b_id"], r["hamming"])
         for r in D.simhash_dedup_pairs(d, bits=32, max_hamming=3).collect()
@@ -719,7 +719,7 @@ def test_duplicated_shingle_fraction_literals(spark):
 def test_duplicated_shingle_fraction_window_equals_join(spark):
     """Both physical forms (window count vs count+join) must agree row for
     row — they are skew/perf alternatives, not semantic variants."""
-    d = docs(spark).limit(80)
+    d = docs(spark).where(F.col("doc_id") < 80)
     a = {tuple(r) for r in D.duplicated_shingle_fraction(d, via="window").collect()}
     b = {tuple(r) for r in D.duplicated_shingle_fraction(d, via="join").collect()}
     assert a == b

@@ -29,7 +29,7 @@ def store_dir():
 
 
 def _with_clones(spark):
-    docs = load_table(spark, "documents", SF).limit(90)
+    docs = load_table(spark, "documents", SF).where(F.col("doc_id") < 90)
     clones = docs.where(F.col("doc_id") < 6).withColumn(
         "doc_id", F.col("doc_id") + 80000
     )
