@@ -393,6 +393,14 @@ def semantic_dedup_pairs(
     m = v.join(
         assignments.select(F.col(id_col).alias("id"), "assigned"), "id"
     )
+    # the within-cluster self-join reads m twice, and Catalyst does NOT
+    # reuse the exchange across the aliased sides (measured: both sides
+    # rebuilt the full scan -> broadcast-centroid assignment -> agg chain,
+    # doubling the corpus assignment pass). One eager checkpoint makes it
+    # one pass; blocks are swept between queries by the session harness.
+    from polars_numba_spark.plans.checkpoint import session_scoped_checkpoint
+
+    m = session_scoped_checkpoint(m)
     a = m.alias("a")
     b = m.alias("b")
     cos = cosine_with_norms(
@@ -598,6 +606,15 @@ def contrastive_triplets(
         )
         e = e.join(e_cells, "aid")
         pair_keys = ["lab", "__cell"]
+    # e feeds five independent subtrees (both pair sides, the label
+    # directory, the dense rank, the slot table); without materialization
+    # each replays the scan AND — on the "auto" path — the full k-means
+    # assignment pass (scan -> broadcast-centroid score -> groupBy), so the
+    # corpus was assigned ~7x per query. One eager checkpoint makes it one
+    # pass; blocks are swept between queries by the session harness.
+    from polars_numba_spark.plans.checkpoint import session_scoped_checkpoint
+
+    e = session_scoped_checkpoint(e)
     a = e.select(
         "aid", *pair_keys, F.col("v").alias("av"), F.col("vn").alias("an")
     )

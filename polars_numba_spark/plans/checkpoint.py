@@ -27,6 +27,33 @@ from pyspark.sql import DataFrame, SparkSession
 # release_session_checkpoints() between queries to sweep these.
 _SESSION_SCOPED: list[int] = []
 
+# Plan-audit capture (r14): an eager checkpoint TRUNCATES lineage, so any
+# node upstream of it — including the scale-killer shapes the catalog-wide
+# plan gate exists to catch — disappears from the returned DataFrame's
+# plan tree. When capture is enabled (tools/plan_gate.py and its tests;
+# never in production runs — one py4j call per checkpoint otherwise), the
+# pre-checkpoint QueryExecution handle is recorded here so the gate can
+# audit the truncated subtree alongside the face's final plan.
+_PLAN_CAPTURE = False
+_CAPTURED_QES: list = []
+
+
+def set_plan_capture(on: bool) -> None:
+    """Enable/disable recording of pre-checkpoint QueryExecution handles
+    (plan-gate use only). Disabling also clears the buffer."""
+    global _PLAN_CAPTURE
+    _PLAN_CAPTURE = on
+    if not on:
+        _CAPTURED_QES.clear()
+
+
+def drain_captured_plans() -> list:
+    """Return and clear the QueryExecution handles captured since the last
+    drain — one per eager checkpoint taken while capture was enabled."""
+    out = list(_CAPTURED_QES)
+    _CAPTURED_QES.clear()
+    return out
+
 
 def _persistent_ids(spark: SparkSession) -> set[int]:
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
@@ -38,6 +65,8 @@ def tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
     persistent-RDD ids backing it) so the caller can free them with
     :func:`release` once the checkpoint is superseded."""
     spark = df.sparkSession
+    if _PLAN_CAPTURE:
+        _CAPTURED_QES.append(df._jdf.queryExecution())
     before = _persistent_ids(spark)
     out = df.localCheckpoint(eager=True)
     ids = _persistent_ids(spark) - before

@@ -1382,9 +1382,16 @@ def curated_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id", "lang", "text", X.quality_score("text").alias("quality")
     ).where(F.col("quality") >= 0.5)
-    verdict = D.minhash_dedup_pairs(
-        scored, num_hashes=32, bands=8, threshold=0.9, portable=True,
-        emit="keeplist",
+    from polars_numba_spark.plans.checkpoint import session_scoped_checkpoint
+
+    # verdict feeds both the cluster-size aggregate and the keep filter;
+    # without materialization each side rescans documents and re-joins the
+    # components checkpoint. One row per doc — tiny.
+    verdict = session_scoped_checkpoint(
+        D.minhash_dedup_pairs(
+            scored, num_hashes=32, bands=8, threshold=0.9, portable=True,
+            emit="keeplist",
+        )
     )
     sizes = verdict.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members")
@@ -1649,8 +1656,15 @@ def embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     its full cap=1000."""
     cap = 500
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < cap)
-    exact = _exact_pairs_capped(spark, sf_dir, cap=cap, threshold=0.4).select(
-        "a_id", "b_id"
+    from polars_numba_spark.plans.checkpoint import session_scoped_checkpoint
+
+    # exact feeds the semi-join AND the truth count; materialize the
+    # all-pairs truth once (pair ids only) instead of re-scoring cap^2
+    # cosines per consumer.
+    exact = session_scoped_checkpoint(
+        _exact_pairs_capped(spark, sf_dir, cap=cap, threshold=0.4).select(
+            "a_id", "b_id"
+        )
     )
     approx = S.embedding_near_dup_pairs(
         e, threshold=0.4, dim=64, n_planes=3, n_tables=16
@@ -1869,7 +1883,12 @@ def embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_topk(e, q, cents, k=5, nprobe=3).select(
         F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
     )
-    exact = S.brute_force_topk(e, q, k=5).select("query_id", "neighbor_id")
+    from polars_numba_spark.plans.checkpoint import session_scoped_checkpoint
+
+    # exact feeds the semi-join AND the truth count; one brute-force pass.
+    exact = session_scoped_checkpoint(
+        S.brute_force_topk(e, q, k=5).select("query_id", "neighbor_id")
+    )
     hits = exact.join(
         approx, (exact.query_id == approx.aq) & (exact.neighbor_id == approx.an), "left_semi"
     )
@@ -1912,6 +1931,12 @@ def embedding_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("an"),
         F.col("cosine_sim").alias("approx_sim"),
     )
+    # NOT checkpointed (r14, measured): exact feeds two consumers, but the
+    # replayed brute-force pass is light here (10 queries, no quantize leg)
+    # and two interleaved A/B rounds read CPU +10% with the checkpoint
+    # (7.5/7.5 -> 8.8/8.2 cpu-s) and wall inside noise — the fixed
+    # checkpoint overhead exceeds what the dedup saves at this face's mass
+    # (contrast embedding_pq_recall, where the same pattern won 14% CPU).
     exact = S.brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
     hits = exact.join(
         approx,
@@ -2525,9 +2550,15 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids_b = d.select(F.col("doc_id").alias("b_id"))
     allp = ids_a.crossJoin(ids_b).where(F.col("a_id") < F.col("b_id"))
     exact = D.jaccard_pairs(d, allp)
-    cands = D.minhash_lsh_candidates(
-        d, num_hashes=32, bands=8, portable=True
-    ).withColumn("__c", F.lit(1))
+    from polars_numba_spark.plans.checkpoint import session_scoped_checkpoint
+
+    # cands feeds the truth-marking join AND the candidate count;
+    # materialize the banded self-join's output once (pair ids only).
+    cands = session_scoped_checkpoint(
+        D.minhash_lsh_candidates(
+            d, num_hashes=32, bands=8, portable=True
+        ).withColumn("__c", F.lit(1))
+    )
     marked = exact.join(cands, ["a_id", "b_id"], "left").select(
         "jaccard", F.coalesce(F.col("__c"), F.lit(0)).alias("c")
     )
@@ -2949,11 +2980,17 @@ def embedding_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train_codebooks,
     )
 
+    from polars_numba_spark.plans.checkpoint import session_scoped_checkpoint
+
     e = _t(spark, sf_dir, "embeddings")
     books = pq_train_codebooks(e, m=8, k=16, iterations=2)
-    codes = pq_encode(e, books, m=8)
+    # codes feeds BOTH retrieval stages (raw ADC + the rerank's shortlist
+    # ADC) and exact feeds three consumers (two hit joins + the count);
+    # materialize each once — codes is n x m small ints, exact is 50 rows —
+    # instead of re-encoding the corpus and re-running brute force per use.
+    codes = session_scoped_checkpoint(pq_encode(e, books, m=8))
     q = e.where(F.col("vec_id") < 10)
-    exact = S.brute_force_topk(e, q, k=5)
+    exact = session_scoped_checkpoint(S.brute_force_topk(e, q, k=5))
     adc = pq_adc_topk(codes, q, books, k=5, m=8).select(
         F.col("query_id").alias("aq"),
         F.col("neighbor_id").alias("an"),
@@ -3134,9 +3171,15 @@ def doc_search_authority_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from polars_numba_spark.operators.graphrank import pagerank
+    from polars_numba_spark.plans.checkpoint import session_scoped_checkpoint
 
     d = _t(spark, sf_dir, "documents")
-    bm = X.bm25_topk(d, _BM25_QUERIES, k=10, k1=_BM25_K1, b=_BM25_B)
+    # bm feeds BOTH the candidate-threshold broadcast and the fusion join;
+    # without materialization each side replays the whole BM25 ranking
+    # (measured: 2x the face's dominant CPU). Top-10-per-query rows — tiny.
+    bm = session_scoped_checkpoint(
+        X.bm25_topk(d, _BM25_QUERIES, k=10, k1=_BM25_K1, b=_BM25_B)
+    )
 
     occ = d.select("doc_id", F.explode(X.tokens("text")).alias("term")).distinct()
     doc_node = F.concat(F.lit("d:"), F.col("doc_id").cast("string"))
@@ -3144,7 +3187,10 @@ def doc_search_authority_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = occ.select(doc_node.alias("src"), term_node.alias("dst")).union(
         occ.select(term_node.alias("src"), doc_node.alias("dst"))
     )
-    pr = (
+    # pr feeds both the candidate filter and the strictly-above count scan;
+    # materialize the 3-iteration PageRank once (|doc nodes| rows) instead
+    # of replaying the whole iteration chain per consumer.
+    pr = session_scoped_checkpoint(
         pagerank(edges, damping=0.85, iterations=3)
         .where(F.col("node").startswith("d:"))
         .select(
@@ -3688,6 +3734,14 @@ def search_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     dterms = d.select(
         "doc_id", F.explode(X.tokens("text")).alias("term")
     ).distinct()
+    # NOT checkpointed (r14, measured): rel feeds two consumers, but an
+    # interleaved A/B read wall floor 3.95 -> 16.8s with an eager
+    # checkpoint here (CPU 57.9 -> 53.1: the replay IS avoided, but the
+    # eager job serializes the whole build while the lazy twin overlaps
+    # its two consumers across the session's idle cores — a 4x wall loss
+    # for an 8% CPU win). The double distinct-explode is the accepted
+    # local cost; at scale the ground-truth join mass, not this replay,
+    # dominates the face.
     rel = (
         q.join(dterms, "term")
         .join(F.broadcast(qsize), "query_id")
@@ -4128,9 +4182,12 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     _, cent1 = kmeans_iterations(e, k=8, iterations=1)
-    a2 = assign_nearest_centroid(e, cent1).select(
-        "vec_id", "assigned"
-    )
+    # NOT checkpointed (r14, measured): a2 feeds three consumers and scored
+    # two, but an interleaved A/B read identical CPU floors (21.8 = 21.8)
+    # with the checkpoints and a 2x WORSE wall floor (3.31 -> 6.81s) —
+    # eagerly materializing scored serializes the n x k rows WITH their
+    # 64-dim centroid vectors, which costs more than the replays it saves.
+    a2 = assign_nearest_centroid(e, cent1).select("vec_id", "assigned")
     c = cent1.select(
         F.col("label").alias("__cid"), as_double("centroid").alias("__cv")
     ).withColumn("__cn", norm(F.col("__cv")))

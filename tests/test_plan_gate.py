@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.plan_gate import ALLOW, _audit_plan  # noqa: E402
+from tools.plan_gate import ALLOW, _audit_batch_face, _audit_plan  # noqa: E402
+from polars_numba_spark.plans import checkpoint as _ckpt  # noqa: E402
 from polars_numba_spark.queries import catalog  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
@@ -29,6 +30,16 @@ SF = "/root/testdata/sf0.001"
 
 def q(spark, name):
     return catalog.spark_queries()[name](spark, SF)
+
+
+def audit_face(spark, name):
+    """The sweep's batch-leg audit: final plan UNION lineage-truncated
+    checkpoint subtrees (capture-enabled, as sweep() runs it)."""
+    _ckpt.set_plan_capture(True)
+    try:
+        return _audit_batch_face(catalog.spark_queries()[name], spark, SF)
+    finally:
+        _ckpt.set_plan_capture(False)
 
 
 # --- prover verdicts on plans with known row bounds ---------------------
@@ -113,8 +124,19 @@ def test_allowlisted_faces_hit_exactly_their_waiver(spark):
     """Allowlisted faces must still exhibit the tolerated node (a stale
     waiver is a gate failure too) and nothing beyond it."""
     for name in ("semantic_dedup_pairs", "sql_surface_capped_fold"):
-        hits = _audit_plan(q(spark, name))
+        hits = audit_face(spark, name)
         assert hits == sorted(ALLOW[name]), (name, hits)
+
+
+def test_checkpoint_truncated_subtree_is_still_audited(spark):
+    """r14 regression pin: semantic_dedup_pairs eagerly localCheckpoints
+    the cluster-assignment frame (the round's multi-consumer fix), which
+    cuts the k-row-centroid BNLJ out of the RETURNED frame's plan tree —
+    the final-plan audit alone reads clean and the waiver would rot into
+    a false stale_allowlist. The batch-leg union audit must still see the
+    node via the captured pre-checkpoint QueryExecution."""
+    assert _audit_plan(q(spark, "semantic_dedup_pairs")) == []  # the blind spot
+    assert audit_face(spark, "semantic_dedup_pairs") == ["BroadcastNestedLoopJoin"]
 
 
 def test_streaming_face_audit_reads_the_executed_stream_plan(spark):

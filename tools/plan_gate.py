@@ -274,6 +274,29 @@ def _audit_plan(df) -> list[str]:
     return sorted(hits)
 
 
+def _audit_batch_face(fn, spark, sf_dir: str) -> list[str]:
+    """Build one batch face with checkpoint-plan capture enabled and audit
+    the UNION of its final plan and every lineage-truncated subtree (r14):
+    eager ``localCheckpoint`` materializations — the round's multi-consumer
+    fix — cut the checkpointed subtree out of the returned frame's plan
+    tree, so a forbidden node executed at build time (e.g. the k-row
+    centroid BNLJ now upstream of semantic_dedup_pairs' checkpoint) would
+    otherwise escape the sweep entirely and its waiver would rot into a
+    false 'stale_allowlist'. Capture must already be enabled session-wide
+    (sweep()/tests call ``set_plan_capture(True)``)."""
+    from polars_numba_spark.plans.checkpoint import drain_captured_plans
+
+    drain_captured_plans()  # discard any strays from a previous face
+    df = fn(spark, sf_dir)
+    hits = set(_audit_plan(df))
+    for qe in drain_captured_plans():
+        plan = qe.sparkPlan()
+        hits |= _audit_tree(plan)
+        if "BatchEvalPython" in plan.toString():
+            hits.add("BatchEvalPython")
+    return sorted(hits)
+
+
 def _audit_tree(plan) -> set[str]:
     """The tree-walk half of the audit: CartesianProduct always hits;
     BroadcastNestedLoopJoin hits unless its build side carries a row-bound
@@ -403,6 +426,9 @@ def sweep(sf_dir: str) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
+    from polars_numba_spark.plans.checkpoint import set_plan_capture
+
+    set_plan_capture(True)  # audit lineage-truncated checkpoint subtrees too
     results: dict[str, dict] = {}
     streaming: dict[str, dict] = {}
     for name in sorted(queries):
@@ -413,11 +439,12 @@ def sweep(sf_dir: str) -> dict:
             if is_stream:
                 hits = _audit_streaming_face(queries[name], spark, sf_dir)
             else:
-                hits = _audit_plan(queries[name](spark, sf_dir))
+                hits = _audit_batch_face(queries[name], spark, sf_dir)
         except Exception as exc:  # a face that cannot even plan is a failure
             bucket[name] = {"status": "error", "detail": repr(exc)[:300]}
             continue
         bucket[name] = _classify(name, hits, time.time() - t0)
+    set_plan_capture(False)
     bad_states = ("forbidden", "stale_allowlist", "error")
     return {
         "sf_dir": sf_dir,
