@@ -2160,7 +2160,16 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates and a doc-sized join replace the shingle-mass join —
     bit-identical output (differenced at sf0.1), 1.8× faster, and the
     only join left moves O(docs) rows. Plan shape pinned by
-    tests/test_plans.py::test_novelty_join_is_doc_granularity."""
+    tests/test_plans.py::test_novelty_join_is_doc_granularity.
+
+    Round-14 note: replacing the ``tot`` explode pass with a scan-side
+    ``size(token_shingles(...))`` projection was tried and REVERTED on
+    measurement (wall floor 1.64 → 3.78s, CPU 15.4 → 17.5): the zero-
+    shingle filter references the projected size, Catalyst pushes it below
+    the projection and the interpreted shingle build evaluates twice
+    (the §4.4 double-evaluation trap), and the explode form's two
+    aggregates were already overlapping as independent stages of one job
+    — the removed exchange cost no wall."""
     from polars_numba_spark.operators.dedup import md5_long
     from polars_numba_spark.operators.text import token_shingles
 

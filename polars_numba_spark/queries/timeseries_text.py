@@ -557,29 +557,31 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination pass would have to remove. The group-safe policy's
     number is strictly lower (exact dups can no longer straddle); both
     numbers reproduce in DuckDB from the same md5 buckets and shingles.
-    Shape: ONE shingle explode (the heavy pass — shared across policies
-    via a join to the narrow per-doc policy map, not re-exploded per
-    policy) → ONE grouped aggregation on (policy, shingle) computing
-    membership flags for both splits → filter both-present → count. No
-    shingle self-join at all (the naive spelling's distinct + equi-join
-    was ~2× this cost), and the flag aggregation combines map-side."""
+    Shape (r14): BOTH policies' splits are pure per-document functions
+    (hash of doc_id / of the dup-group key), so they ride the explode as
+    two narrow columns instead of joining a 2-rows-per-doc policy map
+    back onto the exploded shingle mass — the r13 form's join shuffled
+    every (doc, shingle) row by doc_id AND doubled it (one copy per
+    policy) before the flag aggregation. Now: ONE shingle explode → ONE
+    per-shingle aggregation (map-side combined) carrying four membership
+    flags → unpivot to (policy, tr, te) at DISTINCT-shingle granularity
+    (orders of magnitude below occurrence granularity) → filter
+    both-present → count. No join at all touches the shingle mass."""
     from pyspark.sql import Window
 
-    d = _t(spark, sf_dir, "documents").withColumn(
-        "gkey", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
-    )
+    base = _t(spark, sf_dir, "documents")
+    # Explicit repartition ON the window key: the window's own exchange
+    # would be AQE-coalesced by BYTES (~0.6 MB of docs → 1 partition),
+    # serializing the entire downstream explode+hash chain onto one core
+    # (the _joined_pair_sets lesson). An explicit keyed repartition is
+    # exempt from coalescing and the window reuses its partitioning —
+    # same exchange count, full-width compute.
+    d = base.repartition(
+        spark.sparkContext.defaultParallelism, F.md5("text")
+    ).withColumn("gkey", F.min("doc_id").over(Window.partitionBy(F.md5("text"))))
     split_of = lambda key: F.when(  # noqa: E731
         SAMPLING.hash_bucket(key) < 9000, F.lit("train")
     ).otherwise(F.lit("test"))
-    polmap = d.select(
-        "doc_id", F.lit("naive").alias("policy"), split_of("doc_id").alias("split")
-    ).unionByName(
-        d.select(
-            "doc_id",
-            F.lit("group_safe").alias("policy"),
-            split_of("gkey").alias("split"),
-        )
-    )
     from polars_numba_spark.operators.dedup import md5_long
 
     # Shingles shuffle as 60-bit md5 longs, not ~50-byte strings (~6×
@@ -587,16 +589,36 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # applies, so the count is identical in both engines. Collisions at
     # ~1M distinct shingles: p ≈ 4e-7 — and identical cross-engine anyway.
     sh_doc = d.select(
-        "doc_id", F.explode(X.token_shingles("text")).alias("s0")
-    ).select("doc_id", md5_long(F.col("s0")).alias("s"))
-    flags = (
-        sh_doc.join(polmap, "doc_id")
-        .groupBy("policy", "s")
-        .agg(
-            F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("tr"),
-            F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias("te"),
-        )
+        split_of("doc_id").alias("naive_split"),
+        split_of("gkey").alias("safe_split"),
+        F.explode(X.token_shingles("text")).alias("s0"),
+    ).select("naive_split", "safe_split", md5_long(F.col("s0")).alias("s"))
+
+    def flag(col: str, split: str):
+        return F.max(F.when(F.col(col) == split, 1).otherwise(0))
+
+    per_sh = sh_doc.groupBy("s").agg(
+        flag("naive_split", "train").alias("tr_naive"),
+        flag("naive_split", "test").alias("te_naive"),
+        flag("safe_split", "train").alias("tr_safe"),
+        flag("safe_split", "test").alias("te_safe"),
     )
+    flags = per_sh.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("naive").alias("policy"),
+                    F.col("tr_naive").alias("tr"),
+                    F.col("te_naive").alias("te"),
+                ),
+                F.struct(
+                    F.lit("group_safe").alias("policy"),
+                    F.col("tr_safe").alias("tr"),
+                    F.col("te_safe").alias("te"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
     return (
         flags.where((F.col("tr") == 1) & (F.col("te") == 1))
         .groupBy("policy")
