@@ -133,6 +133,68 @@ def test_retry_candidates_are_k_slowest():
     assert bench.pick_retry_candidates({"a": 1.0}, k=10) == ["a"]
 
 
+def test_retry_candidates_include_keeper_ratio_outliers():
+    """A face spiked far above its OWN keeper floor is retried even when
+    its inflated wall is not top-k (the r14 second-session observation:
+    an 18x spike on a 0.5s face sat just under the k=10 cutoff)."""
+    timings = {"big1": 9.0, "big2": 8.0, "spiked": 6.0, "quiet": 1.0}
+    keeper = {"big1": 8.5, "big2": 8.0, "spiked": 0.5, "quiet": 1.0}
+    picks = bench.pick_retry_candidates(timings, k=2, keeper_queries=keeper)
+    assert picks[:2] == ["big1", "big2"]  # the k slowest, unchanged
+    assert "spiked" in picks  # 12x its keeper floor -> retried
+    assert "quiet" not in picks  # 1.0x its floor -> not retried
+
+
+def test_retry_candidate_extras_are_capped_and_ordered_by_excess():
+    timings = {f"q{i}": 10.0 for i in range(40)}
+    timings["worst"] = 50.0
+    keeper = {n: 1.0 for n in timings}  # everything reads 10-50x its floor
+    picks = bench.pick_retry_candidates(timings, k=1, keeper_queries=keeper)
+    assert picks[0] == "worst"
+    assert len(picks) == 1 + bench._RETRY_EXTRA_CAP  # extras bounded
+    assert len(picks) == len(set(picks))  # no duplicates
+
+
+def test_retry_candidates_skip_subsecond_keeper_noise():
+    # a 0.05s-keeper face reading 0.4s is 8x but absolute noise, not a spike
+    timings = {"slow": 9.0, "tiny": 0.4}
+    keeper = {"slow": 8.8, "tiny": 0.05}
+    picks = bench.pick_retry_candidates(timings, k=1, keeper_queries=keeper)
+    assert picks == ["slow"]
+
+
+def test_retry_candidates_quiet_run_adds_no_extras():
+    timings = {f"q{i}": 1.1 for i in range(30)}
+    keeper = {n: 1.0 for n in timings}  # everything within the quiet band
+    picks = bench.pick_retry_candidates(timings, k=10, keeper_queries=keeper)
+    assert len(picks) == 10
+
+
+def test_steal_pct_math_and_missing_samples():
+    assert bench.steal_pct((100, 1000), (150, 2000)) == 5.0
+    assert bench.steal_pct(None, (150, 2000)) is None
+    assert bench.steal_pct((100, 1000), None) is None
+    assert bench.steal_pct((100, 1000), (100, 1000)) is None  # no elapsed time
+
+
+def test_read_cpu_jiffies_on_this_host():
+    """On Linux the sampler returns monotone (steal, total) pairs; the
+    report helpers must accept them end to end."""
+    a = bench.read_cpu_jiffies()
+    if a is None:
+        return  # non-Linux: sampler degrades to None, steal_pct to None
+    steal, total = a
+    assert 0 <= steal <= total
+    rep = bench.contention_report(
+        {f"q{i}": 1.0 for i in range(12)},
+        {f"q{i}": 1.0 for i in range(12)},
+        {},
+        {"q0": 1.5, "q1": None, "q2": 0.0},
+    )
+    assert rep["steal_median_pct"] == 0.75  # median of [1.5, 0.0]; None skipped
+    assert rep["steal_max_pct"] == 1.5
+
+
 def test_contention_report_flags_hot_capture():
     keeper = {f"q{i}": 1.0 for i in range(20)}
     hot = {f"q{i}": 2.0 for i in range(20)}  # uniformly 2x the keeper floor
