@@ -255,7 +255,20 @@ def kneser_ney_logprob_scores(
     Scale shape: identical to the bigram scorer (posexplode + per-doc lag
     window + three map-side-combined count shuffles) plus ONE extra
     aggregate over the bigram-type table (context/continuation type
-    counts) — all keyed on vocabulary, joined back broadcast by default."""
+    counts) — all keyed on vocabulary, joined back broadcast by default.
+
+    r14 note: materializing the bigram-type table ``c2`` here (tracked
+    session-scoped checkpoint, so ctx/cont/btot derive from the
+    materialized rows instead of each broadcast build replaying the
+    corpus explode + lag-window sort — the captured before-plan holds
+    that subtree FIVE times) was tried and REVERTED on measurement:
+    quiet-host floors read wall 1.45 → 1.75s / CPU 9.0 → 10.5 cpu-s
+    AGAINST the checkpoint at sf0.1 (a contended earlier round had
+    suggested +8%; the quiet interleaved A/B reversed it). AQE runtime
+    stage reuse serves the shared explode/window/count exchanges across
+    the derived aggregates, so the eager checkpoint only adds blocking
+    jobs — the same null/negative pattern as the HITS, PQ and
+    bigram-scorer checkpoint rejections."""
     from pyspark.sql import Window
 
     occ = df.select(
@@ -730,7 +743,17 @@ def bigram_logprob_scores(
     aggregation); bigram/unigram/context counts are three map-side-
     combined shuffles on their keys, joined back broadcast by default
     (``broadcast_vocab=False`` for sort-merge joins when the bigram
-    vocabulary outgrows a broadcast). Linear passes only."""
+    vocabulary outgrows a broadcast). Linear passes only.
+
+    r14 note: materializing the unigram/bigram count tables here (tracked
+    checkpoints, ``cprev`` derived as ``SUM(c2) GROUP BY prev``) was tried
+    and REVERTED on measurement — CPU floor 10.6 → 15.9 cpu-s (+50%) and
+    wall 2.88 → 3.36s at sf0.1: AQE runtime stage reuse already serves the
+    shared explode/window exchanges across the derived aggregates' plans,
+    so the checkpoint only added eager blocking jobs plus vocab-table
+    serialization (the same null/negative pattern as the HITS and PQ
+    checkpoint rejections; the Kneser-Ney scorer's ``c2`` checkpoint was
+    rejected the same way on a quiet-host interleaved A/B)."""
     from pyspark.sql import Window
 
     occ = df.select(
