@@ -1088,8 +1088,18 @@ def customer_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d·10⁶ + id) so both engines compare identical scalars. Same fixed
     c_custkey slice as the golden-record face; all counts exact
     integers, one double division for the coefficient."""
+    from polars_numba_spark.plans.checkpoint import session_scoped_checkpoint
+
     c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 1500)
-    e = (
+    # The edge list feeds SEVEN consumer subtrees (deg twice via the
+    # union, both keyed joins, oe -> w1/w2/close, n_edges) and the fuzzy
+    # pair build behind it is the face's heavy pass (segment/deletion
+    # explode self-joins + levenshtein + union-dedup); without the
+    # materialization the captured plan held 480 Exchange/Join nodes of
+    # replayed build (plans/r14/customer_graph_triangles_before.txt).
+    # The materialized rows are two-bigint pairs — bounded by the match
+    # graph, not the corpus.
+    e = session_scoped_checkpoint(
         customer_name_fuzzy_pairs(spark, sf_dir)
         .where((F.col("a_key") < 1500) & (F.col("b_key") < 1500))
         .select(F.col("a_key").alias("a"), F.col("b_key").alias("b"))
