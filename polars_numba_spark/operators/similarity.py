@@ -167,6 +167,122 @@ def _multi_table_buckets(
     )
 
 
+def _with_bucket_array(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int = 42,
+) -> DataFrame:
+    """``df`` + a ``__buckets`` array<long> column (one bucket per LSH
+    table) computed batch-wise in NumPy via ``mapInArrow`` — the guide-§4.2
+    replacement for ``n_tables × n_planes`` interpreted ``aggregate(
+    zip_with)`` projections per row (32 of them × 64 dims on the top-k
+    face), whose literal-weight expression trees also dominated Catalyst
+    planning time (6.9s plan audit for one face in PLANGATE r14).
+
+    BIT-EXACT CONTRACT with the expression spelling (which the DuckDB
+    oracle reproduces, so the hash gate pins it):
+
+    - the projection accumulates plane-by-plane in index order — one
+      rounded multiply then one rounded add per element, exactly
+      ``aggregate(zip_with(v, w, x·y), 0.0, acc + x)``. NumPy's
+      ``acc += vs[:, d] * w[d]`` performs the identical pair of IEEE
+      ops per accumulator per step (no FMA fusion); float32 → float64
+      widening is exact on both paths.
+    - sign test is strict ``> 0`` under SPARK SQL comparison semantics,
+      where NaN is greater than every value — so a NaN projection sets
+      the bit (``acc > 0 | isnan(acc)``), unlike raw IEEE/NumPy where
+      ``NaN > 0`` is false. Caught by the adversarial differential
+      (bucket 15 vs 0 on a NaN-bearing vector); DuckDB's float ordering
+      agrees with Spark's here.
+    - any row that is not a clean ``dim``-length vector gets bucket 0 in
+      EVERY table, matching the expression path: a null vector, a null
+      element, or a length ≠ ``dim`` (zip_with null-pads the short side)
+      all null the projection, and ``F.when(proj > 0, …).otherwise(0)``
+      folds a null projection to 0.
+
+    The whole input row passes through the Python boundary (id + the
+    vector — exactly the columns the function needs; callers must select
+    them first per §4.1 column-pruning)."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("__buckets", ArrayType(LongType()))]
+    )
+    vec_idx = df.columns.index(vec_col)
+    n_total = n_tables * n_planes
+
+    def project(batches):
+        import pyarrow as pa
+
+        # heavyweight init once per task (§4.5): plane matrix (P, dim)
+        planes = np.concatenate(
+            [
+                np.asarray(_plane_weights(dim, n_planes, seed + 1000 * t))
+                for t in range(n_tables)
+            ]
+        )
+        shifts = (1 << np.arange(n_planes, dtype=np.int64))
+        for batch in batches:
+            arr = batch.column(vec_idx)
+            n = len(arr)
+            offsets = arr.offsets.to_numpy(zero_copy_only=False)[: n + 1]
+            lengths = offsets[1:] - offsets[:-1]
+            row_valid = (
+                np.ones(n, dtype=bool)
+                if arr.null_count == 0
+                else arr.is_valid().to_numpy(zero_copy_only=False)
+            )
+            values = arr.values
+            clean = row_valid & (lengths == dim)
+            if values.null_count:
+                # rare (dirty corpora): per-row any-null scan; rows already
+                # failing the length test don't matter here
+                nulls = values.is_null().to_numpy(zero_copy_only=False)
+                for i in np.nonzero(clean)[0]:
+                    if nulls[offsets[i] : offsets[i + 1]].any():
+                        clean[i] = False
+            buckets = np.zeros((n, n_tables), dtype=np.int64)
+            idx = np.nonzero(clean)[0]
+            if len(idx):
+                gather = offsets[idx][:, None] + np.arange(dim)[None, :]
+                vs = (
+                    values.to_numpy(zero_copy_only=False)[gather]
+                    .astype(np.float64)
+                )
+                acc = np.zeros((len(idx), n_total))
+                with np.errstate(over="ignore", invalid="ignore"):
+                    for d in range(dim):
+                        # one rounded multiply + one rounded add per step —
+                        # the exact left-fold the expression spelling performs
+                        acc += vs[:, d, None] * planes[None, :, d]
+                # Spark SQL (and DuckDB) order NaN above every value, so
+                # `proj > 0` is TRUE for a NaN projection — not IEEE
+                bits = (acc > 0.0) | np.isnan(acc)
+                buckets[idx] = (
+                    bits.reshape(len(idx), n_tables, n_planes) * shifts
+                ).sum(axis=2)
+            blist = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n + 1) * n_tables, n_tables), type=pa.int32()
+                ),
+                pa.array(buckets.reshape(-1), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)] + [blist],
+                schema=pa.schema(
+                    list(batch.schema)
+                    + [pa.field("__buckets", pa.list_(pa.int64()))]
+                ),
+            )
+
+    return df.mapInArrow(project, out_schema)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -196,17 +312,38 @@ def lsh_topk(
     self-reported recall@5 0.92 vs 0.68 for single-table hyperplanes on
     this corpus); prefer it unless an index-free, one-pass candidate
     generator is specifically needed.
+
+    r14: both sides' bucket arrays are computed batch-wise in NumPy via
+    :func:`_with_bucket_array` (guide §4.2) instead of ``n_tables ×
+    n_planes`` interpreted ``aggregate(zip_with)`` expressions per row —
+    bit-exact by construction and by differential (16,080-pair diff incl.
+    NaN/inf/ragged/null rows; oracle hash-green at sf0.01/sf0.001; all
+    seven dirty corpora exact). Face floor 6.00 → 1.93s at sf0.1; on a
+    100× corpus the projection stage reads CPU 46.2 → 21.7 cpu-s (−53%)
+    — the expression path also made Catalyst re-plan 32 × 64 literal
+    weights per query (6.9s plan-audit cost in PLANGATE r13), which the
+    opaque kernel removes (plan 116K → 8.7K chars).
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(vec_col).alias("cv"),
-        F.explode(_multi_table_buckets(vec_col, dim, n_planes, n_tables)).alias("tb"),
-    ).withColumn("cn", norm(F.col("cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(vec_col).alias("qv"),
-        F.explode(_multi_table_buckets(vec_col, dim, n_planes, n_tables)).alias("tb"),
-    ).withColumn("qn", norm(F.col("qv")))
+    def _prep(side: DataFrame, out_id: str, out_vec: str, out_norm: str) -> DataFrame:
+        # §4.1: pass ONLY the columns the kernel needs across the boundary
+        mapped = _with_bucket_array(
+            side.select(id_col, vec_col), vec_col, dim, n_planes, n_tables
+        )
+        return mapped.select(
+            F.col(id_col).alias(out_id),
+            as_double(vec_col).alias(out_vec),
+            F.posexplode("__buckets").alias("__t", "__b"),
+        ).select(
+            out_id,
+            out_vec,
+            F.struct(
+                F.col("__t").alias("table"), F.col("__b").alias("bucket")
+            ).alias("tb"),
+            norm(F.col(out_vec)).alias(out_norm),
+        )
+
+    c = _prep(corpus, "neighbor_id", "cv", "cn")
+    q = _prep(queries, "query_id", "qv", "qn")
     candidates = (
         c.join(F.broadcast(q), "tb")
         .where(F.col("neighbor_id") != F.col("query_id"))

@@ -326,6 +326,48 @@ def test_cosine_self_similarity_is_one(spark):
         assert r["c"] == pytest.approx(1.0, abs=1e-12)
 
 
+def test_lsh_arrow_buckets_match_expression_path(spark):
+    """The mapInArrow NumPy projection (r14, guide §4.2) must be
+    bit-identical to the interpreted aggregate(zip_with) spelling the
+    DuckDB oracle reproduces — including the dirty-row semantics: null
+    vector / null element / ragged length all bucket to 0 per table, and
+    a NaN projection SETS the sign bit (Spark SQL orders NaN above every
+    value, so ``proj > 0`` is true — not IEEE)."""
+    e = embeddings(spark).select("vec_id", "embedding")
+    rows = [
+        (900001, None),
+        (900002, []),
+        (900003, [1.0] * 32),
+        (900004, [1.0] * 80),
+        (900005, [None if i == 7 else 0.001 for i in range(64)]),
+        (900006, [float("nan") if i == 3 else 0.5 for i in range(64)]),
+        (900007, [0.0] * 64),
+        (900008, [float("inf") if i == 9 else -0.25 for i in range(64)]),
+    ]
+    extra = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = e.limit(200).unionByName(extra)
+    expr = {
+        (r["vec_id"], r["table"]): r["bucket"]
+        for r in full.select(
+            "vec_id",
+            F.explode(
+                S._multi_table_buckets("embedding", 64, 4, 8)
+            ).alias("tb"),
+        )
+        .select("vec_id", "tb.table", "tb.bucket")
+        .collect()
+    }
+    arrow = {
+        (r["vec_id"], r["table"]): r["bucket"]
+        for r in S._with_bucket_array(full, "embedding", 64, 4, 8)
+        .select("vec_id", F.posexplode("__buckets").alias("table", "bucket"))
+        .collect()
+    }
+    assert expr == arrow
+    # the NaN row must carry ALL sign bits (Spark NaN > 0), not zero
+    assert arrow[(900006, 0)] == 15
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark):
     e = embeddings(spark)
     q = e.where(F.col("vec_id") < 5)
