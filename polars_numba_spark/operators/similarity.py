@@ -410,11 +410,27 @@ def embedding_near_dup_pairs(
         if n_rows is None:
             n_rows = embeddings.count()  # the documented eager sizing job
         n_planes = planes_for_corpus(n_rows, target_bucket_rows)
-    e = embeddings.select(
-        F.col(id_col).alias("id"),
-        as_double(vec_col).alias("v"),
-        F.explode(_multi_table_buckets(vec_col, dim, n_planes, n_tables)).alias("tb"),
-    ).withColumn("nv", norm(F.col("v")))
+    # r14: bucket arrays via the batch NumPy kernel (bit-exact twin of the
+    # expression spelling — see _with_bucket_array), not n_tables×n_planes
+    # interpreted projections per row
+    e = (
+        _with_bucket_array(
+            embeddings.select(id_col, vec_col), vec_col, dim, n_planes, n_tables
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            as_double(vec_col).alias("v"),
+            F.posexplode("__buckets").alias("__t", "__b"),
+        )
+        .select(
+            "id",
+            "v",
+            F.struct(
+                F.col("__t").alias("table"), F.col("__b").alias("bucket")
+            ).alias("tb"),
+            norm(F.col("v")).alias("nv"),
+        )
+    )
     a = e.alias("a")
     b = e.alias("b")
     return (
