@@ -117,6 +117,196 @@ def group_centroids(
     )
 
 
+def _collect_centroid_rows(
+    centroids: DataFrame, centroid_id_col: str, centroid_vec_col: str
+) -> list[tuple]:
+    """(cid, vector) pairs, cid-ascending — the kernel's closure payload.
+    Centroids are small by construction (they were already collected to
+    the driver as a broadcast relation on the expression path); callers
+    inside iteration loops pass checkpointed frames, so this collect reads
+    materialized blocks."""
+    rows = centroids.select(
+        F.col(centroid_id_col).alias("cid"),
+        as_double(centroid_vec_col).alias("cv"),
+    ).collect()
+    return sorted(((r["cid"], r["cv"]) for r in rows), key=lambda t: t[0])
+
+
+def _assign_nearest_arrow(
+    df: DataFrame,
+    cent_rows: list[tuple],
+    vec_col: str,
+    id_col: str,
+    cid_type,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """mapInArrow twin of the broadcast-crossJoin + struct-max argmax
+    assignment (guide §4.2): per batch, NumPy scores every vector against
+    the k collected centroids and emits the argmax row directly — no n×k
+    row blow-up, no aggregation exchange (§2.4).
+
+    BIT-EXACT CONTRACT with the expression path (which the unrolled
+    DuckDB Lloyd oracles reproduce):
+
+    - ``cos = dot / (vn · cn)`` with the dot accumulated index-ordered
+      (one rounded multiply + one rounded add per element, no FMA), norms
+      as ``sqrt`` of the same left fold of squares — IEEE-identical to
+      ``cosine_with_norms``.
+    - the argmax replays ``max(struct(cos, -cid))`` under Spark's TOTAL
+      ORDER on doubles: null < everything < … < NaN, ties (including
+      all-null and all-NaN rows) break to the LOWEST centroid id. The
+      kernel loops centroids cid-ascending and replaces only on strictly
+      greater (tier, value), which is exactly that order.
+    - a vector whose length differs from a centroid's, or that carries a
+      null element, nulls that pair's cosine (zip_with null-padding, which
+      also short-circuits ANSI division: a null numerator never evaluates
+      the divisor); NaN cosines WIN the argmax (Spark orders NaN
+      greatest); and a ZERO divisor on an evaluated pair (zero-norm
+      vector or centroid) RAISES, because the session runs Spark 4 ANSI
+      mode where double division by zero is an error, not IEEE ±inf/NaN —
+      the expression path throws SparkArithmeticException there
+      (discovered by the adversarial differential: a [0.0]*64 vector
+      errors BOTH paths). Pinned by tests/test_pipeline_ops.py.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    id_field = df.select(id_col).schema.fields[0]
+    out_fields = [
+        id_field,
+        StructField("assigned", cid_type),
+        StructField("cosine_sim", DoubleType()),
+    ]
+    if carry_vec:
+        out_fields.append(StructField("__v", ArrayType(DoubleType())))
+    out_schema = StructType(out_fields)
+    src = df.select(id_col, vec_col)
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    cid_arrow_type = to_arrow_type(cid_type)
+
+    def assign(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if not cent_rows:  # crossJoin-with-empty-broadcast → zero rows
+            return
+
+        # once per task (§4.5): centroid matrix groups + norms. A null
+        # centroid vector or one with a null element nulls every cosine
+        # against it (tier −1 for that column).
+        cids = [c for c, _ in cent_rows]
+        cvecs = [v for _, v in cent_rows]
+        k = len(cids)
+        cn = np.empty(k)
+        clens = np.empty(k, dtype=np.int64)
+        cmats: dict[int, np.ndarray | None] = {}
+        cnull = np.zeros(k, dtype=bool)
+        for j, v in enumerate(cvecs):
+            if v is None or any(x is None for x in v):
+                cnull[j] = True
+                clens[j] = -1
+                continue
+            arr = np.asarray(v, dtype=np.float64)
+            clens[j] = len(arr)
+            acc = 0.0
+            for x in arr:  # index-ordered sumsq, once per task
+                acc += x * x
+            cn[j] = np.sqrt(acc)
+            cmats[j] = arr
+        for batch in batches:
+            arr = batch.column(1)
+            n = len(arr)
+            cast = pc.cast(arr, pa.list_(pa.float64()))
+            offsets = arr.offsets.to_numpy(zero_copy_only=False)[: n + 1]
+            lengths = offsets[1:] - offsets[:-1]
+            row_valid = (
+                np.ones(n, dtype=bool)
+                if arr.null_count == 0
+                else arr.is_valid().to_numpy(zero_copy_only=False)
+            )
+            values = arr.values
+            elem_clean = np.ones(n, dtype=bool)
+            if values.null_count:
+                nulls = values.is_null().to_numpy(zero_copy_only=False)
+                for i in range(n):
+                    if row_valid[i] and nulls[offsets[i] : offsets[i + 1]].any():
+                        elem_clean[i] = False
+            vals = values.to_numpy(zero_copy_only=False)
+            # per-row norms (over the row's OWN length, index-ordered)
+            vn = np.full(n, np.nan)
+            with np.errstate(over="ignore", invalid="ignore"):
+                for L in np.unique(lengths[row_valid & elem_clean]):
+                    idx = np.nonzero(row_valid & elem_clean & (lengths == L))[0]
+                    if L == 0:
+                        vn[idx] = 0.0
+                        continue
+                    gather = offsets[idx][:, None] + np.arange(L)[None, :]
+                    vs = vals[gather].astype(np.float64)
+                    acc = np.zeros(len(idx))
+                    for d in range(L):
+                        acc += vs[:, d] * vs[:, d]
+                    vn[idx] = np.sqrt(acc)
+                # tiers: -1 null, 0 comparable value (±inf included), 1 NaN
+                tier = np.full((n, k), -1, dtype=np.int8)
+                cosm = np.zeros((n, k))
+                for j in range(k):
+                    if cnull[j]:
+                        continue
+                    L = clens[j]
+                    idx = np.nonzero(row_valid & elem_clean & (lengths == L))[0]
+                    if len(idx) == 0:
+                        continue
+                    gather = offsets[idx][:, None] + np.arange(L)[None, :]
+                    vs = vals[gather].astype(np.float64)
+                    acc = np.zeros(len(idx))
+                    cj = cmats[j]
+                    for d in range(L):
+                        acc += vs[:, d] * cj[d]
+                    div = vn[idx] * cn[j]
+                    if (div == 0.0).any():
+                        # ANSI mode: the expression path raises
+                        # SparkArithmeticException here — reproduce the
+                        # failure instead of silently emitting IEEE NaN/inf
+                        raise ArithmeticError(
+                            "[DIVIDE_BY_ZERO] zero-norm vector or centroid "
+                            "in nearest-centroid assignment (ANSI division)"
+                        )
+                    cos = acc / div
+                    cosm[idx, j] = cos
+                    tier[idx, j] = np.where(np.isnan(cos), 1, 0)
+            # argmax under Spark total order, ties to lowest cid: loop
+            # cid-ascending, replace on strictly greater (tier, value)
+            best_t = tier[:, 0].copy()
+            best_v = cosm[:, 0].copy()
+            best_j = np.zeros(n, dtype=np.int64)
+            for j in range(1, k):
+                t, v = tier[:, j], cosm[:, j]
+                with np.errstate(invalid="ignore"):
+                    gt = (t > best_t) | ((t == best_t) & (t == 0) & (v > best_v))
+                best_t = np.where(gt, t, best_t)
+                best_v = np.where(gt, v, best_v)
+                best_j = np.where(gt, j, best_j)
+            cid_arr = np.asarray(cids)[best_j]
+            cos_list = [
+                None if best_t[i] == -1 else float(best_v[i]) for i in range(n)
+            ]
+            cols = [
+                batch.column(0),
+                pa.array(cid_arr.tolist(), type=cid_arrow_type),
+                pa.array(cos_list, type=pa.float64()),
+            ]
+            names = [id_field.name, "assigned", "cosine_sim"]
+            if carry_vec:
+                cols.append(cast)
+                names.append("__v")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return src.mapInArrow(assign, out_schema)
+
+
 def assign_nearest_centroid(
     df: DataFrame,
     centroids: DataFrame,
@@ -126,39 +316,23 @@ def assign_nearest_centroid(
     centroid_vec_col: str = "centroid",
 ) -> DataFrame:
     """Assign each vector to its highest-cosine centroid:
-    (id, assigned, cosine_sim). Centroids are broadcast (they are small by
-    construction); the scan parallelizes; ties break on centroid id."""
-    c = centroids.select(
-        F.col(centroid_id_col).alias("__cid"),
-        as_double(centroid_vec_col).alias("__cv"),
-    ).withColumn("__cn", norm(F.col("__cv")))
-    scored = (
-        df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("__v"))
-        .withColumn("__vn", norm(F.col("__v")))
-        .crossJoin(F.broadcast(c))
-        .select(
-            "id",
-            "__cid",
-            cosine_with_norms(
-                F.col("__v"), F.col("__cv"), F.col("__vn"), F.col("__cn")
-            ).alias("cos"),
-        )
+    (id, assigned, cosine_sim). Ties break on centroid id.
+
+    r14: the n×k broadcast-crossJoin of interpreted cosines + struct-max
+    argmax is replaced by the batch NumPy kernel
+    (:func:`_assign_nearest_arrow` — bit-exact contract documented there);
+    the centroid collect this needs is what the broadcast already did.
+    An EMPTY centroid table short-circuits to an empty result, exactly
+    the crossJoin-with-empty-broadcast behavior."""
+    cid_type = centroids.select(centroid_id_col).schema.fields[0].dataType
+    cent_rows = _collect_centroid_rows(centroids, centroid_id_col, centroid_vec_col)
+    out = _assign_nearest_arrow(
+        df, cent_rows, vec_col, id_col, cid_type, carry_vec=False
     )
-    # argmax via struct-max aggregation, NOT a window row_number: the
-    # window form shuffles all n×k scored rows; the aggregate partial-
-    # combines map-side so only n best-so-far rows cross the exchange.
-    # Struct comparison is lexicographic — (cos, -cid) max picks the
-    # highest cosine, ties broken toward the LOWEST centroid id (identical
-    # to the previous orderBy(cos DESC, cid ASC) semantics).
-    best = scored.groupBy("id").agg(
-        F.max(
-            F.struct(F.col("cos").alias("cos"), (-F.col("__cid")).alias("negcid"))
-        ).alias("__best")
-    )
-    return best.select(
-        F.col("id").alias(id_col),
-        (-F.col("__best.negcid")).alias("assigned"),
-        F.col("__best.cos").alias("cosine_sim"),
+    if not cent_rows:
+        out = out.where(F.lit(False))
+    return out.select(
+        F.col(id_col), F.col("assigned"), F.col("cosine_sim")
     )
 
 
@@ -224,42 +398,25 @@ def kmeans_iterations(
     ids_prev: set[int] = set()
     assignments = None
     for _ in range(iterations):
-        # One scored pass serves BOTH outputs: the struct-max argmax (see
-        # assign_nearest_centroid) additionally carries each vector through
-        # the aggregate (any_value — it is functionally dependent on the
-        # id), so the centroid update needs NO re-join of df against the
-        # assignments: previously an extra n+n shuffle per iteration.
-        c = centroids.select(
-            F.col("label").alias("__cid"), as_double("centroid").alias("__cv")
-        ).withColumn("__cn", norm(F.col("__cv")))
-        scored = (
-            df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("__v"))
-            .withColumn("__vn", norm(F.col("__v")))
-            .crossJoin(F.broadcast(c))
-            .select(
-                "id",
-                "__v",
-                "__cid",
-                cosine_with_norms(
-                    F.col("__v"), F.col("__cv"), F.col("__vn"), F.col("__cn")
-                ).alias("cos"),
-            )
+        # One scored pass serves BOTH outputs: the assignment kernel
+        # (r14: _assign_nearest_arrow — the batch NumPy twin of the
+        # broadcast-crossJoin + struct-max argmax, bit-exact contract on
+        # that function) carries each vector through (__v), so the
+        # centroid update needs NO re-join of df against the assignments;
+        # the kernel also emits one row per vector directly, removing the
+        # per-iteration argmax aggregation exchange outright.
+        cid_type = centroids.select("label").schema.fields[0].dataType
+        cent_rows = _collect_centroid_rows(centroids, "label", "centroid")
+        carried = _assign_nearest_arrow(
+            df, cent_rows, vec_col, id_col, cid_type, carry_vec=True
         )
-        carried = scored.groupBy("id").agg(
-            F.max(
-                F.struct(F.col("cos").alias("cos"), (-F.col("__cid")).alias("negcid"))
-            ).alias("__best"),
-            F.any_value(F.col("__v")).alias("__v"),
-        )
-        assignments = carried.select(
-            F.col("id").alias(id_col),
-            (-F.col("__best.negcid")).alias("assigned"),
-            F.col("__best.cos").alias("cosine_sim"),
-        )
+        if not cent_rows:  # empty corpus → empty seeds → empty rounds
+            carried = carried.where(F.lit(False))
+        assignments = carried.select(id_col, "assigned", "cosine_sim")
         new_centroids, ids_new = tracked_local_checkpoint(
             group_centroids(
                 carried.select(
-                    (-F.col("__best.negcid")).alias("label"),
+                    F.col("assigned").alias("label"),
                     F.col("__v").alias(vec_col),
                 ),
                 vec_col,

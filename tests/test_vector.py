@@ -43,6 +43,44 @@ def test_assign_nearest_centroid(spark):
     assert out == {1: 0, 2: 1}
 
 
+def test_assign_kernel_matches_expression_semantics(spark):
+    """The r14 mapInArrow assignment kernel must replay the broadcast-
+    crossJoin + max(struct(cos, -cid)) semantics bit-for-bit, including
+    the dirty-row rules: null vector / null element / ragged length null
+    every cosine and fall to the LOWEST centroid id with a null
+    cosine_sim; an all-NaN row also falls to the lowest id but KEEPS its
+    NaN score (Spark orders NaN greatest, so it wins the argmax)."""
+    import math
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1]),
+            (2, [0.1, 1.0]),
+            (3, None),
+            (4, [1.0]),               # ragged: length != centroid length
+            (5, [None, 1.0]),         # null element
+            (6, [float("nan"), 1.0]),  # NaN: wins argmax, lowest cid tie
+            (7, []),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(3, [1.0, 0.0]), (5, [0.0, 1.0])], "label int, centroid array<double>"
+    )
+    rows = {r["vec_id"]: r for r in assign_nearest_centroid(vecs, cents).collect()}
+    assert rows[1]["assigned"] == 3 and rows[2]["assigned"] == 5
+    for dirty in (3, 4, 5, 7):
+        assert rows[dirty]["assigned"] == 3  # lowest centroid id
+        assert rows[dirty]["cosine_sim"] is None
+    assert rows[6]["assigned"] == 3 and math.isnan(rows[6]["cosine_sim"])
+    # empty centroid table -> empty result (crossJoin-with-empty behavior)
+    assert assign_nearest_centroid(vecs, cents.where(F.lit(False))).count() == 0
+    # zero-norm vector -> ANSI division-by-zero, matching the expression path
+    zv = spark.createDataFrame([(9, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        assign_nearest_centroid(zv, cents).collect()
+
+
 def test_kmeans_separates_clear_clusters(spark):
     # two tight clusters around (1,0) and (0,1)
     rows = [(i, [1.0 + 0.01 * i, 0.02 * (i % 3)]) for i in range(10)] + [
