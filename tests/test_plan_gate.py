@@ -123,20 +123,53 @@ def test_kanonymity_ladder_is_provable(spark):
 def test_allowlisted_faces_hit_exactly_their_waiver(spark):
     """Allowlisted faces must still exhibit the tolerated node (a stale
     waiver is a gate failure too) and nothing beyond it."""
-    for name in ("semantic_dedup_pairs", "sql_surface_capped_fold"):
+    # (semantic_dedup_pairs left this list in the r14 second session: the
+    # assignment kernel removed its BNLJ and the waiver with it.)
+    for name in ("kmeans_silhouette", "sql_surface_capped_fold"):
         hits = audit_face(spark, name)
         assert hits == sorted(ALLOW[name]), (name, hits)
 
 
 def test_checkpoint_truncated_subtree_is_still_audited(spark):
-    """r14 regression pin: semantic_dedup_pairs eagerly localCheckpoints
-    the cluster-assignment frame (the round's multi-consumer fix), which
-    cuts the k-row-centroid BNLJ out of the RETURNED frame's plan tree —
-    the final-plan audit alone reads clean and the waiver would rot into
-    a false stale_allowlist. The batch-leg union audit must still see the
-    node via the captured pre-checkpoint QueryExecution."""
-    assert _audit_plan(q(spark, "semantic_dedup_pairs")) == []  # the blind spot
-    assert audit_face(spark, "semantic_dedup_pairs") == ["BroadcastNestedLoopJoin"]
+    """r14 regression pin: an eager localCheckpoint cuts upstream nodes
+    out of the RETURNED frame's plan tree, so the final-plan audit alone
+    reads clean; the batch-leg union audit must still see a forbidden
+    node via the captured pre-checkpoint QueryExecution.
+
+    Originally pinned on semantic_dedup_pairs' k-row-centroid BNLJ; the
+    r14 second-session assignment kernel REMOVED that node (its waiver
+    went stale and was deleted — the stale-waiver check firing as
+    designed), so the pin now uses a synthetic face whose checkpoint
+    hides a non-equi self-join."""
+    from polars_numba_spark.plans.checkpoint import session_scoped_checkpoint
+
+    def synthetic(s, sf):
+        # UNBOUNDED scans (the prover tolerates a provably-small side like
+        # range(50), correctly) in a non-equi self-join, hidden by the
+        # checkpoint
+        d = s.read.parquet(f"{sf}/documents.parquet")
+        a = d.select(F.col("doc_id").alias("a"))
+        b = d.select(F.col("doc_id").alias("b"))
+        hidden = session_scoped_checkpoint(a.join(b, F.col("a") < F.col("b")))
+        return hidden.groupBy().count()
+
+    assert _audit_plan(synthetic(spark, SF)) == []  # the blind spot
+    _ckpt.set_plan_capture(True)
+    try:
+        hits = _audit_batch_face(synthetic, spark, SF)
+    finally:
+        _ckpt.set_plan_capture(False)
+    assert set(hits) & {"BroadcastNestedLoopJoin", "CartesianProduct"}
+
+
+def test_assignment_faces_no_longer_carry_the_centroid_bnlj(spark):
+    """The r14 assignment kernel's plan contract: the kmeans/SemDeDup
+    faces' audited plans (final + truncated subtrees) contain NO
+    nested-loop/cartesian node anymore — the reason their waivers were
+    removed from ALLOW."""
+    for name in ("kmeans_assignments", "semantic_dedup_pairs"):
+        assert audit_face(spark, name) == []
+        assert name not in ALLOW
 
 
 def test_streaming_face_audit_reads_the_executed_stream_plan(spark):

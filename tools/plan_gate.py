@@ -91,19 +91,16 @@ ALLOW: dict[str, dict[str, str]] = {
     # no static row bound for the prover) but hold exactly k rows by
     # construction, with self-scaling k << corpus (operators/vector.py);
     # the crossJoin is the standard bounded-fanout centroid assignment.
-    "semantic_dedup_pairs": {
-        "BroadcastNestedLoopJoin": "k-row centroid table via createDataFrame (RDD scan); bounded fanout k"
-    },
-    "semantic_dedup_keeplist": {
-        "BroadcastNestedLoopJoin": "k-row centroid table via createDataFrame (RDD scan); bounded fanout k"
-    },
-    "kmeans_assignments": {
-        "BroadcastNestedLoopJoin": "k-row centroid table via createDataFrame (RDD scan); bounded fanout k"
-    },
+    # r14 second session: the centroid-assignment crossJoins moved into
+    # the mapInArrow kernel (_assign_nearest_arrow), so the waivers for
+    # semantic_dedup_pairs/keeplist, kmeans_assignments,
+    # embedding_centroid_classify and (its assignment half)
+    # embedding_contrastive_triplets went stale and were REMOVED — the
+    # gate's stale-waiver check caught exactly this. kmeans_silhouette
+    # keeps its waiver: its inline 9dp-rounded scoring crossJoin is not
+    # the assignment operator and deliberately stayed on the expression
+    # path (checkpointing it was measured-rejected, see query docstring).
     "kmeans_silhouette": {
-        "BroadcastNestedLoopJoin": "k-row centroid table via createDataFrame (RDD scan); bounded fanout k"
-    },
-    "embedding_centroid_classify": {
         "BroadcastNestedLoopJoin": "k-row centroid table via createDataFrame (RDD scan); bounded fanout k"
     },
     # The documented capped recall probes: exact ground truth is computed on
@@ -138,9 +135,6 @@ ALLOW: dict[str, dict[str, str]] = {
     },
     "doc_search_authority_rrf": {
         "BroadcastNestedLoopJoin": "driver-provided query-term literal table (createDataFrame -> RDD scan), bounded by the query list"
-    },
-    "embedding_contrastive_triplets": {
-        "BroadcastNestedLoopJoin": "k-means cell centroid tables via createDataFrame (RDD scan); self-scaling k, bounded fanout"
     },
     "embedding_topk_bruteforce": {
         "BroadcastNestedLoopJoin": "documented brute-force baseline: 10-query broadcast slice crossed with the corpus"
