@@ -79,6 +79,184 @@ def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> C
     return dot(a, b) / (norm_a * norm_b)
 
 
+def _pair_cosine_arrow(
+    df: DataFrame,
+    a_vec: str,
+    b_vec: str,
+    a_norm: str,
+    b_norm: str,
+    out_col: str = "cosine_sim",
+) -> DataFrame:
+    """mapInArrow twin of ``cosine_with_norms`` over a joined-pair frame —
+    the r15 §4.2 replacement for the interpreted per-pair ``dot()`` the
+    candidate-VERIFY stages ran (LSH top-k scoring, SemDeDup within-cluster
+    pairs, IVF probe scoring, the capped exact-pair truth sets): one batch
+    NumPy pass instead of one interpreted ``aggregate(zip_with)`` fold per
+    candidate pair (VERDICT r14 "next round" #1).
+
+    **DEFAULT OFF — measured and REJECTED as the default path (r15).**
+    Unlike the per-row kernels that won in r14 (bucket projection: 32-48
+    folds per shipped vector; centroid assign: k folds per shipped
+    vector), pair verify does ONE fold per TWO shipped vectors — the JVM
+    ArrowWriter serializes every array element of both vectors per pair
+    across the boundary, which costs more than the single interpreted
+    fold it replaces. Quiet-host interleaved A/B (4 reps, wall/CPU
+    floors, tools/remeasure.py, 2026-08-18):
+
+    =========================  =============  =============
+    face                       expression     pair kernel
+    =========================  =============  =============
+    embedding_topk_lsh         1.56s / 21.2   2.45s / 30.1
+    embedding_near_dup_pairs   0.79s / 11.1   1.29s / 20.1
+    embedding_near_dup_recall  2.12s / 26.3   3.59s / 47.4
+    semantic_dedup_pairs       4.50s / 59.5   5.23s / 64.0
+    embedding_topk_bruteforce  0.54s /  2.4   0.73s /  9.5
+    kmeans_silhouette          3.30s / 53.7   3.69s / 67.3
+    =========================  =============  =============
+
+    The ratio (boundary bytes per pair vs FLOPs per pair) is scale-
+    invariant, so this does not flip at corpus scale; it would flip for
+    much wider vectors or a heavier per-pair score. The kernel stays
+    available behind ``PNS_PAIR_COSINE_ARROW=1`` with its bit-exactness
+    pinned by tests/test_pair_cosine_kernel.py.
+
+    ``df``'s columns are ``keep... + [a_vec, b_vec, a_norm, b_norm]`` in
+    any order; the output is ``keep... + out_col`` (vectors and norms are
+    consumed). Callers select ONLY the needed columns first (§4.1).
+
+    BIT-EXACT CONTRACT with ``dot(a, b) / (na * nb)`` (which the DuckDB
+    oracles reproduce via list_cosine_similarity / explicit folds):
+
+    - the dot accumulates index-ordered — one rounded multiply + one
+      rounded add per element (no FMA), exactly
+      ``aggregate(zip_with(a, b, x*y), 0.0, acc + x)``.
+    - NULL semantics: the dot is NULL iff either array is NULL, the
+      lengths differ (zip_with null-pads the short side and a null
+      product taints the left fold), or any element is NULL; an empty
+      equal-length pair folds to the 0.0 init. ``na * nb`` is NULL if
+      either norm is NULL, and Divide returns NULL when either side is
+      NULL *before* the ANSI zero check — so a NULL dot never errors.
+    - a non-NULL dot over a 0.0 (or -0.0) norm product RAISES, because
+      the session runs Spark 4 ANSI mode where double division by zero
+      is an error (same contract as ``_assign_nearest_arrow``).
+    - NaN/±inf flow through plain IEEE arithmetic on both paths.
+
+    """
+    import os
+
+    if os.environ.get("PNS_PAIR_COSINE_ARROW", "0") != "1":
+        consumed = {a_vec, b_vec, a_norm, b_norm}
+        keep = [c for c in df.columns if c not in consumed]
+        return df.select(
+            *keep,
+            cosine_with_norms(
+                F.col(a_vec), F.col(b_vec), F.col(a_norm), F.col(b_norm)
+            ).alias(out_col),
+        )
+
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    consumed = {a_vec, b_vec, a_norm, b_norm}
+    keep = [c for c in df.columns if c not in consumed]
+    out_schema = StructType(
+        [df.schema[c] for c in keep] + [StructField(out_col, DoubleType())]
+    )
+    ia = df.columns.index(a_vec)
+    ib = df.columns.index(b_vec)
+    ina = df.columns.index(a_norm)
+    inb = df.columns.index(b_norm)
+    keep_idx = [df.columns.index(c) for c in keep]
+
+    def score(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            arr_a = batch.column(ia)
+            arr_b = batch.column(ib)
+            n = len(arr_a)
+            dot = np.full(n, np.nan)
+            dot_valid = np.zeros(n, dtype=bool)
+            if n:
+                offs_a = arr_a.offsets.to_numpy(zero_copy_only=False)[: n + 1]
+                offs_b = arr_b.offsets.to_numpy(zero_copy_only=False)[: n + 1]
+                len_a = offs_a[1:] - offs_a[:-1]
+                len_b = offs_b[1:] - offs_b[:-1]
+                va = (
+                    np.ones(n, dtype=bool)
+                    if arr_a.null_count == 0
+                    else arr_a.is_valid().to_numpy(zero_copy_only=False)
+                )
+                vb = (
+                    np.ones(n, dtype=bool)
+                    if arr_b.null_count == 0
+                    else arr_b.is_valid().to_numpy(zero_copy_only=False)
+                )
+                clean = va & vb & (len_a == len_b)
+                for arr, offs in ((arr_a, offs_a), (arr_b, offs_b)):
+                    vals = arr.values
+                    if vals.null_count:
+                        nulls = vals.is_null().to_numpy(zero_copy_only=False)
+                        for i in np.nonzero(clean)[0]:
+                            if nulls[offs[i] : offs[i + 1]].any():
+                                clean[i] = False
+                vals_a = arr_a.values.to_numpy(zero_copy_only=False)
+                vals_b = arr_b.values.to_numpy(zero_copy_only=False)
+                with np.errstate(over="ignore", invalid="ignore"):
+                    for L in np.unique(len_a[clean]):
+                        idx = np.nonzero(clean & (len_a == L))[0]
+                        if L == 0:
+                            dot[idx] = 0.0
+                            continue
+                        ga = offs_a[idx][:, None] + np.arange(L)[None, :]
+                        gb = offs_b[idx][:, None] + np.arange(L)[None, :]
+                        xs = vals_a[ga]
+                        ys = vals_b[gb]
+                        acc = np.zeros(len(idx))
+                        for d in range(L):
+                            # one rounded multiply + one rounded add per
+                            # element in index order — the exact left fold
+                            acc += xs[:, d] * ys[:, d]
+                        dot[idx] = acc
+                dot_valid = clean
+            col_na = batch.column(ina)
+            col_nb = batch.column(inb)
+            na = col_na.to_numpy(zero_copy_only=False)
+            nb = col_nb.to_numpy(zero_copy_only=False)
+            na_valid = (
+                np.ones(n, dtype=bool)
+                if col_na.null_count == 0
+                else col_na.is_valid().to_numpy(zero_copy_only=False)
+            )
+            nb_valid = (
+                np.ones(n, dtype=bool)
+                if col_nb.null_count == 0
+                else col_nb.is_valid().to_numpy(zero_copy_only=False)
+            )
+            cos_valid = dot_valid & na_valid & nb_valid
+            with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
+                div = na * nb
+                if (cos_valid & (div == 0.0)).any():
+                    # ANSI mode: the expression path raises
+                    # SparkArithmeticException here — reproduce the failure
+                    # instead of silently emitting IEEE inf/NaN
+                    raise ArithmeticError(
+                        "[DIVIDE_BY_ZERO] zero-norm vector in pairwise "
+                        "cosine scoring (ANSI division)"
+                    )
+                cos = dot / div
+            cos_list = [
+                float(cos[i]) if cos_valid[i] else None for i in range(n)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in keep_idx]
+                + [pa.array(cos_list, type=pa.float64())],
+                names=keep + [out_col],
+            )
+
+    return df.mapInArrow(score, out_schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -103,14 +281,20 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
     ).withColumn("cn", norm(F.col("cv")))
-    cos = cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
-    if round_to is not None:
-        cos = F.round(cos, round_to)
-    scored = (
+    # r15: per-pair scoring via the batch NumPy kernel (bit-exact twin —
+    # see _pair_cosine_arrow) instead of one interpreted fold per pair;
+    # round_to stays an in-plan F.round on the kernel's raw cosine, so the
+    # rounding arithmetic is untouched.
+    pairs = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine_sim"))
+        .select("query_id", "neighbor_id", "qv", "cv", "qn", "cn")
     )
+    scored = _pair_cosine_arrow(pairs, "qv", "cv", "qn", "cn")
+    if round_to is not None:
+        scored = scored.withColumn(
+            "cosine_sim", F.round(F.col("cosine_sim"), round_to)
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
@@ -174,6 +358,7 @@ def _with_bucket_array(
     n_planes: int,
     n_tables: int,
     seed: int = 42,
+    with_norm: bool = False,
 ) -> DataFrame:
     """``df`` + a ``__buckets`` array<long> column (one bucket per LSH
     table) computed batch-wise in NumPy via ``mapInArrow`` — the guide-§4.2
@@ -205,14 +390,29 @@ def _with_bucket_array(
 
     The whole input row passes through the Python boundary (id + the
     vector — exactly the columns the function needs; callers must select
-    them first per §4.1 column-pruning)."""
+    them first per §4.1 column-pruning).
+
+    ``with_norm=True`` (r15) additionally emits ``__norm`` — the same
+    index-ordered ``sqrt(aggregate(v, 0.0, acc + x·x))`` the interpreted
+    ``norm()`` computes, piggybacked on the batch pass the kernel already
+    makes over every vector. Norm semantics differ from bucket semantics
+    on purpose: a RAGGED row (length ≠ ``dim``) still has a norm over its
+    OWN length (the expression path computes ``norm`` independently of
+    the projection), while a null row / null element yields NULL."""
     import numpy as np
 
-    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
-
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField("__buckets", ArrayType(LongType()))]
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    extra_fields = [StructField("__buckets", ArrayType(LongType()))]
+    if with_norm:
+        extra_fields.append(StructField("__norm", DoubleType()))
+    out_schema = StructType(list(df.schema.fields) + extra_fields)
     vec_idx = df.columns.index(vec_col)
     n_total = n_tables * n_planes
 
@@ -238,22 +438,20 @@ def _with_bucket_array(
                 else arr.is_valid().to_numpy(zero_copy_only=False)
             )
             values = arr.values
-            clean = row_valid & (lengths == dim)
+            elem_clean = np.ones(n, dtype=bool)
             if values.null_count:
-                # rare (dirty corpora): per-row any-null scan; rows already
-                # failing the length test don't matter here
+                # rare (dirty corpora): per-row any-null scan
                 nulls = values.is_null().to_numpy(zero_copy_only=False)
-                for i in np.nonzero(clean)[0]:
+                for i in np.nonzero(row_valid)[0]:
                     if nulls[offsets[i] : offsets[i + 1]].any():
-                        clean[i] = False
+                        elem_clean[i] = False
+            clean = row_valid & elem_clean & (lengths == dim)
+            vals = values.to_numpy(zero_copy_only=False)
             buckets = np.zeros((n, n_tables), dtype=np.int64)
             idx = np.nonzero(clean)[0]
             if len(idx):
                 gather = offsets[idx][:, None] + np.arange(dim)[None, :]
-                vs = (
-                    values.to_numpy(zero_copy_only=False)[gather]
-                    .astype(np.float64)
-                )
+                vs = vals[gather].astype(np.float64)
                 acc = np.zeros((len(idx), n_total))
                 with np.errstate(over="ignore", invalid="ignore"):
                     for d in range(dim):
@@ -266,18 +464,45 @@ def _with_bucket_array(
                 buckets[idx] = (
                     bits.reshape(len(idx), n_tables, n_planes) * shifts
                 ).sum(axis=2)
+            extra_cols = []
+            if with_norm:
+                norm_ok = row_valid & elem_clean
+                vn = np.full(n, np.nan)
+                with np.errstate(over="ignore", invalid="ignore"):
+                    for L in np.unique(lengths[norm_ok]):
+                        nidx = np.nonzero(norm_ok & (lengths == L))[0]
+                        if L == 0:
+                            vn[nidx] = 0.0
+                            continue
+                        g = offsets[nidx][:, None] + np.arange(L)[None, :]
+                        vs = vals[g].astype(np.float64)
+                        acc = np.zeros(len(nidx))
+                        for d in range(L):
+                            acc += vs[:, d] * vs[:, d]
+                        vn[nidx] = np.sqrt(acc)
+                extra_cols.append(
+                    pa.array(
+                        [
+                            float(vn[i]) if norm_ok[i] else None
+                            for i in range(n)
+                        ],
+                        type=pa.float64(),
+                    )
+                )
             blist = pa.ListArray.from_arrays(
                 pa.array(
                     np.arange(0, (n + 1) * n_tables, n_tables), type=pa.int32()
                 ),
                 pa.array(buckets.reshape(-1), type=pa.int64()),
             )
+            extra_schema = [pa.field("__buckets", pa.list_(pa.int64()))]
+            if with_norm:
+                extra_schema.append(pa.field("__norm", pa.float64()))
             yield pa.RecordBatch.from_arrays(
-                [batch.column(i) for i in range(batch.num_columns)] + [blist],
-                schema=pa.schema(
-                    list(batch.schema)
-                    + [pa.field("__buckets", pa.list_(pa.int64()))]
-                ),
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [blist]
+                + extra_cols,
+                schema=pa.schema(list(batch.schema) + extra_schema),
             )
 
     return df.mapInArrow(project, out_schema)
@@ -325,13 +550,18 @@ def lsh_topk(
     opaque kernel removes (plan 116K → 8.7K chars).
     """
     def _prep(side: DataFrame, out_id: str, out_vec: str, out_norm: str) -> DataFrame:
-        # §4.1: pass ONLY the columns the kernel needs across the boundary
+        # §4.1: pass ONLY the columns the kernel needs across the boundary.
+        # r15: the norm rides the SAME kernel pass (with_norm) — previously
+        # it was an interpreted sumsq evaluated per EXPLODED (row, table)
+        # copy, i.e. n_tables times per vector.
         mapped = _with_bucket_array(
-            side.select(id_col, vec_col), vec_col, dim, n_planes, n_tables
+            side.select(id_col, vec_col), vec_col, dim, n_planes, n_tables,
+            with_norm=True,
         )
         return mapped.select(
             F.col(id_col).alias(out_id),
             as_double(vec_col).alias(out_vec),
+            F.col("__norm").alias(out_norm),
             F.posexplode("__buckets").alias("__t", "__b"),
         ).select(
             out_id,
@@ -339,23 +569,29 @@ def lsh_topk(
             F.struct(
                 F.col("__t").alias("table"), F.col("__b").alias("bucket")
             ).alias("tb"),
-            norm(F.col(out_vec)).alias(out_norm),
+            out_norm,
         )
 
     c = _prep(corpus, "neighbor_id", "cv", "cn")
     q = _prep(queries, "query_id", "qv", "qn")
-    candidates = (
+    # r15: score candidates with the batch kernel BEFORE the dedup shuffle.
+    # The cosine is a pure function of the pair, so scoring bucket-collision
+    # duplicates and deduping the (query, neighbor, cos) rows afterwards is
+    # result-identical — and the dropDuplicates exchange now carries three
+    # narrow columns instead of two 64-dim vectors per row (§2.3/§8:
+    # shuffle decisions, not payloads).
+    pairs = (
         c.join(F.broadcast(q), "tb")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "qv", "cv", "qn", "cn")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cos = cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+    scored = _pair_cosine_arrow(pairs, "qv", "cv", "qn", "cn").dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
     if round_to is not None:
-        cos = F.round(cos, round_to)
-    scored = candidates.select(
-        "query_id", "neighbor_id", cos.alias("cosine_sim")
-    )
+        scored = scored.withColumn(
+            "cosine_sim", F.round(F.col("cosine_sim"), round_to)
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
@@ -415,11 +651,13 @@ def embedding_near_dup_pairs(
     # interpreted projections per row
     e = (
         _with_bucket_array(
-            embeddings.select(id_col, vec_col), vec_col, dim, n_planes, n_tables
+            embeddings.select(id_col, vec_col), vec_col, dim, n_planes,
+            n_tables, with_norm=True,
         )
         .select(
             F.col(id_col).alias("id"),
             as_double(vec_col).alias("v"),
+            F.col("__norm").alias("nv"),
             F.posexplode("__buckets").alias("__t", "__b"),
         )
         .select(
@@ -428,31 +666,30 @@ def embedding_near_dup_pairs(
             F.struct(
                 F.col("__t").alias("table"), F.col("__b").alias("bucket")
             ).alias("tb"),
-            norm(F.col("v")).alias("nv"),
+            "nv",
         )
     )
     a = e.alias("a")
     b = e.alias("b")
+    # r15: score with the batch kernel BEFORE the threshold filter and the
+    # pair-dedup shuffle — scoring the (rare) multi-table collisions twice
+    # is cheap NumPy, while the dropDuplicates exchange now moves only the
+    # surviving (a_id, b_id, cos) rows instead of two vectors per candidate
+    # (§2.3/§8). The cosine is a pure function of the pair, so
+    # filter→dedup ≡ dedup→score→filter row-for-row.
+    pairs = a.join(
+        b,
+        (F.col("a.tb") == F.col("b.tb")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("a_id"),
+        F.col("b.id").alias("b_id"),
+        F.col("a.v").alias("av"),
+        F.col("b.v").alias("bv"),
+        F.col("a.nv").alias("an"),
+        F.col("b.nv").alias("bn"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.tb") == F.col("b.tb")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.v").alias("av"),
-            F.col("b.v").alias("bv"),
-            F.col("a.nv").alias("an"),
-            F.col("b.nv").alias("bn"),
-        )
-        .dropDuplicates(["a_id", "b_id"])
-        .select(
-            "a_id",
-            "b_id",
-            cosine_with_norms(
-                F.col("av"), F.col("bv"), F.col("an"), F.col("bn")
-            ).alias("cosine_sim"),
-        )
+        _pair_cosine_arrow(pairs, "av", "bv", "an", "bn")
         .where(F.col("cosine_sim") >= threshold)
+        .dropDuplicates(["a_id", "b_id"])
     )

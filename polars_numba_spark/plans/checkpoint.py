@@ -60,13 +60,52 @@ def _persistent_ids(spark: SparkSession) -> set[int]:
     return {int(i) for i in jmap.keySet().toArray()}
 
 
+def _checkpoint_mode() -> str:
+    """``local`` (default) or ``reliable`` — VERDICT r14 #8. Eager
+    ``localCheckpoint`` stores blocks on executors WITHOUT replication and
+    truncates lineage, so on a real cluster one executor loss makes every
+    consumer of the checkpoint unrecoverable (no lineage to replay). Local
+    mode has a single "executor" whose loss kills the app anyway, so the
+    default stays ``local``; cluster deployments set
+    ``PNS_CHECKPOINT_MODE=reliable`` (plus ``PNS_CHECKPOINT_DIR`` or a
+    pre-set ``sparkContext.setCheckpointDir``) to route every tracked /
+    session-scoped checkpoint through Spark's reliable checkpoint (HDFS/
+    object-store backed, survives executor loss). See SCALE.md."""
+    import os
+
+    return os.environ.get("PNS_CHECKPOINT_MODE", "local")
+
+
+def _reliable_checkpoint(df: DataFrame) -> DataFrame:
+    import os
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        ckdir = os.environ.get("PNS_CHECKPOINT_DIR")
+        if not ckdir:
+            raise RuntimeError(
+                "PNS_CHECKPOINT_MODE=reliable requires a checkpoint dir: "
+                "set PNS_CHECKPOINT_DIR or call sparkContext.setCheckpointDir"
+            )
+        sc.setCheckpointDir(ckdir)
+    return df.checkpoint(eager=True)
+
+
 def tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
-    """Eagerly localCheckpoint ``df``; return (checkpointed df, the NEW
+    """Eagerly checkpoint ``df``; return (checkpointed df, the NEW
     persistent-RDD ids backing it) so the caller can free them with
-    :func:`release` once the checkpoint is superseded."""
+    :func:`release` once the checkpoint is superseded. Default is
+    ``localCheckpoint`` (executor blocks, fast, non-replicated);
+    ``PNS_CHECKPOINT_MODE=reliable`` swaps in a reliable checkpoint for
+    cluster deployments (see :func:`_checkpoint_mode`) — the id-tracking
+    contract is unchanged (reliable checkpoints create no persistent-RDD
+    blocks, so the id set is simply empty and release() is a no-op)."""
     spark = df.sparkSession
     if _PLAN_CAPTURE:
         _CAPTURED_QES.append(df._jdf.queryExecution())
+    if _checkpoint_mode() == "reliable":
+        return _reliable_checkpoint(df), set()
     before = _persistent_ids(spark)
     out = df.localCheckpoint(eager=True)
     ids = _persistent_ids(spark) - before

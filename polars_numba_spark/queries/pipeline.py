@@ -1097,16 +1097,20 @@ def _exact_pairs_capped(
     )
     a = e.alias("a")
     b = e.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            S.cosine_with_norms(
-                F.col("a.v"), F.col("b.v"), F.col("a.nv"), F.col("b.nv")
-            ).alias("cosine_sim"),
-        )
-        .where(F.col("cosine_sim") >= threshold)
+    # r15: all-pairs scoring via the batch NumPy kernel (bit-exact twin of
+    # cosine_with_norms — similarity._pair_cosine_arrow) instead of one
+    # interpreted fold per pair: at cap=1000 this is ~500k interpreted
+    # aggregate(zip_with) evaluations replaced by vectorized batch dots.
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("a_id"),
+        F.col("b.vec_id").alias("b_id"),
+        F.col("a.v").alias("av"),
+        F.col("b.v").alias("bv"),
+        F.col("a.nv").alias("an"),
+        F.col("b.nv").alias("bn"),
+    )
+    return S._pair_cosine_arrow(pairs, "av", "bv", "an", "bn").where(
+        F.col("cosine_sim") >= threshold
     )
 
 
@@ -4200,21 +4204,15 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = cent1.select(
         F.col("label").alias("__cid"), as_double("centroid").alias("__cv")
     ).withColumn("__cn", norm(F.col("__cv")))
-    scored = (
+    # r15: the n×k scoring pass runs through the batch NumPy pair kernel
+    # (bit-exact twin of cosine_with_norms); the 9dp round stays in-plan.
+    scored = S._pair_cosine_arrow(
         e.select("vec_id", as_double("embedding").alias("__v"))
         .withColumn("__vn", norm(F.col("__v")))
         .crossJoin(F.broadcast(c))
-        .select(
-            "vec_id",
-            "__cid",
-            F.round(
-                cosine_with_norms(
-                    F.col("__v"), F.col("__cv"), F.col("__vn"), F.col("__cn")
-                ),
-                9,
-            ).alias("rcos"),
-        )
-    )
+        .select("vec_id", "__cid", "__v", "__cv", "__vn", "__cn"),
+        "__v", "__cv", "__vn", "__cn", out_col="rcos",
+    ).withColumn("rcos", F.round(F.col("rcos"), 9))
     own = scored.join(
         a2,
         (scored.vec_id == a2.vec_id) & (scored.__cid == a2.assigned),

@@ -262,7 +262,9 @@ def test_pq_encode_broadcasts_codebooks(spark):
     """embedding_pq_encode: the m*k codebook table must BROADCAST onto the
     subvector stream (the whole point of PQ search shape at 100 TB — no
     shuffle of raw vectors beyond the subspace explode), and nothing may
-    degenerate to a cartesian/nested-loop."""
+    degenerate to a cartesian/nested-loop. (r15: a MapInArrow assign twin
+    was measured and rejected as the default — see vector._pq_assign —
+    so the broadcast-join pin stands on the default path.)"""
     df = q(spark, "embedding_pq_encode")
     s = plans.explain_string(df)
     assert "CartesianProduct" not in s

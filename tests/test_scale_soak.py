@@ -8,6 +8,13 @@ from __future__ import annotations
 import os
 import sys
 
+import pytest
+
+# Heavy tier (VERDICT r14 #2): builds 2x/skew corpus variants and times
+# queries against them — minutes of work that belongs in the soak tier,
+# not the driver's default gate.
+pytestmark = pytest.mark.soak
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 import scale_soak  # noqa: E402
