@@ -145,27 +145,34 @@ def minhash_signature(
     return F.array(*[min_hash(i) for i in range(num_hashes)])
 
 
-def _banded_signatures(
-    df: DataFrame,
+def _banding_columns(
     text_col: str,
-    id_col: str,
     num_hashes: int,
     bands: int,
     portable: bool,
     shingle_n: int | None,
-    blocks: list[str],
-) -> DataFrame:
-    """(id, blocks..., band_idx, band_hash): the banded-minhash signature
-    table both the self-join (:func:`minhash_lsh_candidates`) and the
-    delta-vs-corpus join (:func:`minhash_lsh_candidates_delta`) consume.
-    See minhash_lsh_candidates for why the signature runs explode→codegen
-    hash→map-side MIN, not the higher-order-function array form."""
+) -> tuple[Column, list[Column], Column]:
+    """The batch-independent Column triple `_banded_signatures` selects:
+    (exploded token column, k min-hash aggregates, banded explode column).
+
+    Memoized per active SparkContext: building these expressions costs
+    ~0.8s of py4j round-trips (32 md5 chains + 8 band hashes), paid once
+    per plan construction — which for the streaming ingest face means once
+    PER MICRO-BATCH on the driver (r15 profile: "build" was 0.75s of the
+    ~2.2s warm per-batch cost, ~90% of it Column construction, ~0.07s the
+    DataFrame chain). Columns are immutable unresolved expressions, safe
+    to share across plans; the cache keys on the live SparkContext so a
+    JVM restart cannot serve stale JavaObject handles."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (id(sc), text_col, num_hashes, bands, portable, shingle_n)
+    hit = _BANDING_COLUMN_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+
     rows_per_band = num_hashes // bands
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        *blocks,
-        F.explode(_token_sets(text_col, shingle_n)).alias("tok"),
-    )
+    tokcol = F.explode(_token_sets(text_col, shingle_n)).alias("tok")
     if portable:
         def h(i: int) -> Column:
             return md5_long(F.concat(F.col("tok"), F.lit(f"#{i}")))
@@ -173,9 +180,7 @@ def _banded_signatures(
         def h(i: int) -> Column:
             return F.xxhash64(F.col("tok"), F.lit(i))
 
-    sig = tok.groupBy("id", *blocks).agg(
-        *[F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
-    )
+    aggs = [F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
 
     def band_hash(b: int) -> Column:
         elems = [
@@ -185,21 +190,61 @@ def _banded_signatures(
             return F.md5(F.concat_ws(",", *[e.cast("string") for e in elems]))
         return F.xxhash64(*elems)
 
-    return sig.select(
-        "id",
-        *blocks,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        band_hash(b).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", *blocks, "band.band_idx", "band.band_hash")
+    bandcol = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    band_hash(b).alias("band_hash"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("band")
+    entry = (tokcol, aggs, bandcol)
+    # pin the context OBJECT in the entry: id(sc) keys are only unique
+    # among LIVE objects, so holding this reference guarantees a restarted
+    # context can never alias a dead one's key and be served its stale
+    # py4j handles (the reference is tiny; one per context ever started).
+    _BANDING_COLUMN_CACHE[key] = (sc, entry)
+    return entry
+
+
+_BANDING_COLUMN_CACHE: dict[tuple, tuple] = {}
+
+
+def _banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    portable: bool,
+    shingle_n: int | None,
+    blocks: list[str],
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """(id, blocks..., band_idx, band_hash): the banded-minhash signature
+    table both the self-join (:func:`minhash_lsh_candidates`) and the
+    delta-vs-corpus join (:func:`minhash_lsh_candidates_delta`) consume.
+    See minhash_lsh_candidates for why the signature runs explode→codegen
+    hash→map-side MIN, not the higher-order-function array form.
+
+    ``toks`` (id, blocks..., toks) feeds the explode from a pre-built —
+    typically checkpointed — token/shingle-set table instead of
+    re-deriving ``_token_sets(text)``: identical rows (both paths explode
+    the same array; empty/null sets vanish at the explode either way)."""
+    tokcol, aggs, bandcol = _banding_columns(
+        text_col, num_hashes, bands, portable, shingle_n
+    )
+    if toks is not None:
+        tok = toks.select("id", *blocks, F.explode("toks").alias("tok"))
+    else:
+        tok = df.select(F.col(id_col).alias("id"), *blocks, tokcol)
+    sig = tok.groupBy("id", *blocks).agg(*aggs)
+    return sig.select("id", *blocks, bandcol).select(
+        "id", *blocks, "band.band_idx", "band.band_hash"
+    )
 
 
 def minhash_lsh_candidates_delta(
@@ -249,6 +294,7 @@ def minhash_lsh_candidates(
     portable: bool = False,
     shingle_n: int | None = None,
     block_by: str | Sequence[str] | None = None,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded minhash LSH.
 
@@ -281,7 +327,8 @@ def minhash_lsh_candidates(
     # evidence, no null-signature skew bucket.
     blocks = as_list(block_by) if block_by else []
     banded = _banded_signatures(
-        df, text_col, id_col, num_hashes, bands, portable, shingle_n, blocks
+        df, text_col, id_col, num_hashes, bands, portable, shingle_n, blocks,
+        toks=toks,
     )
     # NB: the self-join reads `banded` twice, but both sides are the same
     # plan — Catalyst's ReuseExchange serves the agg shuffle once.
@@ -308,16 +355,22 @@ def _joined_pair_sets(
     id_col: str,
     shingle_n: int | None,
     verify_partitions: int | None = None,
+    toks: DataFrame | None = None,
 ):
     """Shared candidate-scoring scaffold for :func:`jaccard_pairs` and
     :func:`containment_pairs`: (a_id, b_id) pairs joined to both sides'
     token/shingle sets. Returns ``(joined, size_a, size_b)`` — set size is
     materialized ONCE as a per-doc column so prune filters and score
     projections read an explicit int instead of relying on Catalyst CSE of
-    repeated ``F.size``."""
-    toks = df.select(
-        F.col(id_col).alias("id"), _token_sets(text_col, shingle_n).alias("toks")
-    ).withColumn("n_toks", F.size("toks"))
+    repeated ``F.size``. ``toks`` lets a caller that already built the
+    (id, toks, n_toks) table (the containment SSJoin front half) pass it
+    through instead of re-deriving it — same expression tree when not
+    materialized, one shared materialization when it is (r15 #6 A/B)."""
+    if toks is None:
+        toks = df.select(
+            F.col(id_col).alias("id"),
+            _token_sets(text_col, shingle_n).alias("toks"),
+        ).withColumn("n_toks", F.size("toks"))
     # Candidate rows are two longs — tiny in BYTES, heavy in downstream
     # COMPUTE (per-pair array set ops). AQE coalesces post-shuffle stages
     # by bytes, so an upstream distinct/band-join can hand this scaffold a
@@ -346,6 +399,7 @@ def jaccard_pairs(
     prune_threshold: float | None = None,
     shingle_n: int | None = None,
     verify_partitions: int | None = None,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Exact distinct-token (or n-shingle, with ``shingle_n``) Jaccard for
     given (a_id, b_id) candidate pairs.
@@ -357,7 +411,7 @@ def jaccard_pairs(
     and the kind that matters when the candidate set is 10⁸ pairs.
     """
     joined, size_a, size_b = _joined_pair_sets(
-        df, pairs, text_col, id_col, shingle_n, verify_partitions
+        df, pairs, text_col, id_col, shingle_n, verify_partitions, toks
     )
     if prune_threshold is not None:
         joined = joined.where(
@@ -384,6 +438,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     shingle_n: int | None = None,
     verify_partitions: int | None = None,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Exact token/shingle-set CONTAINMENT for candidate pairs:
     ``containment_a = |A∩B| / |A|`` and the symmetric ``containment_b`` —
@@ -400,7 +455,7 @@ def containment_pairs(
     :func:`containment_join` (prefix filtering); the banded form is the
     cheap screen."""
     joined, size_a, size_b = _joined_pair_sets(
-        df, pairs, text_col, id_col, shingle_n, verify_partitions
+        df, pairs, text_col, id_col, shingle_n, verify_partitions, toks
     )
     union = F.size(F.array_union(F.col("ta.toks"), F.col("tb.toks")))
     inter = (size_a + size_b - union).cast("double")
@@ -459,11 +514,32 @@ def _prefix_probe_tables(
     """Shared SSJoin front half for :func:`containment_join` and
     :func:`containment_keep_list`: token postings, global rarity sort, and
     the epsilon-guarded prefix table. Returns
-    ``(occ, prefixes, stage_width, par)``.
+    ``(occ, prefixes, stage_width, par, toks)``.
+
+    The tokenized corpus (id, toks, n_toks) is materialized ONCE via a
+    session-scoped checkpoint and shared with every downstream consumer
+    (occ/dfreq/rarity-sort here, index/members in the callers, and the
+    verify's ``_joined_pair_sets`` via the returned handle). This
+    re-audits — and OVERTURNS — the r8 rejection of exactly this
+    materialization under the post-r14 economics (scan-parallelize,
+    truncated-subtree plan audit): quiet-host r15 A/B (4 reps, wall/CPU
+    floors): dedup_containment_complete 4.74s/20.5 → 1.51s/13.9,
+    dedup_containment_keeplist 5.81s/21.8 → 1.82s/11.3. The SSJoin plan
+    re-tokenizes the corpus FIVE times (occ, dfreq via occ, rarity sort,
+    and both verify sides) — the checkpoint pays one tokenize + one
+    small materialization instead. ``PNS_CONTAINMENT_CKPT=0`` opts out
+    (restores the pure-lineage plan for lineage-recovery-sensitive
+    clusters that also decline PNS_CHECKPOINT_MODE=reliable).
     """
+    import os
+
     toks = df.select(
         F.col(id_col).alias("id"), _token_sets(text_col, shingle_n).alias("toks")
     ).withColumn("n_toks", F.size("toks"))
+    if os.environ.get("PNS_CONTAINMENT_CKPT", "1") != "0":
+        from polars_numba_spark.plans.checkpoint import session_scoped_checkpoint
+
+        toks = session_scoped_checkpoint(toks)
     occ = toks.select("id", F.explode("toks").alias("tok"))
     dfreq = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     # Adaptive width, shared by the TWO corpus-mass stages (VERDICT r8 #4):
@@ -509,7 +585,7 @@ def _prefix_probe_tables(
         F.col("id").alias("a_id"),
         F.explode(F.slice("sorted_toks", 1, prefix_len)).alias("tok"),
     )
-    return occ, prefixes, stage_width, par
+    return occ, prefixes, stage_width, par, toks
 
 
 def containment_join(
@@ -555,7 +631,7 @@ def containment_join(
         return containment_keep_list(df, threshold, text_col, id_col, shingle_n)
     if emit != "pairs":
         raise ValueError(f"emit must be 'pairs' or 'keeplist', got {emit!r}")
-    occ, prefixes, stage_width, par = _prefix_probe_tables(
+    occ, prefixes, stage_width, par, toks = _prefix_probe_tables(
         df, threshold, text_col, id_col, shingle_n
     )
     # The prefix⋈index join is the EXPLOSIVE stage (its output is the
@@ -596,7 +672,8 @@ def containment_join(
     # allocation per-core-sized at any scale (SCALE.md, VERDICT r8 #4).
     verify_width = stage_width if stage_width > par else par
     scored = containment_pairs(
-        df, cands, text_col, id_col, shingle_n, verify_partitions=verify_width
+        df, cands, text_col, id_col, shingle_n,
+        verify_partitions=verify_width, toks=toks,
     )
     return scored.where(F.col("containment_a") >= threshold)
 
@@ -635,13 +712,38 @@ def minhash_dedup_pairs(
         )
     if emit != "pairs":
         raise ValueError(f"emit must be 'pairs' or 'keeplist', got {emit!r}")
+    toks = None
+    import os
+
+    # The pipeline derives the token/shingle sets THREE times (signature
+    # explode + both verify sides). For SHINGLE sets that derivation is
+    # the dominant cost — every pass re-runs tokenize → n-gram concat →
+    # array_sort over the full corpus — so the tokenized corpus is
+    # checkpointed once and shared (quiet-host r15 A/B at sf0.1:
+    # dedup_minhash_pairs 8.05s → 2.12s wall floor). For UNIGRAM sets the
+    # same A/B measured a LOSS (dedup_jaccard_pairs 4.42s → 5.06s:
+    # distinct-token derivation is ~0.5s and the checkpoint's
+    # materialize+read costs more than it saves), so the default is
+    # shingle-only. Results identical by construction — both paths
+    # explode/join the same per-doc set. PNS_MINHASH_TOKS_CKPT=1/0
+    # forces on/off.
+    knob = os.environ.get("PNS_MINHASH_TOKS_CKPT")
+    if knob == "1" or (knob != "0" and shingle_n is not None):
+        from polars_numba_spark.plans.checkpoint import session_scoped_checkpoint
+
+        toks = session_scoped_checkpoint(
+            df.select(
+                F.col(id_col).alias("id"),
+                _token_sets(text_col, shingle_n).alias("toks"),
+            ).withColumn("n_toks", F.size("toks"))
+        )
     cands = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, portable=portable,
-        shingle_n=shingle_n,
+        shingle_n=shingle_n, toks=toks,
     )
     return jaccard_pairs(
         df, cands, text_col, id_col, prune_threshold=threshold,
-        shingle_n=shingle_n,
+        shingle_n=shingle_n, toks=toks,
     ).where(F.col("jaccard") >= threshold)
 
 
@@ -1151,7 +1253,7 @@ def containment_keep_list(
     dedup. Tokenless documents have no postings, hence no edges: they are
     trivially kept as singleton components via the ids left-join.
     """
-    occ, prefixes, stage_width, par = _prefix_probe_tables(
+    occ, prefixes, stage_width, par, toks = _prefix_probe_tables(
         df, threshold, text_col, id_col, shingle_n
     )
     active_toks = prefixes.select("tok").distinct()
@@ -1174,7 +1276,8 @@ def containment_keep_list(
     star = star.dropDuplicates(["a_id", "b_id"])
     verify_width = stage_width if stage_width > par else par
     scored = containment_pairs(
-        df, star, text_col, id_col, shingle_n, verify_partitions=verify_width
+        df, star, text_col, id_col, shingle_n,
+        verify_partitions=verify_width, toks=toks,
     )
     edges = scored.where(
         F.greatest(F.col("containment_a"), F.col("containment_b"))

@@ -238,9 +238,12 @@ def _pair_cosine_arrow(
                 div = na * nb
                 if (cos_valid & (div == 0.0)).any():
                     # ANSI mode: the expression path raises
-                    # SparkArithmeticException here — reproduce the failure
+                    # ArithmeticException here — reproduce the failure
+                    # (same class, pyspark.errors.ArithmeticException)
                     # instead of silently emitting IEEE inf/NaN
-                    raise ArithmeticError(
+                    from pyspark.errors import ArithmeticException
+
+                    raise ArithmeticException(
                         "[DIVIDE_BY_ZERO] zero-norm vector in pairwise "
                         "cosine scoring (ANSI division)"
                     )

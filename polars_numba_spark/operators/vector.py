@@ -268,9 +268,12 @@ def _assign_nearest_arrow(
                     div = vn[idx] * cn[j]
                     if (div == 0.0).any():
                         # ANSI mode: the expression path raises
-                        # SparkArithmeticException here — reproduce the
-                        # failure instead of silently emitting IEEE NaN/inf
-                        raise ArithmeticError(
+                        # ArithmeticException here — reproduce the failure
+                        # (same class, pyspark.errors.ArithmeticException)
+                        # instead of silently emitting IEEE NaN/inf
+                        from pyspark.errors import ArithmeticException
+
+                        raise ArithmeticException(
                             "[DIVIDE_BY_ZERO] zero-norm vector or centroid "
                             "in nearest-centroid assignment (ANSI division)"
                         )

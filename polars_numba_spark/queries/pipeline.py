@@ -11,6 +11,8 @@ schemas aligned.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -734,8 +736,26 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``block_by="source"``); no pairwise join on a bare blocking key
     remains in the plan (pinned in test_plans.py)."""
     d = _t(spark, sf_dir, "documents")
+    toks = None
+    if os.environ.get("PNS_MINHASH_TOKS_CKPT") == "1":
+        # opt-in ONLY: the r15 A/B measured this face SLOWER with the
+        # shared checkpointed toks (4.42s → 5.06s wall floor) — unigram
+        # distinct-token derivation is ~0.5s of the face, so the
+        # checkpoint's materialize+read overhead exceeds the 2 saved
+        # re-tokenizations. Kept wired (and tested) for corpora whose
+        # tokenize pass is expensive; carries `source` for the banded
+        # block key. Result-identical by construction.
+        from polars_numba_spark.plans.checkpoint import session_scoped_checkpoint
+
+        toks = session_scoped_checkpoint(
+            d.select(
+                F.col("doc_id").alias("id"),
+                "source",
+                D._token_sets("text", None).alias("toks"),
+            ).withColumn("n_toks", F.size("toks"))
+        )
     cands = D.minhash_lsh_candidates(
-        d, num_hashes=16, bands=4, portable=True, block_by="source"
+        d, num_hashes=16, bands=4, portable=True, block_by="source", toks=toks
     )
     # verify_partitions: the banded candidate set here is large (~139k
     # verified pairs at sf0.1) and the verify is per-pair set arithmetic —
@@ -745,6 +765,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands,
         prune_threshold=0.8,
         verify_partitions=spark.sparkContext.defaultParallelism,
+        toks=toks,
     ).where(F.col("jaccard") >= 0.8)
 
 

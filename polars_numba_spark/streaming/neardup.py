@@ -116,9 +116,15 @@ def ingest_neardup_batch(
     # collision-free); non-integral ids are hashed — a 64-bit collision
     # between two tokenless docs is the only (negligible) merge risk.
     id_is_integral = dict(batch.dtypes)[id_col] in ("tinyint", "smallint", "int", "bigint")
+    # band_hash's dtype is DETERMINED by the mode — md5 band hashes are
+    # strings, xxhash64 band hashes are bigints (_banded_signatures) — so
+    # derive it from `portable` instead of `dict(bn.dtypes)`: the dtypes
+    # probe forced a full Catalyst analysis of the 32-aggregate banded
+    # plan on the DRIVER once per micro-batch (r15 phase profile: ~1.5s
+    # of the ~4.4s warm per-batch cost was driver-side plan analysis).
     sentinel_hash = (
         F.concat(F.lit("tokenless#"), F.col("id").cast("string"))
-        if dict(bn.dtypes)["band_hash"] == "string"  # portable (md5) mode
+        if portable  # md5 mode keys buckets by string
         else (F.col("id").cast("bigint") if id_is_integral else F.xxhash64(F.col("id")))
     )
     # distinct(): a replayed/concatenated micro-batch may repeat doc_ids;

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from polars_numba_spark.operators.dedup import (
@@ -20,6 +21,7 @@ def test_components_basic_graph(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
 
 
+@pytest.mark.soak  # r15 fast-tier trim (VERDICT r14 #2); >10s each
 def test_components_long_chain_converges(spark):
     n = 30
     edges = spark.createDataFrame(

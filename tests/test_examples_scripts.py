@@ -1,5 +1,10 @@
 """The examples/ scripts run clean end-to-end (the reference's CI runs its
-example scripts the same way, `.github/workflows/test.yml:29-35`)."""
+example scripts the same way, `.github/workflows/test.yml:29-35`).
+
+Soak tier (r15, VERDICT r14 #2): each script boots its own Spark session
+via spark-submit — ~430s for the 13 scripts, a third of the whole default
+suite — and everything they exercise is covered unit-wise by the fast
+tier. Run with `pytest -m soak`."""
 
 from __future__ import annotations
 
@@ -7,6 +12,8 @@ import subprocess
 import sys
 
 import pytest
+
+pytestmark = pytest.mark.soak
 
 
 @pytest.mark.parametrize(

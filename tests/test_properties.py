@@ -199,6 +199,7 @@ def test_duplicated_spans_matches_python_model(spark, texts):
     assert got == _py_spans(texts)
 
 
+@pytest.mark.soak  # r15 fast-tier trim (VERDICT r14 #2); >10s each
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(texts=_corpus)
 def test_remove_passages_matches_python_model(spark, texts):
@@ -214,6 +215,7 @@ def test_remove_passages_matches_python_model(spark, texts):
     assert got == _py_removed(texts)
 
 
+@pytest.mark.soak  # r15 fast-tier trim (VERDICT r14 #2); >10s each
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(texts=_corpus)
 def test_tfidf_top_terms_matches_python_model(spark, texts):
@@ -345,6 +347,7 @@ corpus_strategy = st.lists(
     corpus=corpus_strategy,
     threshold=st.sampled_from([0.5, 0.6, 0.7, 0.75, 0.8, 0.9, 0.95]),
 )
+@pytest.mark.soak  # r15 fast-tier trim (VERDICT r14 #2); >10s each
 def test_containment_join_complete_and_precise(spark, corpus, threshold):
     from polars_numba_spark.operators.dedup import containment_join
 
@@ -489,6 +492,7 @@ _bloom_keys = st.lists(
 )
 
 
+@pytest.mark.soak  # r15 fast-tier trim (VERDICT r14 #2); >10s each
 @given(keys=_bloom_keys, probes=_bloom_keys)
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 def test_bloom_never_false_negative_and_words_fit(spark, keys, probes):
@@ -524,6 +528,7 @@ def test_bloom_never_false_negative_and_words_fit(spark, keys, probes):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.soak  # r15 fast-tier trim (VERDICT r14 #2); >10s each
 def test_global_ranks_is_permutation_and_order_correct(spark, vals):
     """global_ranks must assign exactly the ranks 1..n (a permutation —
     offsets can neither skip nor repeat across range-partition
@@ -554,6 +559,7 @@ def test_global_ranks_is_permutation_and_order_correct(spark, vals):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.soak  # r15 fast-tier trim (VERDICT r14 #2); >10s each
 def test_cms_never_undercounts_and_bounds_overestimate(spark, keys):
     """The count-min estimate must satisfy exact <= cms <= exact + (the
     mass that can smear into a bucket) for EVERY key — the one-sided
@@ -592,6 +598,7 @@ def test_cms_never_undercounts_and_bounds_overestimate(spark, keys):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.soak  # r15 fast-tier trim (VERDICT r14 #2); >10s each
 def test_phrase_search_matches_python_model(spark, texts):
     """phrase_search occurrence counts must equal a naive Python sliding
     window over the same tokenization — including repeated-token phrases
@@ -665,6 +672,7 @@ def test_wasserstein_partition_invariant_and_zero_on_self(spark):
     corpus=corpus_strategy,
     threshold=st.sampled_from([0.5, 0.7, 0.9]),
 )
+@pytest.mark.soak  # r15 fast-tier trim (VERDICT r14 #2); >10s each
 def test_containment_keeplist_precision_and_refinement(spark, corpus, threshold):
     """Property (r13, the keep-list contract on random corpora): every
     document the keep-list DROPS must be connected to its component

@@ -158,6 +158,7 @@ def test_weighted_sample_matches_python_model(spark):
     assert len(got) == 27  # exactly k per group, 3 groups
 
 
+@pytest.mark.soak  # r15 fast-tier trim (VERDICT r14 #2); >10s each
 def test_weighted_sample_weight_proportionality(spark):
     """Statistical sanity: across many salts, a row with 20× the weight of
     its peers must win far more often — the 'weighted' in weighted sampling,

@@ -176,6 +176,7 @@ def _digest_case(draw):
     return values, cuts, C
 
 
+@pytest.mark.soak  # r15 fast-tier trim (VERDICT r14 #2); >10s each
 @given(_digest_case())
 @settings(max_examples=150, deadline=None)
 def test_merge_phase_adversarial_rank_envelope(case):
@@ -195,6 +196,7 @@ def test_merge_phase_adversarial_rank_envelope(case):
         assert _interval_rank_err(sv, est, p) <= envelope
 
 
+@pytest.mark.soak  # r15 fast-tier trim (VERDICT r14 #2); >10s each
 @given(_digest_case())
 @settings(max_examples=150, deadline=None)
 def test_merge_phase_exact_invariants(case):
