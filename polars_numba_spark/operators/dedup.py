@@ -949,6 +949,26 @@ def simhash_dedup_pairs(
     e = _simhash_blocked(
         df, text_col, id_col, bits, max_hamming, n_rows, target_block_rows
     )
+    # Two r15 fixes to the self-join, both measured:
+    # 1. Widen it EXPLICITLY: the signature/block table is byte-tiny (one
+    #    long + 4 block structs per doc), so AQE coalesced its agg
+    #    exchange to 1-2 partitions and the self-join plus per-pair
+    #    Hamming verify — >1M emitted pairs at sf0.1 — ran on 1-2 TASKS.
+    #    An explicit key repartition is AQE-coalesce-exempt; width is the
+    #    same corpus-adaptive rule as the containment verify (floor =
+    #    core count, grows with docs). 6.28s → 2.95s wall floor,
+    #    bit-identical pairs.
+    # 2. Materialize the block table ONCE: the join's broadcast side
+    #    blocks ReuseExchange, so both sides re-ran the whole
+    #    tokenize→hash→sign-agg pipeline (visible as two full aggregate
+    #    chains in plans/r15/dedup_simhash_pairs_before.txt). A
+    #    session-scoped checkpoint halves the signature build: → 2.89s.
+    from polars_numba_spark.plans.checkpoint import session_scoped_checkpoint
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    e = session_scoped_checkpoint(
+        e.repartition(_adaptive_verify_width(df, par), "blk")
+    )
     a = e.alias("a")
     b = e.alias("b")
     return (

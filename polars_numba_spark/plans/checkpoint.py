@@ -60,6 +60,17 @@ def _persistent_ids(spark: SparkSession) -> set[int]:
     return {int(i) for i in jmap.keySet().toArray()}
 
 
+def _checkpoint_rdd_ids(out: DataFrame) -> set[int]:
+    """The persistent-RDD ids backing an eager localCheckpoint, read
+    DIRECTLY off the returned frame's LogicalRDD (verified: the
+    LogicalRDD's rdd id IS the persisted id). This replaces the r6-era
+    before/after diff of ``getPersistentRDDs`` — the diff was two JVM
+    map scans per checkpoint AND attributed ids wrongly when two threads
+    checkpoint concurrently (r15: the RRF face materializes its BM25 and
+    PageRank subtrees in parallel submitter threads)."""
+    return {int(out._jdf.queryExecution().analyzed().rdd().id())}
+
+
 def _checkpoint_mode() -> str:
     """``local`` (default) or ``reliable`` — VERDICT r14 #8. Eager
     ``localCheckpoint`` stores blocks on executors WITHOUT replication and
@@ -100,16 +111,28 @@ def tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
     ``PNS_CHECKPOINT_MODE=reliable`` swaps in a reliable checkpoint for
     cluster deployments (see :func:`_checkpoint_mode`) — the id-tracking
     contract is unchanged (reliable checkpoints create no persistent-RDD
-    blocks, so the id set is simply empty and release() is a no-op)."""
+    blocks, so the id set is simply empty and release() is a no-op).
+
+    A checkpoint scan reports UnknownPartitioning and inherits the
+    upstream AQE-coalesced block count, so byte-small frames materialize
+    as 1-2 blocks and downstream stages up to their next exchange run
+    1-2 tasks. An auto-respread remedy ("widen to core count after
+    materializing") was built and A/B'd in r15 and REJECTED on
+    measurement everywhere it was tried: PageRank's iteration join
+    broadcasts the edge table, so widening the probe side multiplied the
+    per-task broadcast cost (CPU floor 11.4 → 57.5 on
+    doc_pagerank_centrality); the tokenized-corpus checkpoints feed
+    stages whose first exchange re-widens anyway (neutral-to-worse).
+    Where narrow checkpoint reads genuinely serialize heavy compute, fix
+    the CONSUMER with an explicit keyed repartition instead (see
+    simhash_dedup_pairs' block-join widening, measured 6.3s → 3.0s)."""
     spark = df.sparkSession
     if _PLAN_CAPTURE:
         _CAPTURED_QES.append(df._jdf.queryExecution())
     if _checkpoint_mode() == "reliable":
         return _reliable_checkpoint(df), set()
-    before = _persistent_ids(spark)
     out = df.localCheckpoint(eager=True)
-    ids = _persistent_ids(spark) - before
-    return out, ids
+    return out, _checkpoint_rdd_ids(out)
 
 
 def release(spark: SparkSession, ids: set[int] | list[int]) -> None:

@@ -3022,9 +3022,22 @@ def embedding_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ADC) and exact feeds three consumers (two hit joins + the count);
     # materialize each once — codes is n x m small ints, exact is 50 rows —
     # instead of re-encoding the corpus and re-running brute force per use.
-    codes = session_scoped_checkpoint(pq_encode(e, books, m=8))
     q = e.where(F.col("vec_id") < 10)
-    exact = session_scoped_checkpoint(S.brute_force_topk(e, q, k=5))
+    # codes (Lloyd training + encode) and exact (brute force) are
+    # independent subtrees, each well under full-width; materialize them
+    # from two submitter threads so their jobs interleave (r15, same
+    # pattern as doc_search_authority_rrf — results identical).
+    import concurrent.futures as _cf
+
+    with _cf.ThreadPoolExecutor(max_workers=2) as _ex:
+        codes_f = _ex.submit(
+            lambda: session_scoped_checkpoint(pq_encode(e, books, m=8))
+        )
+        exact_f = _ex.submit(
+            lambda: session_scoped_checkpoint(S.brute_force_topk(e, q, k=5))
+        )
+        codes = codes_f.result()
+        exact = exact_f.result()
     adc = pq_adc_topk(codes, q, books, k=5, m=8).select(
         F.col("query_id").alias("aq"),
         F.col("neighbor_id").alias("an"),
@@ -3208,30 +3221,49 @@ def doc_search_authority_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_numba_spark.plans.checkpoint import session_scoped_checkpoint
 
     d = _t(spark, sf_dir, "documents")
+
     # bm feeds BOTH the candidate-threshold broadcast and the fusion join;
     # without materialization each side replays the whole BM25 ranking
     # (measured: 2x the face's dominant CPU). Top-10-per-query rows — tiny.
-    bm = session_scoped_checkpoint(
-        X.bm25_topk(d, _BM25_QUERIES, k=10, k1=_BM25_K1, b=_BM25_B)
-    )
+    def _build_bm():
+        return session_scoped_checkpoint(
+            X.bm25_topk(d, _BM25_QUERIES, k=10, k1=_BM25_K1, b=_BM25_B)
+        )
 
-    occ = d.select("doc_id", F.explode(X.tokens("text")).alias("term")).distinct()
-    doc_node = F.concat(F.lit("d:"), F.col("doc_id").cast("string"))
-    term_node = F.concat(F.lit("t:"), F.col("term"))
-    edges = occ.select(doc_node.alias("src"), term_node.alias("dst")).union(
-        occ.select(term_node.alias("src"), doc_node.alias("dst"))
-    )
     # pr feeds both the candidate filter and the strictly-above count scan;
     # materialize the 3-iteration PageRank once (|doc nodes| rows) instead
     # of replaying the whole iteration chain per consumer.
-    pr = session_scoped_checkpoint(
-        pagerank(edges, damping=0.85, iterations=3)
-        .where(F.col("node").startswith("d:"))
-        .select(
-            F.expr("substr(node, 3)").cast("long").alias("doc_id"),
-            F.col("rank").alias("pagerank"),
+    def _build_pr():
+        occ = d.select(
+            "doc_id", F.explode(X.tokens("text")).alias("term")
+        ).distinct()
+        doc_node = F.concat(F.lit("d:"), F.col("doc_id").cast("string"))
+        term_node = F.concat(F.lit("t:"), F.col("term"))
+        edges = occ.select(doc_node.alias("src"), term_node.alias("dst")).union(
+            occ.select(term_node.alias("src"), doc_node.alias("dst"))
         )
-    )
+        return session_scoped_checkpoint(
+            pagerank(edges, damping=0.85, iterations=3)
+            .where(F.col("node").startswith("d:"))
+            .select(
+                F.expr("substr(node, 3)").cast("long").alias("doc_id"),
+                F.col("rank").alias("pagerank"),
+            )
+        )
+
+    # The two component subtrees are INDEPENDENT and each leaves cores
+    # idle (BM25's postings stages are wide but short; PageRank's
+    # iteration probes are narrow) — materialize them from two submitter
+    # threads so their jobs interleave in the scheduler (r15 A/B: face
+    # wall floor 9.75s -> 5.70s, identical results: the subtrees share
+    # nothing and each checkpoint tracks its own RDD id).
+    import concurrent.futures as _cf
+
+    with _cf.ThreadPoolExecutor(max_workers=2) as _ex:
+        bm_f = _ex.submit(_build_bm)
+        pr_f = _ex.submit(_build_pr)
+        bm = bm_f.result()
+        pr = pr_f.result()
     # Global authority rank of the ≤40 candidate docs WITHOUT a global
     # total sort (the single-reducer shape the r8 soak flagged elsewhere):
     # rank = 1 + count of docs strictly above in (pagerank desc, doc_id)

@@ -50,3 +50,29 @@ def test_reliable_mode_without_dir_raises(spark, monkeypatch):
         pytest.skip("checkpoint dir already set in this session")
     with pytest.raises(RuntimeError, match="PNS_CHECKPOINT_DIR"):
         CK.tracked_local_checkpoint(spark.range(3))
+
+
+def test_tracked_ids_are_exact_and_thread_safe(spark):
+    """r15: checkpoint ids are read DIRECTLY off the returned LogicalRDD
+    (not a before/after diff of the JVM's persistent-RDD map), so two
+    threads checkpointing concurrently — the RRF face's overlapped BM25 /
+    PageRank builds — each track exactly their own blocks."""
+    import concurrent.futures as cf
+
+    def build(tag):
+        df = spark.range(2000).selectExpr("id", f"id * {tag} as x")
+        out, ids = CK.tracked_local_checkpoint(df)
+        return out, ids
+
+    with cf.ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(build, k) for k in (3, 7)]
+        results = [f.result() for f in futs]
+    (out_a, ids_a), (out_b, ids_b) = results
+    # each checkpoint tracked exactly one id, and they are disjoint
+    assert len(ids_a) == 1 and len(ids_b) == 1
+    assert ids_a.isdisjoint(ids_b)
+    # the tracked ids really are the persisted blocks: releasing one
+    # leaves the other frame fully readable with its data intact
+    CK.release(spark, ids_a)
+    assert out_b.agg(F.sum("x")).collect()[0][0] == sum(i * 7 for i in range(2000))
+    CK.release(spark, ids_b)
